@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+/** One sink entry: JSON-lines payload + optional partition key — the Spark
+  * form of `*kinesis.PutRecordsRequestEntry` (`/root/reference/kinesis.go:172-175`;
+  * Firehose entries carry no partition key, `firehose.go:165-167`).
+  */
+final case class SinkEntry(partitionKey: Option[String], data: Array[Byte]) {
+  def size: Int = data.length + partitionKey.map(_.length).getOrElse(0)
+}
+
+/** Batch chunker enforcing the AWS `PutRecords`/`PutRecordBatch` API limits
+  * the reference guards with `MaxPutRecordsEntries`/`MaxPutRecordsSize`
+  * (`/root/reference/kinesis.go:22-23,126-148`): ≤500 entries and ≤4.5 MB
+  * per call, preserving input order.
+  *
+  * The reference has an empty-buffer bypass (`kinesis.go:127-132`) that lets
+  * a single oversized incoming batch exceed the limits; we chunk
+  * unconditionally instead (SURVEY.md §2.4 — fix, don't replicate). A single
+  * entry larger than maxBytes is emitted alone (the API call will fail and be
+  * handled by the sink's error policy, same observable behavior).
+  */
+object Chunker {
+  val MaxEntries = 500
+  val MaxBytes = 4500000L
+
+  def chunk[T](it: Iterator[T], sizeOf: T => Long,
+               maxEntries: Int = MaxEntries,
+               maxBytes: Long = MaxBytes): Iterator[Seq[T]] =
+    new Iterator[Seq[T]] {
+      private val in = it.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): Seq[T] = {
+        val batch = Seq.newBuilder[T]
+        var n = 0
+        var bytes = 0L
+        var full = false
+        while (!full && in.hasNext) {
+          val sz = sizeOf(in.head)
+          if (n == 0 || (n < maxEntries && bytes + sz <= maxBytes)) {
+            batch += in.next()
+            n += 1
+            bytes += sz
+          } else full = true
+        }
+        batch.result()
+      }
+    }
+}
+
+/** Sink strategy — the Spark form of the reference's `recordWriter` interface
+  * (`/root/reference/main.go:27-31`), selected by the `-firehose` flag
+  * (`main.go:95-99`). `send` receives one already-chunked batch (≤500/≤4.5MB)
+  * and must not throw for delivery errors: the reference logs and drops
+  * (at-most-once, `kinesis.go:109-111,139-141`).
+  *
+  * NOTE: no AWS SDK exists in this environment (zero egress, SURVEY.md §2.4);
+  * `KinesisFileSink`/`FirehoseFileSink` are faithful local emulations — the
+  * trait boundary is where a real `PutRecords`/`PutRecordBatch` call slots in.
+  */
+trait RecordSink extends Serializable {
+  def send(batch: Seq[SinkEntry]): Unit
+}
+
+/** Kinesis `PutRecords` emulation: each `send` = one API call = one file,
+  * entries as JSON lines (payloads already newline-terminated). Partition
+  * keys are recorded alongside, mirroring shard-key affinity
+  * (`kinesis.go:174`).
+  */
+final class KinesisFileSink(dir: String, streamName: String) extends RecordSink {
+  def send(batch: Seq[SinkEntry]): Unit = {
+    if (batch.isEmpty) return
+    val d = new java.io.File(dir, streamName)
+    d.mkdirs()
+    val f = java.io.File.createTempFile("putrecords-", ".jsonl", d)
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+    try batch.foreach(e => out.write(e.data))
+    catch {
+      // at-most-once: log and drop, like kinesis.go:109-111
+      case e: java.io.IOException =>
+        System.err.println(s"[KinesisFileSink] send failed: ${e.getMessage}")
+    } finally out.close()
+  }
+}
+
+/** Firehose `PutRecordBatch` emulation — identical shape, no partition key
+  * (`/root/reference/firehose.go:174-185`). */
+final class FirehoseFileSink(dir: String, deliveryStreamName: String) extends RecordSink {
+  private val inner = new KinesisFileSink(dir, deliveryStreamName)
+  def send(batch: Seq[SinkEntry]): Unit =
+    inner.send(batch.map(_.copy(partitionKey = None)))
+}
+
+/** Test sink: collects everything in-process. Valid in local mode only
+  * (executors share the driver JVM). Spark serializes the sink into each
+  * task closure, so state lives in a JVM-static registry keyed by sink id —
+  * the deserialized task-side copies and the driver-side original all see
+  * the same queue.
+  */
+final class CollectingSink extends RecordSink {
+  import scala.jdk.CollectionConverters._
+  private val id = java.util.UUID.randomUUID().toString
+  private def queue = CollectingSink.registry
+    .computeIfAbsent(id, _ => new java.util.concurrent.ConcurrentLinkedQueue[Seq[SinkEntry]]())
+  def send(batch: Seq[SinkEntry]): Unit = if (batch.nonEmpty) queue.add(batch)
+  def allBatches: Seq[Seq[SinkEntry]] = queue.asScala.toSeq
+  def allLines: Seq[String] = allBatches.flatten
+    .flatMap(e => new String(e.data, StandardCharsets.UTF_8).split("\n", -1).filter(_.nonEmpty))
+}
+
+object CollectingSink {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[Seq[SinkEntry]]]()
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.sources.RemoteWrite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** CLI entry point — the Spark form of the reference's `main()`
+  * (`/root/reference/main.go:70-119`): flag parsing, writer selection,
+  * stream lifecycle. Ingest is the production shape from SURVEY.md §2.1:
+  * a frontend appends each remote-write POST body as a file under --in.
+  *
+  * Usage:
+  *   graft.streaming.RelayMain --in <bodiesDir> --out <sinkDir>
+  *     [--stream-name metrics]        (main.go:74 -stream-name)
+  *     [--firehose]                   (main.go:71 -firehose)
+  *     [--write-interval 10]          (main.go:75, seconds; 0 = drain-and-exit)
+  */
+object RelayMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 1).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    val inDir = opts.getOrElse("--in", sys.error("--in <bodiesDir> required"))
+    val outDir = opts.getOrElse("--out", sys.error("--out <sinkDir> required"))
+    // stream-name required, like main.go:79-81
+    val streamName = opts.getOrElse("--stream-name", "metrics")
+    val firehose = args.contains("--firehose")
+    val intervalSec = opts.getOrElse("--write-interval", "10").toInt
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-relay")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sink: RecordSink =
+      if (firehose) new FirehoseFileSink(outDir, streamName)
+      else new KinesisFileSink(outDir, streamName)
+    val trigger =
+      if (intervalSec == 0) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(s"$intervalSec seconds")
+
+    val q = RelayPipeline.start(spark, RemoteWrite.bodyDirStream(spark, inDir),
+      sink, firehose = firehose, trigger = trigger)
+    if (intervalSec == 0) { q.processAllAvailable(); q.stop() }
+    else q.awaitTermination()
+    spark.stop()
+  }
+}
