@@ -6,7 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    operators.EventAnalytics
+    operators.EventAnalytics,
+    operators.Joins,
+    operators.Aggregates,
+    operators.Windows,
+    operators.SetOpsSort
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation breadth (SURVEY.md §2.5): min/max/count(distinct), HLL
+  * approx distinct, rollup / cube / grouping sets.
+  *
+  * Scale notes: every query here is a partial (map-side) hash aggregate
+  * followed by one shuffle keyed on the group columns; output cardinality is
+  * tiny and group keys are low-cardinality uniform (event types, statuses,
+  * segments), so the shuffle moves combined partials only — the pattern
+  * holds unchanged at 100 TB. `count(distinct user_id)` expands to the
+  * standard two-phase Spark plan (partial distinct then final); for a
+  * high-cardinality distinct at scale the HLL variant (`q21`) is the knob —
+  * fixed-size sketches, no second shuffle, mergeable across executors.
+  *
+  * Rollup/cube grouping-null markers are folded to the sentinel 'ALL' so the
+  * output is total-ordered without null-ordering divergence between engines
+  * (Spark sorts NULLS FIRST, DuckDB NULLS LAST by default).
+  */
+object Aggregates extends QueryModule {
+
+  /** min / max / avg / sum / count / count(distinct) per event type. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** HLL sketch distinct — no DuckDB oracle (approximation differs by
+    * implementation); the driver records a rows-only check. The exact
+    * distinct is q20's `n_users`; this is the 100 TB-scale substitute. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  /** ROLLUP (status, priority) with sentinel-folded subtotal rows. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** CUBE (returnflag, linestatus) with sentinel-folded subtotal rows. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** GROUPING SETS ((mktsegment), (nationkey), ()) over customer. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq.empty),
+        col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nationkey"),
+        col("n"), col("total_bal"))
+      .orderBy(col("segment"), col("nationkey"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "q20_agg_stats" -> aggStats _,
+    "q21_agg_approx_distinct" -> aggApproxDistinct _,
+    "q22_agg_rollup" -> rollupAgg _,
+    "q23_agg_cube" -> cubeAgg _,
+    "q24_agg_grouping_sets" -> groupingSetsAgg _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_agg_stats" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
+        |       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q23_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q24_agg_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
+        |       count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY 1, 2""".stripMargin
+  )
+}

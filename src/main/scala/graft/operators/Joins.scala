@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** All eight join forms from SURVEY.md §2.5 over the TPC-H-ish tables and
+  * the `events` stream stand-in.
+  *
+  * Scale notes (100 TB / 1000-executor framing):
+  *   - dimension joins (`region`, `nation`) are explicitly [[broadcast]] —
+  *     dims are KBs at any scale, so the fact side never shuffles;
+  *   - `orders ⋈ lineitem` is a shuffle (sort-merge) join on the natural
+  *     key — both sides hash-partition on `orderkey`, which is uniformly
+  *     distributed (no skew) and is the partitioning a real deployment would
+  *     bucket both tables on to eliminate the shuffle entirely;
+  *   - the range/as-of joins are equi-joins on `user_id` with a range
+  *     predicate pushed into the join condition: Spark executes them as a
+  *     hash join on `user_id` + post-filter, so the work per user is
+  *     (clicks_u × purchases_u), bounded by per-user activity, never a
+  *     global cross product.
+  */
+object Joins extends QueryModule {
+
+  /** Broadcast hash join: customer ⋈ nation ⋈ region (dims broadcast). */
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = broadcast(Tables(spark, dir, "nation"))
+    val r = broadcast(Tables(spark, dir, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Shuffle (sort-merge) join on the big-big pair: orders ⋈ lineitem. */
+  def shuffleJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val l = Tables(spark, dir, "lineitem")
+    l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left outer join: every customer kept, orders counted (0 if none). */
+  def leftOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"), c("c_nationkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"))
+    perCust.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") === 0, 1L).otherwise(0L)).as("n_without_orders"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Left semi join: customers having at least one big order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val big = Tables(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left anti join: parts with no late-2001 shipment. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val late = Tables(spark, dir, "lineitem")
+      .filter(expr("l_shipdate >= TIMESTAMP '2001-09-01'"))
+    p.join(late, p("p_partkey") === late("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Cross join: tiny × tiny only (5 regions × 3 statuses). */
+  def crossJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").select(col("r_name"))
+    val s = Tables(spark, dir, "orders").select(col("o_orderstatus")).distinct()
+    r.crossJoin(s).orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** Range (theta) join: click→purchase pairs within 24h, same user. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("cts") < col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: for each purchase, the latest same-user click at/before it.
+    * Composed as equi-join on user + range predicate + `row_number() = 1`
+    * (SURVEY.md §2.5 "as-of = range join + window row_number=1"). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("cts").desc, col("click_id").desc)
+    purchases.join(clicks,
+        col("p_user") === col("user_id") && col("cts") <= col("pts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q10_join_broadcast" -> broadcastJoin _,
+    "q11_join_shuffle" -> shuffleJoin _,
+    "q12_join_left_outer" -> leftOuterJoin _,
+    "q13_join_semi" -> semiJoin _,
+    "q14_join_anti" -> antiJoin _,
+    "q15_join_cross" -> crossJoin _,
+    "q16_join_range" -> rangeJoin _,
+    "q17_join_asof" -> asofJoin _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q10_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_join_left_outer" ->
+      """SELECT nationkey, count(*) AS n_customers,
+        |       CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+        |FROM (SELECT c.c_custkey, c.c_nationkey AS nationkey,
+        |             count(o.o_orderkey) AS n_orders
+        |      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |      GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_join_anti" ->
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part
+        |WHERE p_partkey NOT IN
+        |  (SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-09-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY 1, 2""".stripMargin,
+    "q16_join_range" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_join_asof" ->
+      """WITH pc AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM events p JOIN events c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |   AND p.event_type = 'purchase' AND c.event_type = 'click')
+        |SELECT purchase_id, click_id, gap_us FROM pc WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin
+  )
+}

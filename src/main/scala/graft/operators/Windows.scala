@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5): ranking, lag/lead, moving frames —
+  * plus per-group top-k (ranking + cutoff), the idiomatic Spark shape for
+  * "top N per key".
+  *
+  * Scale notes: every window here partitions by a bounded-cardinality,
+  * uniformly-distributed key (`nation`, `user_id`), so the plan is one hash
+  * shuffle on the partition key followed by a per-partition sort — no global
+  * sort, no skew. Per-group top-k via `row_number <= k` filters immediately
+  * after ranking, so nothing row-proportional survives the window stage.
+  * The final `orderBy` sorts only the already-reduced output.
+  */
+object Windows extends QueryModule {
+
+  /** row_number / rank / dense_rank; top-3 customers by balance per nation. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey").as("custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("nationkey"), col("rn"))
+  }
+
+  /** lag/lead per user over the event timeline. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 4).as("value_delta"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Moving average over a 4-row frame (3 preceding + current) per user. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 0)
+    Tables(spark, dir, "events")
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"),
+        round(avg(col("value")).over(w), 4).as("moving_avg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q25_window_topk_per_group" -> topkPerGroup _,
+    "q26_window_lag_lead" -> lagLead _,
+    "q27_window_moving_avg" -> movingAvg _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_window_topk_per_group" ->
+      """SELECT nationkey, custkey, acctbal, rn, rnk, drnk FROM (
+        |  SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+        |         round(c_acctbal, 2) AS acctbal,
+        |         row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 3 ORDER BY nationkey, rn""".stripMargin,
+    "q26_window_lag_lead" ->
+      """SELECT user_id, event_id,
+        |       round(value - lag(value, 1) OVER w, 4) AS value_delta,
+        |       lead(event_type, 1) OVER w AS next_type
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q27_window_moving_avg" ->
+      """SELECT user_id, event_id,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+        |         AS moving_avg
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin
+  )
+}

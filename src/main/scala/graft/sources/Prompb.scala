@@ -21,6 +21,12 @@ package graft.sources
   */
 object Prompb {
 
+  /** Typed decode failure: truncated/corrupt bodies raise this instead of
+    * ArrayIndexOutOfBounds, so callers can log-and-drop the one bad body the
+    * way the reference answers 400 and keeps serving
+    * (`/root/reference/kinesis.go:83-88`). */
+  final class DecodeError(msg: String) extends RuntimeException(msg)
+
   final case class Sample(value: Double, timestamp: Long)
   /** Labels kept sorted by name: Go's `json.Marshal` on a map emits keys in
     * sorted order (`/root/reference/record.go:14` via encoding/json), so
@@ -32,20 +38,26 @@ object Prompb {
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
 
+    private def need(n: Int): Unit =
+      if (n < 0 || n > end - pos)
+        throw new DecodeError(s"truncated message: need $n bytes at $pos/$end")
+
     def readVarint(): Long = {
       var shift = 0
       var result = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos)
         pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
         shift += 7
       }
-      throw new IllegalArgumentException("malformed varint")
+      throw new DecodeError("malformed varint")
     }
 
     def readFixed64(): Long = {
+      need(8)
       var v = 0L
       var i = 0
       while (i < 8) {
@@ -58,6 +70,7 @@ object Prompb {
 
     def readLenDelim(): Reader = {
       val len = readVarint().toInt
+      need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
@@ -65,6 +78,7 @@ object Prompb {
 
     def readString(): String = {
       val len = readVarint().toInt
+      need(len)
       val s = new String(buf, pos, len, java.nio.charset.StandardCharsets.UTF_8)
       pos += len
       s
@@ -72,10 +86,10 @@ object Prompb {
 
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => val len = readVarint().toInt; pos += len
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+      case 1 => need(8); pos += 8
+      case 2 => val len = readVarint().toInt; need(len); pos += len
+      case 5 => need(4); pos += 4
+      case w => throw new DecodeError(s"unsupported wire type $w")
     }
   }
 

@@ -32,14 +32,34 @@ object RemoteWrite {
       .load(dir)
       .select(col("content").as("body"))
 
-  /** `snappy.Decode` equivalent (`/root/reference/kinesis.go:76`). */
+  /** `snappy.Decode` equivalent (`/root/reference/kinesis.go:76`). A corrupt
+    * body yields null (dropped downstream) — the reference answers 400 for
+    * that one request and keeps serving (`kinesis.go:79`); failing the whole
+    * micro-batch for one bad body would be strictly worse. */
   val decompressSnappy = udf { (bytes: Array[Byte]) =>
-    org.xerial.snappy.Snappy.uncompress(bytes)
+    if (bytes == null) null
+    else
+      try org.xerial.snappy.Snappy.uncompress(bytes)
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[RemoteWrite] snappy decode failed, dropping body: ${e.getMessage}")
+          null
+      }
   }
 
-  /** `proto.Unmarshal` equivalent (`/root/reference/kinesis.go:83-88`). */
+  /** `proto.Unmarshal` equivalent (`/root/reference/kinesis.go:83-88`).
+    * Malformed protobuf → log + empty result (that body's rows are dropped,
+    * the stream keeps running — mirrors the reference's 400-and-continue,
+    * `kinesis.go:86`). */
   val decodeWriteRequest = udf { (bytes: Array[Byte]) =>
-    Prompb.decode(bytes)
+    if (bytes == null) Seq.empty[Prompb.TimeSeries]
+    else
+      try Prompb.decode(bytes)
+      catch {
+        case e: Prompb.DecodeError =>
+          System.err.println(s"[RemoteWrite] protobuf decode failed, dropping body: ${e.getMessage}")
+          Seq.empty[Prompb.TimeSeries]
+      }
   }
 
   /** Full body decode: snappy + protobuf in one pass. */

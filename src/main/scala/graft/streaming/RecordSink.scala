@@ -75,12 +75,16 @@ final class KinesisFileSink(dir: String, streamName: String) extends RecordSink 
     d.mkdirs()
     val f = java.io.File.createTempFile("putrecords-", ".jsonl", d)
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
-    try batch.foreach(e => out.write(e.data))
-    catch {
-      // at-most-once: log and drop, like kinesis.go:109-111
+    // close() flushes the buffered bytes, so it must sit INSIDE the catch:
+    // a disk-full error surfacing at close is still a delivery error and the
+    // contract is log-and-drop (at-most-once, kinesis.go:109-111).
+    try {
+      try batch.foreach(e => out.write(e.data))
+      finally out.close()
+    } catch {
       case e: java.io.IOException =>
         System.err.println(s"[KinesisFileSink] send failed: ${e.getMessage}")
-    } finally out.close()
+    }
   }
 }
 

@@ -26,6 +26,10 @@ object RelayMain {
     val streamName = opts.getOrElse("--stream-name", "metrics")
     val firehose = args.contains("--firehose")
     val intervalSec = opts.getOrElse("--write-interval", "10").toInt
+    // Without a checkpoint the binaryFile source restarts from scratch and
+    // re-delivers every historical body after a crash; default one under the
+    // sink dir so restarts resume instead of duplicating.
+    val checkpoint = opts.getOrElse("--checkpoint", s"$outDir/_checkpoint")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -45,7 +49,8 @@ object RelayMain {
       else Trigger.ProcessingTime(s"$intervalSec seconds")
 
     val q = RelayPipeline.start(spark, RemoteWrite.bodyDirStream(spark, inDir),
-      sink, firehose = firehose, trigger = trigger)
+      sink, firehose = firehose, trigger = trigger,
+      checkpointDir = Some(checkpoint))
     if (intervalSec == 0) { q.processAllAvailable(); q.stop() }
     else q.awaitTermination()
     spark.stop()

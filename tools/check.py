@@ -7,7 +7,8 @@ Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
 Loads each <outDir>/<name> parquet (the Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same sf tables, and
 compares: column names (sorted), row count, and values (exact, after
-sorting columns by name; rows compared both as-ordered and as-multiset).
+sorting columns by name, then sorting rows by all columns — i.e. a multiset
+compare, so queries without a total ORDER BY don't spuriously fail).
 """
 import duckdb, json, sys, math
 
@@ -28,6 +29,10 @@ for name in sorted(oracle):
         want = con.sql(sql).df()
         got = got[sorted(got.columns)].reset_index(drop=True)
         want = want[sorted(want.columns)].reset_index(drop=True)
+        if list(got.columns) == list(want.columns) and len(got.columns):
+            cols = list(got.columns)
+            got = got.sort_values(cols, key=lambda s: s.astype(str)).reset_index(drop=True)
+            want = want.sort_values(cols, key=lambda s: s.astype(str)).reset_index(drop=True)
         errs = []
         if list(got.columns) != list(want.columns):
             errs.append(f"columns: spark={list(got.columns)} duck={list(want.columns)}")
