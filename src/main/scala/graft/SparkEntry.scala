@@ -10,7 +10,9 @@ object SparkEntry {
     operators.Joins,
     operators.Aggregates,
     operators.Windows,
-    operators.SetOpsSort
+    operators.SetOpsSort,
+    operators.ScalarFns,
+    operators.StreamingBatch
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
