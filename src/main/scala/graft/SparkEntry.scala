@@ -12,7 +12,11 @@ object SparkEntry {
     operators.Windows,
     operators.SetOpsSort,
     operators.ScalarFns,
-    operators.StreamingBatch
+    operators.StreamingBatch,
+    operators.Dedup,
+    operators.Similarity,
+    operators.TextStats,
+    operators.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

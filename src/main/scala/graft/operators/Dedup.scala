@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication battery for LLM training-data pipelines over `documents`
+  * (BASELINE north-star): exact hash dedup, MinHash signatures, MinHash-LSH
+  * banded candidate pairs verified by exact n-gram Jaccard, and SimHash.
+  *
+  * All hashing is md5/sha2 — bit-identical across engines — so every stage
+  * is DuckDB-oracle checkable. MinHash uses k salted min-md5s over token
+  * 3-gram shingles (`min(md5(salt:shingle))` is a valid minwise hash family;
+  * string order on hex digests = order on the 128-bit hash values).
+  *
+  * Scale notes (the 100 TB story):
+  *   - exact dedup is one hash shuffle on `sha2(text)` — the canonical
+  *     dedup shape; no skew (hashes uniform);
+  *   - near-dup NEVER does all-pairs: signatures are computed per-row
+  *     (narrow), candidates come from equi-joins on band keys (shuffle on
+  *     band hash, uniform), and the expensive exact-Jaccard verify runs only
+  *     on the candidate set — the textbook LSH contract;
+  *   - SimHash is explode → per-(doc,bit) partial aggregates → one shuffle
+  *     keyed on doc_id; 60 fixed counters per doc, no row-proportional
+  *     state.
+  */
+object Dedup extends QueryModule {
+
+  /** doc_id, toks, shingles (token 3-grams, with duplicates). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+
+  private def minhash(salt: Int): Column =
+    array_min(expr(s"transform(sh, x -> md5(concat('$salt:', x)))")).as(s"mh$salt")
+
+  /** doc_id + 4 minhash components. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir).select(
+      col("doc_id") +: (0 until 4).map(minhash): _*)
+
+  /** Exact dedup: sha256(text) grouping; duplicates manufactured by
+    * self-union (the corpus itself is all-distinct). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    d.unionAll(d)
+      .groupBy(col("lang"), sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies") - 1).as("n_removed"))
+      .orderBy(col("lang"))
+  }
+
+  /** MinHash signature table: 4 salted min-md5s + 2 banded keys. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir)
+      .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"),
+        md5(concat(col("mh0"), col("mh1"))).as("band0"),
+        md5(concat(col("mh2"), col("mh3"))).as("band1"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash-LSH near-dup pairs: band (r=1, b=4) equi-join for candidates,
+    * exact distinct-shingle Jaccard verify, top-20. */
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val melted = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("band"), col(s"mh$i").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band"), col("bh.h"))
+    val l = melted.select(col("doc_id").as("a"), col("band"), col("h"))
+    val r = melted.select(col("doc_id").as("b"), col("band"), col("h"))
+    val cands = l.join(r, Seq("band", "h")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sets = shingled(spark, dir)
+      .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("shd").as("sa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shd").as("sb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** 60-bit SimHash per document from per-token md5s. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("v", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(expr(s"(shiftright(v, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j"))
+    val recompose = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(recompose).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q40_dedup_exact" -> exactDedup _,
+    "q41_dedup_minhash_sig" -> minhashSignatures _,
+    "q42_dedup_lsh_pairs" -> lshNearDupPairs _,
+    "q43_dedup_simhash" -> simhash _
+  )
+
+  /** Shared oracle CTE: token 3-gram shingles per doc. */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_transform(range(1, len(toks)-1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+      |      FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  private val simhashOracle: String = {
+    val bits = (0 until 60)
+      .map(j => s"CAST(sum(CASE WHEN ((v >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
+      .mkString(",\n        ")
+    val recompose = (0 until 60)
+      .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tv AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS v FROM tok),
+       |bits AS (SELECT doc_id,
+       |        $bits
+       |    FROM tv GROUP BY doc_id)
+       |SELECT doc_id, $recompose AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT lang, count(*) AS n_unique,
+        |       CAST(sum(n_copies - 1) AS BIGINT) AS n_removed
+        |FROM (SELECT lang, sha256(text) AS h, min(doc_id) AS keep_id,
+        |             count(*) AS n_copies
+        |      FROM (SELECT doc_id, lang, text FROM documents
+        |            UNION ALL SELECT doc_id, lang, text FROM documents)
+        |      GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_dedup_minhash_sig" ->
+      s"""$shingleCte,
+         |m AS (SELECT doc_id,
+         |        list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
+         |        list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+         |        list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+         |        list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+         |      FROM s)
+         |SELECT doc_id, mh0, mh1, mh2, mh3,
+         |       md5(mh0 || mh1) AS band0, md5(mh2 || mh3) AS band1
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q42_dedup_lsh_pairs" ->
+      s"""$shingleCte,
+         |m AS (SELECT doc_id,
+         |        list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
+         |        list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+         |        list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+         |        list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+         |      FROM s),
+         |melted AS (
+         |  SELECT doc_id, 0 AS band, mh0 AS h FROM m
+         |  UNION ALL SELECT doc_id, 1, mh1 FROM m
+         |  UNION ALL SELECT doc_id, 2, mh2 FROM m
+         |  UNION ALL SELECT doc_id, 3, mh3 FROM m),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM melted l JOIN melted r
+         |           ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |j AS (SELECT cand.a, cand.b,
+         |        len(list_intersect(sa.shd, sb.shd)) AS inter,
+         |        len(sa.shd) AS la, len(sb.shd) AS lb
+         |      FROM cand
+         |      JOIN sets sa ON sa.doc_id = cand.a
+         |      JOIN sets sb ON sb.doc_id = cand.b)
+         |SELECT a, b,
+         |       round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+         |FROM j ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
+    "q43_dedup_simhash" -> simhashOracle
+  )
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque payload carried as a binary column + typed metadata. */
+final case class Blob(doc_id: Long, payload: Array[Byte], source: String, n_chars: Long)
+
+/** Extracted features for one payload. */
+final case class BlobFeatures(doc_id: Long, n_bytes: Int, header_hex: String, width: Int)
+
+/** Multimodal-column plumbing (BASELINE north-star): image/audio/video are
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * runs batch-wise over partitions.
+  *
+  * No media libraries exist in this container (SURVEY env notes), so the
+  * DECODER IS A STUB — a deterministic fake (byte length + header bytes +
+  * a metadata-derived "width") standing in where a real image/audio decode
+  * would run. What IS real and tested is the Spark-side plumbing this
+  * pipeline needs at 100 TB:
+  *   - schema: `binary` payload + typed metadata columns, a typed
+  *     `Dataset[Blob]` boundary;
+  *   - partition-batch execution: `mapPartitions` processes each partition
+  *     as one iterator (the JVM analogue of `mapInPandas` batch shape), so
+  *     a real decoder would amortize model/codec init once per partition,
+  *     not per row;
+  *   - narrow plan: decode is per-row, no shuffle; output is columnar and
+  *     oracle-checkable because the fake is deterministic.
+  */
+object Multimodal extends QueryModule {
+
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), col("n_chars"))
+      .as[Blob]
+    blobs.mapPartitions { it =>
+      // STUB decode: a real implementation opens a codec ONCE here, then
+      // decodes each payload; this fake derives features deterministically.
+      it.map { b =>
+        val header = b.payload.take(4).map("%02x".format(_)).mkString
+        BlobFeatures(b.doc_id, b.payload.length, header, (b.n_chars % 256).toInt)
+      }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q51_multimodal_features" -> features _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q51_multimodal_features" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+        |       CAST(n_chars % 256 AS INT) AS width
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+  )
+}

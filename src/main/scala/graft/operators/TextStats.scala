@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis battery for LLM data pipelines over `documents`
+  * (BASELINE north-star): corpus stats, n-gram-profile language ID, quality
+  * scoring, regex (BPE-ish) token counting, rolling-hash fingerprinting.
+  *
+  * The corpus is synthetic same-vocabulary word soup, so the language-ID
+  * profiles cannot be linguistically meaningful — the query demonstrates
+  * the mechanism (per-profile keyword scoring + argmax) with deterministic
+  * profiles; on real data the profile lists are per-language n-gram tables.
+  *
+  * Scale notes: all five are narrow scan→project pipelines with a final
+  * small aggregate or top-k; per-row work is O(len(text)); no shuffle
+  * carries anything row-proportional except the per-doc outputs themselves.
+  */
+object TextStats extends QueryModule {
+
+  private def toks(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").withColumn("toks", split(col("text"), " "))
+
+  /** Corpus stats per language. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("lang"), col("n_chars"), size(col("toks")).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        sum(col("n_tok")).cast("long").as("total_tokens"))
+      .orderBy(col("lang"))
+
+  /** Keyword-profile language ID: score each profile, argmax, confusion
+    * matrix against the labeled lang. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .withColumn("s_en", size(filter(col("toks"), t => t.isin("the", "a", "data"))))
+      .withColumn("s_es", size(filter(col("toks"), t => t.isin("row", "value", "table"))))
+      .withColumn("s_zh", size(filter(col("toks"), t => t.isin("query", "join", "window"))))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_zh"), "es")
+          .otherwise("zh"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** Composite quality score: length, mean token length, lexical diversity. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("avg_len",
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)).cast("double") /
+          col("n_tok"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+      .withColumn("quality",
+        lit(0.4) * least(lit(1.0), col("n_tok") / 100.0) +
+          lit(0.3) * least(lit(1.0), col("avg_len") / 8.0) +
+          lit(0.3) * col("uniq_ratio"))
+      .select(col("doc_id"), col("n_tok"), round(col("avg_len"), 4).as("avg_len"),
+        round(col("uniq_ratio"), 6).as("uniq_ratio"),
+        round(col("quality"), 6).as("quality"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .limit(20)
+
+  /** Regex (BPE-ish) vs whitespace token counting, per language. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_re"),
+        size(col("toks")).as("n_ws"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_re")).cast("long").as("regex_tokens"),
+        sum(col("n_ws")).cast("long").as("ws_tokens"),
+        round(avg(col("n_re")), 4).as("avg_regex_tokens"))
+      .orderBy(col("lang"))
+
+  /** Rolling-hash fingerprint: min md5 over all char 8-grams (two salted
+    * variants) + distinct-gram count. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .withColumn("grams", expr(
+        "transform(sequence(1, length(text)-7), i -> substr(text, i, 8))"))
+      .select(col("doc_id"),
+        array_min(expr("transform(grams, g -> md5(g))")).as("fp"),
+        array_min(expr("transform(grams, g -> md5(concat('w:', g)))")).as("fp_salted"),
+        size(array_distinct(col("grams"))).as("n_distinct_grams"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "q46_text_stats" -> textStats _,
+    "q47_text_langid" -> langId _,
+    "q48_text_quality" -> qualityScore _,
+    "q49_text_tokens" -> tokenCount _,
+    "q50_text_fingerprint" -> fingerprint _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_text_langid" ->
+      """WITH sc AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','data'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('row','value','table'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('query','join','window'))) AS s_zh
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |            WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted,
+        |       count(*) AS n
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q48_text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, len(toks) AS n_tok,
+        |         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |           / len(toks) AS avg_len,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |s AS (SELECT doc_id, n_tok, avg_len, uniq_ratio,
+        |        0.4 * least(1.0, n_tok / 100.0) +
+        |        0.3 * least(1.0, avg_len / 8.0) +
+        |        0.3 * uniq_ratio AS quality
+        |      FROM q)
+        |SELECT CAST(n_tok AS INT) AS n_tok, doc_id, round(avg_len, 4) AS avg_len,
+        |       round(uniq_ratio, 6) AS uniq_ratio, round(quality, 6) AS quality
+        |FROM s ORDER BY quality DESC, doc_id LIMIT 20""".stripMargin,
+    "q49_text_tokens" ->
+      """SELECT lang,
+        |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |         AS regex_tokens,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |       round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4)
+        |         AS avg_regex_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_text_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text)-6), i -> substr(text, i, 8)) AS grams
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |       list_min(list_transform(grams, g -> md5(g))) AS fp,
+        |       list_min(list_transform(grams, g -> md5('w:' || g))) AS fp_salted,
+        |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams
+        |FROM g ORDER BY doc_id""".stripMargin
+  )
+}
