@@ -36,8 +36,22 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Dedicated filter + projection + column arithmetic (SURVEY §2.2 [ext]
+    * predicate row): the filters and the two projected columns are all that
+    * reach the parquet scan (PushedFilters + pruned ReadSchema). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(expr("l_shipdate >= TIMESTAMP '2000-01-01'") &&
+        expr("l_shipdate < TIMESTAMP '2000-02-01'") &&
+        col("l_discount") > 0.05 && col("l_quantity") < 25)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")), 2).as("charge"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val queries: Map[String, QueryFn] = Map(
-    "q00_flagship_hourly" -> hourlyRollup _
+    "q00_flagship_hourly" -> hourlyRollup _,
+    "q01_filter_project" -> filterProject _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -48,6 +62,14 @@ object EventAnalytics extends QueryModule {
         |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |  AND l_shipdate < TIMESTAMP '2000-02-01'
+        |  AND l_discount > 0.05 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }
