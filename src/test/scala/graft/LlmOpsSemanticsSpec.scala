@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the LLM-pipeline operators over planted fixtures —
+  * invariants the DuckDB oracle can't express (it only proves Spark ≡ same
+  * algorithm in SQL; these prove the algorithm finds what it must find).
+  */
+class LlmOpsSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Mini `documents` table with planted duplicates/near-duplicates:
+    *   0 & 1: identical text (exact + near dup);
+    *   2: one token changed vs 0 (near dup, high jaccard);
+    *   3: unrelated text.
+    */
+  private lazy val docsDir: String = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val variant = base.replace("sigma", "SIGMA")
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),
+      (2L, variant, "en", "src2", variant.length.toLong),
+      (3L, other, "en", "src3", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Mini `embeddings` table: vec 1 = 2×(vec 0) → cosine exactly 1.0 with
+    * vec 0; vec 2 orthogonal to vec 0; vecs 3..9 noise off-axis. */
+  private lazy val embDir: String = {
+    import spark.implicits._
+    def unit(axis: Int): Seq[Float] =
+      (0 until 64).map(d => if (d == axis) 1.0f else 0.0f)
+    val rows =
+      Seq((0L, unit(0), 0), (1L, unit(0).map(_ * 2.0f), 0), (2L, unit(1), 1)) ++
+        (3L to 9L).map(i =>
+          (i, (0 until 64).map(d => ((i * 31 + d * 7) % 11).toFloat / 11.0f), 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("exact dedup collapses identical texts") {
+    // self-union doubles everything; docs 0 & 1 share a hash → one group of
+    // 4 copies; docs 2,3 → groups of 2. Per-lang: 3 unique, 5 removed.
+    val r = operators.Dedup.exactDedup(spark, docsDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_unique") == 3L)
+    assert(r(0).getAs[Long]("n_removed") == 5L)
+  }
+
+  test("minhash: identical docs have identical signatures") {
+    val sig = operators.Dedup.minhashSignatures(spark, docsDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (0 until 4).map(i => r.getAs[String](s"mh$i"))).toMap
+    assert(sig(0L) == sig(1L), "identical text ⇒ identical minhash signature")
+    assert(sig(0L) != sig(3L), "unrelated text ⇒ different signature")
+  }
+
+  test("LSH near-dup pairs surface the planted duplicates, ranked by jaccard") {
+    val pairs = operators.Dedup.lshNearDupPairs(spark, docsDir)
+      .collect().map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((0L, 1L)) == 1.0, "identical docs must have jaccard 1.0")
+    val nearJ = pairs.getOrElse((0L, 2L), pairs.getOrElse((1L, 2L), 0.0))
+    assert(nearJ > 0.7 && nearJ < 1.0, s"one-token change ⇒ high-but-<1 jaccard, got $nearJ")
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L },
+      "unrelated doc must not pair (no shared shingle ⇒ no shared minhash)")
+  }
+
+  test("simhash: identical docs equal; unrelated docs differ") {
+    val sh = operators.Dedup.simhash(spark, docsDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(3L))
+  }
+
+  test("brute-force cosine top-k finds the scaled twin at similarity 1.0") {
+    val top = operators.Similarity.cosineTopK(spark, embDir)
+      .filter(col("probe_id") === 0 && col("rn") === 1).collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("vec_id") == 1L, "2×v is the nearest by cosine")
+    assert(top(0).getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("LSH ANN: scaled twin lands in the same bucket and is retrieved") {
+    // scaling by a positive constant preserves every hyperplane sign, so
+    // vec 0 and vec 1 share a bucket by construction.
+    val r = operators.Similarity.annLsh(spark, embDir)
+      .filter(col("probe_id") === 0).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("vec_id") == 1L &&
+      r(0).getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("quality score: lexically diverse doc outranks none here, but bounds hold") {
+    val q = operators.TextStats.qualityScore(spark, docsDir).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val v = r.getAs[Double]("quality")
+      assert(v >= 0.0 && v <= 1.0, s"quality must be in [0,1], got $v")
+    }
+  }
+}
