@@ -7,6 +7,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     operators.EventAnalytics,
+    operators.RelayRoundtrip,
     operators.Joins,
     operators.Aggregates,
     operators.Windows,

@@ -83,7 +83,30 @@ object Aggregates extends QueryModule {
         col("n"), col("total_bal"))
       .orderBy(col("segment"), col("nationkey"))
 
+  /** Second-moment statistics: stddev/variance/correlation/covariance. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))
+      .orderBy(col("l_linestatus"))
+
+  /** Pivot: event counts per user-bucket × event_type (explicit values so
+    * the output schema is static — required for a scalable pivot). */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("bucket", col("user_id") % 10)
+      .groupBy(col("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .orderBy(col("bucket"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q18_agg_moments" -> statsMoments _,
+    "q19_agg_pivot" -> pivotEvents _,
     "q20_agg_stats" -> aggStats _,
     "q21_agg_approx_distinct" -> aggApproxDistinct _,
     "q22_agg_rollup" -> rollupAgg _,
@@ -92,6 +115,21 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q18_agg_moments" ->
+      """SELECT l_linestatus,
+        |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_agg_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_agg_stats" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,

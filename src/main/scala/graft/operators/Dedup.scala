@@ -66,16 +66,21 @@ object Dedup extends QueryModule {
   /** MinHash-LSH near-dup pairs: band (r=1, b=4) equi-join for candidates,
     * exact distinct-shingle Jaccard verify, top-20. */
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
-    val melted = sig.select(col("doc_id"), explode(array(
+    // One pass computes shingle sets + all 4 minhashes; persisted because the
+    // plan reuses it three times (two melt sides + the verify joins) — at
+    // scale this is the signature table you'd materialize anyway.
+    val perDoc = shingled(spark, dir)
+      .select(col("doc_id") +: array_distinct(col("sh")).as("shd") +:
+        (0 until 4).map(minhash): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val melted = perDoc.select(col("doc_id"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("band"), col(s"mh$i").as("h"))): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band"), col("bh.h"))
     val l = melted.select(col("doc_id").as("a"), col("band"), col("h"))
     val r = melted.select(col("doc_id").as("b"), col("band"), col("h"))
     val cands = l.join(r, Seq("band", "h")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val sets = shingled(spark, dir)
-      .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val sets = perDoc.select(col("doc_id"), col("shd"))
     cands
       .join(sets.select(col("doc_id").as("a"), col("shd").as("sa")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("shd").as("sb")), Seq("b"))
@@ -103,11 +108,27 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs: band on the high 16 bits (equi-join — the
+    * scalable candidate generator), verify by Hamming distance ≤ 12 via
+    * `bit_count(xor)` — both codegen'd built-ins. */
+  def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir)
+      .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 44).as("band"))
+    val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"))
+    val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"))
+    l.join(r, Seq("band")).filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 12)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("hamming"), col("a"), col("b"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q40_dedup_exact" -> exactDedup _,
     "q41_dedup_minhash_sig" -> minhashSignatures _,
     "q42_dedup_lsh_pairs" -> lshNearDupPairs _,
-    "q43_dedup_simhash" -> simhash _
+    "q43_dedup_simhash" -> simhash _,
+    "q52_dedup_simhash_pairs" -> simhashHammingPairs _
   )
 
   /** Shared oracle CTE: token 3-gram shingles per doc. */
@@ -118,7 +139,8 @@ object Dedup extends QueryModule {
       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
       |      FROM t WHERE len(toks) >= 3)""".stripMargin
 
-  private val simhashOracle: String = {
+  /** Oracle CTE ending in `shv(doc_id, simhash)`. */
+  private val simhashCte: String = {
     val bits = (0 until 60)
       .map(j => s"CAST(sum(CASE WHEN ((v >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
       .mkString(",\n        ")
@@ -129,8 +151,8 @@ object Dedup extends QueryModule {
        |tv AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS v FROM tok),
        |bits AS (SELECT doc_id,
        |        $bits
-       |    FROM tv GROUP BY doc_id)
-       |SELECT doc_id, $recompose AS simhash FROM bits ORDER BY doc_id""".stripMargin
+       |    FROM tv GROUP BY doc_id),
+       |shv AS (SELECT doc_id, $recompose AS simhash FROM bits)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -180,6 +202,16 @@ object Dedup extends QueryModule {
          |SELECT a, b,
          |       round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
          |FROM j ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
-    "q43_dedup_simhash" -> simhashOracle
+    "q43_dedup_simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM shv ORDER BY doc_id""".stripMargin,
+    "q52_dedup_simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM shv a JOIN shv b
+         |  ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+         |ORDER BY hamming, a, b""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.sources.{Prompb, RemoteWrite}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ENTIRE relay path as one oracle-checked batch query:
+  * events → prompb `WriteRequest` bodies (snappy+protobuf, 500 series per
+  * body like one remote-write POST) → wire decode → flatten → JSON-lines
+  * encode (`/root/reference/kinesis.go:68-93`, `prometheus.go:10-37`,
+  * `record.go:9-12`) → re-extract from the JSON and aggregate.
+  *
+  * The oracle aggregates the SAME stats straight off the source table, so a
+  * hash match proves the encode→decode→flatten→encode loop is lossless:
+  * every sample survives, timestamps exact (int64), values exact (shortest
+  * JSON double repr round-trips bit-exactly).
+  *
+  * Scale notes: the whole loop is narrow (mapPartitions encode, per-row
+  * decode/flatten/encode) — zero shuffles until the final tiny aggregate;
+  * identical shape to the production relay (`RelayPipeline`), so this query
+  * doubles as the relay-throughput benchmark entry.
+  */
+object RelayRoundtrip extends QueryModule {
+
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bodies = Tables(spark, dir, "events")
+      .select(col("event_type"), unix_millis(col("ts")).as("tms"),
+        col("user_id"), col("value"))
+      .as[(String, Long, Long, Double)]
+      .mapPartitions { it =>
+        // One body per 500 series — the shape of a remote-write POST batch.
+        it.grouped(500).map { group =>
+          val series = group.map { case (et, tms, uid, v) =>
+            Prompb.TimeSeries(
+              Map("__name__" -> et, "user" -> uid.toString),
+              Seq(Prompb.Sample(v, tms)))
+          }
+          org.xerial.snappy.Snappy.compress(Prompb.encode(series))
+        }
+      }.toDF("body")
+    RemoteWrite.jsonLines(RemoteWrite.fromBodies(bodies))
+      .select(col("name"),
+        get_json_object(col("json"), "$.time").cast("long").as("t"),
+        get_json_object(col("json"), "$.value").cast("double").as("v"))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("t")).as("sum_time"),
+        round(sum(col("v")), 2).as("sum_value"))
+      .orderBy(col("name"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q02_relay_roundtrip" -> roundtrip _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q02_relay_roundtrip" ->
+      """SELECT event_type AS name, count(*) AS n_samples,
+        |       CAST(sum(epoch_ms(ts)) AS BIGINT) AS sum_time,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

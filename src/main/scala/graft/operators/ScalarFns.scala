@@ -86,7 +86,16 @@ object ScalarFns extends QueryModule {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"), col("prop_key"))
 
+  /** Generator / UDTF-shaped operator: posexplode tokens into rows. */
+  def posExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .orderBy(col("doc_id"), col("pos"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q03_posexplode" -> posExplode _,
     "q35_string_fns" -> stringFns _,
     "q36_date_fns" -> dateFns _,
     "q37_math_fns" -> mathFns _,
@@ -95,6 +104,11 @@ object ScalarFns extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q03_posexplode" ->
+      """SELECT doc_id,
+        |       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+        |       unnest(string_split(text, ' ')) AS tok
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin,
     "q35_string_fns" ->
       """SELECT p_partkey, substr(p_name, 1, 6) AS name_pfx,
         |       upper(p_brand) AS brand_uc,
