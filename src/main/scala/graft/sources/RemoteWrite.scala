@@ -101,6 +101,11 @@ object RemoteWrite {
     *   - ±Inf rows are DROPPED: Go's json.Marshal errors on Inf and the
     *     reference skips the record, logging it (kinesis.go:158-161);
     *   - newline terminator appended (kinesis.go:163).
+    *
+    * ACCEPTED DIVERGENCE (ADVICE r1): integral doubles render as "42.0"
+    * here vs Go's "42" (and sci-notation thresholds differ). Both are valid
+    * JSON for the same double; consumers parse numerically. We do not
+    * post-process to byte-match Go's formatter.
     * Output: (name, json) — name doubles as the Kinesis partition key
     * (kinesis.go:174).
     */
