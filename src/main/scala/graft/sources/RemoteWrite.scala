@@ -32,38 +32,13 @@ object RemoteWrite {
       .load(dir)
       .select(col("content").as("body"))
 
-  /** `snappy.Decode` equivalent (`/root/reference/kinesis.go:76`). A corrupt
-    * body yields null (dropped downstream) — the reference answers 400 for
-    * that one request and keeps serving (`kinesis.go:79`); failing the whole
-    * micro-batch for one bad body would be strictly worse. */
-  val decompressSnappy = udf { (bytes: Array[Byte]) =>
-    if (bytes == null) null
-    else
-      try org.xerial.snappy.Snappy.uncompress(bytes)
-      catch {
-        case e: java.io.IOException =>
-          System.err.println(s"[RemoteWrite] snappy decode failed, dropping body: ${e.getMessage}")
-          null
-      }
-  }
-
-  /** `proto.Unmarshal` equivalent (`/root/reference/kinesis.go:83-88`).
-    * Malformed protobuf → log + empty result (that body's rows are dropped,
-    * the stream keeps running — mirrors the reference's 400-and-continue,
-    * `kinesis.go:86`). */
-  val decodeWriteRequest = udf { (bytes: Array[Byte]) =>
-    if (bytes == null) Seq.empty[Prompb.TimeSeries]
-    else
-      try Prompb.decode(bytes)
-      catch {
-        case e: Prompb.DecodeError =>
-          System.err.println(s"[RemoteWrite] protobuf decode failed, dropping body: ${e.getMessage}")
-          Seq.empty[Prompb.TimeSeries]
-      }
-  }
-
-  /** Full body decode: snappy + protobuf in one pass. */
-  def decodeBody(body: Column): Column = decodeWriteRequest(decompressSnappy(body))
+  /** Full body decode: snappy + protobuf as native Catalyst expressions
+    * ([[graft.functions.RelayExpressions]] — codegen'd snappy, internal-data
+    * protobuf decode; corrupt bodies → null → rows dropped, batch keeps
+    * running like the reference's 400-and-continue, `kinesis.go:79,86`). */
+  def decodeBody(body: Column): Column =
+    graft.functions.RelayExpressions.prompb(
+      graft.functions.RelayExpressions.snappy(body))
 
   /** Flatten decoded timeseries into canonical records — the Spark form of
     * `parseRecords` (`/root/reference/prometheus.go:10-37`). Semantic traps
