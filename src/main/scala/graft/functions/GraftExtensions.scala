@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Canonical library integration point: register graft's native expressions
+  * through `SparkSessionExtensions`, so any session can opt in with
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * (or programmatically via `SparkSession.builder.withExtensions`). This is
+  * the supported mechanism for shipping planner/function extensions in a
+  * library — no session mutation, works on a cluster where sessions are
+  * built from config alone. `RelayExpressions.register` remains for ad-hoc
+  * registration on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[RelayExpressions.type].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("snappy_decompress"),
+      info("snappy_decompress", "snappy_decompress(binary) - snappy-decompress a body; null on corrupt input"),
+      (es: Seq[Expression]) => SnappyDecompress(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("prompb_decode"),
+      info("prompb_decode", "prompb_decode(binary) - decode a prometheus remote-write WriteRequest; null on corrupt input"),
+      (es: Seq[Expression]) => PrompbDecode(es.head)))
+  }
+}

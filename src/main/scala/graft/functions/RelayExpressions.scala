@@ -76,9 +76,9 @@ object RelayExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("snappy_decompress",
-      es => SnappyDecompress(es.head), "graft")
+      es => SnappyDecompress(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("prompb_decode",
-      es => PrompbDecode(es.head), "graft")
+      es => PrompbDecode(es.head), "scala_udf")
   }
 }
 
