@@ -37,12 +37,17 @@ object Aggregates extends QueryModule {
 
   /** HLL sketch distinct — no DuckDB oracle (approximation differs by
     * implementation); the driver records a rows-only check. The exact
-    * distinct is q20's `n_users`; this is the 100 TB-scale substitute. */
+    * distinct is q20's `n_users`; this is the 100 TB-scale substitute.
+    *
+    * Deliberately NOT combined with an exact `countDistinct` in one agg:
+    * mixing them makes Spark key the partial aggregate on (group, user) and
+    * carry a full per-pair HLL sketch (1.6k words at rsd=0.01) through the
+    * shuffle — observed 13 KB/row in the round-2 plan audit. Alone, the
+    * sketch count equals the group count: 5 rows through the exchange. */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
   /** ROLLUP (status, priority) with sentinel-folded subtotal rows. */
