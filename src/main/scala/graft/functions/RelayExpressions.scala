@@ -4,7 +4,7 @@ import graft.sources.Prompb
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -19,9 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - [[PrompbDecode]] builds Catalyst internal data (UTF8String /
   *     ArrayBasedMapData / GenericArrayData) DIRECTLY in `eval`, skipping
   *     the UDF's encoder round-trip through external Scala objects
-  *     (Map/Seq/case classes). It is `CodegenFallback` — the output is a
-  *     nested array-of-structs, where interpreted eval into internal format
-  *     is the standard Spark approach (cf. built-in `from_protobuf`).
+  *     (Map/Seq/case classes), and generates a single static call in
+  *     whole-stage codegen.
   *
   * Error contract unchanged: corrupt input → null → the body's rows are
   * dropped, batch keeps running (reference 400s that one request,
@@ -102,13 +101,20 @@ case class SnappyDecompress(child: Expression) extends UnaryExpression {
 
 /** `proto.Unmarshal` of a remote-write WriteRequest
   * (`/root/reference/kinesis.go:83-88`) as a unary expression producing
-  * Catalyst-internal nested data, null on corrupt input. */
-case class PrompbDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+  * Catalyst-internal nested data, null on corrupt input. Codegen'd like
+  * [[SnappyDecompress]]: the static decoder already returns internal-format
+  * `ArrayData`, so generated code is a single static call. */
+case class PrompbDecode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = RelayExpressions.writeRequestType
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     RelayExpressions.prompbDecode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.RelayExpressions.prompbDecode($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
 
   override protected def withNewChildInternal(newChild: Expression): PrompbDecode =
     copy(child = newChild)

@@ -107,7 +107,14 @@ object Joins extends QueryModule {
 
   /** As-of join: for each purchase, the latest same-user click at/before it.
     * Composed as equi-join on user + range predicate + `row_number() = 1`
-    * (SURVEY.md §2.5 "as-of = range join + window row_number=1"). */
+    * (SURVEY.md §2.5 "as-of = range join + window row_number=1").
+    *
+    * Scale refinement: per-user pair expansion is quadratic in per-user
+    * history depth. For very deep histories the standard fix is adding a
+    * coarse time bucket to the equi-join key (each purchase joins its own
+    * and the preceding bucket), which bounds the expansion per bucket —
+    * same plan shape, one extra join column. Not needed at tested depths
+    * (10× stress: 667 events/user → 2.9 s, SURVEY §6.1). */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
     val purchases = e.filter(col("event_type") === "purchase")
