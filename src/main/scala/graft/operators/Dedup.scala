@@ -34,8 +34,18 @@ object Dedup extends QueryModule {
       .withColumn("sh", expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
 
-  private def minhash(salt: Int): Column =
-    array_min(expr(s"transform(sh, x -> md5(concat('$salt:', x)))")).as(s"mh$salt")
+  // Universal-hash MinHash family: one 32-bit base hash per shingle (md5
+  // prefix), then k linear transforms h_i(v) = (a_i·v + b_i) mod p with
+  // p prime > 2^32 — the textbook minwise family, 1 md5 instead of k, and
+  // pure 63-bit-safe integer arithmetic (bit-identical in any engine).
+  private val HashP = 4294967311L // smallest prime > 2^32
+  private val HashA = Seq(1926525167L, 688951733L, 1223106847L, 582307621L)
+  private val HashB = Seq(12345L, 67890L, 24680L, 13579L)
+
+  private def minhash(i: Int): Column =
+    array_min(expr(
+      s"transform(sh, x -> (${HashA(i)} * cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) + ${HashB(i)}) % $HashP)"))
+      .as(s"mh$i")
 
   /** doc_id + 4 minhash components. */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
@@ -55,12 +65,14 @@ object Dedup extends QueryModule {
       .orderBy(col("lang"))
   }
 
-  /** MinHash signature table: 4 salted min-md5s + 2 banded keys. */
+  /** MinHash signature table: 4 universal-hash mins + 2 banded keys. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir)
       .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"),
-        md5(concat(col("mh0"), col("mh1"))).as("band0"),
-        md5(concat(col("mh2"), col("mh3"))).as("band1"))
+        md5(concat(col("mh0").cast("string"), lit(":"), col("mh1").cast("string")))
+          .as("band0"),
+        md5(concat(col("mh2").cast("string"), lit(":"), col("mh3").cast("string")))
+          .as("band1"))
       .orderBy(col("doc_id"))
 
   /** MinHash-LSH near-dup pairs: band (r=1, b=4) equi-join for candidates,
@@ -168,21 +180,22 @@ object Dedup extends QueryModule {
     "q41_dedup_minhash_sig" ->
       s"""$shingleCte,
          |m AS (SELECT doc_id,
-         |        list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
-         |        list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
-         |        list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
-         |        list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
+         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
+         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
+         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
          |      FROM s)
          |SELECT doc_id, mh0, mh1, mh2, mh3,
-         |       md5(mh0 || mh1) AS band0, md5(mh2 || mh3) AS band1
+         |       md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS band0,
+         |       md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)) AS band1
          |FROM m ORDER BY doc_id""".stripMargin,
     "q42_dedup_lsh_pairs" ->
       s"""$shingleCte,
          |m AS (SELECT doc_id,
-         |        list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
-         |        list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
-         |        list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
-         |        list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
+         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
+         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
+         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
          |      FROM s),
          |melted AS (
          |  SELECT doc_id, 0 AS band, mh0 AS h FROM m

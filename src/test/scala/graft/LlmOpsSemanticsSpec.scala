@@ -61,7 +61,7 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
   test("minhash: identical docs have identical signatures") {
     val sig = operators.Dedup.minhashSignatures(spark, docsDir)
       .collect().map(r => r.getAs[Long]("doc_id") ->
-        (0 until 4).map(i => r.getAs[String](s"mh$i"))).toMap
+        (0 until 4).map(i => r.getAs[Long](s"mh$i"))).toMap
     assert(sig(0L) == sig(1L), "identical text ⇒ identical minhash signature")
     assert(sig(0L) != sig(3L), "unrelated text ⇒ different signature")
   }
