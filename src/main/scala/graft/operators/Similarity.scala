@@ -86,9 +86,49 @@ object Similarity extends QueryModule {
       .orderBy(col("probe_id"))
   }
 
+  /** IVF-style approximate NN: deterministic coarse centroids (every 50th
+    * vector), each vector assigned to its nearest centroid (an inverted
+    * list), probes search only their nprobe=2 closest centroids' lists.
+    *
+    * The IVF scale contract: with C ≈ √N centroids, assignment costs N·C
+    * broadcast dot products (narrow, no shuffle of the corpus), and each
+    * probe touches ~nprobe/C of the corpus instead of all of it. Lists are
+    * joined by centroid id — an equi-join on a bounded uniform key. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val n = normed(spark, dir)
+    val cents = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    def nearestCentroids(src: DataFrame, idCol: String, k: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cent_id"))
+      src.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= k)
+        .select(col(idCol), col("cent_id"))
+    }
+    val lists = nearestCentroids(n, "vec_id", 1)            // inverted lists
+    val probeLists = nearestCentroids(
+      n.filter(col("vec_id") < 30).select(col("vec_id").as("probe_id"),
+        col("emb"), col("nrm")), "probe_id", 2)             // nprobe = 2
+    val corpus = n.join(lists, Seq("vec_id"))
+    val probes = n.select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+      col("nrm").as("pnrm")).join(probeLists, Seq("probe_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("cos_sim"))
+      .orderBy(col("probe_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q44_sim_cosine_topk" -> cosineTopK _,
-    "q45_sim_ann_lsh" -> annLsh _
+    "q45_sim_ann_lsh" -> annLsh _,
+    "q53_sim_ann_ivf" -> annIvf _
   )
 
   /** Oracle-side plane weight, same integer formula as [[planeWeight]]. */
@@ -133,6 +173,35 @@ object Similarity extends QueryModule {
          |      FROM j)
          |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim
          |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin
-    }
+    },
+    "q53_sim_ann_ivf" ->
+      s"""$normedCte,
+         |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+         |      FROM n WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |    SELECT x.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65), i -> x.emb[i] * c.cemb[i]))
+         |          / (x.nrm * c.cnrm) DESC, c.cent_id) AS crn
+         |    FROM n x CROSS JOIN c) WHERE crn = 1),
+         |pasg AS (SELECT probe_id, cent_id FROM (
+         |    SELECT x.vec_id AS probe_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65), i -> x.emb[i] * c.cemb[i]))
+         |          / (x.nrm * c.cnrm) DESC, c.cent_id) AS crn
+         |    FROM n x CROSS JOIN c WHERE x.vec_id < 30) WHERE crn <= 2),
+         |j AS (SELECT p.probe_id, x.vec_id,
+         |        list_sum(list_transform(range(1, 65), i -> pn.emb[i] * x.emb[i]))
+         |          / (pn.nrm * x.nrm) AS sim
+         |      FROM pasg p
+         |      JOIN n pn ON pn.vec_id = p.probe_id
+         |      JOIN asg a ON a.cent_id = p.cent_id
+         |      JOIN n x ON x.vec_id = a.vec_id AND x.vec_id <> p.probe_id),
+         |r AS (SELECT probe_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY sim DESC, vec_id) AS rn
+         |      FROM j)
+         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim
+         |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin
   )
 }

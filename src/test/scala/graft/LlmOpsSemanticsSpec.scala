@@ -101,6 +101,15 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       r(0).getAs[Double]("cos_sim") == 1.0)
   }
 
+  test("IVF ANN: scaled twin shares the nearest centroid and is retrieved") {
+    // cosine is scale-invariant, so vec 0 and its 2× twin rank centroids
+    // identically — same inverted list — and the twin is the best match.
+    val r = operators.Similarity.annIvf(spark, embDir)
+      .filter(col("probe_id") === 0).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("vec_id") == 1L &&
+      r(0).getAs[Double]("cos_sim") == 1.0)
+  }
+
   test("quality score: lexically diverse doc outranks none here, but bounds hold") {
     val q = operators.TextStats.qualityScore(spark, docsDir).collect()
     assert(q.nonEmpty)
