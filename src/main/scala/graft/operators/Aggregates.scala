@@ -109,7 +109,27 @@ object Aggregates extends QueryModule {
       .count()
       .orderBy(col("bucket"))
 
+  /** Two-phase salted aggregation — the skew-mitigation shape: partial agg
+    * on (key, salt) spreads a hot key over 16 reducers, then a cheap final
+    * agg over 16 partials per key. Result provably equals the plain groupBy
+    * (the oracle IS the plain groupBy). `event_type` has only 5 values —
+    * exactly the "few giant keys" profile where a single-phase shuffle
+    * would bottleneck on 5 reducers at 100 TB. (Spark's map-side partial
+    * aggregation already does this implicitly for algebraic aggregates;
+    * the explicit salt is the pattern needed when partial agg can't help —
+    * e.g. exact distinct or collect-style states.) */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).cast("long").as("n"),
+        round(sum(col("psum")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q54_agg_salted" -> saltedAgg _,
     "q18_agg_moments" -> statsMoments _,
     "q19_agg_pivot" -> pivotEvents _,
     "q20_agg_stats" -> aggStats _,
@@ -120,6 +140,9 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q54_agg_salted" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_agg_moments" ->
       """SELECT l_linestatus,
         |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
