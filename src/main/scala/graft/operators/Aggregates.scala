@@ -128,7 +128,20 @@ object Aggregates extends QueryModule {
         round(sum(col("psum")), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Exact interpolated percentiles (p50/p90/p99) — at 100 TB the exact
+    * form needs a full sort per group; `approx_percentile` (t-digest) is
+    * the scale substitute, same call shape. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q56_agg_percentiles" -> percentiles _,
     "q54_agg_salted" -> saltedAgg _,
     "q18_agg_moments" -> statsMoments _,
     "q19_agg_pivot" -> pivotEvents _,
@@ -140,6 +153,12 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q56_agg_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_agg_salted" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -55,10 +55,27 @@ object Windows extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** ntile / percent_rank / cume_dist / first+last value over a frame. */
+  def windowExtras(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        round(first(col("value")).over(frame), 4).as("min_val"),
+        round(last(col("value")).over(frame), 4).as("max_val"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q25_window_topk_per_group" -> topkPerGroup _,
     "q26_window_lag_lead" -> lagLead _,
-    "q27_window_moving_avg" -> movingAvg _
+    "q27_window_moving_avg" -> movingAvg _,
+    "q55_window_extras" -> windowExtras _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -85,6 +102,18 @@ object Windows extends QueryModule {
         |                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
         |         AS moving_avg
         |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q55_window_extras" ->
+      """SELECT user_id, event_id,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       round(first_value(value) OVER wf, 4) AS min_val,
+        |       round(last_value(value) OVER wf, 4) AS max_val
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+        |       wf AS (PARTITION BY user_id ORDER BY value, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin
   )
 }
