@@ -26,22 +26,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: forces FULL computation of every column. count() would let
     // Catalyst prune projections (md5/minhash/json work) on non-aggregating
-    // queries and report fantasy timings.
-    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // queries and report fantasy timings. A failing query is RECORDED (null
+    // timing + "errors" list), never silently folded into the total.
+    // clearCache() scopes any query-internal persist (q42's signature
+    // table) to one run — no leak, no double-cache warning on the timed pass.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Throwable] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable => Some(e) }
+      finally spark.catalog.clearCache()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => run(fn) }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      run(fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = run(fn)
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    results.foreach { case (name, _, err) =>
+      err.foreach(e => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"))
+    }
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, None) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     println(line)
     spark.stop()

@@ -20,12 +20,17 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy conf, then
-    * truncate to micros — the same truncation DuckDB's µs TIMESTAMP applies,
-    * so oracle comparisons see identical values.
+    * (PARQUET_TYPE_ILLEGAL). The session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (Verify,
+    * Bench, Explain, and TestSpark all do) — a query builder must not
+    * mutate session conf, which races under concurrent query construction.
+    * The raw nanos are truncated to micros — the same truncation DuckDB's
+    * µs TIMESTAMP applies, so oracle comparisons see identical values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.parquet is TIMESTAMP(NANOS))")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -80,7 +80,10 @@ object Dedup extends QueryModule {
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // One pass computes shingle sets + all 4 minhashes; persisted because the
     // plan reuses it three times (two melt sides + the verify joins) — at
-    // scale this is the signature table you'd materialize anyway.
+    // scale this is the signature table you'd materialize (write to parquet)
+    // anyway. Cache lifetime is scoped to the CALLER: Verify/Bench call
+    // spark.catalog.clearCache() after materializing each query, so repeated
+    // invocations neither leak executor memory nor re-cache cached data.
     val perDoc = shingled(spark, dir)
       .select(col("doc_id") +: array_distinct(col("sh")).as("shd") +:
         (0 until 4).map(minhash): _*)

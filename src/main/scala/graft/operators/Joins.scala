@@ -110,11 +110,10 @@ object Joins extends QueryModule {
     * (SURVEY.md §2.5 "as-of = range join + window row_number=1").
     *
     * Scale refinement: per-user pair expansion is quadratic in per-user
-    * history depth. For very deep histories the standard fix is adding a
-    * coarse time bucket to the equi-join key (each purchase joins its own
-    * and the preceding bucket), which bounds the expansion per bucket —
-    * same plan shape, one extra join column. Not needed at tested depths
-    * (10× stress: 667 events/user → 2.9 s, SURVEY §6.1). */
+    * history depth. [[asofJoinBucketed]] (q57) adds a coarse time bucket to
+    * the equi-join key to bound expansion per bucket; [[asofJoinSorted]]
+    * (q58) eliminates pair expansion entirely with a sort-based running
+    * "last click" window. All three produce identical output. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
     val purchases = e.filter(col("event_type") === "purchase")
@@ -133,6 +132,74 @@ object Joins extends QueryModule {
       .orderBy(col("purchase_id"))
   }
 
+  /** Bucketed as-of join (the deep-history refinement [[asofJoin]]'s
+    * scaladoc promises): adds a coarse time bucket to the equi-join key so
+    * each purchase pairs only with clicks in its own and the preceding
+    * bucket — per-(user, bucket) expansion replaces per-user expansion,
+    * bounding the quadratic blowup on deep histories. Purchases whose
+    * latest click is older than the preceding bucket (a sparse tail: 67 of
+    * 1838 at 7-day buckets on sf0.01) fall back to the unbucketed as-of on
+    * just that residue — at scale the unmatched set is small enough to
+    * broadcast. Output is identical to q17 (same oracle). */
+  def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 7L * 24 * 3600 * 1000000 // 7-day buckets
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), (unix_micros(col("ts")) / bucketUs).as("pb"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"),
+        (unix_micros(col("ts")) / bucketUs).as("cb"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("cts").desc, col("click_id").desc)
+    def pick(joined: DataFrame): DataFrame =
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("click_id"),
+          (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+    // Phase 1: equi-join on (user, bucket) with the purchase exploded to its
+    // own + preceding bucket — each (purchase, click) pair matches at most
+    // once because a click lives in exactly one bucket.
+    val near = pick(
+      purchases.withColumn("jb", explode(array(col("pb"), col("pb") - 1)))
+        .join(clicks,
+          col("p_user") === col("user_id") && col("cb") === col("jb") &&
+            col("cts") <= col("pts")))
+    // Phase 2: the residue (no click within two buckets) runs the plain
+    // as-of; left_anti keeps it to the sparse tail.
+    val residue = purchases
+      .join(near.select(col("purchase_id").as("matched_id")),
+        col("purchase_id") === col("matched_id"), "left_anti")
+    val far = pick(residue.join(clicks,
+      col("p_user") === col("user_id") && col("cts") <= col("pts")))
+    near.unionAll(far).orderBy(col("purchase_id"))
+  }
+
+  /** Sort-based as-of join: union clicks+purchases, one shuffle on
+    * `user_id`, and a running `last(click, ignoreNulls)` window — zero pair
+    * expansion, O(h log h) per user history instead of O(h²). This is the
+    * shape to prefer when purchases are dense relative to clicks; the
+    * ordering (ts, kind, event_id) makes ties resolve exactly like q17's
+    * `ORDER BY cts DESC, click_id DESC` (same-timestamp clicks sort before
+    * the purchase, larger click_id last ⇒ running-last picks it). */
+  def asofJoinSorted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("lc",
+        last(when(col("kind") === 0,
+          struct(col("ts").as("cts"), col("event_id").as("click_id"))),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("lc").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("lc.click_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("lc.cts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q10_join_broadcast" -> broadcastJoin _,
     "q11_join_shuffle" -> shuffleJoin _,
@@ -141,8 +208,24 @@ object Joins extends QueryModule {
     "q14_join_anti" -> antiJoin _,
     "q15_join_cross" -> crossJoin _,
     "q16_join_range" -> rangeJoin _,
-    "q17_join_asof" -> asofJoin _
+    "q17_join_asof" -> asofJoin _,
+    "q57_join_asof_bucketed" -> asofJoinBucketed _,
+    "q58_join_asof_sorted" -> asofJoinSorted _
   )
+
+  /** q17/q57/q58 are three physical strategies for the same logical as-of
+    * join; all three hash-check against the identical oracle. */
+  private val asofOracle =
+    """WITH pc AS (
+      |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM events p JOIN events c
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts
+      |   AND p.event_type = 'purchase' AND c.event_type = 'click')
+      |SELECT purchase_id, click_id, gap_us FROM pc WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q10_join_broadcast" ->
@@ -186,16 +269,8 @@ object Joins extends QueryModule {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q17_join_asof" ->
-      """WITH pc AS (
-        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-        |         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
-        |         row_number() OVER (PARTITION BY p.event_id
-        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
-        |  FROM events p JOIN events c
-        |    ON c.user_id = p.user_id AND c.ts <= p.ts
-        |   AND p.event_type = 'purchase' AND c.event_type = 'click')
-        |SELECT purchase_id, click_id, gap_us FROM pc WHERE rn = 1
-        |ORDER BY purchase_id""".stripMargin
+    "q17_join_asof" -> asofOracle,
+    "q57_join_asof_bucketed" -> asofOracle,
+    "q58_join_asof_sorted" -> asofOracle
   )
 }

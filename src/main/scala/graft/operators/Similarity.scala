@@ -86,17 +86,31 @@ object Similarity extends QueryModule {
       .orderBy(col("probe_id"))
   }
 
-  /** IVF-style approximate NN: deterministic coarse centroids (every 50th
-    * vector), each vector assigned to its nearest centroid (an inverted
-    * list), probes search only their nprobe=2 closest centroids' lists.
+  /** IVF-style approximate NN: a bounded deterministic sample of coarse
+    * centroids (C ≈ √N), each vector assigned to its nearest centroid (an
+    * inverted list), probes search only their nprobe=2 closest centroids'
+    * lists.
     *
     * The IVF scale contract: with C ≈ √N centroids, assignment costs N·C
     * broadcast dot products (narrow, no shuffle of the corpus), and each
     * probe touches ~nprobe/C of the corpus instead of all of it. Lists are
-    * joined by centroid id — an equi-join on a bounded uniform key. */
+    * joined by centroid id — an equi-join on a bounded uniform key.
+    *
+    * Centroid selection is a hash-sample at rate 1/m with
+    * m = N / max(16, ⌊√N⌋), so C concentrates around √N regardless of
+    * corpus size (the round-2 `vec_id % 50` rule made C linear in N —
+    * quadratic total assignment work at scale). The one-row `count()` that
+    * sizes m is the index-build step; in production the centroid table is a
+    * materialized artifact, rebuilt only when the corpus grows materially.
+    * The md5-prefix hash is engine-portable, so the oracle derives the same
+    * sample (its m comes from a scalar subquery over the same table). */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val n = normed(spark, dir)
-    val cents = n.filter(col("vec_id") % 50 === 0)
+    val nVecs = Tables(spark, dir, "embeddings").count()
+    val target = math.max(16L, math.floor(math.sqrt(nVecs.toDouble)).toLong)
+    val m = math.max(1L, nVecs / target)
+    val cents = n.filter(
+        expr(s"cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % $m") === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
     def nearestCentroids(src: DataFrame, idCol: String, k: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
@@ -176,8 +190,12 @@ object Similarity extends QueryModule {
     },
     "q53_sim_ann_ivf" ->
       s"""$normedCte,
+         |params AS (
+         |  SELECT greatest(1, count(*) // greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT))) AS m
+         |  FROM embeddings),
          |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
-         |      FROM n WHERE vec_id % 50 = 0),
+         |      FROM n, params
+         |      WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % m = 0),
          |asg AS (SELECT vec_id, cent_id FROM (
          |    SELECT x.vec_id, c.cent_id,
          |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
