@@ -29,17 +29,23 @@ object Bench {
     // queries and report fantasy timings. A failing query is RECORDED (null
     // timing + "errors" list), never silently folded into the total.
     // clearCache() scopes any query-internal persist (q42's signature
-    // table) to one run — no leak, no double-cache warning on the timed pass.
-    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Throwable] =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-      catch { case e: Throwable => Some(e) }
-      finally spark.catalog.clearCache()
+    // table) to one run — no leak, no double-cache warning on the timed
+    // pass. It runs OUTSIDE the timed window: only the noop-sink write is
+    // measured (ADVICE r03 — teardown was inflating cache-using queries).
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[Throwable]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e) }
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (secs, err)
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => run(fn) }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = run(fn)
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val (secs, err) = run(fn)
+      (name, secs, err)
     }
     results.foreach { case (name, _, err) =>
       err.foreach(e => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"))

@@ -20,21 +20,28 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). The session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (Verify,
-    * Bench, Explain, and TestSpark all do) — a query builder must not
-    * mutate session conf, which races under concurrent query construction.
-    * The raw nanos are truncated to micros — the same truncation DuckDB's
-    * µs TIMESTAMP applies, so oracle comparisons see identical values.
+    * (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong`
+    * is set at session build. Supplying an explicit read schema with `ts`
+    * as LongType sidesteps the footer-schema conversion entirely, so this
+    * loader works in ANY session — no conf requirement, and no session-conf
+    * mutation at query-build time (which races under concurrent query
+    * construction). The raw nanos are truncated to micros — the same
+    * truncation DuckDB's µs TIMESTAMP applies, so oracle comparisons see
+    * identical values. Pushdown is unaffected: filters and pruning still
+    * reach the parquet scan with a user-specified schema.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(events.parquet is TIMESTAMP(NANOS))")
-    spark.read.parquet(s"$dir/events.parquet")
+  private val eventsReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsReadSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
 }
 
 /** A bundle of named queries plus their DuckDB oracle SQL.

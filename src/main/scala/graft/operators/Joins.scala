@@ -136,20 +136,23 @@ object Joins extends QueryModule {
     * scaladoc promises): adds a coarse time bucket to the equi-join key so
     * each purchase pairs only with clicks in its own and the preceding
     * bucket — per-(user, bucket) expansion replaces per-user expansion,
-    * bounding the quadratic blowup on deep histories. Purchases whose
-    * latest click is older than the preceding bucket (a sparse tail: 67 of
-    * 1838 at 7-day buckets on sf0.01) fall back to the unbucketed as-of on
-    * just that residue — at scale the unmatched set is small enough to
-    * broadcast. Output is identical to q17 (same oracle). */
+    * bounding the quadratic blowup on deep histories. Purchases with no
+    * click in their own or preceding bucket (a sparse tail: 155 of 1981 at
+    * 7-day buckets on sf0.01, measured) fall back to the unbucketed as-of
+    * on just that residue — at scale the unmatched set is small enough to
+    * broadcast. Buckets are integer `floor(unix_micros / bucketUs)` — plain
+    * Column `/` is double division, which made the phase-1 equi-join match
+    * nothing (ADVICE r03). Output is identical to q17 (same oracle). */
   def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val bucketUs = 7L * 24 * 3600 * 1000000 // 7-day buckets
     val e = Tables(spark, dir, "events")
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("pts"), (unix_micros(col("ts")) / bucketUs).as("pb"))
+        col("ts").as("pts"),
+        floor(unix_micros(col("ts")) / lit(bucketUs)).cast("long").as("pb"))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"),
-        (unix_micros(col("ts")) / bucketUs).as("cb"))
+        floor(unix_micros(col("ts")) / lit(bucketUs)).cast("long").as("cb"))
     val w = Window.partitionBy(col("purchase_id"))
       .orderBy(col("cts").desc, col("click_id").desc)
     def pick(joined: DataFrame): DataFrame =
