@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests (VERDICT r02 §missing-4): the plans were
+  * audited by hand — broadcast dims, sort-merge on big-big, no cartesian on
+  * any candidate-generation path — but nothing kept them that way. These
+  * assertions fail the suite if a future change silently regresses a plan
+  * shape that correctness tests can't see (a cartesian LSH join still
+  * returns the right rows — it just stops scaling).
+  *
+  * Plans are rendered (not executed) at sf0.001, so the spec costs
+  * milliseconds. AQE may re-plan at runtime, but only ever in the safe
+  * direction (SMJ → broadcast); the static plan is the worst case.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(TestSpark.spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q10: dimension joins stay broadcast hash joins (fact side never shuffles)") {
+    val p = plan("q10_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q11: big-big join stays sort-merge (both sides hash-partitioned on the key)") {
+    assert(plan("q11_join_shuffle").contains("SortMergeJoin"))
+  }
+
+  test("q15 is the only query allowed a non-equi cross join, and it must build broadcast") {
+    val p = plan("q15_join_cross")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("no query ever plans a CartesianProduct") {
+    // CartesianProduct = both sides shuffled to every pairing — the one
+    // physical operator that cannot survive a 100x scale-up anywhere.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("candidate-generation joins (LSH / banded / bucketed as-of) are equi-joins, not NLJ") {
+    Seq("q42_dedup_lsh_pairs", "q45_sim_ann_lsh", "q52_dedup_simhash_pairs",
+        "q57_join_asof_bucketed").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name fell back to NLJ:\n$p")
+    }
+  }
+
+  test("q44/q53: the deliberate all-pairs scans broadcast the small side") {
+    // Brute-force cosine and IVF centroid assignment are documented
+    // probe-x-corpus / corpus-x-centroid products; the invariant is that
+    // the small side is broadcast so the corpus never shuffles.
+    Seq("q44_sim_cosine_topk", "q53_sim_ann_ivf").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
+        s"$name lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("q01: filters are pushed down to the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThan(l_discount,0.05)"), p)
+  }
+
+  test("q45: probe-side filter is pushed down (vec_id < 50 reaches the scan)") {
+    assert(plan("q45_sim_ann_lsh").contains("LessThan(vec_id,50)"))
+  }
+}
