@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 source for remote-write POST bodies — the "proper" Spark-native
+  * answer to the reference's HTTP entry point (`/root/reference/main.go:61`,
+  * `kinesis.go:68-93`) that SURVEY §2.1 planned and rounds 1-3 stood in for
+  * with the generic binaryFile stream.
+  *
+  * Protocol (same directory convention as [[RemoteWrite.bodyDirStream]]): a
+  * tiny HTTP frontend appends each received POST body as one file whose name
+  * is a monotonically increasing sequence id (e.g. zero-padded counter or
+  * timestamp). This source's streaming offset IS the received-body sequence
+  * number: offset N = "the first N files in name order". That makes offsets
+  *   - exactly replayable: any [start, end) range always maps to the same
+  *     bodies (files are append-only, names monotonic — the same contract
+  *     Kafka offsets or the reference's implicit channel ordering rely on);
+  *   - checkpointable: the offset serializes as the plain number, so a
+  *     restarted query resumes at the first unprocessed body
+  *     (improving on the reference's lossy SIGTERM path, `main.go:114-119`).
+  *
+  * Admission control: `maxFilesPerTrigger` bounds each micro-batch — the
+  * backpressure knob standing in for the reference's bounded channel
+  * (`kinesis.go:21,60`). Unlike the binaryFile source, there is no
+  * seen-files map on the driver: state is ONE long. At 1000-executor scale
+  * the per-batch file slice is split into `filesPerPartition` groups, so
+  * read parallelism follows batch size instead of pinning to the driver.
+  *
+  * Schema: `seq BIGINT, path STRING, body BINARY` — `body` feeds
+  * [[RemoteWrite.fromBodies]]; `seq` gives downstream operators a total
+  * arrival order the binaryFile source cannot provide.
+  */
+object BodyStream {
+  val schema: StructType = StructType.fromDDL("seq BIGINT, path STRING, body BINARY")
+
+  /** Stable listing: regular files, hidden/temp (`.`/`_` prefix) excluded,
+    * name order. The frontend writes to a dot-prefixed temp name and
+    * renames into place, so partially-written bodies are never listed. */
+  def list(dir: String): Vector[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Vector.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+        .toVector.sorted
+      finally s.close()
+    }
+  }
+
+  case class BodyPartition(dir: String, files: Seq[(Long, String)]) extends InputPartition
+
+  def partitions(dir: String, files: Seq[String], baseSeq: Long,
+                 filesPerPartition: Int): Array[InputPartition] =
+    files.zipWithIndex
+      .map { case (f, i) => (baseSeq + i, f) }
+      .grouped(math.max(1, filesPerPartition))
+      .map(g => BodyPartition(dir, g): InputPartition)
+      .toArray
+
+  /** One task = one file group; each file is read whole, exactly like the
+    * reference's `io.ReadAll(r.Body)` (`kinesis.go:69`). */
+  object ReaderFactory extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val bp = partition.asInstanceOf[BodyPartition]
+      new PartitionReader[InternalRow] {
+        private val it = bp.files.iterator
+        private var row: InternalRow = _
+        override def next(): Boolean = it.hasNext && {
+          val (seq, name) = it.next()
+          val full = Paths.get(bp.dir, name)
+          row = InternalRow(seq, UTF8String.fromString(full.toString),
+            Files.readAllBytes(full))
+          true
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+/** `spark.readStream.format("remote-write-bodies").load(dir)` — registered
+  * via META-INF/services (DataSourceRegister). */
+class BodyStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "remote-write-bodies"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = BodyStream.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new BodyTable(
+      Option(opts.get("path")).getOrElse(
+        throw new IllegalArgumentException("remote-write-bodies: .load(dir) path required")),
+      opts.getInt("maxFilesPerTrigger", 1000),
+      opts.getInt("filesPerPartition", 100))
+  }
+}
+
+class BodyTable(dir: String, maxFilesPerTrigger: Int, filesPerPartition: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"remote-write-bodies(`$dir`)"
+  override def schema(): StructType = BodyStream.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new BodyScan(dir, maxFilesPerTrigger, filesPerPartition)
+    }
+}
+
+class BodyScan(dir: String, maxFilesPerTrigger: Int, filesPerPartition: Int) extends Scan {
+  override def readSchema(): StructType = BodyStream.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BodyMicroBatchStream(dir, maxFilesPerTrigger, filesPerPartition)
+  /** Batch read of everything currently in the directory — lets the same
+    * source back offline reprocessing (`spark.read.format(...)`). */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      BodyStream.partitions(dir, BodyStream.list(dir), 0L, filesPerPartition)
+    override def createReaderFactory(): PartitionReaderFactory = BodyStream.ReaderFactory
+  }
+}
+
+/** Offset = number of bodies ever admitted (files in name order). */
+case class BodySeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartition: Int)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** Under Trigger.AvailableNow the engine asks us to pin "available" at
+    * query start; batches then drain up to this fence in
+    * maxFilesPerTrigger-sized steps and the query stops. -1 = unpinned
+    * (ProcessingTime trigger: every batch sees the live listing). */
+  @volatile private var availableNowFence: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = BodyStream.list(dir).length.toLong
+
+  override def initialOffset(): Offset = BodySeqOffset(0L)
+  override def deserializeOffset(json: String): Offset = BodySeqOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxFilesPerTrigger)
+
+  /** Engine calls the admission-control overload below when the source
+    * implements SupportsAdmissionControl; this variant must not be used. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val listed = BodyStream.list(dir).length.toLong
+    val total = if (availableNowFence >= 0) math.min(listed, availableNowFence) else listed
+    val startSeq = start.asInstanceOf[BodySeqOffset].seq
+    val end = limit match {
+      case rl: ReadMaxRows => math.min(total, startSeq + rl.maxRows())
+      case _ => total
+    }
+    BodySeqOffset(math.max(startSeq, end))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BodySeqOffset].seq
+    val e = end.asInstanceOf[BodySeqOffset].seq
+    BodyStream.partitions(dir, BodyStream.list(dir).slice(s.toInt, e.toInt), s,
+      filesPerPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = BodyStream.ReaderFactory
+  override def commit(end: Offset): Unit = () // nothing to release: files stay put
+  override def stop(): Unit = ()
+}

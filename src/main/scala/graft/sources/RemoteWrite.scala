@@ -32,6 +32,19 @@ object RemoteWrite {
       .load(dir)
       .select(col("content").as("body"))
 
+  /** Same directory protocol through the custom DSv2 source ([[BodyStream]]):
+    * offsets are received-body sequence numbers (one long of driver state,
+    * vs the binaryFile source's seen-files map), `maxFilesPerTrigger` is the
+    * admission-control knob, and rows carry `seq` — a total arrival order.
+    * Drop-in replacement for [[bodyDirStream]] in [[graft.streaming.RelayPipeline]].
+    */
+  def bodyDsv2Stream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream.format("remote-write-bodies")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("body"))
+
   /** Full body decode: snappy + protobuf as native Catalyst expressions
     * ([[graft.functions.RelayExpressions]] — codegen'd snappy, internal-data
     * protobuf decode; corrupt bodies → null → rows dropped, batch keeps
