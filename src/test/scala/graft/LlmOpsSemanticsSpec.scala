@@ -118,4 +118,23 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       assert(v >= 0.0 && v <= 1.0, s"quality must be in [0,1], got $v")
     }
   }
+
+  test("q21 HLL sketch is within 3·rsd of q20's exact distinct, per group") {
+    // q21 has no DuckDB oracle by design (sketches differ by impl); this is
+    // its accuracy gate (VERDICT r02 next-round item 5): at rsd=0.01 the
+    // standard error is 1% of the true cardinality, so a 3-sigma band
+    // catches a broken sketch while never flaking (P(outside) < 0.3%).
+    val dir = "/root/testdata/sf0.01"
+    val exact = operators.Aggregates.aggStats(spark, dir)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = operators.Aggregates.aggApproxDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (group, a) =>
+      val e = exact(group)
+      assert(math.abs(a - e) <= math.max(1L, (3 * 0.01 * e).toLong),
+        s"$group: approx $a vs exact $e exceeds 3·rsd")
+    }
+  }
 }
