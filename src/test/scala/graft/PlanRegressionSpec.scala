@@ -65,6 +65,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q59 has no object/iterator boundary (codegen-friendly), unlike q51's codec demo") {
+    // An object boundary (DeserializeToObject / MapPartitions) ends a
+    // WholeStageCodegen span. q51 keeps one deliberately (codec-init-once
+    // demo); q59 is the all-expression fast path and must stay boundary-free.
+    val p59 = plan("q59_multimodal_expr")
+    assert(!p59.contains("DeserializeToObject") && !p59.contains("MapPartitions"), p59)
+    val p51 = plan("q51_multimodal_features")
+    assert(p51.contains("MapPartitions"), p51)
+  }
+
   test("q01: filters are pushed down to the parquet scan") {
     val p = plan("q01_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
