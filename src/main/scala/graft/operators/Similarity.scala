@@ -139,10 +139,46 @@ object Similarity extends QueryModule {
       .orderBy(col("probe_id"))
   }
 
+  /** Embedding-cosine near-dup pairs — the dedup-framed use of the LSH
+    * machinery (completes the near-dup family: exact / minhash / simhash /
+    * n-gram Jaccard / embedding cosine). The corpus is all-distinct at
+    * test scale, so duplicates are manufactured like q40 does: self-union
+    * with each vector's 2x-scaled twin (ids offset by 1e6). Scaling by a
+    * power of two is exact in IEEE arithmetic and cosine is scale-
+    * invariant bit-for-bit, so twins bucket identically (hyperplane signs
+    * preserved), score exactly 1.0, and no natural pair (max cos ~0.46
+    * here) crosses the 0.999 threshold.
+    *
+    * Scale shape: identical to [[annLsh]] — candidates ONLY from the
+    * 16-value bucket equi-join, never all-pairs; per-bucket work is
+    * |bucket|², tunable by plane count. */
+  def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val twins = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("emb"), x => x * lit(2.0)).as("emb"))
+    val all = base.unionAll(twins)
+      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("bucket",
+        (0 until 4).map(p =>
+          when(dot(col("emb"), planeCol(p)) > 0, lit(1 << p)).otherwise(lit(0)))
+          .reduce(_ + _))
+    val l = all.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"),
+      col("bucket"))
+    val r = all.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"),
+      col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("a"), col("b"), col("cos_sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q44_sim_cosine_topk" -> cosineTopK _,
     "q45_sim_ann_lsh" -> annLsh _,
-    "q53_sim_ann_ivf" -> annIvf _
+    "q53_sim_ann_ivf" -> annIvf _,
+    "q61_dedup_embedding_cosine" -> cosineNearDupPairs _
   )
 
   /** Oracle-side plane weight, same integer formula as [[planeWeight]]. */
@@ -220,6 +256,26 @@ object Similarity extends QueryModule {
          |                           ORDER BY sim DESC, vec_id) AS rn
          |      FROM j)
          |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim
-         |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin
+         |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+    "q61_dedup_embedding_cosine" -> {
+      val bucketExpr = (0 until 4).map { p =>
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ${planeWeightSql(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e0 AS (SELECT vec_id,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |            FROM embeddings),
+         |u AS (SELECT vec_id, emb FROM e0
+         |      UNION ALL
+         |      SELECT vec_id + 1000000, list_transform(emb, x -> x * 2.0) FROM e0),
+         |n AS (SELECT vec_id, emb,
+         |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+         |        $bucketExpr AS bucket
+         |      FROM u),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |        round(list_sum(list_transform(range(1, 65),
+         |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+         |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a, b, cos_sim FROM p WHERE cos_sim >= 0.999 ORDER BY a, b""".stripMargin
+    }
   )
 }

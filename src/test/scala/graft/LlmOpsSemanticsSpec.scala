@@ -119,6 +119,25 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("n-gram Jaccard pairs: identical docs score 1.0, one-token variant scores high") {
+    val pairs = operators.Dedup.ngramJaccardPairs(spark, docsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0, s"identical docs must score 1.0; got $pairs")
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L },
+      "unrelated doc must not pair")
+  }
+
+  test("embedding-cosine near-dup: scaled twins and the planted 2x pair are found") {
+    val pairs = operators.Similarity.cosineNearDupPairs(spark, embDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // vec 1 is the planted 2x copy of vec 0 — a natural near-dup
+    assert(pairs((0L, 1L)) == 1.0, s"planted pair missing; got ${pairs.keySet}")
+    // every vector's manufactured twin is found through the same bucket
+    assert(pairs((0L, 1000000L)) == 1.0)
+    assert(pairs.values.forall(_ >= 0.999))
+  }
+
   test("q21 HLL sketch is within 3·rsd of q20's exact distinct, per group") {
     // q21 has no DuckDB oracle by design (sketches differ by impl); this is
     // its accuracy gate (VERDICT r02 next-round item 5): at rsd=0.01 the
