@@ -26,13 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** doc_id, toks, shingles (token 3-grams, with duplicates). */
+  /** doc_id, shingles (token 3-grams, with duplicates). Shingling is the
+    * native codegen'd [[graft.functions.TokenShingles]] expression — the
+    * interpreted `transform(sequence, λ)` pipeline it replaced cost ~4 s of
+    * CPU at sf0.1 (measured round 4), which was most of the dedup family's
+    * runtime. Docs with <3 tokens yield an empty array and are filtered,
+    * matching the oracle's `WHERE len(toks) >= 3`. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .withColumn("sh", graft.functions.TextExpressions.tokenShingles(col("text"), 3))
+      .filter(size(col("sh")) > 0)
 
   // Universal-hash MinHash family: one 32-bit base hash per shingle (md5
   // prefix), then k linear transforms h_i(v) = (a_i·v + b_i) mod p with
@@ -138,11 +141,11 @@ object Dedup extends QueryModule {
       .orderBy(col("hamming"), col("a"), col("b"))
   }
 
-  /** Exact n-gram Jaccard dedup via an inverted-index join — the
+  /** Exact n-gram Jaccard dedup via inverted-index posting lists — the
     * approximation-free sibling of [[lshNearDupPairs]]: instead of minhash
     * bands, candidates come from the shingle posting list itself (docs
-    * sharing ≥1 shingle), and the intersection size falls out of the join
-    * as a count — no array intersection, no signature table.
+    * sharing ≥1 shingle), and the intersection size falls out of pair
+    * counting — no array intersection, no signature table.
     *
     * Scale contract: the posting self-join's work is Σ_sh df(sh)², so a
     * single ubiquitous shingle is quadratic — hence the df ≤ [[MaxDf]]
@@ -155,20 +158,32 @@ object Dedup extends QueryModule {
 
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingled(spark, dir).select(col("doc_id"), array_distinct(col("sh")).as("shd"))
-    val post = sets.select(col("doc_id"), explode(col("shd")).as("sh"))
-    val rare = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxDf)
-      .select(col("sh"))
-    val postf = post.join(rare, Seq("sh"))
-    val inter = postf.select(col("doc_id").as("a"), col("sh"))
-      .join(postf.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+    // Postings keyed by the shingle's 64-bit hash, not the ~30-char string:
+    // the shuffle moves 8-byte keys and the group-by compares longs.
+    // (Join keys are engine-internal — the oracle joins raw strings; only
+    // the final (a, b, jaccard) rows must match.) Each posting carries its
+    // doc's set size, so Jaccard needs NO join back to the corpus — the
+    // whole query is one pass over the text: shingle → one shuffle on
+    // shingle hash → per-list pair explode → one shuffle on pair.
+    val post = sets.select(
+      struct(col("doc_id"), size(col("shd")).as("sz")).as("d"),
+      explode(col("shd")).as("shs"))
+      .select(xxhash64(col("shs")).as("sh"), col("d"))
+    // Group to a df-capped posting list, then emit each list's pairs with a
+    // double explode — same Σ df² pair work as a posting self-join but
+    // without shuffling the postings twice or re-deriving the shingles for
+    // each join side. Per-group state is bounded by MaxDf (doc_id, sz)
+    // structs. sa/sb ride in the grouping key; they are functionally
+    // determined by (a, b) so the key stays as selective as (a, b) alone.
+    post.groupBy(col("sh"))
+      .agg(collect_list(col("d")).as("docs"))
+      .filter(size(col("docs")).between(2, MaxDf))
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da.doc_id") < col("db.doc_id"))
+      .groupBy(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
+        col("da.sz").as("sa"), col("db.sz").as("sb"))
       .agg(count(lit(1)).as("ninter"))
-    val sizes = sets.select(col("doc_id"), size(col("shd")).as("sz"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
       .withColumn("jaccard", round(col("ninter").cast("double") /
         (col("sa") + col("sb") - col("ninter")), 6))
       .filter(col("jaccard") >= 0.5)
