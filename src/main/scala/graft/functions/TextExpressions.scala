@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,6 +53,88 @@ object TextExpressions {
   def tokenShingles(c: Column, n: Int): Column =
     ColumnBridge.column(TokenShingles(ColumnBridge.expression(c), n))
 
+  def minhashSig(c: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), as, bs, p))
+
+  def simhash64(c: Column, nBits: Int): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c), nBits))
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s) — identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)`: 15 hex digits = the
+    * big-endian first 8 digest bytes shifted right 4. */
+  private def md5Bits60(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val hi = java.nio.ByteBuffer.wrap(h, 0, 8).getLong
+    hi >>> 4
+  }
+
+  /** First 32 bits of md5(s) — identical to
+    * `conv(substring(md5(s), 1, 8), 16, 10)`: 8 hex digits = the
+    * big-endian first 4 digest bytes, unsigned. */
+  private def md5Bits32(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    java.lang.Integer.toUnsignedLong(java.nio.ByteBuffer.wrap(h, 0, 4).getInt)
+  }
+
+  /** Static worker: k minwise values over shingles in ONE pass — one md5
+    * per shingle (the HOF pipeline recomputed it per hash function) and k
+    * linear transforms h_i(v) = (a_i·v + b_i) mod p. Returns null for an
+    * empty shingle set (min of nothing), matching `array_min([])`. */
+  def minhashSig(shingles: ArrayData, as: Array[Long], bs: Array[Long], p: Long): GenericArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val v = md5Bits32(shingles.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < k) {
+        val h = (as(j) * v + bs(j)) % p
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  /** Static worker: nBits-bit SimHash of a space-separated string in ONE
+    * pass — per token the first 60 md5 bits, ±1 per bit position, bit set
+    * where the count is positive. Replaces the explode → 60-counter
+    * aggregate pipeline: same value per document, but computed per-row
+    * with ZERO shuffle. */
+  def simhash(text: UTF8String, nBits: Int): Long = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new Array[Int](nBits)
+    var i = 0
+    while (i < toks.length) {
+      val v = md5Bits60(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < nBits) {
+        if (((v >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < nBits) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** Optional SQL surface: `SELECT token_shingles(text, 3)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -74,5 +156,49 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
       ${ev.value} = graft.functions.TextExpressions.shingles($c, $n);""")
 
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** k-function MinHash signature of a shingle array as one codegen'd
+  * expression: array<string> → array<long> of k minwise values; null for
+  * an empty input (min of nothing, like `array_min`). */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "need matching a/b coefficient lists")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val asArr = as.toArray
+  private lazy val bsArr = bs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.minhashSig(input.asInstanceOf[ArrayData], asArr, bsArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextExpressions.minhashSig($c, $asRef, $bsRef, ${p}L);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** nBits-bit SimHash of a space-separated string as one codegen'd
+  * expression: string → long, zero-shuffle per-document sketch. */
+case class SimHash64(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 60, s"simhash width must be in [1,60], got $nBits")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.simhash(input.asInstanceOf[UTF8String], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextExpressions.simhash($c, $nBits);""")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }

@@ -41,19 +41,24 @@ object Dedup extends QueryModule {
   // prefix), then k linear transforms h_i(v) = (a_i·v + b_i) mod p with
   // p prime > 2^32 — the textbook minwise family, 1 md5 instead of k, and
   // pure 63-bit-safe integer arithmetic (bit-identical in any engine).
+  // Since round 4 the whole signature is ONE codegen'd expression
+  // ([[graft.functions.MinHashSig]]): one md5 per shingle feeding all k
+  // transforms in a fused loop — the interpreted `transform(sh, λ)` HOF it
+  // replaced recomputed the md5 for every hash function and evaluated the
+  // lambda per element.
   private val HashP = 4294967311L // smallest prime > 2^32
   private val HashA = Seq(1926525167L, 688951733L, 1223106847L, 582307621L)
   private val HashB = Seq(12345L, 67890L, 24680L, 13579L)
 
-  private def minhash(i: Int): Column =
-    array_min(expr(
-      s"transform(sh, x -> (${HashA(i)} * cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) + ${HashB(i)}) % $HashP)"))
-      .as(s"mh$i")
+  private def minhashCols: Seq[Column] =
+    (0 until 4).map(i => col("mh").getItem(i).as(s"mh$i"))
 
   /** doc_id + 4 minhash components. */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir).select(
-      col("doc_id") +: (0 until 4).map(minhash): _*)
+    shingled(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.minhashSig(col("sh"), HashA, HashB, HashP).as("mh"))
+      .select(col("doc_id") +: minhashCols: _*)
 
   /** Exact dedup: sha256(text) grouping; duplicates manufactured by
     * self-union (the corpus itself is all-distinct). */
@@ -88,8 +93,9 @@ object Dedup extends QueryModule {
     // spark.catalog.clearCache() after materializing each query, so repeated
     // invocations neither leak executor memory nor re-cache cached data.
     val perDoc = shingled(spark, dir)
-      .select(col("doc_id") +: array_distinct(col("sh")).as("shd") +:
-        (0 until 4).map(minhash): _*)
+      .select(col("doc_id"), array_distinct(col("sh")).as("shd"),
+        graft.functions.TextExpressions.minhashSig(col("sh"), HashA, HashB, HashP).as("mh"))
+      .select(col("doc_id") +: col("shd") +: minhashCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val melted = perDoc.select(col("doc_id"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("band"), col(s"mh$i").as("h"))): _*)).as("bh"))
@@ -110,21 +116,19 @@ object Dedup extends QueryModule {
       .limit(20)
   }
 
-  /** 60-bit SimHash per document from per-token md5s. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("v", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-    val bitSums = (0 until 60).map(j =>
-      sum(when(expr(s"(shiftright(v, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j"))
-    val recompose = (0 until 60).map(j =>
-      s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(recompose).as("simhash"))
+  /** 60-bit SimHash per document from per-token md5s — ONE codegen'd
+    * expression per row ([[graft.functions.SimHash64]]), zero shuffle.
+    * Rounds 2-3 computed this as explode → 60 per-bit partial aggregates →
+    * one shuffle keyed on doc_id; the per-row form produces the identical
+    * sketch (same token md5s, same ±1 counters) as a narrow scan→project,
+    * which is the shape you want at 100 TB: the sketch pass costs exactly
+    * one read of the corpus. The oracle still computes it the explode way
+    * in SQL — two independent derivations, one hash. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simhash64(col("text"), 60).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 
   /** SimHash near-dup pairs: band on the high 16 bits (equi-join — the
     * scalable candidate generator), verify by Hamming distance ≤ 12 via
