@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.{TextExpressions, VectorExpressions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-4 native expressions replaced interpreted HOF/aggregate
+  * pipelines for speed; these tests pin that they compute EXACTLY the same
+  * values — the equivalences the oracle hash-matches rely on. Each check
+  * evaluates both forms over one generated corpus (seeded random + planted
+  * edge cases: empty docs, consecutive spaces / empty tokens, short docs)
+  * and compares row-for-row.
+  */
+class NativeExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val corpus: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val edge = Seq("", " ", "  ", "one", "one two", "a  b c", " lead", "trail ",
+      "x y z", "dup dup dup dup")
+    val random = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(60)).map { _ =>
+        if (rnd.nextInt(10) == 0) "" else rnd.alphanumeric.take(1 + rnd.nextInt(7)).mkString
+      }.mkString(" ")
+    }
+    edge ++ random
+  }
+
+  private lazy val docs = {
+    import spark.implicits._
+    corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  test("TokenShingles == transform(sequence, concat_ws) for random docs") {
+    val rows = docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("fast", TextExpressions.tokenShingles(col("text"), 3))
+      .withColumn("slow", when(size(col("toks")) >= 3, expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .otherwise(expr("array()")))
+      .select(col("fast"), col("slow")).collect()
+    assert(rows.length == corpus.length)
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+  }
+
+  test("MinHashSig == array_min of the transform-based universal hashes") {
+    val (a0, b0, p) = (1926525167L, 12345L, 4294967311L)
+    val (a1, b1) = (688951733L, 67890L)
+    val rows = docs
+      .withColumn("sh", TextExpressions.tokenShingles(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("fast", TextExpressions.minhashSig(col("sh"), Seq(a0, a1), Seq(b0, b1), p))
+      .withColumn("slow0", array_min(expr(
+        s"transform(sh, x -> ($a0 * cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) + $b0) % $p)")))
+      .withColumn("slow1", array_min(expr(
+        s"transform(sh, x -> ($a1 * cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) + $b1) % $p)")))
+      .select(col("fast"), col("slow0"), col("slow1")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == Seq(r.getLong(1), r.getLong(2)), r)
+    }
+  }
+
+  test("SimHash64 == explode + 60-counter aggregate recomposition") {
+    val fast = docs
+      .select(col("id"), TextExpressions.simhash64(col("text"), 60).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitSums = (0 until 60).map(j =>
+      sum(when(expr(s"(shiftright(v, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j"))
+    val recompose = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val slow = docs
+      .select(col("id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("v", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), expr(recompose).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.keySet == slow.keySet && fast == slow)
+  }
+
+  test("DotProduct / SumOfSquares == aggregate(zip_with) folds, bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 100).map { _ =>
+      ((0 until 16).map(_ => rnd.nextDouble * 2000 - 1000),
+        (0 until 16).map(_ => rnd.nextDouble * 2000 - 1000))
+    }
+    val rows = pairs.toDF("a", "b")
+      .withColumn("fastDot", VectorExpressions.dotProduct(col("a"), col("b")))
+      .withColumn("slowDot",
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .withColumn("fastSq", VectorExpressions.sumOfSquares(col("a")))
+      .withColumn("slowSq",
+        aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x))
+      .select(col("fastDot"), col("slowDot"), col("fastSq"), col("slowSq")).collect()
+    rows.foreach { r =>
+      // == on Double: bit-for-bit equality is the contract (same fold order)
+      assert(r.getDouble(0) == r.getDouble(1), s"dot: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"sumsq: $r")
+    }
+  }
+}
