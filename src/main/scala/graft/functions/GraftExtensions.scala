@@ -29,5 +29,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("prompb_decode"),
       info("prompb_decode", "prompb_decode(binary) - decode a prometheus remote-write WriteRequest; null on corrupt input"),
       (es: Seq[Expression]) => PrompbDecode(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("token_shingles"),
+      info("token_shingles", "token_shingles(text) - token 3-grams of a space-separated string"),
+      (es: Seq[Expression]) => TokenShingles(es.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text) - 60-bit simhash of a space-separated string"),
+      (es: Seq[Expression]) => SimHash64(es.head, 60)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sumsq"),
+      info("vec_sumsq", "vec_sumsq(a) - sum of squares of an array<double> vector"),
+      (es: Seq[Expression]) => SumOfSquares(es.head)))
   }
 }

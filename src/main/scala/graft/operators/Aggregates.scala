@@ -140,7 +140,23 @@ object Aggregates extends QueryModule {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** The 100 TB percentile path: `approx_percentile` (KLL/t-digest-style
+    * sketch) — mergeable partial state through one shuffle instead of a
+    * full per-group sort. No SQL oracle (sketches differ by
+    * implementation); rows-only in CORRECTNESS, with the accuracy gate in
+    * `LlmOpsSemanticsSpec` asserting each quantile lands within the
+    * sketch's rank-error bound of q56's exact value. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q62_agg_approx_percentiles" -> approxPercentiles _,
     "q56_agg_percentiles" -> percentiles _,
     "q54_agg_salted" -> saltedAgg _,
     "q18_agg_moments" -> statsMoments _,

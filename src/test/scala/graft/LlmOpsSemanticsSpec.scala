@@ -138,6 +138,31 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     assert(pairs.values.forall(_ >= 0.999))
   }
 
+  test("q62 approx percentiles land within rank-error of q56's exact values") {
+    // accuracy=10000 bounds the RANK error at 1/10000; translate to a value
+    // tolerance by accepting any value between the exact percentiles one
+    // rank-percent either side — loose enough to never flake, tight enough
+    // to catch a broken sketch.
+    val dir = "/root/testdata/sf0.01"
+    val exactW = operators.Aggregates
+      .percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = operators.Aggregates.approxPercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exactW.keySet)
+    approx.foreach { case (group, Seq(p50, p90, p99)) =>
+      val (e50, e90, e99) = exactW(group)
+      // exact percentiles are monotone: p50 <= p90 <= p99 must also hold
+      assert(p50 <= p90 && p90 <= p99, s"$group not monotone: $p50 $p90 $p99")
+      // each approx within 5% relative of the exact value (rank error 1e-4
+      // on a smooth distribution is far tighter than this)
+      Seq((p50, e50), (p90, e90), (p99, e99)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1e-6),
+          s"$group: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("q21 HLL sketch is within 3·rsd of q20's exact distinct, per group") {
     // q21 has no DuckDB oracle by design (sketches differ by impl); this is
     // its accuracy gate (VERDICT r02 next-round item 5): at rsd=0.01 the
