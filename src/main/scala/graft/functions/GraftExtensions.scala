@@ -45,5 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_sumsq"),
       info("vec_sumsq", "vec_sumsq(a) - sum of squares of an array<double> vector"),
       (es: Seq[Expression]) => SumOfSquares(es.head)))
+    // Interpreted HOF vector folds → fused native expressions (bit-identical).
+    ext.injectOptimizerRule(_ => VectorRewrite)
   }
 }
