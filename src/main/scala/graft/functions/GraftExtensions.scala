@@ -47,5 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SumOfSquares(es.head)))
     // Interpreted HOF vector folds → fused native expressions (bit-identical).
     ext.injectOptimizerRule(_ => VectorRewrite)
+    // First-class as-of join operator (custom LogicalPlan -> SparkPlan).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

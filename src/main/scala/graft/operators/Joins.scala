@@ -203,7 +203,29 @@ object Joins extends QueryModule {
       .orderBy(col("purchase_id"))
   }
 
+  /** The as-of join as a FIRST-CLASS operator ([[graft.plans.AsOfJoin]]:
+    * custom LogicalPlan + Strategy + SparkPlan): both sides co-partition
+    * on user and sort by (user, time), then one forward merge pass per
+    * partition keeps a single retained row of state — O(|L|+|R|), no pair
+    * expansion (q17), no union+window buffer (q58). Same output, same
+    * oracle; SURVEY §6.2 measures the three composable forms this
+    * operator subsumes. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    graft.plans.AsOf.join(purchases, clicks,
+        "p_user", "user_id", "pts", "cts", "click_id")
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q63_join_asof_native" -> asofJoinNative _,
     "q10_join_broadcast" -> broadcastJoin _,
     "q11_join_shuffle" -> shuffleJoin _,
     "q12_join_left_outer" -> leftOuterJoin _,
@@ -274,6 +296,7 @@ object Joins extends QueryModule {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_join_asof" -> asofOracle,
     "q57_join_asof_bucketed" -> asofOracle,
-    "q58_join_asof_sorted" -> asofOracle
+    "q58_join_asof_sorted" -> asofOracle,
+    "q63_join_asof_native" -> asofOracle
   )
 }

@@ -75,6 +75,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p51.contains("MapPartitions"), p51)
   }
 
+  test("q63: the native as-of join plans AsOfJoinExec with one shuffle per side") {
+    val p = plan("q63_join_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    // exactly the SMJ-style pair of co-partitioning hash exchanges (the
+    // only other exchange is the final presentation orderBy's range one)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
+  }
+
   test("q01: filters are pushed down to the parquet scan") {
     val p = plan("q01_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
