@@ -155,7 +155,26 @@ object Aggregates extends QueryModule {
         round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Mergeable-sketch rollup — the 100 TB incremental-maintenance idiom:
+    * build one HLL sketch per (event_type, day) — at scale these are
+    * materialized once per ingest day — then answer the weekly distinct
+    * question by MERGING sketches (`hll_union_agg`) instead of rescanning
+    * raw events. The second aggregation's input is (groups × days) tiny
+    * sketch blobs, not the corpus; monthly/yearly rollups reuse the same
+    * daily sketches. No SQL oracle (Datasketches binary format); rows-only
+    * plus the accuracy gate in `LlmOpsSemanticsSpec`. */
+  def hllUnionRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .orderBy(col("event_type"), col("week"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q64_agg_hll_union" -> hllUnionRollup _,
     "q62_agg_approx_percentiles" -> approxPercentiles _,
     "q56_agg_percentiles" -> percentiles _,
     "q54_agg_salted" -> saltedAgg _,

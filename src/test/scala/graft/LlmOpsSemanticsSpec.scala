@@ -163,6 +163,27 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 merged daily HLL sketches estimate weekly distincts within bound") {
+    // lgConfigK=12 default ⇒ rsd ≈ 1.04/√4096 ≈ 1.6%; gate at 5%. The
+    // point under test: UNION of per-day sketches equals a direct weekly
+    // sketch up to sketch error — mergeability, the property that lets
+    // daily sketches answer weekly questions without rescanning raw data.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.Tables(spark, dir, "events")
+      .withColumn("week", date_trunc("week", to_date(col("ts"))).cast("date"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val est = operators.Aggregates.hllUnionRollup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      val x = exact(k)
+      assert(math.abs(e - x) <= math.max(2L, (0.05 * x).toLong), s"$k: est $e vs exact $x")
+    }
+  }
+
   test("q21 HLL sketch is within 3·rsd of q20's exact distinct, per group") {
     // q21 has no DuckDB oracle by design (sketches differ by impl); this is
     // its accuracy gate (VERDICT r02 next-round item 5): at rsd=0.01 the
