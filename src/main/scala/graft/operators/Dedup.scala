@@ -26,16 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
+  /** Every operator here has two forms: a GENERIC one over any corpus
+    * DataFrame with canonical columns `doc_id` (long) and `text` (string)
+    * — `df.select(col(myId).as("doc_id"), col(myText).as("text"))` adapts
+    * any schema — and a `(spark, dir)` adapter over the driver's
+    * `documents` table that backs the oracle-checked query entries. */
+
   /** doc_id, shingles (token 3-grams, with duplicates). Shingling is the
     * native codegen'd [[graft.functions.TokenShingles]] expression — the
     * interpreted `transform(sequence, λ)` pipeline it replaced cost ~4 s of
     * CPU at sf0.1 (measured round 4), which was most of the dedup family's
     * runtime. Docs with <3 tokens yield an empty array and are filtered,
     * matching the oracle's `WHERE len(toks) >= 3`. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
       .withColumn("sh", graft.functions.TextExpressions.tokenShingles(col("text"), 3))
       .filter(size(col("sh")) > 0)
+
+  private def docsTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
 
   // Universal-hash MinHash family: one 32-bit base hash per shingle (md5
   // prefix), then k linear transforms h_i(v) = (a_i·v + b_i) mod p with
@@ -54,8 +63,8 @@ object Dedup extends QueryModule {
     (0 until 4).map(i => col("mh").getItem(i).as(s"mh$i"))
 
   /** doc_id + 4 minhash components. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
+  private def signatures(docs: DataFrame): DataFrame =
+    shingled(docs)
       .select(col("doc_id"),
         graft.functions.TextExpressions.minhashSig(col("sh"), HashA, HashB, HashP).as("mh"))
       .select(col("doc_id") +: minhashCols: _*)
@@ -63,7 +72,7 @@ object Dedup extends QueryModule {
   /** Exact dedup: sha256(text) grouping; duplicates manufactured by
     * self-union (the corpus itself is all-distinct). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val d = docsTable(spark, dir).select(col("doc_id"), col("lang"), col("text"))
     d.unionAll(d)
       .groupBy(col("lang"), sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -74,8 +83,8 @@ object Dedup extends QueryModule {
   }
 
   /** MinHash signature table: 4 universal-hash mins + 2 banded keys. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    signatures(spark, dir)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signatures(docs)
       .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"),
         md5(concat(col("mh0").cast("string"), lit(":"), col("mh1").cast("string")))
           .as("band0"),
@@ -83,16 +92,19 @@ object Dedup extends QueryModule {
           .as("band1"))
       .orderBy(col("doc_id"))
 
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(docsTable(spark, dir))
+
   /** MinHash-LSH near-dup pairs: band (r=1, b=4) equi-join for candidates,
     * exact distinct-shingle Jaccard verify, top-20. */
-  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def lshNearDupPairs(docs: DataFrame, topK: Int = 20): DataFrame = {
     // One pass computes shingle sets + all 4 minhashes; persisted because the
     // plan reuses it three times (two melt sides + the verify joins) — at
     // scale this is the signature table you'd materialize (write to parquet)
     // anyway. Cache lifetime is scoped to the CALLER: Verify/Bench call
     // spark.catalog.clearCache() after materializing each query, so repeated
     // invocations neither leak executor memory nor re-cache cached data.
-    val perDoc = shingled(spark, dir)
+    val perDoc = shingled(docs)
       .select(col("doc_id"), array_distinct(col("sh")).as("shd"),
         graft.functions.TextExpressions.minhashSig(col("sh"), HashA, HashB, HashP).as("mh"))
       .select(col("doc_id") +: col("shd") +: minhashCols: _*)
@@ -113,8 +125,11 @@ object Dedup extends QueryModule {
         (size(col("sa")) + size(col("sb")) - col("inter")), 6))
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
-      .limit(20)
+      .limit(topK)
   }
+
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    lshNearDupPairs(docsTable(spark, dir))
 
   /** 60-bit SimHash per document from per-token md5s — ONE codegen'd
     * expression per row ([[graft.functions.SimHash64]]), zero shuffle.
@@ -124,26 +139,32 @@ object Dedup extends QueryModule {
     * which is the shape you want at 100 TB: the sketch pass costs exactly
     * one read of the corpus. The oracle still computes it the explode way
     * in SQL — two independent derivations, one hash. */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  def simhash(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.TextExpressions.simhash64(col("text"), 60).as("simhash"))
       .orderBy(col("doc_id"))
 
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(docsTable(spark, dir))
+
   /** SimHash near-dup pairs: band on the high 16 bits (equi-join — the
     * scalable candidate generator), verify by Hamming distance ≤ 12 via
     * `bit_count(xor)` — both codegen'd built-ins. */
-  def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir)
+  def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val sh = simhash(docs)
       .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 44).as("band"))
     val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"))
     val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"))
     l.join(r, Seq("band")).filter(col("a") < col("b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
       .orderBy(col("hamming"), col("a"), col("b"))
   }
+
+  def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashHammingPairs(docsTable(spark, dir))
 
   /** Exact n-gram Jaccard dedup via inverted-index posting lists — the
     * approximation-free sibling of [[lshNearDupPairs]]: instead of minhash
@@ -160,8 +181,8 @@ object Dedup extends QueryModule {
     * Everything shuffles on uniform keys (shingle, then pair). */
   private val MaxDf = 50
 
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingled(spark, dir).select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sets = shingled(docs).select(col("doc_id"), array_distinct(col("sh")).as("shd"))
     // Postings keyed by the shingle's 64-bit hash, not the ~30-char string:
     // the shuffle moves 8-byte keys and the group-by compares longs.
     // (Join keys are engine-internal — the oracle joins raw strings; only
@@ -190,10 +211,13 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("ninter"))
       .withColumn("jaccard", round(col("ninter").cast("double") /
         (col("sa") + col("sb") - col("ninter")), 6))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
   }
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(docsTable(spark, dir))
 
   val queries: Map[String, QueryFn] = Map(
     "q40_dedup_exact" -> exactDedup _,

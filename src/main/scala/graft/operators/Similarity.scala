@@ -47,16 +47,25 @@ object Similarity extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotProduct(a, b)
 
+  /** Every operator here has two forms: a GENERIC one over any embedding
+    * DataFrame with canonical columns `vec_id` (long) and `embedding`
+    * (array<float|double>) plus a probe predicate, and a `(spark, dir)`
+    * adapter over the driver's `embeddings` table backing the
+    * oracle-checked query entries. */
+
   /** vec_id, emb (double), nrm. */
-  private def normed(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+  private def normed(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(graft.functions.VectorExpressions.sumOfSquares(col("emb"))))
 
-  /** Brute-force cosine top-5 for probe vectors (vec_id < 10). */
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val n = normed(spark, dir)
-    val probes = n.filter(col("vec_id") < 10)
+  private def embTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  /** Brute-force cosine top-k for rows matching the probe predicate. */
+  def cosineTopK(embeddings: DataFrame, probePred: Column, k: Int): DataFrame = {
+    val n = normed(embeddings)
+    val probes = n.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"), col("nrm").as("pnrm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -64,19 +73,22 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim", dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("cos_sim"), col("rn"))
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopK(embTable(spark, dir), col("vec_id") < 10, 5)
+
   /** LSH-bucketed approximate NN: 4-bit hyperplane bucket, equi-join on
     * bucket, exact cosine inside the bucket, best match per probe. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bucketed = normed(spark, dir).withColumn("bucket",
+  def annLsh(embeddings: DataFrame, probePred: Column): DataFrame = {
+    val bucketed = normed(embeddings).withColumn("bucket",
       (0 until 4).map(p =>
         when(dot(col("emb"), planeCol(p)) > 0, lit(1 << p)).otherwise(lit(0)))
         .reduce(_ + _))
-    val probes = bucketed.filter(col("vec_id") < 50)
+    val probes = bucketed.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
         col("nrm").as("pnrm"), col("bucket"))
     val w = Window.partitionBy(col("probe_id"))
@@ -89,6 +101,9 @@ object Similarity extends QueryModule {
       .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("cos_sim"))
       .orderBy(col("probe_id"))
   }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(embTable(spark, dir), col("vec_id") < 50)
 
   /** IVF-style approximate NN: a bounded deterministic sample of coarse
     * centroids (C ≈ √N), each vector assigned to its nearest centroid (an
@@ -108,9 +123,9 @@ object Similarity extends QueryModule {
     * materialized artifact, rebuilt only when the corpus grows materially.
     * The md5-prefix hash is engine-portable, so the oracle derives the same
     * sample (its m comes from a scalar subquery over the same table). */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val n = normed(spark, dir)
-    val nVecs = Tables(spark, dir, "embeddings").count()
+  def annIvf(embeddings: DataFrame, probePred: Column): DataFrame = {
+    val n = normed(embeddings)
+    val nVecs = embeddings.count()
     val target = math.max(16L, math.floor(math.sqrt(nVecs.toDouble)).toLong)
     val m = math.max(1L, nVecs / target)
     val cents = n.filter(
@@ -127,7 +142,7 @@ object Similarity extends QueryModule {
     }
     val lists = nearestCentroids(n, "vec_id", 1)            // inverted lists
     val probeLists = nearestCentroids(
-      n.filter(col("vec_id") < 30).select(col("vec_id").as("probe_id"),
+      n.filter(probePred).select(col("vec_id").as("probe_id"),
         col("emb"), col("nrm")), "probe_id", 2)             // nprobe = 2
     val corpus = n.join(lists, Seq("vec_id"))
     val probes = n.select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
@@ -142,6 +157,9 @@ object Similarity extends QueryModule {
       .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("cos_sim"))
       .orderBy(col("probe_id"))
   }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(embTable(spark, dir), col("vec_id") < 30)
 
   /** Embedding-cosine near-dup pairs — the dedup-framed use of the LSH
     * machinery (completes the near-dup family: exact / minhash / simhash /
@@ -162,7 +180,7 @@ object Similarity extends QueryModule {
   private val DedupPlanes = 8
 
   def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "embeddings")
+    val base = embTable(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val twins = base.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("emb"), x => x * lit(2.0)).as("emb"))

@@ -19,12 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object TextStats extends QueryModule {
 
-  private def toks(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").withColumn("toks", split(col("text"), " "))
+  /** Generic forms take any corpus DataFrame with canonical columns
+    * `doc_id`, `text` (and `lang`/`n_chars` where the stat groups by them);
+    * the `(spark, dir)` adapters back the oracle-checked query entries. */
+
+  private def toks(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+
+  private def docsTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
 
   /** Corpus stats per language. */
-  def textStats(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+  def textStats(docs: DataFrame): DataFrame =
+    toks(docs)
       .select(col("lang"), col("n_chars"), size(col("toks")).as("n_tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -33,10 +40,13 @@ object TextStats extends QueryModule {
         sum(col("n_tok")).cast("long").as("total_tokens"))
       .orderBy(col("lang"))
 
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStats(docsTable(spark, dir))
+
   /** Keyword-profile language ID: score each profile, argmax, confusion
     * matrix against the labeled lang. */
-  def langId(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+  def langId(docs: DataFrame): DataFrame =
+    toks(docs)
       .withColumn("s_en", size(filter(col("toks"), t => t.isin("the", "a", "data"))))
       .withColumn("s_es", size(filter(col("toks"), t => t.isin("row", "value", "table"))))
       .withColumn("s_zh", size(filter(col("toks"), t => t.isin("query", "join", "window"))))
@@ -48,9 +58,12 @@ object TextStats extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
 
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(docsTable(spark, dir))
+
   /** Composite quality score: length, mean token length, lexical diversity. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+  def qualityScore(docs: DataFrame, topK: Int = 20): DataFrame =
+    toks(docs)
       .withColumn("n_tok", size(col("toks")))
       .withColumn("avg_len",
         aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)).cast("double") /
@@ -65,11 +78,14 @@ object TextStats extends QueryModule {
         round(col("uniq_ratio"), 6).as("uniq_ratio"),
         round(col("quality"), 6).as("quality"))
       .orderBy(col("quality").desc, col("doc_id"))
-      .limit(20)
+      .limit(topK)
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(docsTable(spark, dir))
 
   /** Regex (BPE-ish) vs whitespace token counting, per language. */
-  def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+  def tokenCount(docs: DataFrame): DataFrame =
+    toks(docs)
       .select(col("lang"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
           .as("n_re"),
@@ -80,11 +96,13 @@ object TextStats extends QueryModule {
         round(avg(col("n_re")), 4).as("avg_regex_tokens"))
       .orderBy(col("lang"))
 
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenCount(docsTable(spark, dir))
+
   /** Rolling-hash fingerprint: min md5 over all char 8-grams (two salted
     * variants) + distinct-gram count. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .filter(col("doc_id") < 200)
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
       .withColumn("grams", expr(
         "transform(sequence(1, length(text)-7), i -> substr(text, i, 8))"))
       .select(col("doc_id"),
@@ -92,6 +110,9 @@ object TextStats extends QueryModule {
         array_min(expr("transform(grams, g -> md5(concat('w:', g)))")).as("fp_salted"),
         size(array_distinct(col("grams"))).as("n_distinct_grams"))
       .orderBy(col("doc_id"))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(docsTable(spark, dir).filter(col("doc_id") < 200))
 
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
