@@ -108,6 +108,50 @@ object TextExpressions {
     new GenericArrayData(mins.map(v => v: Any))
   }
 
+  /** Static worker: DISTINCT 64-bit hashes of the token n-grams of a
+    * space-separated string, in one pass with no intermediate shingle
+    * strings at all — each n-gram hashes as FNV-1a over its tokens' bytes
+    * with a separator byte, deduped in a HashSet. For consumers that only
+    * need shingle IDENTITY (inverted-index joins, df counts), not the
+    * text: the q60 pipeline built 260k shingle strings, xxhash64'd them,
+    * then array_distinct'd — three passes this replaces with one. Hash
+    * values are engine-internal join keys (the oracle joins raw shingle
+    * strings); only final pair rows must match, and 64-bit collisions at
+    * corpus scale are ~N²/2⁶⁵. */
+  def shingleHashes(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long](count * 2)
+    var i = 0
+    while (i < count) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < n) {
+        val t = toks(i + j)
+        var k = 0
+        while (k < t.length) {
+          h ^= t.charAt(k)
+          h *= 0x100000001b3L
+          k += 1
+        }
+        h ^= 0x20 // separator, mirrors the ' ' join
+        h *= 0x100000001b3L
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingleHashes(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
+
   /** Static worker: nBits-bit SimHash of a space-separated string in ONE
     * pass — per token the first 60 md5 bits, ±1 per bit position, bit set
     * where the count is positive. Replaces the explode → 60-counter
@@ -156,6 +200,23 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
       ${ev.value} = graft.functions.TextExpressions.shingles($c, $n);""")
 
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** Distinct token n-gram hashes of a space-separated string as one
+  * codegen'd expression: string → array<long>, empty when under n tokens. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextExpressions.shingleHashes($c, $n);""")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 

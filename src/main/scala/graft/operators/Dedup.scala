@@ -182,18 +182,21 @@ object Dedup extends QueryModule {
   private val MaxDf = 50
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sets = shingled(docs).select(col("doc_id"), array_distinct(col("sh")).as("shd"))
-    // Postings keyed by the shingle's 64-bit hash, not the ~30-char string:
-    // the shuffle moves 8-byte keys and the group-by compares longs.
-    // (Join keys are engine-internal — the oracle joins raw strings; only
-    // the final (a, b, jaccard) rows must match.) Each posting carries its
-    // doc's set size, so Jaccard needs NO join back to the corpus — the
-    // whole query is one pass over the text: shingle → one shuffle on
-    // shingle hash → per-list pair explode → one shuffle on pair.
+    // Postings keyed by the shingle's 64-bit hash, not the ~30-char string
+    // — and the hashes come straight from the codegen'd [[ShingleHashes]]
+    // expression (one pass: tokenize → FNV per n-gram → dedupe), so no
+    // shingle strings are ever materialized. (Join keys are engine-internal
+    // — the oracle joins raw strings; only the final (a, b, jaccard) rows
+    // must match.) Each posting carries its doc's set size, so Jaccard
+    // needs NO join back to the corpus — the whole query is one pass over
+    // the text: hash → one shuffle on shingle hash → per-list pair explode
+    // → one shuffle on pair.
+    val sets = docs
+      .withColumn("shh", graft.functions.TextExpressions.shingleHashes(col("text"), 3))
+      .filter(size(col("shh")) > 0)
     val post = sets.select(
-      struct(col("doc_id"), size(col("shd")).as("sz")).as("d"),
-      explode(col("shd")).as("shs"))
-      .select(xxhash64(col("shs")).as("sh"), col("d"))
+      struct(col("doc_id"), size(col("shh")).as("sz")).as("d"),
+      explode(col("shh")).as("sh"))
     // Group to a df-capped posting list, then emit each list's pairs with a
     // double explode — same Σ df² pair work as a posting self-join but
     // without shuffling the postings twice or re-deriving the shingles for
