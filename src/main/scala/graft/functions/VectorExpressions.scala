@@ -24,24 +24,37 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
-  /** Static worker: Σ a[i]·b[i], ascending, sequential. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val xs = a.toDoubleArray()
-    val ys = b.toDoubleArray()
-    val n = math.min(xs.length, ys.length)
+  /** Static worker: Σ a[i]·b[i], ascending, sequential. NULL-faithful to
+    * the HOF form it replaces (that's what lets [[VectorRewrite]] fire
+    * soundly on arbitrary user code): `zip_with` pads unequal lengths with
+    * nulls and `x*null`/`acc+null` propagate, so ANY length mismatch or
+    * null element makes the whole fold null — return the boxed null
+    * exactly then. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
   /** Static worker: Σ a[i]², ascending, sequential (no sqrt — callers
-    * compose with the built-in `sqrt` so plans stay inspectable). */
-  def sumSq(a: ArrayData): Double = {
-    val xs = a.toDoubleArray()
+    * compose with the built-in `sqrt` so plans stay inspectable). Null
+    * element ⇒ null, matching `aggregate`'s fold. */
+  def sumSq(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
-    while (i < xs.length) { acc += xs(i) * xs(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      acc += a.getDouble(i) * a.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -59,31 +72,44 @@ object VectorExpressions {
   }
 }
 
-/** Dot product of two array<double> columns as a codegen'd expression. */
+/** Dot product of two array<double> columns as a codegen'd expression.
+  * Nullable even over non-null inputs: unequal lengths or null elements
+  * yield null (the `zip_with` fold's semantics). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorExpressions.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("boxedDot")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      ${ev.value} = graft.functions.VectorExpressions.dot($a, $b);""")
+      java.lang.Double $boxed = graft.functions.VectorExpressions.dot($a, $b);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.doubleValue(); }""")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 
-/** Σx² of an array<double> column as a codegen'd expression. */
+/** Σx² of an array<double> column as a codegen'd expression. Nullable:
+  * a null element yields null (the `aggregate` fold's semantics). */
 case class SumOfSquares(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     VectorExpressions.sumSq(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("boxedSq")
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.VectorExpressions.sumSq($c);""")
+      java.lang.Double $boxed = graft.functions.VectorExpressions.sumSq($c);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.doubleValue(); }""")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SumOfSquares =
     copy(child = newChild)

@@ -99,4 +99,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
       assert(r.getDouble(2) == r.getDouble(3), s"sumsq: $r")
     }
   }
+
+  test("DotProduct / SumOfSquares are null-faithful: length mismatch and null elements") {
+    // zip_with pads unequal lengths with nulls and the fold propagates them
+    // to a NULL total; aggregate does the same for null elements. The
+    // native expressions must agree — VectorRewrite substitutes them into
+    // arbitrary user plans.
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)), // length mismatch
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),     // null element
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))      // clean
+      .toDF("a", "b")
+    val rows = df
+      .withColumn("fastDot", VectorExpressions.dotProduct(col("a"), col("b")))
+      .withColumn("slowDot",
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .withColumn("fastSq", VectorExpressions.sumOfSquares(col("a")))
+      .withColumn("slowSq",
+        aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x))
+      .select("fastDot", "slowDot", "fastSq", "slowSq").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"dot nullability: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3), s"sumsq nullability: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"dot: $r")
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3), s"sumsq: $r")
+    }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && !rows(2).isNullAt(0))
+    assert(rows(1).isNullAt(2) && !rows(0).isNullAt(2))
+  }
 }
