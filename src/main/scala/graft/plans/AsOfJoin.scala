@@ -95,23 +95,37 @@ case class AsOfJoinExec(
           nextRow = null
           while (nextRow == null && lIt.hasNext) {
             val l = lIt.next()
-            val u = luB.eval(l).asInstanceOf[Long]
-            val t = ltB.eval(l).asInstanceOf[Long]
-            var scanning = click != null
-            while (scanning) {
-              val cu = ruB.eval(click).asInstanceOf[Long]
-              if (cu < u || (cu == u && rtB.eval(click).asInstanceOf[Long] <= t)) {
-                if (cu == u) {
-                  // ascending (time, tie) ⇒ plain overwrite keeps the max
-                  lastMatch = click.copy()
-                  lastUser = cu
-                  haveLast = true
+            val uAny = luB.eval(l)
+            val tAny = ltB.eval(l)
+            // SQL join semantics: null keys/times never match (they sort
+            // NULLS FIRST, so skipping is also order-safe)
+            if (uAny != null && tAny != null) {
+              val u = uAny.asInstanceOf[Long]
+              val t = tAny.asInstanceOf[Long]
+              var scanning = click != null
+              while (scanning) {
+                val cuAny = ruB.eval(click)
+                val ctAny = rtB.eval(click)
+                if (cuAny == null || ctAny == null) {
+                  // null-keyed right rows sort first; consume and drop
+                  click = if (rIt.hasNext) rIt.next() else null
+                  scanning = click != null
+                } else {
+                  val cu = cuAny.asInstanceOf[Long]
+                  if (cu < u || (cu == u && ctAny.asInstanceOf[Long] <= t)) {
+                    if (cu == u) {
+                      // ascending (time, tie) ⇒ plain overwrite keeps the max
+                      lastMatch = click.copy()
+                      lastUser = cu
+                      haveLast = true
+                    }
+                    click = if (rIt.hasNext) rIt.next() else null
+                    scanning = click != null
+                  } else scanning = false
                 }
-                click = if (rIt.hasNext) rIt.next() else null
-                scanning = click != null
-              } else scanning = false
+              }
+              if (haveLast && lastUser == u) nextRow = joined(l, lastMatch)
             }
-            if (haveLast && lastUser == u) nextRow = joined(l, lastMatch)
           }
         }
 

@@ -57,6 +57,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.size == 120)
   }
 
+  test("null keys and times never match and never crash (SQL join semantics)") {
+    import spark.implicits._
+    val p = Seq(
+      (java.lang.Long.valueOf(1L), 100L, ts(50)),
+      (null.asInstanceOf[java.lang.Long], 101L, ts(50)), // null user: dropped
+      (java.lang.Long.valueOf(2L), 102L, null.asInstanceOf[Timestamp])) // null time: dropped
+      .toDF("p_user", "purchase_id", "pts")
+    val c = Seq(
+      (java.lang.Long.valueOf(1L), 10L, ts(10)),
+      (null.asInstanceOf[java.lang.Long], 11L, ts(10)),  // null user: ignored
+      (java.lang.Long.valueOf(2L), 12L, ts(10)),
+      (java.lang.Long.valueOf(1L), 13L, null.asInstanceOf[Timestamp])) // null time: ignored
+      .toDF("user_id", "click_id", "cts")
+    val out = AsOf.join(p, c, "p_user", "user_id", "pts", "cts", "click_id")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(100L -> 10L), s"got $out")
+  }
+
   test("agrees with the window-composed form on a random workload") {
     val rnd = new scala.util.Random(11)
     val purchases = (1 to 300).map(i =>
