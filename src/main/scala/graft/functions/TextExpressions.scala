@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -179,11 +179,6 @@ object TextExpressions {
     out
   }
 
-  /** Optional SQL surface: `SELECT token_shingles(text, 3)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_shingles",
-      es => TokenShingles(es.head, 3), "scala_udf")
 }
 
 /** Token n-grams of a space-separated string as a codegen'd unary

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -64,12 +64,6 @@ object VectorExpressions {
   def sumOfSquares(a: Column): Column =
     ColumnBridge.column(SumOfSquares(ColumnBridge.expression(a)))
 
-  /** Optional SQL surface. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_sumsq", es => SumOfSquares(es.head), "scala_udf")
-  }
 }
 
 /** Dot product of two array<double> columns as a codegen'd expression.

@@ -141,6 +141,9 @@ object Dedup extends QueryModule {
     * in SQL — two independent derivations, one hash. */
   def simhash(docs: DataFrame): DataFrame =
     docs
+      // null-text docs must DROP, as the explode-based pipeline (and the
+      // oracle) drops them — without this the expression emits a null sketch
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.TextExpressions.simhash64(col("text"), 60).as("simhash"))
       .orderBy(col("doc_id"))

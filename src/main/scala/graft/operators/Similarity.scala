@@ -62,6 +62,15 @@ object Similarity extends QueryModule {
   private def embTable(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
 
+  /** Sign-pattern hyperplane bucket over normed vectors — the ONE place
+    * the bucket formula lives (annLsh, multi-probe, and the near-dup
+    * pairs all derive from it). */
+  private def bucketed(embeddings: DataFrame, planes: Int): DataFrame =
+    normed(embeddings).withColumn("bucket",
+      (0 until planes).map(p =>
+        when(dot(col("emb"), planeCol(p)) > 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _))
+
   /** Brute-force cosine top-k for rows matching the probe predicate. */
   def cosineTopK(embeddings: DataFrame, probePred: Column, k: Int): DataFrame = {
     val n = normed(embeddings)
@@ -84,16 +93,13 @@ object Similarity extends QueryModule {
   /** LSH-bucketed approximate NN: 4-bit hyperplane bucket, equi-join on
     * bucket, exact cosine inside the bucket, best match per probe. */
   def annLsh(embeddings: DataFrame, probePred: Column): DataFrame = {
-    val bucketed = normed(embeddings).withColumn("bucket",
-      (0 until 4).map(p =>
-        when(dot(col("emb"), planeCol(p)) > 0, lit(1 << p)).otherwise(lit(0)))
-        .reduce(_ + _))
-    val probes = bucketed.filter(probePred)
+    val b = bucketed(embeddings, 4)
+    val probes = b.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
         col("nrm").as("pnrm"), col("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    bucketed.join(broadcast(probes), Seq("bucket"))
+    b.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim", dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm")))
       .withColumn("rn", row_number().over(w))
@@ -113,18 +119,15 @@ object Similarity extends QueryModule {
     * recall 12/50, multi-probe 29/50 for 5× candidate work — the
     * recall/cost dial a 100 TB deployment tunes per query. */
   def annLshMultiProbe(embeddings: DataFrame, probePred: Column): DataFrame = {
-    val bucketed = normed(embeddings).withColumn("bucket",
-      (0 until 4).map(p =>
-        when(dot(col("emb"), planeCol(p)) > 0, lit(1 << p)).otherwise(lit(0)))
-        .reduce(_ + _))
-    val probes = bucketed.filter(probePred)
+    val b = bucketed(embeddings, 4)
+    val probes = b.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
         col("nrm").as("pnrm"),
         explode(array(col("bucket") +: (0 until 4).map(p =>
           col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    bucketed.join(broadcast(probes), Seq("bucket"))
+    b.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim", dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm")))
       .withColumn("rn", row_number().over(w))
@@ -216,11 +219,8 @@ object Similarity extends QueryModule {
     val twins = base.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("emb"), x => x * lit(2.0)).as("emb"))
     val all = base.unionAll(twins)
-      .withColumn("nrm", sqrt(graft.functions.VectorExpressions.sumOfSquares(col("emb"))))
-      .withColumn("bucket",
-        (0 until DedupPlanes).map(p =>
-          when(dot(col("emb"), planeCol(p)) > 0, lit(1 << p)).otherwise(lit(0)))
-          .reduce(_ + _))
+      .select(col("vec_id"), col("emb").as("embedding"))
+      .transform(bucketed(_, DedupPlanes))
     val l = all.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"),
       col("bucket"))
     val r = all.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"),

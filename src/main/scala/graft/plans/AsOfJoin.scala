@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -83,6 +84,10 @@ case class AsOfJoinExec(
     val ruB = BindReferences.bindReference(rightUser, right.output)
     val rtB = BindReferences.bindReference(rightTime, right.output)
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      // SparkPlan contract: exec nodes emit UnsafeRow. JoinedRow is only
+      // the internal pairing view; project it out exactly like
+      // SortMergeJoinExec's result projection does.
+      val resultProj = UnsafeProjection.create(output, output)
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private var nextRow: InternalRow = _
@@ -137,7 +142,7 @@ case class AsOfJoinExec(
           if (nextRow == null) advance()
           val r = nextRow
           nextRow = null
-          r
+          resultProj(r)
         }
       }
     }
@@ -161,21 +166,41 @@ object AsOf {
     * before its time; left rows without one are dropped (inner as-of).
     * Columns are given by name and resolved HERE against each side's
     * analyzed output — the node is born fully resolved, so no analyzer
-    * rule needs to understand it. */
+    * rule needs to understand it. Two things the post-analysis build must
+    * do itself (the analyzer would have for a standard Join):
+    *   - de-duplicate attribute ids when both sides share lineage
+    *     (self-join): the right side is re-aliased with fresh ExprIds;
+    *   - validate key/time/tie types up front — the merge pass reads them
+    *     as longs, and a task-side ClassCastException is a terrible way to
+    *     learn your key is an Int. */
   def join(left: DataFrame, right: DataFrame,
            leftUser: String, rightUser: String,
            leftTime: String, rightTime: String,
            rightTieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val spark = left.sparkSession
     setup(spark)
     val lp = PlanBridge.logicalPlan(left)
-    val rp = PlanBridge.logicalPlan(right)
-    def attr(p: LogicalPlan, side: String, n: String) =
+    val rp0 = PlanBridge.logicalPlan(right)
+    val rp =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, side: String, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of join: no column `$n` on the $side side (has ${p.output.map(_.name).mkString(", ")})"))
+    def longBacked(a: Attribute, role: String): Attribute = {
+      val ok = a.dataType == LongType || a.dataType == TimestampType ||
+        a.dataType == TimestampNTZType
+      if (!ok) throw new IllegalArgumentException(
+        s"as-of join: $role column `${a.name}` must be LongType or a timestamp " +
+          s"(internally long); got ${a.dataType.simpleString}")
+      a
+    }
     PlanBridge.dataFrame(spark, AsOfJoin(lp, rp,
-      attr(lp, "left", leftUser), attr(rp, "right", rightUser),
-      attr(lp, "left", leftTime), attr(rp, "right", rightTime),
-      attr(rp, "right", rightTieBreak)))
+      longBacked(attr(lp, "left", leftUser), "left key"),
+      longBacked(attr(rp, "right", rightUser), "right key"),
+      longBacked(attr(lp, "left", leftTime), "left time"),
+      longBacked(attr(rp, "right", rightTime), "right time"),
+      longBacked(attr(rp, "right", rightTieBreak), "tie-break")))
   }
 }

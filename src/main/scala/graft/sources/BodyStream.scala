@@ -62,6 +62,24 @@ object BodyStream {
     }
   }
 
+  /** Cheap body count for offset admission: same filters as [[list]], but
+    * no name sort and no Vector materialization — latestOffset runs every
+    * trigger on an ever-growing directory, so the O(n log n) sorted
+    * listing is reserved for [[partitions]] (which genuinely needs name
+    * order to slice the batch). */
+  def count(dir: String): Long = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) 0L
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")
+      }.toLong
+      finally s.close()
+    }
+  }
+
   case class BodyPartition(dir: String, files: Seq[(Long, String)]) extends InputPartition
 
   def partitions(dir: String, files: Seq[String], baseSeq: Long,
@@ -150,7 +168,7 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
   @volatile private var availableNowFence: Long = -1L
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowFence = BodyStream.list(dir).length.toLong
+    availableNowFence = BodyStream.count(dir)
 
   override def initialOffset(): Offset = BodySeqOffset(0L)
   override def deserializeOffset(json: String): Offset = BodySeqOffset(json.trim.toLong)
@@ -164,7 +182,7 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val listed = BodyStream.list(dir).length.toLong
+    val listed = BodyStream.count(dir)
     val total = if (availableNowFence >= 0) math.min(listed, availableNowFence) else listed
     val startSeq = start.asInstanceOf[BodySeqOffset].seq
     val end = limit match {

@@ -76,6 +76,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Map(100L -> 10L), s"got $out")
   }
 
+  test("self-join with shared lineage dedups attribute ids; raw collect works") {
+    import spark.implicits._
+    val e = Seq((1L, 100L, ts(10)), (1L, 200L, ts(50)))
+      .toDF("user_id", "event_id", "ts").repartition(2)
+    // no aliases on either side, and no select() on top: exercises the
+    // right-side re-alias (ExprId dedup) and the UnsafeRow result
+    // projection (collect straight off the join node)
+    val rows = AsOf.join(e, e, "user_id", "user_id", "ts", "ts", "event_id").collect()
+    val pairs = rows.map(r => r.getLong(1) -> r.getLong(4)).toMap
+    // each event's latest same-user event at-or-before itself is itself
+    assert(pairs == Map(100L -> 100L, 200L -> 200L), s"got ${pairs.toSeq}")
+  }
+
+  test("non-long key columns are rejected at build time, not task time") {
+    import spark.implicits._
+    val p = Seq(("u1", 100L, ts(50))).toDF("p_user", "purchase_id", "pts")
+    val c = Seq(("u1", 10L, ts(10))).toDF("user_id", "click_id", "cts")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.join(p, c, "p_user", "user_id", "pts", "cts", "click_id")
+    }
+    assert(err.getMessage.contains("must be LongType or a timestamp"), err.getMessage)
+  }
+
   test("agrees with the window-composed form on a random workload") {
     val rnd = new scala.util.Random(11)
     val purchases = (1 to 300).map(i =>
