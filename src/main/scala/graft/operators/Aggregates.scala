@@ -173,7 +173,21 @@ object Aggregates extends QueryModule {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
       .orderBy(col("event_type"), col("week"))
 
+  /** Count-min sketch per event type — the frequency-estimation member of
+    * the sketch family (HLL = distinct, t-digest = quantiles, CMS = heavy
+    * hitters): mergeable partial state, one shuffle, and the resulting
+    * sketch answers "how often did user X appear" for ANY key after the
+    * fact with ε-overcount guarantees. No SQL oracle (binary sketch);
+    * rows-only plus the deserialize-and-check accuracy gate in
+    * `LlmOpsSemanticsSpec`. Seed fixed for deterministic output. */
+  def cmsFrequency(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42)).as("cms"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q66_agg_cms_frequency" -> cmsFrequency _,
     "q64_agg_hll_union" -> hllUnionRollup _,
     "q62_agg_approx_percentiles" -> approxPercentiles _,
     "q56_agg_percentiles" -> percentiles _,

@@ -41,9 +41,11 @@ object RelayRoundtrip extends QueryModule {
         }
       }.toDF("body")
     RemoteWrite.jsonLines(RemoteWrite.fromBodies(bodies))
+      // one from_json parse instead of two get_json_object passes per row
       .select(col("name"),
-        get_json_object(col("json"), "$.time").cast("long").as("t"),
-        get_json_object(col("json"), "$.value").cast("double").as("v"))
+        from_json(col("json"),
+          org.apache.spark.sql.types.StructType.fromDDL("time LONG, value DOUBLE")).as("j"))
+      .select(col("name"), col("j.time").as("t"), col("j.value").as("v"))
       .groupBy(col("name"))
       .agg(count(lit(1)).as("n_samples"),
         sum(col("t")).as("sum_time"),

@@ -163,6 +163,28 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q66 count-min sketch estimates per-user frequencies within the ε bound") {
+    // CMS guarantee: est >= true, and est <= true + ε·N with prob 1-δ
+    // (ε=0.001, δ=0.01 here). Check every (event_type, user) of a sample.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val sketches = operators.Aggregates.cmsFrequency(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))).toMap
+    val truth = graft.Tables(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = truth.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(sketches.keySet == totals.keySet)
+    truth.foreach { case ((et, user), n) =>
+      val est = sketches(et).estimateCount(user)
+      assert(est >= n, s"$et/$user: CMS must never undercount ($est < $n)")
+      assert(est <= n + math.max(1L, (0.001 * totals(et)).toLong) + 1,
+        s"$et/$user: est $est vs true $n exceeds eps bound")
+    }
+  }
+
   test("q64 merged daily HLL sketches estimate weekly distincts within bound") {
     // lgConfigK=12 default ⇒ rsd ≈ 1.04/√4096 ≈ 1.6%; gate at 5%. The
     // point under test: UNION of per-day sketches equals a direct weekly
