@@ -14,6 +14,9 @@ import org.apache.spark.sql.streaming.Trigger
   *     [--stream-name metrics]        (main.go:74 -stream-name)
   *     [--firehose]                   (main.go:71 -firehose)
   *     [--write-interval 10]          (main.go:75, seconds; 0 = drain-and-exit)
+  *     [--source dsv2|files]          ingest source: the custom DSv2
+  *                                    sequence-offset source (default) or
+  *                                    the generic binaryFile stream
   */
 object RelayMain {
   def main(args: Array[String]): Unit = {
@@ -48,7 +51,11 @@ object RelayMain {
       if (intervalSec == 0) Trigger.AvailableNow()
       else Trigger.ProcessingTime(s"$intervalSec seconds")
 
-    val q = RelayPipeline.start(spark, RemoteWrite.bodyDirStream(spark, inDir),
+    val bodies = opts.getOrElse("--source", "dsv2") match {
+      case "files" => RemoteWrite.bodyDirStream(spark, inDir)
+      case _ => RemoteWrite.bodyDsv2Stream(spark, inDir)
+    }
+    val q = RelayPipeline.start(spark, bodies,
       sink, firehose = firehose, trigger = trigger,
       checkpointDir = Some(checkpoint))
     if (intervalSec == 0) { q.processAllAvailable(); q.stop() }
