@@ -69,9 +69,31 @@ object Multimodal extends QueryModule {
         (col("n_chars") % 256).cast("int").as("width"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling over opaque payloads — the third multimodal verb
+    * (decode q51, feature-extract q59, frame-sample here): take a fixed
+    * 16-byte "frame" every 64 bytes of payload, one output row per
+    * sampled frame. On real video this is the every-Nth-keyframe sampler
+    * feeding a vision encoder; the Spark shape is what matters — a
+    * generator (posexplode) over per-row slice arithmetic, rows ∝ frames
+    * not payload bytes, all inside codegen, no shuffle before the
+    * presentation sort. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= 16)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, int(floor((length(payload)-16)/64))), i -> substring(payload, i*64+1, 16))"))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        lower(hex(col("frame"))).as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, QueryFn] = Map(
     "q51_multimodal_features" -> features _,
-    "q59_multimodal_expr" -> featuresExpr _
+    "q59_multimodal_expr" -> featuresExpr _,
+    "q67_multimodal_frames" -> frameSample _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -88,6 +110,16 @@ object Multimodal extends QueryModule {
         |       lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
         |       md5(text) AS payload_md5,
         |       CAST(n_chars % 256 AS INT) AS width
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q67_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         unnest(range(0,
+        |           CAST(floor((octet_length(encode(text)) - 16) / 64.0) AS BIGINT) + 1)) AS frame_idx
+        |  FROM documents WHERE doc_id < 50 AND octet_length(encode(text)) >= 16)
+        |SELECT f.doc_id, f.frame_idx,
+        |       lower(hex(encode(substr(d.text, CAST(f.frame_idx*64 + 1 AS INT), 16)))) AS frame_hex
+        |FROM f JOIN documents d ON d.doc_id = f.doc_id
+        |ORDER BY f.doc_id, f.frame_idx""".stripMargin
   )
 }
