@@ -169,11 +169,19 @@ object Dedup extends QueryModule {
   def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame =
     simhashHammingPairs(docsTable(spark, dir))
 
-  /** Exact n-gram Jaccard dedup via inverted-index posting lists — the
-    * approximation-free sibling of [[lshNearDupPairs]]: instead of minhash
+  /** N-gram Jaccard dedup via inverted-index posting lists — the
+    * sketch-free sibling of [[lshNearDupPairs]]: instead of minhash
     * bands, candidates come from the shingle posting list itself (docs
     * sharing ≥1 shingle), and the intersection size falls out of pair
     * counting — no array intersection, no signature table.
+    *
+    * Accuracy contract: shingle identity is 64-bit FNV-1a hashes, not the
+    * strings, so this is collision-free only up to the birthday bound —
+    * with S distinct shingles corpus-wide, expect ~S²/2⁶⁵ colliding pairs
+    * perturbing intersection/set sizes (zero at test scale; at ~10¹²
+    * shingles ≈ a few tens of collisions, each shifting one pair's Jaccard
+    * by ~1/|set|). Unlike minhash this is not a tunable approximation —
+    * it is exact modulo that stated hash-collision bound.
     *
     * Scale contract: the posting self-join's work is Σ_sh df(sh)², so a
     * single ubiquitous shingle is quadratic — hence the df ≤ [[MaxDf]]

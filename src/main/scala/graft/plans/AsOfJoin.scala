@@ -186,8 +186,14 @@ object AsOf {
       if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
       else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
     def attr(p: LogicalPlan, side: String, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"as-of join: no column `$n` on the $side side (has ${p.output.map(_.name).mkString(", ")})"))
+      p.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"as-of join: no column `$n` on the $side side (has ${p.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"as-of join: column `$n` is ambiguous on the $side side " +
+            s"(${many.size} matches) — mirror of the analyzer's ambiguous-reference error")
+      }
     def longBacked(a: Attribute, role: String): Attribute = {
       val ok = a.dataType == LongType || a.dataType == TimestampType ||
         a.dataType == TimestampNTZType

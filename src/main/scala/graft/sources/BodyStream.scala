@@ -34,7 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Admission control: `maxFilesPerTrigger` bounds each micro-batch — the
   * backpressure knob standing in for the reference's bounded channel
   * (`kinesis.go:21,60`). Unlike the binaryFile source, there is no
-  * seen-files map on the driver: state is ONE long. At 1000-executor scale
+  * seen-files map on the driver: state is one long plus the name of the
+  * last admitted file (the high-water mark that makes the index→file
+  * mapping verifiable on replay). At 1000-executor scale
   * the per-batch file slice is split into `filesPerPartition` groups, so
   * read parallelism follows batch size instead of pinning to the driver.
   *
@@ -62,11 +64,11 @@ object BodyStream {
     }
   }
 
-  /** Cheap body count for offset admission: same filters as [[list]], but
-    * no name sort and no Vector materialization — latestOffset runs every
-    * trigger on an ever-growing directory, so the O(n log n) sorted
-    * listing is reserved for [[partitions]] (which genuinely needs name
-    * order to slice the batch). */
+  /** Cheap body count (no sort, no Vector) — used only to pin the
+    * Trigger.AvailableNow fence, where an exact name boundary is not
+    * needed. Offset admission itself ([[BodyMicroBatchStream.latestOffset]])
+    * uses the sorted [[list]]: it must name the high-water-mark file so the
+    * committed offset can be validated against later listings. */
   def count(dir: String): Long = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) 0L
@@ -89,6 +91,34 @@ object BodyStream {
       .grouped(math.max(1, filesPerPartition))
       .map(g => BodyPartition(dir, g): InputPartition)
       .toArray
+
+  /** Fail-loud offset-contract check: an offset of N is only meaningful if
+    * the first N files of today's listing are the same N files that were
+    * admitted when the offset was committed. The recorded high-water mark
+    * (name of file N-1) detects both hazards silently re-mapping a
+    * committed range to different bodies:
+    *   - a writer violating name monotonicity (unpadded counters: "10"
+    *     sorts before "9", shifting every index after insertion);
+    *   - external deletion/compaction of processed files (listing shrinks,
+    *     every index re-maps).
+    * Legacy plain-number offsets (pre-hwm checkpoints) carry an empty hwm
+    * and get the length check only. */
+  def validateBoundary(listing: Vector[String], off: BodySeqOffset, dir: String): Unit = {
+    if (listing.length < off.seq) throw new IllegalStateException(
+      s"remote-write-bodies: directory `$dir` lists ${listing.length} bodies but " +
+        s"offset ${off.seq} is committed — files were deleted or compacted. " +
+        "The body directory must be append-only while a checkpoint references it; " +
+        "to archive processed bodies, stop the query and reset the checkpoint.")
+    if (off.seq > 0 && off.hwm.nonEmpty) {
+      val at = listing(Math.toIntExact(off.seq) - 1)
+      if (at != off.hwm) throw new IllegalStateException(
+        s"remote-write-bodies: committed offset ${off.seq} expects `${off.hwm}` at " +
+          s"position ${off.seq - 1} of the name-ordered listing of `$dir` but found " +
+          s"`$at` — a new file sorted before the high-water mark (non-monotonic " +
+          "names, e.g. unpadded counters) or a processed file was removed. " +
+          "Refusing to replay a re-mapped range.")
+    }
+  }
 
   /** One task = one file group; each file is read whole, exactly like the
     * reference's `io.ReadAll(r.Body)` (`kinesis.go:69`). */
@@ -119,6 +149,12 @@ class BodyStreamProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = BodyStream.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
+    // Spark convention for fixed-schema sources: reject a user-supplied
+    // schema that differs instead of silently serving different columns.
+    if (schema != null && schema != BodyStream.schema)
+      throw new IllegalArgumentException(
+        s"remote-write-bodies serves a fixed schema `${BodyStream.schema.toDDL}`; " +
+          s"a user-specified schema is not supported (got `${schema.toDDL}`)")
     val opts = new CaseInsensitiveStringMap(properties)
     new BodyTable(
       Option(opts.get("path")).getOrElse(
@@ -153,9 +189,30 @@ class BodyScan(dir: String, maxFilesPerTrigger: Int, filesPerPartition: Int) ext
   }
 }
 
-/** Offset = number of bodies ever admitted (files in name order). */
-case class BodySeqOffset(seq: Long) extends Offset {
-  override def json(): String = seq.toString
+/** Offset = number of bodies ever admitted (files in name order), plus the
+  * NAME of the last admitted file (`hwm`, "" when seq = 0). The hwm pins the
+  * index→file mapping: [[BodyStream.validateBoundary]] re-checks it against
+  * every later listing, so a range silently re-mapped by non-monotonic names
+  * or file deletion fails loudly instead of replaying wrong bodies. */
+case class BodySeqOffset(seq: Long, hwm: String) extends Offset {
+  override def json(): String = s"""{"seq":$seq,"hwm":"${BodySeqOffset.esc(hwm)}"}"""
+}
+
+object BodySeqOffset {
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c => c.toString
+  }
+  private val JsonForm = """\{"seq":(\d+),"hwm":"((?:[^"\\]|\\.)*)"\}""".r
+
+  /** Accepts the current JSON form and the legacy plain-number form written
+    * by pre-hwm checkpoints (which then get the weaker length-only check). */
+  def parse(json: String): BodySeqOffset = json.trim match {
+    case JsonForm(seq, hwm) =>
+      BodySeqOffset(seq.toLong, hwm.replace("\\\"", "\"").replace("\\\\", "\\"))
+    case legacy => BodySeqOffset(legacy.toLong, "")
+  }
 }
 
 class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartition: Int)
@@ -170,8 +227,8 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowFence = BodyStream.count(dir)
 
-  override def initialOffset(): Offset = BodySeqOffset(0L)
-  override def deserializeOffset(json: String): Offset = BodySeqOffset(json.trim.toLong)
+  override def initialOffset(): Offset = BodySeqOffset(0L, "")
+  override def deserializeOffset(json: String): Offset = BodySeqOffset.parse(json)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxFilesPerTrigger)
 
@@ -181,25 +238,50 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
+  /** Admits up to `limit` new bodies. Uses the sorted listing (not the
+    * cheap count): the committed start boundary is validated against it and
+    * the new offset records the admitted high-water-mark NAME, so replay /
+    * checkpoint recovery can prove the range still maps to the same files. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val listed = BodyStream.count(dir)
-    val total = if (availableNowFence >= 0) math.min(listed, availableNowFence) else listed
-    val startSeq = start.asInstanceOf[BodySeqOffset].seq
+    val listing = BodyStream.list(dir)
+    val s = start.asInstanceOf[BodySeqOffset]
+    BodyStream.validateBoundary(listing, s, dir)
+    val total = if (availableNowFence >= 0) math.min(listing.length.toLong, availableNowFence)
+                else listing.length.toLong
     val end = limit match {
-      case rl: ReadMaxRows => math.min(total, startSeq + rl.maxRows())
+      case rl: ReadMaxRows => math.min(total, s.seq + rl.maxRows())
       case _ => total
     }
-    BodySeqOffset(math.max(startSeq, end))
+    val endSeq = math.max(s.seq, end)
+    val hwm =
+      if (endSeq == 0L) ""
+      else if (endSeq == s.seq && s.hwm.nonEmpty) s.hwm
+      else listing(Math.toIntExact(endSeq) - 1)
+    BodySeqOffset(endSeq, hwm)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[BodySeqOffset].seq
-    val e = end.asInstanceOf[BodySeqOffset].seq
-    BodyStream.partitions(dir, BodyStream.list(dir).slice(s.toInt, e.toInt), s,
+    val s = start.asInstanceOf[BodySeqOffset]
+    val e = end.asInstanceOf[BodySeqOffset]
+    val listing = BodyStream.list(dir)
+    // Re-validate both boundaries at plan time: the directory may have
+    // changed between offset admission (possibly a previous run, on
+    // recovery) and batch planning.
+    BodyStream.validateBoundary(listing, s, dir)
+    BodyStream.validateBoundary(listing, e, dir)
+    BodyStream.partitions(dir,
+      listing.slice(Math.toIntExact(s.seq), Math.toIntExact(e.seq)), s.seq,
       filesPerPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = BodyStream.ReaderFactory
-  override def commit(end: Offset): Unit = () // nothing to release: files stay put
+
+  /** Deliberately a no-op: processed files must stay put, because offsets
+    * index into the name-ordered listing — removing a file before the
+    * high-water mark would shift every later index (now a loud
+    * [[BodyStream.validateBoundary]] failure rather than silent wrong
+    * data). Retention therefore happens OUTSIDE the streaming query: stop
+    * it, archive the directory, reset the checkpoint. */
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

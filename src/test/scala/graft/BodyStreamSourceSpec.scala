@@ -77,4 +77,34 @@ class BodyStreamSourceSpec extends AnyFunSuite {
     assert(sink2.allLines.size == 1)
     assert(sink2.allLines.head.contains(""""name":"y""""))
   }
+
+  test("offset json roundtrips, including the legacy plain-number form") {
+    import graft.sources.BodySeqOffset
+    val o = BodySeqOffset(7L, """we"ird\name.bin""")
+    assert(BodySeqOffset.parse(o.json()) == o)
+    assert(BodySeqOffset.parse("42") == BodySeqOffset(42L, "")) // pre-hwm checkpoint
+    assert(BodySeqOffset.parse(BodySeqOffset(0L, "").json()) == BodySeqOffset(0L, ""))
+  }
+
+  test("offset contract: deletion and non-monotonic names fail loudly") {
+    import graft.sources.{BodySeqOffset, BodyStream}
+    val dir = Files.createTempDirectory("graft-bodies-").toString
+    writeBodies(dir, (0 until 3).map(i =>
+      body(TimeSeries(Map("__name__" -> s"m$i"), Seq(Sample(i.toDouble, i.toLong))))))
+    val committed = BodySeqOffset(3L, BodyStream.list(dir).last)
+    BodyStream.validateBoundary(BodyStream.list(dir), committed, dir) // current dir: fine
+
+    // a file sorting BEFORE the high-water mark re-maps index 2 → loud failure
+    Files.write(Paths.get(dir, "00000001a.bin"), Array[Byte](1))
+    val e1 = intercept[IllegalStateException](
+      BodyStream.validateBoundary(BodyStream.list(dir), committed, dir))
+    assert(e1.getMessage.contains("high-water mark"))
+    Files.delete(Paths.get(dir, "00000001a.bin"))
+
+    // deleting a processed file shrinks the listing below the offset
+    Files.delete(Paths.get(dir, "00000000.bin"))
+    val e2 = intercept[IllegalStateException](
+      BodyStream.validateBoundary(BodyStream.list(dir), committed, dir))
+    assert(e2.getMessage.contains("deleted"))
+  }
 }
