@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.TextStats,
-    operators.Multimodal
+    operators.Multimodal,
+    operators.Pipeline
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

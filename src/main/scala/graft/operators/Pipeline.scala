@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.BloomPrune
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents`/`orders`/`lineitem` —
+  * the dataset-engineering layer a 100 TB corpus build needs around the
+  * relay's raw stream (BASELINE north-star; the reference itself stops at
+  * ingest, `/root/reference/kinesis.go:68-93`, so everything here is the
+  * Spark-side continuation of that pipeline).
+  *
+  * Design rules shared by all five:
+  *   - Determinism from content hashes, never RNG: splits and samples key
+  *     on `md5(doc_id || salt)`, so assignment is stable across runs,
+  *     executors, and engines (Spark and DuckDB md5 agree byte-for-byte) —
+  *     the property a reproducible training run needs. No `rand()`, which
+  *     is per-task-attempt nondeterministic and un-oracle-checkable.
+  *   - Narrow per-row work: hashing/regex is O(len) per row with no
+  *     row-proportional shuffle except the final small aggregates.
+  *   - The bloom-pruned join demonstrates semi-join reduction for the case
+  *     where BOTH sides are too big to broadcast: a byte-bounded bloom of
+  *     the dimension keys prunes the fact scan before the only real
+  *     shuffle, with an exact join after it so false positives never reach
+  *     the result.
+  */
+object Pipeline extends QueryModule {
+
+  private def docsTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** 64-bit-ish uniform bucket in [0, 100) from a salted md5 — the
+    * engine-portable deterministic hash (see graft oracle rules: 15 hex
+    * digits = 60 bits fits a signed long in both engines). */
+  private def hashBucket(id: org.apache.spark.sql.Column, salt: String, mod: Int) =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long"), lit(mod))
+
+  /** Deterministic train/val/test split (80/10/10) by salted content hash.
+    * One narrow projection + one tiny aggregate; at 100 TB the per-split
+    * assignment is a zero-shuffle map and downstream writers partition by
+    * `split`. Changing the salt re-rolls the split; changing the corpus
+    * does NOT move previously-assigned docs between splits (stability —
+    * the property epoch-resumable training relies on). */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", hashBucket(col("doc_id"), ":split", 100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(docsTable(spark, dir))
+
+  /** Stratified deterministic sample: k docs per language, ranked by a
+    * salted hash (so the sample is uniform-at-random w.r.t. the salt but
+    * identical on every run). One shuffle on the stratum key; per-group
+    * state is the rank counter only. For 100 TB strata a full sort per
+    * stratum is wasteful — swap the window for a per-partition top-k
+    * (the q25 pattern) once k ≪ stratum size; at sampling rates worth
+    * training on, this exact form is the readable baseline. */
+  def stratifiedSample(docs: DataFrame, k: Int = 10): DataFrame =
+    docs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":sample"))), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(docsTable(spark, dir))
+
+  /** Boilerplate/stopword scrub: drop noise tokens, collapse whitespace,
+    * emit a content signature + removed-char count per doc. The regex is
+    * ASCII word-boundary only, so Java and RE2 agree; on a real corpus the
+    * alternation comes from a boilerplate-ngram table instead of a literal
+    * list. Pure map — no shuffle at all (the orderBy is presentation). */
+  def scrub(docs: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("text"), "\\b(the|a|row|value|data)\\b", ""), " +", " "))
+    docs.select(col("doc_id"), md5(cleaned).as("clean_sig"),
+        (length(col("text")) - length(cleaned)).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrub(docsTable(spark, dir))
+
+  /** Corpus heavy hitters: top-20 tokens by document frequency. The
+    * explode→distinct→count shape is the exact form of the df() table the
+    * dedup stop-shingle prune ([[Dedup]] MaxDf) and any tf-idf weighting
+    * consume. Map-side: `array_distinct` dedupes within a doc BEFORE the
+    * distinct shuffle, so the shuffle carries ≤ vocab-per-doc rows, and the
+    * final count aggregates partially per partition. */
+  def heavyHitters(docs: DataFrame, topK: Int = 20): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(topK)
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(docsTable(spark, dir))
+
+  /** Bloom-pruned fact-dimension join: build a bloom filter over the
+    * filtered dimension's keys (one scalar-subquery aggregate → a few KB),
+    * prune the fact scan with `might_contain` BEFORE the join shuffle, then
+    * run the exact join so false positives are eliminated — result is
+    * bit-identical to the plain join. This is Spark's own runtime-filter
+    * rewrite (`InjectRuntimeFilter`) made explicit and unconditional: at
+    * 100 TB it cuts the shuffled fact rows to ~the matching fraction while
+    * shipping only the bloom's bytes, where a broadcast join would ship the
+    * whole dimension and a plain SMJ would shuffle every fact row. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val pruned = BloomPrune.bloomPrune(
+      Tables(spark, dir, "lineitem"), col("l_orderkey"),
+      urgent.select(col("o_orderkey")), expectedItems = 100000L)
+    pruned
+      .join(urgent.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q68_split_hash" -> (hashSplit(_, _)),
+    "q69_sample_stratified" -> (stratifiedSample(_, _)),
+    "q70_text_scrub" -> (scrub(_, _)),
+    "q71_tokens_heavy_hitters" -> (heavyHitters(_, _)),
+    "q72_join_bloom_pruned" -> (bloomPrunedJoin _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q68_split_hash" ->
+      """WITH b AS (
+        |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sample'), doc_id) AS INT) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, rn FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+    "q70_text_scrub" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(text, '\b(the|a|row|value|data)\b', '', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT doc_id, md5(clean) AS clean_sig, CAST(len(text) - len(clean) AS INT) AS n_removed
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q71_tokens_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |FROM toks WHERE tok <> ''
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin,
+    "q72_join_bloom_pruned" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

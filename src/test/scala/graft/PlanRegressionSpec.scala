@@ -92,4 +92,18 @@ class PlanRegressionSpec extends AnyFunSuite {
   test("q45: probe-side filter is pushed down (vec_id < 50 reaches the scan)") {
     assert(plan("q45_sim_ann_lsh").contains("LessThan(vec_id,50)"))
   }
+
+  test("q72: bloom prune sits on the fact scan, before the join") {
+    val p = plan("q72_join_bloom_pruned")
+    // the might_contain(scalar-subquery bloom, xxhash64(key)) predicate must
+    // survive optimization as a fact-side Filter — that's the whole point:
+    // non-matching fact rows die at the scan, not after the join shuffle
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+  }
+
+  test("q70: the scrub is a pure map — no exchange except the presentation sort") {
+    val p = plan("q70_text_scrub")
+    assert(!p.contains("hashpartitioning("), p) // no shuffle-by-key anywhere
+  }
 }
