@@ -121,4 +121,33 @@ class AsOfJoinSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native == composed)
   }
+
+  test("correct under aggressive AQE partition coalescing with skewed side sizes") {
+    // AsOfJoinExec zips child partitions 1:1 (like SMJ), so AQE must
+    // coalesce both co-partitioned shuffles IDENTICALLY even when one side
+    // is 1000x smaller and would, alone, coalesce to fewer partitions. A
+    // tiny advisory size forces coalescing decisions; a mismatch would
+    // throw (unequal zip) or silently mispair users.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", null)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try {
+      val purchases = (1 to 20000).map(i => ((i % 200).toLong, 100000L + i, ts(i % 997)))
+      val clicks = (1 to 40).map(i => ((i % 20).toLong, 200000L + i, ts(0)))
+      val p = purchases.toDF("p_user", "purchase_id", "pts").repartition(32)
+      val c = clicks.toDF("user_id", "click_id", "cts").repartition(32)
+      val out = AsOf.join(p, c, "p_user", "user_id", "pts", "cts", "click_id")
+        .select("purchase_id", "click_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every purchase of users 0-19 matches that user's latest ts(0) click
+      val expected = purchases.collect {
+        case (u, pid, _) if u < 20 =>
+          pid -> (200000L + (if (u == 0L) 40 else 20 + u)) // largest click_id for user u
+      }.toMap
+      assert(out == expected)
+    } finally {
+      if (prev == null) spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      else spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+    }
+  }
 }
