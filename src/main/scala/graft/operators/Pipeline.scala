@@ -134,12 +134,94 @@ object Pipeline extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Shard-parallel sequence packing: assign docs to fixed-token-budget
+    * training sequences. Real packers run per worker; this models that as
+    * per-shard running sums (window over shard, never a global order —
+    * a single global cumsum is the textbook anti-scale window). pack_id =
+    * exclusive-prefix-tokens div budget: deterministic, one shuffle on the
+    * shard key, per-shard state is one running sum. */
+  def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("prefix", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("shard"), expr(s"prefix div $budget").as("pack_id"), col("n_tok"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("pack_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(docsTable(spark, dir))
+
+  /** TF-IDF top terms per document. df comes from the FULL corpus (one
+    * token-shuffle aggregate, vocabulary-sized result) and joins back to
+    * the per-doc tf table on the token — a uniform, vocabulary-cardinality
+    * key; the corpus-size scalar rides in via a broadcast single-row
+    * aggregate, NOT a driver-side count. Scores are rounded BEFORE ranking
+    * so the rank order is identical across engines (ln differs from libm
+    * log only past the 6th decimal, if at all). */
+  def tfIdfTop(docs: DataFrame, probe: org.apache.spark.sql.Column, topN: Int = 3): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = tok.filter(probe).groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rnk") <= topN)
+      .select(col("doc_id"), col("tok"), col("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def tfIdfTop(spark: SparkSession, dir: String): DataFrame =
+    tfIdfTop(docsTable(spark, dir), col("doc_id") < 50)
+
+  /** Benchmark decontamination (the GPT-3-style n-gram scrub): drop
+    * training docs sharing any token 5-gram with the held-out set (here:
+    * `source = src0` stands in for the benchmark corpus). The gram join is
+    * an equi-join whose build side — the DISTINCT benchmark grams — is
+    * benchmark-sized, i.e. tiny next to a 100 TB training corpus, so it
+    * broadcasts and the corpus never shuffles for candidate detection;
+    * only the contaminated doc-id set (smaller still) joins back. */
+  def decontaminate(docs: DataFrame, isBenchmark: org.apache.spark.sql.Column,
+                    n: Int = 5): DataFrame = {
+    val grams = docs.select(col("doc_id"), isBenchmark.as("bench"),
+      explode(graft.functions.TextExpressions.tokenShingles(col("text"), n)).as("gram"))
+    val benchGrams = grams.filter(col("bench")).select(col("gram")).distinct()
+    val contaminated = grams.filter(!col("bench"))
+      .join(broadcast(benchGrams), "gram")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(1))
+    docs.filter(!isBenchmark)
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        count(col("is_cont")).cast("long").as("n_removed"))
+      .orderBy(col("lang"))
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(docsTable(spark, dir), col("source") === "src0")
+
   val queries: Map[String, QueryFn] = Map(
     "q68_split_hash" -> (hashSplit(_, _)),
     "q69_sample_stratified" -> (stratifiedSample(_, _)),
     "q70_text_scrub" -> (scrub(_, _)),
     "q71_tokens_heavy_hitters" -> (heavyHitters(_, _)),
-    "q72_join_bloom_pruned" -> (bloomPrunedJoin _)
+    "q72_join_bloom_pruned" -> (bloomPrunedJoin _),
+    "q73_pack_sequences" -> (packSequences(_, _)),
+    "q74_text_tfidf" -> (tfIdfTop(_, _)),
+    "q75_decontaminate" -> (decontaminate(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -178,6 +260,52 @@ object Pipeline extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q73_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok AS prefix
+        |  FROM t)
+        |SELECT shard, CAST(prefix // 2048 AS BIGINT) AS pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q74_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> '' GROUP BY 1, 2),
+        |df AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM tok WHERE tok <> '' GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, tok) AS INT) AS rnk
+        |  FROM scored WHERE doc_id < 50)
+        |SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q75_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]) AS gram
+        |  FROM g WHERE len(w) >= 5),
+        |contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM sh t JOIN (SELECT DISTINCT gram FROM sh WHERE source = 'src0') c USING (gram)
+        |  WHERE t.source <> 'src0')
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(c.doc_id) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        |WHERE d.source <> 'src0'
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
