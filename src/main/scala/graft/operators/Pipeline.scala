@@ -213,6 +213,32 @@ object Pipeline extends QueryModule {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminate(docsTable(spark, dir), col("source") === "src0")
 
+  /** Data profiling (the Deequ-style pre-training sanity pass): per-column
+    * non-null count, exact distinct count, min and max — for ANY DataFrame,
+    * derived from its schema. All columns profile in ONE aggregation over
+    * one scan; the exact multi-column distincts make Catalyst plan an
+    * Expand (one shuffled pass per distinct column), which is the
+    * oracle-checkable form — at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` and the Expand collapses to a single pass of
+    * mergeable HLL sketches (the q21/q64 machinery). Output is long-format
+    * `(col_name, n_nonnull, n_distinct, min_val, max_val)`, values cast to
+    * string so the schema is uniform across column types. */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.sorted.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) " +
+        "as (col_name, n_nonnull, n_distinct, min_val, max_val)"))
+      .orderBy(col("col_name"))
+  }
+
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    profile(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q68_split_hash" -> (hashSplit(_, _)),
     "q69_sample_stratified" -> (stratifiedSample(_, _)),
@@ -221,7 +247,8 @@ object Pipeline extends QueryModule {
     "q72_join_bloom_pruned" -> (bloomPrunedJoin _),
     "q73_pack_sequences" -> (packSequences(_, _)),
     "q74_text_tfidf" -> (tfIdfTop(_, _)),
-    "q75_decontaminate" -> (decontaminate(_, _))
+    "q75_decontaminate" -> (decontaminate(_, _)),
+    "q76_profile" -> (profile(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,6 +333,20 @@ object Pipeline extends QueryModule {
         |       CAST(count(c.doc_id) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
         |WHERE d.source <> 'src0'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_profile" ->
+      """SELECT 'doc_id' AS col_name, CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |       CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+        |FROM documents
+        |UNION ALL SELECT 'lang', CAST(count(lang) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+        |       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'n_chars', CAST(count(n_chars) AS BIGINT), CAST(count(DISTINCT n_chars) AS BIGINT),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'source', CAST(count(source) AS BIGINT), CAST(count(DISTINCT source) AS BIGINT),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'text', CAST(count(text) AS BIGINT), CAST(count(DISTINCT text) AS BIGINT),
+        |       CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
+        |ORDER BY col_name""".stripMargin
   )
 }
