@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.BloomPrune
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for the training-pipeline operators — the properties the
+  * sf0.01 oracle hash-match can't express: stability under corpus growth,
+  * conservation, planted-contamination recall, and bloom exactness at
+  * deliberately bad sizing. */
+class PipelineSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits.newProductEncoder
+  import spark.implicits.localSeqToDatasetHolder
+
+  private def corpus(n: Int) = (0 until n)
+    .map(i => (i.toLong, s"tok$i word${i % 7} end", if (i % 2 == 0) "en" else "de", s"src${i % 3}", 20L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("hash split: growing the corpus never moves an existing doc between splits") {
+    // The salted-md5 assignment depends only on the doc, not the corpus —
+    // the property that keeps epoch-resumable training sets stable.
+    def assignments(n: Int): Map[Long, String] = {
+      val d = corpus(n)
+        .withColumn("bucket", pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":split"))), 1, 15), 16, 10).cast("long"), lit(100)))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      d.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val small = assignments(200)
+    val big = assignments(400)
+    small.foreach { case (id, s) => assert(big(id) == s, s"doc $id moved splits") }
+  }
+
+  test("sequence packing conserves docs and tokens; pack ids are dense per shard") {
+    val packs = Pipeline.packSequences(corpus(300), budget = 64, shards = 4).collect()
+    assert(packs.map(_.getLong(2)).sum == 300) // every doc in exactly one pack
+    val totalTokens = corpus(300).select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(packs.map(_.getLong(3)).sum == totalTokens)
+    packs.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.sameElements(ids.indices.map(_.toLong)), "pack ids not dense from 0")
+    }
+  }
+
+  test("decontamination drops exactly the docs sharing a planted 5-gram") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta", "en", "bench", 30L))
+    val train = Seq(
+      (1L, "unrelated words that share nothing at all here", "en", "train", 40L),
+      (2L, "prefix alpha beta gamma delta epsilon suffix tail", "en", "train", 40L), // contaminated
+      (3L, "alpha beta gamma delta unshared tail words", "en", "train", 40L)) // only a 4-gram
+    val docs = (bench ++ train).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Pipeline.decontaminate(docs, col("source") === "bench")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("en", 3L, 1L))) // 3 train docs, exactly doc 2 removed
+  }
+
+  test("profile reports nulls, distincts, and extremes exactly") {
+    val df = Seq((Some(1L), Some("a")), (Some(2L), None), (None, Some("a")))
+      .toDF("id", "tag")
+    val out = Pipeline.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(out("id") == ((2L, 2L, "1", "2")))
+    assert(out("tag") == ((2L, 1L, "a", "a")))
+  }
+
+  test("bloom prune + exact join stays exact even when the bloom is undersized") {
+    // expectedItems=10 for 1000 keys → high fpp: MORE rows survive the
+    // prune, but the exact join must still produce identical results.
+    val fact = (1L to 5000L).map(i => (i, i % 1000)).toDF("row_id", "fk")
+    val dim = (0L until 1000L).filter(_ % 37 == 0).map(Tuple1(_)).toDF("k")
+    val plain = fact.join(dim, col("fk") === col("k")).count()
+    val pruned = BloomPrune.bloomPrune(fact, col("fk"), dim, expectedItems = 10L)
+      .join(dim, col("fk") === col("k")).count()
+    assert(pruned == plain)
+  }
+}
