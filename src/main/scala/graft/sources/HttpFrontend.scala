@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** The relay's HTTP entry point — the Spark-side equivalent of the
+  * reference's `POST /receive` server (`/root/reference/main.go:57-64`,
+  * `kinesis.go:68-93`), built on the JDK's built-in `HttpServer` (no new
+  * dependency). It is the "tiny frontend" the body-directory protocol
+  * assumed all along: each accepted POST body lands as one file whose
+  * zero-padded name is the arrival sequence number, written temp-then-rename
+  * so the [[BodyStream]] DSv2 source (and the binaryFile fallback) never
+  * list a partial body.
+  *
+  * Faithful to the reference's response contract:
+  *   - unreadable body → 500 (`kinesis.go:70-74`);
+  *   - snappy or protobuf garbage → 400 (`kinesis.go:76-87`) — rejected
+  *     HERE so corrupt input never enters the at-most-once stream (the
+  *     reference drops it pre-queue for the same reason);
+  *   - accepted → 200 empty body (the handler's implicit Go default).
+  *
+  * Deliberately different from the reference: acceptance means DURABLY ON
+  * DISK, not "in a channel that SIGTERM can drop" (`main.go:114-119` sleeps
+  * 1 s and hopes); replay/checkpointing then comes free from the DSv2
+  * offset contract. Scale shape: the frontend is a dumb byte sink — many
+  * instances can run behind a load balancer, each with its own directory
+  * (= partition) and its own sequence; the Spark side reads one stream per
+  * directory exactly like multiple Kafka partitions.
+  */
+class HttpFrontend(dir: String, port: Int, validate: Boolean = true) {
+
+  Files.createDirectories(Paths.get(dir))
+  // resume numbering after existing bodies — names must keep ascending for
+  // the BodyStream offset contract (listing index = sequence number)
+  private val seq = new AtomicLong(BodyStream.count(dir))
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 64)
+  server.createContext("/receive", (x: HttpExchange) => handle(x))
+  server.setExecutor(Executors.newFixedThreadPool(4))
+
+  private def respond(x: HttpExchange, code: Int, msg: String = ""): Unit = {
+    val b = msg.getBytes("UTF-8")
+    x.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+    if (b.nonEmpty) x.getResponseBody.write(b)
+    x.close()
+  }
+
+  private def handle(x: HttpExchange): Unit =
+    try {
+      if (x.getRequestMethod != "POST") { respond(x, 405); return }
+      val body =
+        try x.getRequestBody.readAllBytes()
+        catch { case e: Exception => respond(x, 500, e.getMessage); return }
+      if (validate) {
+        try Prompb.decode(org.xerial.snappy.Snappy.uncompress(body))
+        catch { case e: Exception => respond(x, 400, e.getMessage); return }
+      }
+      val n = seq.getAndIncrement()
+      val name = f"$n%020d.bin"
+      val tmp = Paths.get(dir, s".$name.tmp")
+      Files.write(tmp, body)
+      Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      respond(x, 200)
+    } catch {
+      case e: Exception => respond(x, 500, String.valueOf(e.getMessage))
+    }
+
+  def start(): Unit = server.start()
+
+  /** Graceful stop: finish in-flight handlers (bounded wait), then close the
+    * listener. Bodies already renamed into place are durable — nothing to
+    * drain, unlike the reference's in-memory channel. */
+  def stop(): Unit = server.stop(2)
+
+  def boundPort: Int = server.getAddress.getPort
+}

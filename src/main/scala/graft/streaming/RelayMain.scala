@@ -17,6 +17,10 @@ import org.apache.spark.sql.streaming.Trigger
   *     [--source dsv2|files]          ingest source: the custom DSv2
   *                                    sequence-offset source (default) or
   *                                    the generic binaryFile stream
+  *     [--listen-addr 9501]           also serve POST /receive on this port
+  *                                    (main.go:73 -listen-addr), appending
+  *                                    each accepted body to --in — the full
+  *                                    reference shape in one process
   */
 object RelayMain {
   def main(args: Array[String]): Unit = {
@@ -51,6 +55,12 @@ object RelayMain {
       if (intervalSec == 0) Trigger.AvailableNow()
       else Trigger.ProcessingTime(s"$intervalSec seconds")
 
+    val frontend = opts.get("--listen-addr").map { port =>
+      val f = new graft.sources.HttpFrontend(inDir, port.toInt)
+      f.start()
+      f
+    }
+
     val bodies = opts.getOrElse("--source", "dsv2") match {
       case "files" => RemoteWrite.bodyDirStream(spark, inDir)
       case _ => RemoteWrite.bodyDsv2Stream(spark, inDir)
@@ -60,6 +70,7 @@ object RelayMain {
       checkpointDir = Some(checkpoint))
     if (intervalSec == 0) { q.processAllAvailable(); q.stop() }
     else q.awaitTermination()
+    frontend.foreach(_.stop())
     spark.stop()
   }
 }
