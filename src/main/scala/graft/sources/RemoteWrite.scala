@@ -97,6 +97,22 @@ object RemoteWrite {
     * Output: (name, json) — name doubles as the Kinesis partition key
     * (kinesis.go:174).
     */
+  /** Schema-on-read of the relay's OWN output — what a downstream consumer
+    * of the reference's Kinesis stream parses (`/root/reference/record.go:
+    * 8-13`): `name STRING, time BIGINT, value DOUBLE (null preserved),
+    * labels MAP<STRING,STRING>`. The schema is EXPLICIT: letting Spark
+    * infer it would scan every record file twice and, on a null-only
+    * window, type `value` as string — schema-on-read at 100 TB means
+    * declaring the schema, not discovering it. Reads the `.jsonl` files a
+    * `KinesisFileSink`/`FirehoseFileSink` (or a real consumer dump) wrote;
+    * corrupt lines surface as all-null rows (default PERMISSIVE mode), the
+    * read-side mirror of the relay's log-and-drop delivery. */
+  def readRecords(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "name STRING, time BIGINT, value DOUBLE, labels MAP<STRING,STRING>"))
+      .json(dir + "/*.jsonl")
+
   def jsonLines(records: DataFrame): DataFrame =
     records
       .filter(col("value").isNull ||
