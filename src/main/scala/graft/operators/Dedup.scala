@@ -233,13 +233,58 @@ object Dedup extends QueryModule {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(docsTable(spark, dir))
 
+  /** Near-dup CLUSTERS from near-dup PAIRS — the dedup pipeline's actual
+    * deliverable: connected components over the pair graph, canonical doc =
+    * component-min doc_id (what you keep; the rest are the removal list).
+    *
+    * Spark-first iteration: min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow — a hub
+    * dup plus satellites, diameter ≤ ~3). Per round: one equi-join on the
+    * node key + one aggregate; `localCheckpoint` truncates the otherwise
+    * exponentially growing plan lineage (THE classic iterative-DataFrame
+    * trap), and the convergence check reduces to a single driver-side long
+    * per round — a fixpoint test, not a data collect. This is the
+    * dataframe form of large-star/small-star (MR connected components);
+    * the oracle's recursive-CTE transitive closure is test-scale only
+    * (closure materializes O(n²) paths; label propagation never does). */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a").as("s"), col("b").as("d"))
+      .union(pairs.select(col("b").as("s"), col("a").as("d")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, col("d") === col("node"))
+        .groupBy(col("s")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, col("node") === col("s"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("next_label") < col("label")).isEmpty
+      labels = updated.select(col("node"), col("next_label").as("label"))
+      iter += 1
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("label").as("cluster_id"), col("n_members"))
+      .orderBy(col("n_members").desc, col("cluster_id"))
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(simhashHammingPairs(docsTable(spark, dir)).select(col("a"), col("b")))
+
   val queries: Map[String, QueryFn] = Map(
     "q40_dedup_exact" -> exactDedup _,
     "q41_dedup_minhash_sig" -> minhashSignatures _,
     "q42_dedup_lsh_pairs" -> lshNearDupPairs _,
     "q43_dedup_simhash" -> simhash _,
     "q52_dedup_simhash_pairs" -> simhashHammingPairs _,
-    "q60_dedup_ngram_jaccard" -> ngramJaccardPairs _
+    "q60_dedup_ngram_jaccard" -> ngramJaccardPairs _,
+    "q77_dedup_clusters" -> (dedupClusters(_, _))
   )
 
   /** Shared oracle CTE: token 3-gram shingles per doc. */
@@ -343,6 +388,24 @@ object Dedup extends QueryModule {
          |      JOIN sizes sa ON sa.doc_id = a
          |      JOIN sizes sb ON sb.doc_id = b)
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5
-         |ORDER BY jaccard DESC, a, b""".stripMargin
+         |ORDER BY jaccard DESC, a, b""".stripMargin,
+    // connected components via transitive closure — O(paths²) is fine as a
+    // TEST-SCALE oracle; the engine side never materializes the closure
+    "q77_dedup_clusters" ->
+      s"""${simhashCte.replaceFirst("WITH tok", "WITH RECURSIVE tok")},
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM shv a JOIN shv b
+         |    ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+         |edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |lab AS (SELECT s AS node, least(s, min(d)) AS label FROM reach GROUP BY s)
+         |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |FROM lab GROUP BY label
+         |ORDER BY n_members DESC, cluster_id""".stripMargin
   )
 }
