@@ -106,4 +106,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     val p = plan("q70_text_scrub")
     assert(!p.contains("hashpartitioning("), p) // no shuffle-by-key anywhere
   }
+
+  test("q73: packing window and pack aggregate share ONE shard shuffle") {
+    // groupBy(shard, pack_id) must reuse the window's hashpartitioning(shard)
+    // — a second exchange would mean the pack aggregate re-shuffles rows the
+    // window already co-located
+    val p = plan("q73_pack_sequences")
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q75: benchmark grams broadcast — the training corpus never shuffles for detection") {
+    val p = plan("q75_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
