@@ -58,11 +58,34 @@ object VectorExpressions {
     acc
   }
 
+  /** Static worker: element-wise `floor(a[i]·scale + 0.5)` — int8-style
+    * scalar quantization (values land on integers, kept as doubles so
+    * [[dot]] composes and stays EXACT: |q| ≤ 127 ⇒ a 64-dim quantized dot
+    * ≤ 127²·64 ≈ 2²⁰ ≪ 2⁵³). `floor(v + 0.5)` rather than a half-away
+    * round: it is the IDENTICAL double expression DuckDB's
+    * `floor(x*scale + 0.5)` evaluates, so oracle hashes match bit-for-bit
+    * (the two engines' native round() implementations disagree on
+    * half-ulp edge cases). Null element ⇒ null, like the others. */
+  def scaleRoundArr(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      out(i) = Math.floor(a.getDouble(i) * scale + 0.5)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def sumOfSquares(a: Column): Column =
     ColumnBridge.column(SumOfSquares(ColumnBridge.expression(a)))
+
+  def scaleRound(a: Column, scale: Column): Column =
+    ColumnBridge.column(ScaleRound(ColumnBridge.expression(a), ColumnBridge.expression(scale)))
 
 }
 
@@ -107,4 +130,27 @@ case class SumOfSquares(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SumOfSquares =
     copy(child = newChild)
+}
+
+/** Element-wise quantize of an array<double> by a per-row scale — the
+  * codegen'd form of `transform(a, x -> floor(x*scale + 0.5))` (interpreted
+  * HOF: one closure call per element; this: one fused loop). */
+case class ScaleRound(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, s: Any): Any =
+    VectorExpressions.scaleRoundArr(a.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.freshName("qarr")
+    nullSafeCodeGen(ctx, ev, (a, s) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $arr =
+        graft.functions.VectorExpressions.scaleRoundArr($a, $s);
+      if ($arr == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $arr; }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ScaleRound =
+    copy(left = newLeft, right = newRight)
 }

@@ -128,4 +128,21 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && !rows(2).isNullAt(0))
     assert(rows(1).isNullAt(2) && !rows(0).isNullAt(2))
   }
+
+  test("ScaleRound == transform(x -> floor(x*scale + 0.5)), bit-for-bit; null-faithful") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (1 to 100).map(_ => (0 until 16).map(_ => rnd.nextDouble * 4 - 2))
+    val rows = vecs.toDF("a")
+      .withColumn("scale", lit(127.0) / greatest(array_max(col("a")), array_min(col("a")) * -1))
+      .withColumn("fast", VectorExpressions.scaleRound(col("a"), col("scale")))
+      .withColumn("slow", transform(col("a"), x => floor(x * col("scale") + 0.5)))
+      .select(col("fast"), col("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1), s"quantize: $r")
+    }
+    val nulls = Seq(Seq[java.lang.Double](1.0, null)).toDF("a")
+      .select(VectorExpressions.scaleRound(col("a"), lit(2.0)).as("q")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
 }
