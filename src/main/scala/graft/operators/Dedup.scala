@@ -277,6 +277,50 @@ object Dedup extends QueryModule {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(simhashHammingPairs(docsTable(spark, dir)).select(col("a"), col("b")))
 
+  /** Incremental ingest dedup — the daily-batch shape: classify each NEW
+    * doc against the EXISTING corpus as `exact_dup` (same text), `near_dup`
+    * (shares a minhash band with any corpus doc — the LSH candidate test,
+    * with its usual false-positive/negative contract), or `new`. Both
+    * checks are semi-joins on uniform hash keys (content hash; band
+    * values), so the new batch — typically ≪ corpus — drives the cost; at
+    * 100 TB the corpus side is the PRE-MATERIALIZED signature table (write
+    * `minhashSignatures` + `sha2(text)` to parquet once, append per
+    * batch), not a recompute, and the corpus never re-shuffles: only its
+    * distinct hash/band sets do. Docs too short to shingle (<3 tokens)
+    * have no bands and can only be exact dups — same rule both engines. */
+  def incrementalDedup(docs: DataFrame, isNew: Column): DataFrame = {
+    val d = docs.withColumn("is_new", isNew)
+    val hashes = d.select(col("doc_id"), col("is_new"), sha2(col("text"), 256).as("h"))
+    val bands = shingled(d)
+      .select(col("doc_id"), col("is_new"),
+        graft.functions.TextExpressions.minhashSig(col("sh"), HashA, HashB, HashP).as("mh"))
+      // band id rides in the key: band0 only ever matches band0 (the r=2
+      // banding rule), mirrored exactly in the oracle's melted UNION
+      .select(col("doc_id"), col("is_new"), explode(array(
+        concat(lit("0:"), md5(concat(col("mh").getItem(0).cast("string"), lit(":"),
+          col("mh").getItem(1).cast("string")))),
+        concat(lit("1:"), md5(concat(col("mh").getItem(2).cast("string"), lit(":"),
+          col("mh").getItem(3).cast("string")))))).as("band"))
+    val exactDup = hashes.filter(col("is_new"))
+      .join(hashes.filter(!col("is_new")).select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("exact", lit(1))
+    val nearDup = bands.filter(col("is_new"))
+      .join(bands.filter(!col("is_new")).select(col("band")).distinct(), Seq("band"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("near", lit(1))
+    d.filter(col("is_new")).select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left_outer")
+      .join(nearDup, Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("exact").isNotNull, "exact_dup")
+          .when(col("near").isNotNull, "near_dup")
+          .otherwise("new"))
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(docsTable(spark, dir), col("doc_id") >= 400)
+
   val queries: Map[String, QueryFn] = Map(
     "q40_dedup_exact" -> exactDedup _,
     "q41_dedup_minhash_sig" -> minhashSignatures _,
@@ -284,7 +328,8 @@ object Dedup extends QueryModule {
     "q43_dedup_simhash" -> simhash _,
     "q52_dedup_simhash_pairs" -> simhashHammingPairs _,
     "q60_dedup_ngram_jaccard" -> ngramJaccardPairs _,
-    "q77_dedup_clusters" -> (dedupClusters(_, _))
+    "q77_dedup_clusters" -> (dedupClusters(_, _)),
+    "q79_dedup_incremental" -> (incrementalDedup(_, _))
   )
 
   /** Shared oracle CTE: token 3-gram shingles per doc. */
@@ -406,6 +451,27 @@ object Dedup extends QueryModule {
          |lab AS (SELECT s AS node, least(s, min(d)) AS label FROM reach GROUP BY s)
          |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY label
-         |ORDER BY n_members DESC, cluster_id""".stripMargin
+         |ORDER BY n_members DESC, cluster_id""".stripMargin,
+    "q79_dedup_incremental" ->
+      s"""$shingleCte,
+         |m AS (SELECT doc_id,
+         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
+         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
+         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
+         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
+         |      FROM s),
+         |b AS (SELECT doc_id, '0:' || md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS band FROM m
+         |      UNION ALL
+         |      SELECT doc_id, '1:' || md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)) FROM m),
+         |status AS (
+         |  SELECT n.doc_id,
+         |    CASE WHEN EXISTS (SELECT 1 FROM documents c WHERE c.doc_id < 400 AND c.text = n.text)
+         |           THEN 'exact_dup'
+         |         WHEN EXISTS (SELECT 1 FROM b bn JOIN b bc ON bn.band = bc.band
+         |                      WHERE bn.doc_id = n.doc_id AND bc.doc_id < 400)
+         |           THEN 'near_dup'
+         |         ELSE 'new' END AS status
+         |  FROM documents n WHERE n.doc_id >= 400)
+         |SELECT doc_id, status FROM status ORDER BY doc_id""".stripMargin
   )
 }

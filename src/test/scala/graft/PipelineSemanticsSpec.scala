@@ -67,6 +67,22 @@ class PipelineSemanticsSpec extends AnyFunSuite {
     assert(out("tag") == ((2L, 1L, "a", "a")))
   }
 
+  test("incremental dedup classifies exact, near, and fresh docs correctly") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "old", 40L),
+      (2L, "one two three four five six seven eight nine", "en", "old", 40L))
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", "en", "new", 40L), // exact
+      (11L, "alpha beta gamma delta epsilon zeta eta CHANGED", "en", "new", 40L), // near (shares min bands)
+      (12L, "completely unrelated fresh content nothing shared here", "en", "new", 50L))
+    val docs = (corpus ++ batch).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Dedup.incrementalDedup(docs, col("source") === "new")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "exact_dup")
+    assert(out(11L) == "near_dup", s"got $out") // one-word suffix change keeps band mins
+    assert(out(12L) == "new")
+  }
+
   test("bloom prune + exact join stays exact even when the bloom is undersized") {
     // expectedItems=10 for 1000 keys → high fpp: MORE rows survive the
     // prune, but the exact join must still produce identical results.
