@@ -268,6 +268,13 @@ object Dedup extends QueryModule {
       labels = updated.select(col("node"), col("next_label").as("label"))
       iter += 1
     }
+    // Truncated propagation would silently split components (wrong clusters
+    // diverging from the closure oracle) — refuse instead. A near-dup graph
+    // needing >maxIters rounds means a component with diameter >maxIters:
+    // raise the cap for such chain-shaped inputs.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters: label propagation did not converge in $maxIters rounds " +
+        "(a component has diameter > maxIters); raise maxIters")
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("label").as("cluster_id"), col("n_members"))

@@ -104,6 +104,11 @@ object Similarity extends QueryModule {
   def quantizedRerank(embeddings: DataFrame, probePred: Column,
                       shortlist: Int = 50, k: Int = 5): DataFrame = {
     val q = normed(embeddings)
+      // an all-zero vector has scale = 127/0 = Inf and NaN quantized values,
+      // and NaN sorts LARGEST in Spark — it would enter every shortlist;
+      // zero vectors have no defined cosine direction, so drop them (q44's
+      // nrm division has the same convention)
+      .filter(col("nrm") > 0)
       .withColumn("scale",
         lit(127.0) / greatest(array_max(col("emb")), array_min(col("emb")) * -1))
       .withColumn("qemb", graft.functions.VectorExpressions.scaleRound(col("emb"), col("scale")))

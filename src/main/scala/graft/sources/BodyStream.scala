@@ -244,6 +244,7 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
     * checkpoint recovery can prove the range still maps to the same files. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val listing = BodyStream.list(dir)
+    cachedListing = listing
     val s = start.asInstanceOf[BodySeqOffset]
     BodyStream.validateBoundary(listing, s, dir)
     val total = if (availableNowFence >= 0) math.min(listing.length.toLong, availableNowFence)
@@ -260,10 +261,20 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
     BodySeqOffset(endSeq, hwm)
   }
 
+  /** Listing from this trigger's latestOffset, reused by the immediately
+    * following planInputPartitions — halves the per-trigger O(n log n)
+    * directory sorts. Safe to reuse because the directory is append-only
+    * with monotonic names (enforced by validateBoundary): a cached listing
+    * long enough to cover the batch maps every index in [start, end) to
+    * the same file a fresh listing would. Empty on recovery (the engine
+    * replans a committed batch without calling latestOffset) → re-list. */
+  @volatile private var cachedListing: Vector[String] = Vector.empty
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BodySeqOffset]
     val e = end.asInstanceOf[BodySeqOffset]
-    val listing = BodyStream.list(dir)
+    val listing =
+      if (cachedListing.length >= e.seq) cachedListing else BodyStream.list(dir)
     // Re-validate both boundaries at plan time: the directory may have
     // changed between offset admission (possibly a previous run, on
     // recovery) and batch planning.

@@ -35,15 +35,29 @@ class HttpFrontend(dir: String, port: Int, validate: Boolean = true) {
 
   Files.createDirectories(Paths.get(dir))
   // resume numbering after existing bodies — names must keep ascending for
-  // the BodyStream offset contract (listing index = sequence number)
-  private val seq = new AtomicLong(BodyStream.count(dir))
+  // the BodyStream offset contract (listing index = sequence number).
+  // Resume from LAST NAME + 1, not the count: a write that failed after
+  // taking a number leaves a gap, and count-based numbering would then
+  // re-assign an existing name and silently overwrite an admitted body.
+  private val seq = new AtomicLong(
+    BodyStream.list(dir).filter(_.headOption.exists(_.isDigit)).lastOption
+      .map(_.takeWhile(_.isDigit).toLong + 1).getOrElse(0L))
+
+  /** Guards the assign-number + rename-into-place critical section: without
+    * it two concurrent handlers can rename out of numeric order, and the
+    * later-named file appearing FIRST lets the stream commit an offset
+    * whose high-water mark the earlier file then sorts before —
+    * permanently tripping [[BodyStream.validateBoundary]]. Body I/O (the
+    * slow part) stays outside the lock; only the rename serializes. */
+  private val admitLock = new Object
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 64)
   server.createContext("/receive", (x: HttpExchange) => handle(x))
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  private val pool = Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   private def respond(x: HttpExchange, code: Int, msg: String = ""): Unit = {
-    val b = msg.getBytes("UTF-8")
+    val b = String.valueOf(msg).getBytes("UTF-8")
     x.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
     if (b.nonEmpty) x.getResponseBody.write(b)
     x.close()
@@ -54,16 +68,17 @@ class HttpFrontend(dir: String, port: Int, validate: Boolean = true) {
       if (x.getRequestMethod != "POST") { respond(x, 405); return }
       val body =
         try x.getRequestBody.readAllBytes()
-        catch { case e: Exception => respond(x, 500, e.getMessage); return }
+        catch { case e: Exception => respond(x, 500, String.valueOf(e.getMessage)); return }
       if (validate) {
         try Prompb.decode(org.xerial.snappy.Snappy.uncompress(body))
-        catch { case e: Exception => respond(x, 400, e.getMessage); return }
+        catch { case e: Exception => respond(x, 400, String.valueOf(e.getMessage)); return }
       }
-      val n = seq.getAndIncrement()
-      val name = f"$n%020d.bin"
-      val tmp = Paths.get(dir, s".$name.tmp")
+      val tmp = Files.createTempFile(Paths.get(dir), ".ingest-", ".tmp")
       Files.write(tmp, body)
-      Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      admitLock.synchronized {
+        val name = f"${seq.getAndIncrement()}%020d.bin"
+        Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      }
       respond(x, 200)
     } catch {
       case e: Exception => respond(x, 500, String.valueOf(e.getMessage))
@@ -71,10 +86,15 @@ class HttpFrontend(dir: String, port: Int, validate: Boolean = true) {
 
   def start(): Unit = server.start()
 
-  /** Graceful stop: finish in-flight handlers (bounded wait), then close the
-    * listener. Bodies already renamed into place are durable — nothing to
-    * drain, unlike the reference's in-memory channel. */
-  def stop(): Unit = server.stop(2)
+  /** Graceful stop: finish in-flight handlers (bounded wait), close the
+    * listener, and shut the worker pool down (HttpServer.stop does NOT stop
+    * a user-supplied executor; its non-daemon threads would pin the JVM).
+    * Bodies already renamed into place are durable — nothing to drain,
+    * unlike the reference's in-memory channel. */
+  def stop(): Unit = {
+    server.stop(2)
+    pool.shutdown()
+  }
 
   def boundPort: Int = server.getAddress.getPort
 }

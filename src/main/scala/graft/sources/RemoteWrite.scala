@@ -97,6 +97,19 @@ object RemoteWrite {
     * Output: (name, json) — name doubles as the Kinesis partition key
     * (kinesis.go:174).
     */
+  def jsonLines(records: DataFrame): DataFrame =
+    records
+      .filter(col("value").isNull ||
+        (col("value") =!= Double.PositiveInfinity &&
+         col("value") =!= Double.NegativeInfinity))
+      .select(
+        col("name"),
+        concat(
+          to_json(
+            struct(col("name"), col("time"), col("value"), col("labels")),
+            java.util.Collections.singletonMap("ignoreNullFields", "false")),
+          lit("\n")).as("json"))
+
   /** Schema-on-read of the relay's OWN output — what a downstream consumer
     * of the reference's Kinesis stream parses (`/root/reference/record.go:
     * 8-13`): `name STRING, time BIGINT, value DOUBLE (null preserved),
@@ -112,17 +125,4 @@ object RemoteWrite {
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "name STRING, time BIGINT, value DOUBLE, labels MAP<STRING,STRING>"))
       .json(dir + "/*.jsonl")
-
-  def jsonLines(records: DataFrame): DataFrame =
-    records
-      .filter(col("value").isNull ||
-        (col("value") =!= Double.PositiveInfinity &&
-         col("value") =!= Double.NegativeInfinity))
-      .select(
-        col("name"),
-        concat(
-          to_json(
-            struct(col("name"), col("time"), col("value"), col("labels")),
-            java.util.Collections.singletonMap("ignoreNullFields", "false")),
-          lit("\n")).as("json"))
 }

@@ -37,11 +37,20 @@ def load_queries(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     tol = 50.0
-    for a in sys.argv[1:]:
-        if a.startswith("--tol"):
-            tol = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--tol"):
+            if "=" in argv[i]:
+                tol = float(argv[i].split("=", 1)[1])
+            else:
+                tol = float(argv[i + 1])
+                i += 1  # consume the value so it never leaks into positionals
+        else:
+            args.append(argv[i])
+        i += 1
     old_path = args[0] if len(args) > 0 else "BENCH_r04.json"
     new_path = args[1] if len(args) > 1 else "bench_out.json"
     old, new = load_queries(old_path), load_queries(new_path)
