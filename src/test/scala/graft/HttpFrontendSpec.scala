@@ -43,6 +43,25 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally f.stop()
   }
 
+  test("concurrent POSTs admit in some total order with no gaps, overwrites, or losses") {
+    val dir = Files.createTempDirectory("graft-http-").toString
+    val f = new HttpFrontend(dir, 0)
+    f.start()
+    try {
+      val port = f.boundPort
+      import scala.collection.parallel.CollectionConverters._
+      val codes = (1 to 32).par.map(i =>
+        post(port, body(TimeSeries(Map("__name__" -> s"c$i"), Seq(Sample(i.toDouble, i.toLong)))))).toList
+      assert(codes.forall(_ == 200))
+      val listed = BodyStream.list(dir)
+      assert(listed == (0 until 32).map(n => f"$n%020d.bin").toVector) // dense, ordered
+      // every body survived intact: decode all files, collect metric names
+      val names = listed.flatMap(n => Prompb.decode(org.xerial.snappy.Snappy.uncompress(
+        Files.readAllBytes(java.nio.file.Paths.get(dir, n)))).map(_.labels("__name__")))
+      assert(names.sorted == (1 to 32).map(i => s"c$i").sorted)
+    } finally f.stop()
+  }
+
   test("numbering resumes after existing bodies (restart-safe sequence)") {
     val dir = Files.createTempDirectory("graft-http-").toString
     val f1 = new HttpFrontend(dir, 0); f1.start()
