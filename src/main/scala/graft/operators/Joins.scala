@@ -224,7 +224,45 @@ object Joins extends QueryModule {
       .orderBy(col("purchase_id"))
   }
 
+  /** FULL OUTER join — both unmatched sides survive with nulls. The one
+    * outer-join flavor rounds 1-4 lacked. Physically an SMJ (full outer
+    * can't broadcast: BOTH sides must emit unmatched rows); null-key
+    * coalescing happens after the join. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  /** The SQL entry point, exercised end to end: a correlated-EXISTS query
+    * (TPC-H Q4's shape, adapted to the synthetic schema) through
+    * `spark.sql` over registered temp views. Catalyst rewrites the
+    * correlated EXISTS into a left-semi join — same physical shape as q13,
+    * arrived at from SQL instead of the DataFrame API; the filter still
+    * pushes to the orders scan. */
+  def sqlCorrelatedExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_totalprice > 100000
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q80_join_full_outer" -> fullOuterJoin _,
+    "q81_sql_correlated_exists" -> sqlCorrelatedExists _,
     "q63_join_asof_native" -> asofJoinNative _,
     "q10_join_broadcast" -> broadcastJoin _,
     "q11_join_shuffle" -> shuffleJoin _,
@@ -253,6 +291,21 @@ object Joins extends QueryModule {
       |ORDER BY purchase_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q80_join_full_outer" ->
+      """WITH o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |           FROM orders WHERE o_totalprice > 150000 GROUP BY 1)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0) c
+        |FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q81_sql_correlated_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_totalprice > 100000
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer
