@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   * decode/flatten/encode) — zero shuffles until the final tiny aggregate;
   * identical shape to the production relay (`RelayPipeline`), so this query
   * doubles as the relay-throughput benchmark entry.
+  *
+  * Considered and rejected (round 5): replacing the encode-side
+  * `mapPartitions` with a native expression. Batching 500 series into one
+  * body is inherently a partition-level operation — the expression form
+  * would need `monotonically_increasing_id() div 500` + `groupBy` +
+  * `collect_list`, i.e. a full shuffle of every sample, to feed a
+  * per-body encode expression. At 100 TB a shuffle of the entire stream
+  * costs far more than the Dataset-encoder object boundary it would
+  * remove, so the mapPartitions (zero-shuffle, body built from a local
+  * iterator exactly like the reference's channel batches) stays.
   */
 object RelayRoundtrip extends QueryModule {
 
