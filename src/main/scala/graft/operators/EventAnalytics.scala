@@ -49,12 +49,67 @@ object EventAnalytics extends QueryModule {
           (lit(1.0) + col("l_tax")), 2).as("charge"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** PromQL-style `increase`/`rate` with counter-reset handling — the
+    * query the reference's actual consumers run over its output stream
+    * (a Prometheus counter that restarts begins again at ~0; a negative
+    * delta therefore means "the full new value accumulated since reset",
+    * PromQL's extrapolation-free core rule). Series key = (name, user
+    * label), exactly the relay's data model (`record.go:8-13`). Shape: one
+    * shuffle on the series key for the lag window, then a partial+final
+    * aggregate — per-series state is one previous sample; at 100 TB this
+    * is the canonical "sessionized scan" plan, and the deterministic
+    * (ts, value) ordering makes same-timestamp samples reproducible. */
+  def promRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("name"), col("user_id"))
+      .orderBy(col("tus"), col("value"))
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dt", col("tus") - lag(col("tus"), 1).over(w))
+      .withColumn("inc",
+        when(col("delta").isNull, lit(null))
+          .when(col("delta") < 0, col("value")) // counter reset: restart from 0
+          .otherwise(col("delta")))
+      .withColumn("reset", when(col("delta") < 0, 1).otherwise(0))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("reset")).cast("long").as("n_resets"),
+        round(sum(col("inc")), 2).as("total_increase"),
+        round(sum(col("inc")) / (sum(col("dt")) / lit(1e6)), 6).as("rate_per_sec"))
+      .orderBy(col("name"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
-    "q01_filter_project" -> filterProject _
+    "q01_filter_project" -> filterProject _,
+    "q82_prom_rate" -> promRate _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q82_prom_rate" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta,
+        |         tus - lag(tus) OVER w AS dt
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
+        |c AS (
+        |  SELECT name,
+        |         CASE WHEN delta IS NULL THEN NULL
+        |              WHEN delta < 0 THEN value
+        |              ELSE delta END AS inc,
+        |         CASE WHEN delta < 0 THEN 1 ELSE 0 END AS reset, dt
+        |  FROM d)
+        |SELECT name, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(reset) AS BIGINT) AS n_resets,
+        |       round(sum(inc), 2) AS total_increase,
+        |       round(sum(inc) / (sum(dt) / 1e6), 6) AS rate_per_sec
+        |FROM c GROUP BY name ORDER BY name""".stripMargin,
     "q00_flagship_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n_events,
