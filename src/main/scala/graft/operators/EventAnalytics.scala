@@ -82,13 +82,65 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("name"))
   }
 
+  /** PromQL `topk(3, rate(...))`: the q82 rate computed PER SERIES, then
+    * the top series per metric — the composition every Prometheus
+    * dashboard runs. Rates are rounded BEFORE ranking so the float sum's
+    * last-ulp noise can't flip rank order between engines (the q74 rule). */
+  def promTopkRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("name"), col("user_id"))
+      .orderBy(col("tus"), col("value"))
+    val wr = Window.partitionBy(col("name"))
+      .orderBy(col("rate_per_sec").desc, col("user_id"))
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dt", col("tus") - lag(col("tus"), 1).over(w))
+      .withColumn("inc",
+        when(col("delta").isNull, lit(null))
+          .when(col("delta") < 0, col("value"))
+          .otherwise(col("delta")))
+      .groupBy(col("name"), col("user_id"))
+      .agg(round(sum(col("inc")) / (sum(col("dt")) / lit(1e6)), 6).as("rate_per_sec"))
+      .filter(col("rate_per_sec").isNotNull)
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 3)
+      .select(col("name"), col("user_id"), col("rate_per_sec"), col("rn"))
+      .orderBy(col("name"), col("rn"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
-    "q82_prom_rate" -> promRate _
+    "q82_prom_rate" -> promRate _,
+    "q83_prom_topk_rate" -> promTopkRate _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q83_prom_topk_rate" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta,
+        |         tus - lag(tus) OVER w AS dt
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
+        |r AS (
+        |  SELECT name, user_id,
+        |         round(sum(CASE WHEN delta IS NULL THEN NULL
+        |                        WHEN delta < 0 THEN value ELSE delta END)
+        |               / (sum(dt) / 1e6), 6) AS rate_per_sec
+        |  FROM d GROUP BY 1, 2),
+        |k AS (
+        |  SELECT name, user_id, rate_per_sec,
+        |         CAST(row_number() OVER (PARTITION BY name
+        |           ORDER BY rate_per_sec DESC, user_id) AS INT) AS rn
+        |  FROM r WHERE rate_per_sec IS NOT NULL)
+        |SELECT name, user_id, rate_per_sec, rn FROM k WHERE rn <= 3
+        |ORDER BY name, rn""".stripMargin,
     "q82_prom_rate" ->
       """WITH s AS (
         |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
