@@ -111,14 +111,50 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("name"), col("rn"))
   }
 
+  /** PromQL range-window gauges — `sum/max/min_over_time` per metric per
+    * hour (plus active-series count, Prometheus's cardinality metric; sum
+    * rather than avg because a 2-3-sample float average rounds on decimal
+    * half-boundaries differently per engine's summation order — sum at 2
+    * decimals is boundary-safe, and avg = sum/n is consumer-side).
+    * Pure tumbling-window aggregate: partial map-side combine, one shuffle
+    * on (name, hour) — uniform keys, bounded state, the cheapest possible
+    * shape for "dashboard panels over the relay stream". */
+  def promOverTime(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        timestamp_micros(expr("unix_micros(ts) div 3600000000") * lit(3600000000L))
+          .as("hour"),
+        col("value"))
+      .groupBy(col("name"), col("hour"))
+      .agg(count(lit(1)).as("n_samples"),
+        round(sum(col("value")), 2).as("sum_over_time"),
+        round(max(col("value")), 4).as("max_over_time"),
+        round(min(col("value")), 4).as("min_over_time"),
+        countDistinct(col("user_id")).as("n_series"))
+      .orderBy(col("name"), col("hour"))
+      .limit(200)
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
     "q82_prom_rate" -> promRate _,
-    "q83_prom_topk_rate" -> promTopkRate _
+    "q83_prom_topk_rate" -> promTopkRate _,
+    "q84_prom_over_time" -> promOverTime _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q84_prom_over_time" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id,
+        |         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour, value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT name, hour, CAST(count(*) AS BIGINT) AS n_samples,
+        |       round(sum(value), 2) AS sum_over_time,
+        |       round(max(value), 4) AS max_over_time,
+        |       round(min(value), 4) AS min_over_time,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_series
+        |FROM s GROUP BY 1, 2 ORDER BY name, hour LIMIT 200""".stripMargin,
     "q83_prom_topk_rate" ->
       """WITH s AS (
         |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
