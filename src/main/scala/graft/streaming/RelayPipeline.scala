@@ -51,13 +51,24 @@ object RelayPipeline {
       }
   }
 
-  /** Assemble the streaming job: equivalent of `main.go:95-112`. */
+  /** Assemble the streaming job: equivalent of `main.go:95-112`.
+    *
+    * Delivery observability rides on `observe()` — per-micro-batch record
+    * and null-value counts surface in every `StreamingQueryProgress`
+    * (`observedMetrics["relay"]`), the metrics the reference logs with zap
+    * (`kinesis.go:152-156`) but queryable/alertable instead of grep-able.
+    * Observed metrics are accumulator-backed: zero extra passes, no
+    * shuffle, no plan change. */
   def start(spark: SparkSession, bodies: DataFrame, sink: RecordSink,
             firehose: Boolean = false,
             trigger: Trigger = DefaultTrigger,
             checkpointDir: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions._
     require(bodies.isStreaming, "bodies must be a streaming DataFrame")
-    val q = records(bodies).writeStream
+    val observed = records(bodies).observe("relay",
+      count(lit(1)).as("n_records"),
+      sum(when(col("value").isNull, 1).otherwise(0)).as("n_null_values"))
+    val q = observed.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) => deliver(batch, sink, firehose) }
     checkpointDir.foreach(d => q.option("checkpointLocation", d))

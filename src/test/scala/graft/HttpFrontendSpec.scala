@@ -74,6 +74,33 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally f2.stop()
   }
 
+  test("live trigger: posts during the run are picked up across micro-batches, with observed metrics") {
+    val dir = Files.createTempDirectory("graft-http-").toString
+    val f = new HttpFrontend(dir, 0)
+    f.start()
+    try {
+      val sink = new CollectingSink
+      val q = RelayPipeline.start(spark,
+        RemoteWrite.bodyDsv2Stream(spark, dir), sink,
+        trigger = Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        assert(post(f.boundPort, body(TimeSeries(Map("__name__" -> "live1"),
+          Seq(Sample(1.0, 1L))))) == 200)
+        q.processAllAvailable()
+        // NaN value → "value":null on the wire AND in the observed metric
+        assert(post(f.boundPort, body(TimeSeries(Map("__name__" -> "live2"),
+          Seq(Sample(Double.NaN, 2L))))) == 200)
+        q.processAllAvailable()
+        assert(sink.allLines.size == 2)
+        assert(sink.allLines.exists(_.contains(""""name":"live2"""")))
+        val metrics = q.recentProgress.flatMap(p =>
+          Option(p.observedMetrics.get("relay")))
+        assert(metrics.map(_.getLong(0)).sum == 2) // n_records across batches
+        assert(metrics.map(_.getLong(1)).sum == 1) // the NaN→null sample
+      } finally q.stop()
+    } finally f.stop()
+  }
+
   test("POST /receive to sink lines, through the DSv2 source and relay pipeline") {
     val dir = Files.createTempDirectory("graft-http-").toString
     val f = new HttpFrontend(dir, 0)
