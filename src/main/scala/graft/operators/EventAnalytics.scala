@@ -49,17 +49,10 @@ object EventAnalytics extends QueryModule {
           (lit(1.0) + col("l_tax")), 2).as("charge"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  /** PromQL-style `increase`/`rate` with counter-reset handling — the
-    * query the reference's actual consumers run over its output stream
-    * (a Prometheus counter that restarts begins again at ~0; a negative
-    * delta therefore means "the full new value accumulated since reset",
-    * PromQL's extrapolation-free core rule). Series key = (name, user
-    * label), exactly the relay's data model (`record.go:8-13`). Shape: one
-    * shuffle on the series key for the lag window, then a partial+final
-    * aggregate — per-series state is one previous sample; at 100 TB this
-    * is the canonical "sessionized scan" plan, and the deterministic
-    * (ts, value) ordering makes same-timestamp samples reproducible. */
-  def promRate(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared per-series delta pipeline for the PromQL family: lag-window
+    * deltas on the (name, user label) series key with the counter-reset
+    * rule. One definition so q82 and q83 can never desynchronize. */
+  private def seriesDeltas(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("name"), col("user_id"))
       .orderBy(col("tus"), col("value"))
@@ -73,14 +66,35 @@ object EventAnalytics extends QueryModule {
         when(col("delta").isNull, lit(null))
           .when(col("delta") < 0, col("value")) // counter reset: restart from 0
           .otherwise(col("delta")))
+  }
+
+  /** Rate guarded against an all-same-timestamp series: sum(dt) = 0 must
+    * yield NULL in BOTH engines (Spark's non-ANSI divide gives NULL, but
+    * DuckDB's IEEE division would give ±inf/NaN — mirrored by an explicit
+    * CASE in the oracle). */
+  private def safeRate: org.apache.spark.sql.Column =
+    when(sum(col("dt")) > 0,
+      round(sum(col("inc")) / (sum(col("dt")) / lit(1e6)), 6))
+
+  /** PromQL-style `increase`/`rate` with counter-reset handling — the
+    * query the reference's actual consumers run over its output stream
+    * (a Prometheus counter that restarts begins again at ~0; a negative
+    * delta therefore means "the full new value accumulated since reset",
+    * PromQL's extrapolation-free core rule). Series key = (name, user
+    * label), exactly the relay's data model (`record.go:8-13`). Shape: one
+    * shuffle on the series key for the lag window, then a partial+final
+    * aggregate — per-series state is one previous sample; at 100 TB this
+    * is the canonical "sessionized scan" plan, and the deterministic
+    * (ts, value) ordering makes same-timestamp samples reproducible. */
+  def promRate(spark: SparkSession, dir: String): DataFrame =
+    seriesDeltas(spark, dir)
       .withColumn("reset", when(col("delta") < 0, 1).otherwise(0))
       .groupBy(col("name"))
       .agg(count(lit(1)).as("n_samples"),
         sum(col("reset")).cast("long").as("n_resets"),
         round(sum(col("inc")), 2).as("total_increase"),
-        round(sum(col("inc")) / (sum(col("dt")) / lit(1e6)), 6).as("rate_per_sec"))
+        safeRate.as("rate_per_sec"))
       .orderBy(col("name"))
-  }
 
   /** PromQL `topk(3, rate(...))`: the q82 rate computed PER SERIES, then
     * the top series per metric — the composition every Prometheus
@@ -88,22 +102,11 @@ object EventAnalytics extends QueryModule {
     * last-ulp noise can't flip rank order between engines (the q74 rule). */
   def promTopkRate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("name"), col("user_id"))
-      .orderBy(col("tus"), col("value"))
     val wr = Window.partitionBy(col("name"))
       .orderBy(col("rate_per_sec").desc, col("user_id"))
-    Tables(spark, dir, "events")
-      .filter(col("value").isNotNull)
-      .select(col("event_type").as("name"), col("user_id"),
-        unix_micros(col("ts")).as("tus"), col("value"))
-      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
-      .withColumn("dt", col("tus") - lag(col("tus"), 1).over(w))
-      .withColumn("inc",
-        when(col("delta").isNull, lit(null))
-          .when(col("delta") < 0, col("value"))
-          .otherwise(col("delta")))
+    seriesDeltas(spark, dir)
       .groupBy(col("name"), col("user_id"))
-      .agg(round(sum(col("inc")) / (sum(col("dt")) / lit(1e6)), 6).as("rate_per_sec"))
+      .agg(safeRate.as("rate_per_sec"))
       .filter(col("rate_per_sec").isNotNull)
       .withColumn("rn", row_number().over(wr))
       .filter(col("rn") <= 3)
@@ -166,9 +169,10 @@ object EventAnalytics extends QueryModule {
         |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
         |r AS (
         |  SELECT name, user_id,
-        |         round(sum(CASE WHEN delta IS NULL THEN NULL
-        |                        WHEN delta < 0 THEN value ELSE delta END)
-        |               / (sum(dt) / 1e6), 6) AS rate_per_sec
+        |         CASE WHEN sum(dt) > 0
+        |              THEN round(sum(CASE WHEN delta IS NULL THEN NULL
+        |                             WHEN delta < 0 THEN value ELSE delta END)
+        |                    / (sum(dt) / 1e6), 6) END AS rate_per_sec
         |  FROM d GROUP BY 1, 2),
         |k AS (
         |  SELECT name, user_id, rate_per_sec,
@@ -196,7 +200,8 @@ object EventAnalytics extends QueryModule {
         |SELECT name, CAST(count(*) AS BIGINT) AS n_samples,
         |       CAST(sum(reset) AS BIGINT) AS n_resets,
         |       round(sum(inc), 2) AS total_increase,
-        |       round(sum(inc) / (sum(dt) / 1e6), 6) AS rate_per_sec
+        |       CASE WHEN sum(dt) > 0
+        |            THEN round(sum(inc) / (sum(dt) / 1e6), 6) END AS rate_per_sec
         |FROM c GROUP BY name ORDER BY name""".stripMargin,
     "q00_flagship_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -248,16 +248,24 @@ object Joins extends QueryModule {
     * arrived at from SQL instead of the DataFrame API; the filter still
     * pushes to the orders scan. */
   def sqlCorrelatedExists(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
-    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    // View names are dir-scoped: bare "orders"/"lineitem" would be
+    // session-GLOBAL state mutated at query-build time — two builds over
+    // different sf dirs in one session would silently resolve against
+    // whichever registered last (the conf-mutation hazard class the events
+    // loader's scaladoc rejects). Dir-hashed names are deterministic and
+    // idempotent per dir, so concurrent builds never collide.
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (ov, lv) = (s"orders_q81_$tag", s"lineitem_q81_$tag")
+    Tables(spark, dir, "orders").createOrReplaceTempView(ov)
+    Tables(spark, dir, "lineitem").createOrReplaceTempView(lv)
     spark.sql(
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders
-        |WHERE o_totalprice > 100000
-        |  AND EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey
-        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM $ov
+         |WHERE o_totalprice > 100000
+         |  AND EXISTS (SELECT 1 FROM $lv
+         |              WHERE l_orderkey = o_orderkey
+         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
   val queries: Map[String, QueryFn] = Map(

@@ -67,7 +67,9 @@ object RelayPipeline {
     require(bodies.isStreaming, "bodies must be a streaming DataFrame")
     val observed = records(bodies).observe("relay",
       count(lit(1)).as("n_records"),
-      sum(when(col("value").isNull, 1).otherwise(0)).as("n_null_values"))
+      // count-form, not sum(when): an empty micro-batch must report 0, not
+      // NULL — consumers read these with getLong
+      count(when(col("value").isNull, true)).as("n_null_values"))
     val q = observed.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) => deliver(batch, sink, firehose) }
