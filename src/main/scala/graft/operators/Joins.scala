@@ -268,9 +268,29 @@ object Joins extends QueryModule {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** LATERAL join (SQL surface): per-customer top-2 orders via a
+    * correlated lateral subquery with ORDER BY + LIMIT — the "for each
+    * outer row, run this parameterized subquery" operator. Catalyst plans
+    * it as a ranked join (same physics as q25's window top-k), so the
+    * per-row subquery never executes row-at-a-time. */
+  def sqlLateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (cv, ov) = (s"customer_q86_$tag", s"orders_q86_$tag")
+    Tables(spark, dir, "customer").createOrReplaceTempView(cv)
+    Tables(spark, dir, "orders").createOrReplaceTempView(ov)
+    spark.sql(
+      s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         |FROM (SELECT c_custkey FROM $cv WHERE c_custkey < 50) c,
+         |LATERAL (SELECT o_orderkey, o_totalprice FROM $ov
+         |         WHERE o_custkey = c.c_custkey
+         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q80_join_full_outer" -> fullOuterJoin _,
     "q81_sql_correlated_exists" -> sqlCorrelatedExists _,
+    "q86_sql_lateral_join" -> sqlLateralJoin _,
     "q63_join_asof_native" -> asofJoinNative _,
     "q10_join_broadcast" -> broadcastJoin _,
     "q11_join_shuffle" -> shuffleJoin _,
@@ -314,6 +334,13 @@ object Joins extends QueryModule {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_sql_lateral_join" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey < 50) c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q10_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer

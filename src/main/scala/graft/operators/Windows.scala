@@ -71,11 +71,33 @@ object Windows extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** RANGE frame (value-based, vs q27's ROWS frame): rolling 10-minute
+    * sum/count per metric — the frame holds every sample whose event time
+    * falls in the preceding 600 s, however many rows that is, and peers
+    * (equal order values) always share one frame. The distinction matters
+    * at scale: a ROWS frame bounds state by row count; a RANGE frame by
+    * the order-column span, which is what time-windowed monitoring
+    * semantics actually specify. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("name")).orderBy(col("tus"))
+      .rangeBetween(-600000000L, Window.currentRow)
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") < 20)
+      .select(col("event_type").as("name"), unix_micros(col("ts")).as("tus"),
+        col("value"))
+      .select(col("name"), col("tus"),
+        round(sum(col("value")).over(w), 2).as("sum_10m"),
+        count(lit(1)).over(w).as("n_10m"))
+      .orderBy(col("name"), col("tus"))
+      .limit(300)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q25_window_topk_per_group" -> topkPerGroup _,
     "q26_window_lag_lead" -> lagLead _,
     "q27_window_moving_avg" -> movingAvg _,
-    "q55_window_extras" -> windowExtras _
+    "q55_window_extras" -> windowExtras _,
+    "q85_window_range_frame" -> rangeFrame _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -114,6 +136,16 @@ object Windows extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
         |       wf AS (PARTITION BY user_id ORDER BY value, event_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q85_window_range_frame" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL AND user_id < 20)
+        |SELECT name, tus,
+        |       round(sum(value) OVER (PARTITION BY name ORDER BY tus
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 2) AS sum_10m,
+        |       CAST(count(*) OVER (PARTITION BY name ORDER BY tus
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_10m
+        |FROM s ORDER BY name, tus LIMIT 300""".stripMargin
   )
 }
