@@ -120,4 +120,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q86: LATERAL rewrites to a group-limit ranked join, never per-row nested loops") {
+    val p = plan("q86_sql_lateral_join")
+    assert(p.contains("WindowGroupLimit"), p) // the optimized top-k-per-group operator
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q85: range-frame window costs exactly one shuffle") {
+    assert("hashpartitioning\\(".r.findAllIn(plan("q85_window_range_frame")).size == 1)
+  }
 }
