@@ -36,9 +36,27 @@ object SetOpsSort extends QueryModule {
       .orderBy(col("op"))
   }
 
+  /** `Dataset.unpivot` (melt): wide measure columns → long (measure, val)
+    * rows — the inverse of q19's pivot. Unpivot is a zero-shuffle Expand
+    * (each input row emits one row per measure in-place), so the only
+    * exchange is the following aggregate's. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("price"),
+        col("l_discount").as("discount"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("price"), col("discount")),
+        "measure", "val")
+      .groupBy(col("l_returnflag").as("returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"))
+      .orderBy(col("returnflag"), col("measure"))
+
   val queries: Map[String, QueryFn] = Map(
     "q28_sort_topk" -> topkOrders _,
-    "q29_set_ops" -> setOps _
+    "q29_set_ops" -> setOps _,
+    "q87_unpivot" -> unpivotMeasures _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -55,6 +73,14 @@ object SetOpsSort extends QueryModule {
         |UNION ALL
         |SELECT 'union_all', count(*) FROM
         |  (SELECT c_custkey FROM customer UNION ALL SELECT o_custkey FROM orders)
-        |ORDER BY op""".stripMargin
+        |ORDER BY op""".stripMargin,
+    "q87_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+        |SELECT l_returnflag AS returnflag, measure,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(val), 2) AS total
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
