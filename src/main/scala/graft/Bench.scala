@@ -40,10 +40,21 @@ object Bench {
       spark.catalog.clearCache()
       (secs, err)
     }
+    // Optional focus mode for A/B measurements: SPARK_GRAFT_BENCH_QUERIES is a
+    // comma-separated substring filter, SPARK_GRAFT_BENCH_REPS repeats each
+    // query's TIMED pass N times (min of reps reported — the steady-state
+    // number, robust to page-cache / CPU-steal spikes on this shared box).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     ordered.foreach { case (_, fn) => run(fn) }
     val results = ordered.map { case (name, fn) =>
-      val (secs, err) = run(fn)
+      val runs = (1 to reps).map(_ => run(fn))
+      val (secs, err) = runs.minBy { case (s, e) => (e.isDefined, s) }
+      if (reps > 1)
+        System.err.println(s"[bench] $name reps: " + runs.map(r => f"${r._1}%.3f").mkString(" "))
       (name, secs, err)
     }
     results.foreach { case (name, _, err) =>

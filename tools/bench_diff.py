@@ -37,23 +37,20 @@ def load_queries(path):
 
 
 def main():
-    argv = sys.argv[1:]
-    tol = 50.0
-    args = []
-    i = 0
-    while i < len(argv):
-        if argv[i].startswith("--tol"):
-            if "=" in argv[i]:
-                tol = float(argv[i].split("=", 1)[1])
-            else:
-                tol = float(argv[i + 1])
-                i += 1  # consume the value so it never leaks into positionals
-        else:
-            args.append(argv[i])
-        i += 1
-    old_path = args[0] if len(args) > 0 else "BENCH_r04.json"
-    new_path = args[1] if len(args) > 1 else "bench_out.json"
-    old, new = load_queries(old_path), load_queries(new_path)
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("old", nargs="?", default="BENCH_r05.json")
+    p.add_argument("new", nargs="?", default="bench_out.json")
+    p.add_argument("--tol", type=float, default=50.0,
+                   help="regression threshold in percent (default 50)")
+    ns = p.parse_args()
+    tol = ns.tol
+    old, new = load_queries(ns.old), load_queries(ns.new)
+    # failed queries are recorded as null — exclude from comparison, but report
+    for q in sorted(k for k, v in new.items() if v is None):
+        print(f"{q}: FAILED in new run (null timing)")
+    old = {k: v for k, v in old.items() if v is not None}
+    new = {k: v for k, v in new.items() if v is not None}
 
     regressions = []
     shared = sorted(set(old) & set(new))
@@ -75,6 +72,8 @@ def main():
         print(f"\n{len(regressions)} regression(s) over {tol:.0f}% + 0.15s:")
         for q, o, n, pct in regressions:
             print(f"  {q}: {o:.2f}s -> {n:.2f}s ({pct:+.0f}%)")
+        # machine-scrapable line for tools/gate.sh's warm-rerun step
+        print("REGRESSED: " + ",".join(q for q, *_ in regressions))
         sys.exit(1)
     print("no regressions")
 

@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Round gate (SURVEY §7.2 item 5): correctness + bench + per-query regression
+# diff against the previous round's snapshot, with the warm-rerun step the
+# round-5 q60 incident demanded — a single cold-run timing on this shared box
+# drifts up to ±2x, so a flagged regression is only believed after losing a
+# best-of-3 warm re-measure of just the flagged queries.
+#
+# Usage: tools/gate.sh              (defaults below)
+#   SF_VERIFY=/root/testdata/sf0.01 SF_BENCH=/root/testdata/sf0.1
+#   PREV=BENCH_r05.json tools/gate.sh
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
+SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
+PREV=${PREV:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}
+
+echo "== gate: correctness (Verify @ $SF_VERIFY vs DuckDB oracle) =="
+sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" || exit 1
+python3 tools/check.py "$SF_VERIFY" /tmp/verify_out || exit 1
+
+echo "== gate: bench (@ $SF_BENCH, local[32]) =="
+SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" || exit 1
+
+echo "== gate: bench_diff vs $PREV =="
+diff_out=$(python3 tools/bench_diff.py "$PREV" bench_out.json)
+rc=$?
+echo "$diff_out"
+if [ $rc -ne 0 ]; then
+  flagged=$(echo "$diff_out" | sed -n 's/^REGRESSED: //p')
+  echo "== gate: re-measuring flagged queries warm, best-of-3: $flagged =="
+  SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_QUERIES=$flagged SPARK_GRAFT_BENCH_REPS=3 \
+    sbt -batch "runMain graft.Bench" || exit 1
+  # bench_out.json now holds only the flagged queries' best-of-3 timings
+  python3 tools/bench_diff.py "$PREV" bench_out.json
+  rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "gate: FAIL — regression survives a warm best-of-3; fix before snapshot"
+    exit 1
+  fi
+  echo "gate: flagged queries pass warm — cold-run noise, not a regression"
+fi
+echo "gate: PASS"
