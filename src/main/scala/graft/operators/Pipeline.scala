@@ -225,14 +225,23 @@ object Pipeline extends QueryModule {
     * string so the schema is uniform across column types. */
   def profile(df: DataFrame): DataFrame = {
     val cols = df.columns.sorted.toSeq
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c"))
+    // aggregation outputs are named positionally (_a0, _a1, ...) and the
+    // long-format pivot is built with typed Columns, so source column names
+    // containing spaces, dots, quotes, or backticks never enter a parsed
+    // SQL string (the 'for ANY DataFrame' contract taken literally)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"_a${i * 4}"), countDistinct(col(c)).as(s"_a${i * 4 + 1}"),
+        min(col(c)).cast("string").as(s"_a${i * 4 + 2}"),
+        max(col(c)).cast("string").as(s"_a${i * 4 + 3}"))
     }
-    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        col(s"_a${i * 4}").as("n_nonnull"), col(s"_a${i * 4 + 1}").as("n_distinct"),
+        col(s"_a${i * 4 + 2}").as("min_val"), col(s"_a${i * 4 + 3}").as("max_val"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stackArgs) " +
-        "as (col_name, n_nonnull, n_distinct, min_val, max_val)"))
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
       .orderBy(col("col_name"))
   }
 

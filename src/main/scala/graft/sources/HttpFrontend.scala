@@ -1,7 +1,9 @@
 package graft.sources
 
 import java.net.InetSocketAddress
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicLong
 
@@ -74,15 +76,40 @@ class HttpFrontend(dir: String, port: Int, validate: Boolean = true) {
         catch { case e: Exception => respond(x, 400, String.valueOf(e.getMessage)); return }
       }
       val tmp = Files.createTempFile(Paths.get(dir), ".ingest-", ".tmp")
-      Files.write(tmp, body)
+      writeDurable(tmp, body)
       admitLock.synchronized {
         val name = f"${seq.getAndIncrement()}%020d.bin"
         Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
       }
+      // fsync the directory AFTER the rename and OUTSIDE the lock: any dir
+      // fsync flushes all earlier renames too, so ours is persisted before
+      // the 200 goes out, and the critical section stays rename-only
+      fsyncDir(Paths.get(dir))
       respond(x, 200)
     } catch {
       case e: Exception => respond(x, 500, String.valueOf(e.getMessage))
     }
+
+  /** Write + fsync the body file itself — the first half of the durability
+    * contract (the scaladoc's "DURABLY ON DISK" means power loss, not just
+    * process crash, so the data must hit the platter before the rename). */
+  private def writeDurable(path: Path, body: Array[Byte]): Unit = {
+    val ch = FileChannel.open(path, StandardOpenOption.WRITE)
+    try {
+      val buf = ByteBuffer.wrap(body)
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+  }
+
+  /** fsync a directory so a completed rename survives power loss (the
+    * Lucene/Kafka idiom: open the dir READ and force). Platforms whose JDK
+    * cannot open a directory channel throw IOException — rethrown, because
+    * silently skipping it would make the 200 response a lie. */
+  private def fsyncDir(path: Path): Unit = {
+    val ch = FileChannel.open(path, StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
+  }
 
   def start(): Unit = server.start()
 

@@ -63,12 +63,22 @@ trait RecordSink extends Serializable {
   def send(batch: Seq[SinkEntry]): Unit
 }
 
+object RecordSink {
+  /** Reference parity for `-region` (`/root/reference/main.go:74`): the
+    * default is the `AWS_REGION` env var; a real SDK client would be built
+    * against it. The file emulations carry it so the constructor seam is
+    * identical to what a real `PutRecords` client needs. */
+  def defaultRegion: String = sys.env.getOrElse("AWS_REGION", "")
+}
+
 /** Kinesis `PutRecords` emulation: each `send` = one API call = one file,
   * entries as JSON lines (payloads already newline-terminated). Partition
   * keys are recorded alongside, mirroring shard-key affinity
   * (`kinesis.go:174`).
   */
-final class KinesisFileSink(dir: String, streamName: String) extends RecordSink {
+final class KinesisFileSink(dir: String, streamName: String,
+                            val region: String = RecordSink.defaultRegion)
+    extends RecordSink {
   def send(batch: Seq[SinkEntry]): Unit = {
     if (batch.isEmpty) return
     val d = new java.io.File(dir, streamName)
@@ -90,8 +100,10 @@ final class KinesisFileSink(dir: String, streamName: String) extends RecordSink 
 
 /** Firehose `PutRecordBatch` emulation — identical shape, no partition key
   * (`/root/reference/firehose.go:174-185`). */
-final class FirehoseFileSink(dir: String, deliveryStreamName: String) extends RecordSink {
-  private val inner = new KinesisFileSink(dir, deliveryStreamName)
+final class FirehoseFileSink(dir: String, deliveryStreamName: String,
+                             val region: String = RecordSink.defaultRegion)
+    extends RecordSink {
+  private val inner = new KinesisFileSink(dir, deliveryStreamName, region)
   def send(batch: Seq[SinkEntry]): Unit =
     inner.send(batch.map(_.copy(partitionKey = None)))
 }

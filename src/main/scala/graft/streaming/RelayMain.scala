@@ -21,6 +21,12 @@ import org.apache.spark.sql.streaming.Trigger
   *                                    (main.go:73 -listen-addr), appending
   *                                    each accepted body to --in — the full
   *                                    reference shape in one process
+  *     [--region <aws-region>]        AWS region for the sink client
+  *                                    (main.go:74 -region; defaults to
+  *                                    $AWS_REGION like the reference)
+  *
+  * That is all five reference flags (-firehose, -stream-name, -listen-addr,
+  * -region, -write-interval) plus the Spark-side ingest/source knobs.
   */
 object RelayMain {
   def main(args: Array[String]): Unit = {
@@ -48,9 +54,10 @@ object RelayMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val region = opts.getOrElse("--region", RecordSink.defaultRegion)
     val sink: RecordSink =
-      if (firehose) new FirehoseFileSink(outDir, streamName)
-      else new KinesisFileSink(outDir, streamName)
+      if (firehose) new FirehoseFileSink(outDir, streamName, region)
+      else new KinesisFileSink(outDir, streamName, region)
     val trigger =
       if (intervalSec == 0) Trigger.AvailableNow()
       else Trigger.ProcessingTime(s"$intervalSec seconds")
@@ -65,12 +72,18 @@ object RelayMain {
       case "files" => RemoteWrite.bodyDirStream(spark, inDir)
       case _ => RemoteWrite.bodyDsv2Stream(spark, inDir)
     }
-    val q = RelayPipeline.start(spark, bodies,
-      sink, firehose = firehose, trigger = trigger,
-      checkpointDir = Some(checkpoint))
-    if (intervalSec == 0) { q.processAllAvailable(); q.stop() }
-    else q.awaitTermination()
-    frontend.foreach(_.stop())
-    spark.stop()
+    // finally-stop the frontend and Spark even when the stream dies with an
+    // exception: the frontend's non-daemon pool would otherwise pin the JVM
+    // alive after main unwinds
+    try {
+      val q = RelayPipeline.start(spark, bodies,
+        sink, firehose = firehose, trigger = trigger,
+        checkpointDir = Some(checkpoint))
+      if (intervalSec == 0) { q.processAllAvailable(); q.stop() }
+      else q.awaitTermination()
+    } finally {
+      frontend.foreach(_.stop())
+      spark.stop()
+    }
   }
 }
