@@ -237,44 +237,68 @@ object Dedup extends QueryModule {
     * deliverable: connected components over the pair graph, canonical doc =
     * component-min doc_id (what you keep; the rest are the removal list).
     *
-    * Spark-first iteration: min-label propagation — each round every node
-    * takes the min of its own and its neighbors' labels; converges in
-    * O(component diameter) rounds (near-dup clusters are shallow — a hub
-    * dup plus satellites, diameter ≤ ~3). Per round: one equi-join on the
-    * node key + one aggregate; `localCheckpoint` truncates the otherwise
-    * exponentially growing plan lineage (THE classic iterative-DataFrame
-    * trap), and the convergence check reduces to a single driver-side long
-    * per round — a fixpoint test, not a data collect. This is the
-    * dataframe form of large-star/small-star (MR connected components);
-    * the oracle's recursive-CTE transitive closure is test-scale only
-    * (closure materializes O(n²) paths; label propagation never does). */
+    * Spark-first iteration: alternating LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each round rewires edges toward per-neighborhood minima, so
+    * component diameter collapses geometrically and the edge set converges
+    * to a star forest rooted at each component's min node in O(log² n)
+    * rounds (a chain of 1000 closes in ~6; round-5's min-label propagation
+    * needed one round PER HOP and threw on exactly such inputs). Per round:
+    * two equi-join + aggregate passes over a monotonically star-shaped edge
+    * set; `localCheckpoint` truncates the otherwise exponentially growing
+    * plan lineage (THE classic iterative-DataFrame trap), and the fixpoint
+    * test compares consecutive deduped edge sets (one count + one
+    * anti-join emptiness probe — no data collect). The oracle's
+    * recursive-CTE transitive closure is test-scale only (closure
+    * materializes O(n²) paths; contraction never does). */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a").as("s"), col("b").as("d"))
-      .union(pairs.select(col("b").as("s"), col("a").as("d")))
+    // canonical undirected edges (lo < hi); self-loops dropped
+    var edges = pairs
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("s").as("node")).distinct()
-      .withColumn("label", col("node"))
+    val nodes = edges.select(col("lo").as("node"))
+      .union(edges.select(col("hi").as("node"))).distinct()
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels, col("d") === col("node"))
-        .groupBy(col("s")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, col("node") === col("s"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
+      // LARGE-STAR: from each node u, attach every strictly-larger neighbor
+      // v to m = min(Γ(u) ∪ {u}); m ≤ u < v, so (m, v) is already canonical
+      val nbrs = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val lmin = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = nbrs.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+      // SMALL-STAR: orient edges toward the smaller endpoint; from each u,
+      // attach u and all smaller neighbors to m = min of those neighbors
+      val directed = large.select(col("hi").as("u"), col("lo").as("v"))
+      val smin = directed.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = directed.join(smin, "u")
+        .select(col("m").as("lo"), col("v").as("hi")).filter(col("lo") =!= col("hi"))
+        .union(smin.select(col("m").as("lo"), col("u").as("hi")))
+        .distinct()
         .localCheckpoint(true)
-      converged = updated.filter(col("next_label") < col("label")).isEmpty
-      labels = updated.select(col("node"), col("next_label").as("label"))
+      // fixpoint: both sides deduped, so equal count + empty difference ⇔
+      // identical edge sets (the star forest is stable under both passes)
+      converged = small.count() == edges.count() &&
+        small.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
+      edges = small
       iter += 1
     }
-    // Truncated propagation would silently split components (wrong clusters
-    // diverging from the closure oracle) — refuse instead. A near-dup graph
-    // needing >maxIters rounds means a component with diameter >maxIters:
-    // raise the cap for such chain-shaped inputs.
+    // A truncated contraction would silently split components (wrong
+    // clusters diverging from the closure oracle) — refuse instead. At
+    // O(log² n) convergence the default cap covers any realistic graph;
+    // hitting it means something is deeply wrong, not merely deep.
     if (!converged) throw new IllegalStateException(
-      s"dedupClusters: label propagation did not converge in $maxIters rounds " +
-        "(a component has diameter > maxIters); raise maxIters")
+      s"dedupClusters: star contraction did not converge in $maxIters rounds; " +
+        "raise maxIters")
+    // star forest: every non-root appears as hi exactly once, its lo is the
+    // component min; roots label themselves
+    val labels = nodes.join(edges, col("node") === col("hi"), "left_outer")
+      .select(col("node"), coalesce(col("lo"), col("node")).as("label"))
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("label").as("cluster_id"), col("n_members"))
