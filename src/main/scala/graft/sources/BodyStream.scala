@@ -64,24 +64,6 @@ object BodyStream {
     }
   }
 
-  /** Cheap body count (no sort, no Vector) — used only to pin the
-    * Trigger.AvailableNow fence, where an exact name boundary is not
-    * needed. Offset admission itself ([[BodyMicroBatchStream.latestOffset]])
-    * uses the sorted [[list]]: it must name the high-water-mark file so the
-    * committed offset can be validated against later listings. */
-  def count(dir: String): Long = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) 0L
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala.count { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")
-      }.toLong
-      finally s.close()
-    }
-  }
-
   case class BodyPartition(dir: String, files: Seq[(Long, String)]) extends InputPartition
 
   def partitions(dir: String, files: Seq[String], baseSeq: Long,
@@ -92,31 +74,53 @@ object BodyStream {
       .map(g => BodyPartition(dir, g): InputPartition)
       .toArray
 
-  /** Fail-loud offset-contract check: an offset of N is only meaningful if
-    * the first N files of today's listing are the same N files that were
-    * admitted when the offset was committed. The recorded high-water mark
-    * (name of file N-1) detects both hazards silently re-mapping a
-    * committed range to different bodies:
+  /** Fail-loud offset-contract check that also ANCHORS the offset in
+    * today's listing: returns the listing index of the first body after the
+    * offset's high-water mark (the offset's position in the possibly
+    * archived directory). Because every not-yet-processed body sorts
+    * strictly after the hwm (name monotonicity), that index — k = the
+    * number of listed names ≤ hwm — maps absolute sequence numbers to
+    * listing indices regardless of how many PROCESSED bodies were archived
+    * away: seq s ↔ index k + (s − off.seq).
+    *
+    * Hazards that silently re-map a committed range still fail loudly:
     *   - a writer violating name monotonicity (unpadded counters: "10"
-    *     sorts before "9", shifting every index after insertion);
-    *   - external deletion/compaction of processed files (listing shrinks,
-    *     every index re-maps).
-    * Legacy plain-number offsets (pre-hwm checkpoints) carry an empty hwm
-    * and get the length check only. */
-  def validateBoundary(listing: Vector[String], off: BodySeqOffset, dir: String): Unit = {
-    if (listing.length < off.seq) throw new IllegalStateException(
-      s"remote-write-bodies: directory `$dir` lists ${listing.length} bodies but " +
-        s"offset ${off.seq} is committed — files were deleted or compacted. " +
-        "The body directory must be append-only while a checkpoint references it; " +
-        "to archive processed bodies, stop the query and reset the checkpoint.")
-    if (off.seq > 0 && off.hwm.nonEmpty) {
-      val at = listing(Math.toIntExact(off.seq) - 1)
-      if (at != off.hwm) throw new IllegalStateException(
-        s"remote-write-bodies: committed offset ${off.seq} expects `${off.hwm}` at " +
-          s"position ${off.seq - 1} of the name-ordered listing of `$dir` but found " +
-          s"`$at` — a new file sorted before the high-water mark (non-monotonic " +
-          "names, e.g. unpadded counters) or a processed file was removed. " +
+    *     sorts before "9"): more names ≤ hwm than the offset admitted
+    *     (`k > seq − base`) — such a file would otherwise be silently
+    *     skipped, never processed;
+    *   - the hwm file itself archived while earlier-sorting processed
+    *     files remain: archival must take the hwm LAST (front-to-back),
+    *     or the anchor is ambiguous.
+    *
+    * Legacy plain-number offsets (pre-hwm checkpoints) have no name to
+    * anchor on: they keep the absolute mapping and the append-only rule
+    * (length check only; archival requires an hwm-bearing offset). */
+  def boundaryIndex(listing: Vector[String], off: BodySeqOffset, dir: String): Int = {
+    import scala.collection.Searching.{Found, InsertionPoint}
+    if (off.hwm.isEmpty) {
+      if (listing.length < off.seq) throw new IllegalStateException(
+        s"remote-write-bodies: directory `$dir` lists ${listing.length} bodies but " +
+          s"offset ${off.seq} is committed — files were deleted or compacted. " +
+          "A legacy (plain-number) offset carries no high-water-mark name, so the " +
+          "directory must stay append-only; archival needs a current-format checkpoint.")
+      Math.toIntExact(off.seq)
+    } else {
+      val k = listing.search(off.hwm) match {
+        case Found(i) => i + 1
+        case InsertionPoint(i) => i
+      }
+      val expected = off.seq - off.base
+      if (k > expected) throw new IllegalStateException(
+        s"remote-write-bodies: ${k - expected} file(s) sorting at or before the " +
+          s"committed high-water mark `${off.hwm}` of `$dir` appeared after it was " +
+          "admitted — non-monotonic names (e.g. unpadded counters) re-map committed " +
+          "ranges and would be silently skipped. Refusing to replay.")
+      if (k > 0 && listing(k - 1) != off.hwm) throw new IllegalStateException(
+        s"remote-write-bodies: committed high-water mark `${off.hwm}` is missing " +
+          s"from `$dir` while $k earlier-sorting file(s) remain — archival must " +
+          "remove processed bodies front-to-back (the hwm file goes last). " +
           "Refusing to replay a re-mapped range.")
+      k
     }
   }
 
@@ -189,13 +193,19 @@ class BodyScan(dir: String, maxFilesPerTrigger: Int, filesPerPartition: Int) ext
   }
 }
 
-/** Offset = number of bodies ever admitted (files in name order), plus the
-  * NAME of the last admitted file (`hwm`, "" when seq = 0). The hwm pins the
-  * index→file mapping: [[BodyStream.validateBoundary]] re-checks it against
-  * every later listing, so a range silently re-mapped by non-monotonic names
-  * or file deletion fails loudly instead of replaying wrong bodies. */
-case class BodySeqOffset(seq: Long, hwm: String) extends Offset {
-  override def json(): String = s"""{"seq":$seq,"hwm":"${BodySeqOffset.esc(hwm)}"}"""
+/** Offset = number of bodies ever admitted (`seq`, absolute — counts
+  * archived bodies too), the NAME of the last admitted file (`hwm`, "" when
+  * seq = 0), and the ARCHIVAL FLOOR `base` = how many of the admitted bodies
+  * had already been archived out of the directory at admission time (so the
+  * listing held `seq − base` of them). The hwm pins the index→file mapping:
+  * [[BodyStream.boundaryIndex]] re-anchors it against every later listing,
+  * so processed bodies can move to cold storage without re-mapping committed
+  * ranges, while a range silently re-mapped by non-monotonic names fails
+  * loudly instead of replaying wrong bodies. */
+case class BodySeqOffset(seq: Long, hwm: String, base: Long = 0L) extends Offset {
+  require(base >= 0L && base <= seq, s"archival base $base outside [0, $seq]")
+  override def json(): String =
+    s"""{"seq":$seq,"hwm":"${BodySeqOffset.esc(hwm)}","base":$base}"""
 }
 
 object BodySeqOffset {
@@ -204,13 +214,18 @@ object BodySeqOffset {
     case '"' => "\\\""
     case c => c.toString
   }
-  private val JsonForm = """\{"seq":(\d+),"hwm":"((?:[^"\\]|\\.)*)"\}""".r
+  private val JsonForm =
+    """\{"seq":(\d+),"hwm":"((?:[^"\\]|\\.)*)"(?:,"base":(\d+))?\}""".r
 
-  /** Accepts the current JSON form and the legacy plain-number form written
-    * by pre-hwm checkpoints (which then get the weaker length-only check). */
+  /** Accepts the current JSON form, the round-5 form without `base`
+    * (base = 0: nothing was archived before this feature existed), and the
+    * legacy plain-number form written by pre-hwm checkpoints (which then
+    * gets the weaker length-only check). */
   def parse(json: String): BodySeqOffset = json.trim match {
-    case JsonForm(seq, hwm) =>
-      BodySeqOffset(seq.toLong, hwm.replace("\\\"", "\"").replace("\\\\", "\\"))
+    case JsonForm(seq, hwm, base) =>
+      BodySeqOffset(seq.toLong,
+        hwm.replace("\\\"", "\"").replace("\\\\", "\\"),
+        Option(base).map(_.toLong).getOrElse(0L))
     case legacy => BodySeqOffset(legacy.toLong, "")
   }
 }
@@ -220,12 +235,15 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
 
   /** Under Trigger.AvailableNow the engine asks us to pin "available" at
     * query start; batches then drain up to this fence in
-    * maxFilesPerTrigger-sized steps and the query stops. -1 = unpinned
-    * (ProcessingTime trigger: every batch sees the live listing). */
+    * maxFilesPerTrigger-sized steps and the query stops. The fence is an
+    * ABSOLUTE sequence number, which needs the start offset's archival
+    * anchor — so prepare only raises a flag and the first admission pins
+    * it. -1 = unpinned (ProcessingTime trigger: every batch sees the live
+    * listing). */
+  @volatile private var pinAvailableNow = false
   @volatile private var availableNowFence: Long = -1L
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowFence = BodyStream.count(dir)
+  override def prepareForTriggerAvailableNow(): Unit = pinAvailableNow = true
 
   override def initialOffset(): Offset = BodySeqOffset(0L, "")
   override def deserializeOffset(json: String): Offset = BodySeqOffset.parse(json)
@@ -238,17 +256,24 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  /** Admits up to `limit` new bodies. Uses the sorted listing (not the
-    * cheap count): the committed start boundary is validated against it and
-    * the new offset records the admitted high-water-mark NAME, so replay /
-    * checkpoint recovery can prove the range still maps to the same files. */
+  /** Admits up to `limit` new bodies. Uses the sorted listing: the
+    * committed start boundary is validated against (and re-anchored in) it,
+    * and the new offset records the admitted high-water-mark NAME plus the
+    * refreshed archival base, so replay / checkpoint recovery can prove the
+    * range still maps to the same files even after processed bodies were
+    * archived away. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val listing = BodyStream.list(dir)
     cachedListing = listing
     val s = start.asInstanceOf[BodySeqOffset]
-    BodyStream.validateBoundary(listing, s, dir)
-    val total = if (availableNowFence >= 0) math.min(listing.length.toLong, availableNowFence)
-                else listing.length.toLong
+    val startIdx = BodyStream.boundaryIndex(listing, s, dir)
+    // archival floor observed NOW: of the s.seq admitted bodies, startIdx
+    // are still listed (all ≤ hwm), so seq − startIdx were archived
+    val newBase = s.seq - startIdx
+    val totalNow = newBase + listing.length
+    if (pinAvailableNow && availableNowFence < 0L) availableNowFence = totalNow
+    val total = if (availableNowFence >= 0L) math.min(totalNow, availableNowFence)
+                else totalNow
     val end = limit match {
       case rl: ReadMaxRows => math.min(total, s.seq + rl.maxRows())
       case _ => total
@@ -256,15 +281,18 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
     val endSeq = math.max(s.seq, end)
     val hwm =
       if (endSeq == 0L) ""
-      else if (endSeq == s.seq && s.hwm.nonEmpty) s.hwm
-      else listing(Math.toIntExact(endSeq) - 1)
-    BodySeqOffset(endSeq, hwm)
+      else if (endSeq == s.seq) s.hwm
+      else listing(Math.toIntExact(endSeq - newBase) - 1)
+    // legacy start offsets (hwm "", seq > 0) stay on the absolute mapping
+    // until new bodies are admitted and an hwm exists to anchor a base
+    val base = if (hwm.isEmpty) 0L else newBase
+    BodySeqOffset(endSeq, hwm, base)
   }
 
   /** Listing from this trigger's latestOffset, reused by the immediately
     * following planInputPartitions — halves the per-trigger O(n log n)
     * directory sorts. Safe to reuse because the directory is append-only
-    * with monotonic names (enforced by validateBoundary): a cached listing
+    * with monotonic names (enforced by boundaryIndex): a cached listing
     * long enough to cover the batch maps every index in [start, end) to
     * the same file a fresh listing would. Empty on recovery (the engine
     * replans a committed batch without calling latestOffset) → re-list. */
@@ -273,26 +301,54 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BodySeqOffset]
     val e = end.asInstanceOf[BodySeqOffset]
+    // e.seq − e.base is exactly the end boundary's listing index on the
+    // listing that admitted it; a cache that covers it is the one from this
+    // trigger's latestOffset (recovery replans with an empty cache → re-list)
     val listing =
-      if (cachedListing.length >= e.seq) cachedListing else BodyStream.list(dir)
-    // Re-validate both boundaries at plan time: the directory may have
-    // changed between offset admission (possibly a previous run, on
-    // recovery) and batch planning.
-    BodyStream.validateBoundary(listing, s, dir)
-    BodyStream.validateBoundary(listing, e, dir)
-    BodyStream.partitions(dir,
-      listing.slice(Math.toIntExact(s.seq), Math.toIntExact(e.seq)), s.seq,
-      filesPerPartition)
+      if (cachedListing.length >= e.seq - e.base) cachedListing else BodyStream.list(dir)
+    // Re-validate and re-anchor the start boundary at plan time: the
+    // directory may have changed between offset admission (possibly a
+    // previous run, on recovery) and batch planning.
+    val startIdx = BodyStream.boundaryIndex(listing, s, dir)
+    val n = Math.toIntExact(e.seq - s.seq)
+    val endIdx = startIdx + n
+    if (listing.length < endIdx) throw new IllegalStateException(
+      s"remote-write-bodies: batch [${s.seq}, ${e.seq}) needs $endIdx listed bodies " +
+        s"in `$dir` but only ${listing.length} are present — files from an " +
+        "uncommitted batch were removed. Archive only below the committed floor " +
+        "(see `_archive_floor`).")
+    if (n > 0 && e.hwm.nonEmpty && listing(endIdx - 1) != e.hwm)
+      throw new IllegalStateException(
+        s"remote-write-bodies: committed offset ${e.seq} expects `${e.hwm}` at the " +
+          s"batch end boundary of `$dir` but found `${listing(endIdx - 1)}` — the " +
+          "range re-mapped (non-monotonic names or removal of in-batch files). " +
+          "Refusing to replay.")
+    BodyStream.partitions(dir, listing.slice(startIdx, endIdx), s.seq, filesPerPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = BodyStream.ReaderFactory
 
-  /** Deliberately a no-op: processed files must stay put, because offsets
-    * index into the name-ordered listing — removing a file before the
-    * high-water mark would shift every later index (now a loud
-    * [[BodyStream.validateBoundary]] failure rather than silent wrong
-    * data). Retention therefore happens OUTSIDE the streaming query: stop
-    * it, archive the directory, reset the checkpoint. */
-  override def commit(end: Offset): Unit = ()
+  /** Publishes the retention floor: atomically (re)writes `_archive_floor`
+    * in the body directory with the committed offset's JSON. An external
+    * archiver may move to cold storage any files sorting AT OR BELOW the
+    * floor's `hwm`, front-to-back (the hwm file last) — committed offsets
+    * re-anchor via [[BodyStream.boundaryIndex]], so the stream keeps running
+    * through archival with no checkpoint reset (the round-5 design limit,
+    * SURVEY §7.2 item 2). Underscore prefix keeps the marker out of
+    * [[BodyStream.list]]. One caveat rides with the frontend: it resumes
+    * numbering from the last LISTED name, so an archiver should leave the
+    * newest body (or the frontend counter must persist) to keep names
+    * ascending across a full drain — violations trip the boundary check
+    * loudly. */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[BodySeqOffset]
+    if (e.hwm.nonEmpty) {
+      val tmp = Files.createTempFile(Paths.get(dir), ".floor-", ".tmp")
+      Files.write(tmp, e.json().getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(dir, "_archive_floor"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
   override def stop(): Unit = ()
 }

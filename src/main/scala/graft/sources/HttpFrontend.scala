@@ -49,7 +49,7 @@ class HttpFrontend(dir: String, port: Int, validate: Boolean = true) {
     * it two concurrent handlers can rename out of numeric order, and the
     * later-named file appearing FIRST lets the stream commit an offset
     * whose high-water mark the earlier file then sorts before —
-    * permanently tripping [[BodyStream.validateBoundary]]. Body I/O (the
+    * permanently tripping [[BodyStream.boundaryIndex]]. Body I/O (the
     * slow part) stays outside the lock; only the rename serializes. */
   private val admitLock = new Object
 
