@@ -68,7 +68,11 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // SPARK_GRAFT_BENCH_OUT redirects filtered/spot runs to a scratch file
+    // so the committed full-suite baseline in bench_out.json survives A/B
+    // measurements (round-7 ADVICE: a single-query run overwrote it).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
     spark.stop()
   }

@@ -252,13 +252,17 @@ object Dedup extends QueryModule {
     * recursive-CTE transitive closure is test-scale only (closure
     * materializes O(n²) paths; contraction never does). */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // canonical undirected edges (lo < hi); self-loops dropped
-    var edges = pairs
+    // canonical undirected edges (lo < hi). The node set comes from the
+    // pairs BEFORE the self-loop filter: a node whose only pair is (x, x)
+    // still names a document and must surface as a 1-member cluster, not
+    // vanish from the output (round-7 ADVICE).
+    val canon = pairs
       .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
+    val nodes = canon.select(col("lo").as("node"))
+      .union(canon.select(col("hi").as("node"))).distinct()
       .localCheckpoint(true)
-    val nodes = edges.select(col("lo").as("node"))
-      .union(edges.select(col("hi").as("node"))).distinct()
+    var edges = canon
+      .filter(col("lo") =!= col("hi")).distinct()
       .localCheckpoint(true)
     var iter = 0
     var converged = false

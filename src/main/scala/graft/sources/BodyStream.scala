@@ -92,9 +92,21 @@ object BodyStream {
     *     files remain: archival must take the hwm LAST (front-to-back),
     *     or the anchor is ambiguous.
     *
+    * Residual hazard (accepted, documented): archival NARROWS the
+    * insertion check. If j admitted files ≤ hwm have been archived, up to
+    * j late-appearing files that sort before the hwm pass `k ≤ expected`
+    * while `listing(k−1) == hwm` still holds — they are skipped without
+    * error. Closing it would need the offset to also carry the name of the
+    * first unarchived file; not worth it while the only sanctioned writer
+    * is the frontend's monotonic counter, whose names cannot sort below an
+    * admitted hwm at all. With no archival (base floor intact) the check
+    * is exact.
+    *
     * Legacy plain-number offsets (pre-hwm checkpoints) have no name to
     * anchor on: they keep the absolute mapping and the append-only rule
-    * (length check only; archival requires an hwm-bearing offset). */
+    * (length check only; archival requires an hwm-bearing offset) — and
+    * are upgraded to the anchored form by the next latestOffset call, idle
+    * or not. */
   def boundaryIndex(listing: Vector[String], off: BodySeqOffset, dir: String): Int = {
     import scala.collection.Searching.{Found, InsertionPoint}
     if (off.hwm.isEmpty) {
@@ -281,10 +293,20 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
     val endSeq = math.max(s.seq, end)
     val hwm =
       if (endSeq == 0L) ""
-      else if (endSeq == s.seq) s.hwm
+      else if (endSeq == s.seq) {
+        // idle trigger on a legacy (hwm-less) checkpoint: upgrade it anyway.
+        // boundaryIndex already proved the listing covers seq, so
+        // listing(seq − 1) IS the last admitted body (legacy ⇒ base = 0,
+        // append-only enforced). Without this, an idle stream would sit on
+        // the weaker length-only validation — and stay ineligible for
+        // archival — until new bodies arrive (round-7 ADVICE).
+        if (s.hwm.isEmpty && listing.length >= s.seq)
+          listing(Math.toIntExact(s.seq) - 1)
+        else s.hwm
+      }
       else listing(Math.toIntExact(endSeq - newBase) - 1)
-    // legacy start offsets (hwm "", seq > 0) stay on the absolute mapping
-    // until new bodies are admitted and an hwm exists to anchor a base
+    // an hwm-less result can only be seq = 0 (any seq > 0 path above
+    // anchored an hwm, idle included); base stays 0 until an hwm exists
     val base = if (hwm.isEmpty) 0L else newBase
     BodySeqOffset(endSeq, hwm, base)
   }

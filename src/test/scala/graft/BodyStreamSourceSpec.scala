@@ -86,25 +86,107 @@ class BodyStreamSourceSpec extends AnyFunSuite {
     assert(BodySeqOffset.parse(BodySeqOffset(0L, "").json()) == BodySeqOffset(0L, ""))
   }
 
-  test("offset contract: deletion and non-monotonic names fail loudly") {
-    import graft.sources.{BodySeqOffset, BodyStream}
-    val dir = Files.createTempDirectory("graft-bodies-").toString
+  private def threeBodies(dir: String): Unit =
     writeBodies(dir, (0 until 3).map(i =>
       body(TimeSeries(Map("__name__" -> s"m$i"), Seq(Sample(i.toDouble, i.toLong))))))
+
+  test("offset contract: boundaryIndex re-anchors across front-to-back archival") {
+    import graft.sources.{BodySeqOffset, BodyStream}
+    val dir = Files.createTempDirectory("graft-bodies-").toString
+    threeBodies(dir)
     val committed = BodySeqOffset(3L, BodyStream.list(dir).last)
-    BodyStream.validateBoundary(BodyStream.list(dir), committed, dir) // current dir: fine
+    assert(BodyStream.boundaryIndex(BodyStream.list(dir), committed, dir) == 3)
 
-    // a file sorting BEFORE the high-water mark re-maps index 2 → loud failure
-    Files.write(Paths.get(dir, "00000001a.bin"), Array[Byte](1))
-    val e1 = intercept[IllegalStateException](
-      BodyStream.validateBoundary(BodyStream.list(dir), committed, dir))
-    assert(e1.getMessage.contains("high-water mark"))
-    Files.delete(Paths.get(dir, "00000001a.bin"))
-
-    // deleting a processed file shrinks the listing below the offset
+    // archiving processed bodies front-to-back is LEGAL: the hwm re-anchors
+    // the index→file mapping instead of failing (the round-7 contract change
+    // that obsoleted the old deletion-refusal case)
     Files.delete(Paths.get(dir, "00000000.bin"))
-    val e2 = intercept[IllegalStateException](
-      BodyStream.validateBoundary(BodyStream.list(dir), committed, dir))
-    assert(e2.getMessage.contains("deleted"))
+    assert(BodyStream.boundaryIndex(BodyStream.list(dir), committed, dir) == 2)
+    Files.delete(Paths.get(dir, "00000001.bin"))
+    assert(BodyStream.boundaryIndex(BodyStream.list(dir), committed, dir) == 1)
+
+    // unprocessed bodies sort after the hwm and never shift the anchor
+    writeBodies(dir, Seq(body(TimeSeries(Map("__name__" -> "m3"),
+      Seq(Sample(3.0, 3L))))), from = 3)
+    assert(BodyStream.boundaryIndex(BodyStream.list(dir), committed, dir) == 1)
+
+    // full drain (hwm archived along with everything before it) anchors at 0
+    Files.delete(Paths.get(dir, "00000002.bin"))
+    assert(BodyStream.boundaryIndex(BodyStream.list(dir), committed, dir) == 0)
+  }
+
+  test("offset contract: hwm archived while earlier files remain fails loudly") {
+    import graft.sources.{BodySeqOffset, BodyStream}
+    val dir = Files.createTempDirectory("graft-bodies-").toString
+    threeBodies(dir)
+    val committed = BodySeqOffset(3L, BodyStream.list(dir).last)
+    Files.delete(Paths.get(dir, "00000002.bin")) // hwm gone, 0 and 1 remain
+    val e = intercept[IllegalStateException](
+      BodyStream.boundaryIndex(BodyStream.list(dir), committed, dir))
+    assert(e.getMessage.contains("front-to-back"))
+  }
+
+  test("offset contract: non-monotonic name insertion fails loudly") {
+    import graft.sources.{BodySeqOffset, BodyStream}
+    val dir = Files.createTempDirectory("graft-bodies-").toString
+    threeBodies(dir)
+    val committed = BodySeqOffset(3L, BodyStream.list(dir).last)
+    // a file sorting BEFORE the high-water mark re-maps committed indices
+    Files.write(Paths.get(dir, "00000001a.bin"), Array[Byte](1))
+    val e = intercept[IllegalStateException](
+      BodyStream.boundaryIndex(BodyStream.list(dir), committed, dir))
+    assert(e.getMessage.contains("non-monotonic"))
+  }
+
+  test("offset contract: legacy plain-number offsets keep the append-only rule") {
+    import graft.sources.{BodySeqOffset, BodyStream}
+    val dir = Files.createTempDirectory("graft-bodies-").toString
+    threeBodies(dir)
+    val legacy = BodySeqOffset(3L, "") // pre-hwm checkpoint: no anchor name
+    assert(BodyStream.boundaryIndex(BodyStream.list(dir), legacy, dir) == 3)
+    // with no hwm to re-anchor on, archival is indistinguishable from loss
+    Files.delete(Paths.get(dir, "00000000.bin"))
+    val e = intercept[IllegalStateException](
+      BodyStream.boundaryIndex(BodyStream.list(dir), legacy, dir))
+    assert(e.getMessage.contains("deleted or compacted"))
+  }
+
+  test("archiver honors the published floor; restart resumes past archived bodies") {
+    import graft.sources.{BodySeqOffset, BodyStream}
+    val dir = Files.createTempDirectory("graft-bodies-").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    writeBodies(dir, Seq(
+      body(TimeSeries(Map("__name__" -> "old1"), Seq(Sample(1.0, 1L)))),
+      body(TimeSeries(Map("__name__" -> "old2"), Seq(Sample(2.0, 2L))))))
+    val sink1 = new CollectingSink
+    // maxFilesPerTrigger=1 forces ≥2 micro-batches: Spark invokes
+    // source.commit(N) when batch N+1 starts, so a single-batch AvailableNow
+    // run terminates before any floor is published (the marker lags the
+    // checkpoint by one batch — conservative, safe for the archiver)
+    val q1 = RelayPipeline.start(spark,
+      RemoteWrite.bodyDsv2Stream(spark, dir, maxFilesPerTrigger = 1), sink1,
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
+    q1.awaitTermination(60000)
+    assert(sink1.allLines.size == 2)
+
+    // archive exactly what the published floor covers, front-to-back
+    val floorPath = Paths.get(dir, "_archive_floor")
+    assert(Files.exists(floorPath))
+    val floor = BodySeqOffset.parse(Files.readString(floorPath))
+    assert(floor.seq >= 1L && floor.hwm.nonEmpty)
+    BodyStream.list(dir).takeWhile(_ <= floor.hwm)
+      .foreach(f => Files.delete(Paths.get(dir, f)))
+
+    writeBodies(dir, Seq(body(TimeSeries(Map("__name__" -> "fresh"),
+      Seq(Sample(3.0, 3L))))), from = 2)
+
+    val sink2 = new CollectingSink
+    val q2 = RelayPipeline.start(spark,
+      RemoteWrite.bodyDsv2Stream(spark, dir), sink2,
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
+    q2.awaitTermination(60000)
+    // exactly the new body — no replay attempt against archived files
+    assert(sink2.allLines.size == 1)
+    assert(sink2.allLines.head.contains(""""name":"fresh""""))
   }
 }

@@ -46,4 +46,12 @@ class DedupClustersSpec extends AnyFunSuite {
     val b = (1000L until 1200L).map(i => (i, i + 1))
     assert(clusters(a ++ b) === Map(0L -> 201L, 1000L -> 201L))
   }
+
+  test("a node whose only pair is a self-loop is a singleton cluster") {
+    // (9,9) names a document even though it contributes no edge: it must
+    // surface as {9: 1}, not vanish from the output (round-7 ADVICE — the
+    // pre-fix canonicalization filtered lo != hi before deriving nodes)
+    val got = clusters(Seq((1L, 2L), (9L, 9L)))
+    assert(got === Map(1L -> 2L, 9L -> 1L))
+  }
 }

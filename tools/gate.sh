@@ -14,6 +14,11 @@ SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
 SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
 PREV=${PREV:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}
 
+echo "== gate: test suite (sbt -batch test) =="
+# Round-7 shipped with Test/compile broken and nothing caught it (VERDICT r07
+# "What's wrong" #1/#2): the suite — compilation included — gates the round.
+sbt -batch test || { echo "gate: FAIL — sbt test red (compile or assertion)"; exit 1; }
+
 echo "== gate: correctness (Verify @ $SF_VERIFY vs DuckDB oracle) =="
 sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" || exit 1
 python3 tools/check.py "$SF_VERIFY" /tmp/verify_out || exit 1
@@ -29,11 +34,12 @@ echo "$diff_out"
 if [ $rc -ne 0 ]; then
   flagged=$(echo "$diff_out" | sed -n 's/^REGRESSED: //p')
   echo "== gate: re-measuring flagged queries warm, best-of-3: $flagged =="
+  # scratch output — bench_out.json keeps the committed full-suite baseline
   SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_QUERIES=$flagged SPARK_GRAFT_BENCH_REPS=3 \
+    SPARK_GRAFT_BENCH_OUT=/tmp/bench_flagged.json \
     sbt -batch "runMain graft.Bench" || exit 1
-  # bench_out.json now holds only the flagged queries' best-of-3 timings
-  python3 tools/bench_diff.py "$PREV" bench_out.json
+  python3 tools/bench_diff.py "$PREV" /tmp/bench_flagged.json
   rc=$?
   if [ $rc -ne 0 ]; then
     echo "gate: FAIL — regression survives a warm best-of-3; fix before snapshot"
