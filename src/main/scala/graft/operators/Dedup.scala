@@ -62,6 +62,24 @@ object Dedup extends QueryModule {
   private def minhashCols: Seq[Column] =
     (0 until 4).map(i => col("mh").getItem(i).as(s"mh$i"))
 
+  /** All input columns + `band`, one row per (doc, LSH band): the two r=2
+    * minhash band keys. The band id rides in the key — band0 only ever
+    * matches band0 (the banding rule), mirrored exactly in q79's oracle
+    * melted UNION. Shared by batch [[incrementalDedup]] and the streaming
+    * [[graft.streaming.StreamingDedup]] signature table so both sides of a
+    * corpus build compute bit-identical candidate keys. Docs too short to
+    * shingle (<3 tokens) produce no band rows. */
+  private[graft] def bandRows(docs: DataFrame): DataFrame =
+    shingled(docs)
+      .withColumn("mh",
+        graft.functions.TextExpressions.minhashSig(col("sh"), HashA, HashB, HashP))
+      .withColumn("band", explode(array(
+        concat(lit("0:"), md5(concat(col("mh").getItem(0).cast("string"), lit(":"),
+          col("mh").getItem(1).cast("string")))),
+        concat(lit("1:"), md5(concat(col("mh").getItem(2).cast("string"), lit(":"),
+          col("mh").getItem(3).cast("string")))))))
+      .drop("sh", "mh")
+
   /** doc_id + 4 minhash components. */
   private def signatures(docs: DataFrame): DataFrame =
     shingled(docs)
@@ -326,16 +344,7 @@ object Dedup extends QueryModule {
   def incrementalDedup(docs: DataFrame, isNew: Column): DataFrame = {
     val d = docs.withColumn("is_new", isNew)
     val hashes = d.select(col("doc_id"), col("is_new"), sha2(col("text"), 256).as("h"))
-    val bands = shingled(d)
-      .select(col("doc_id"), col("is_new"),
-        graft.functions.TextExpressions.minhashSig(col("sh"), HashA, HashB, HashP).as("mh"))
-      // band id rides in the key: band0 only ever matches band0 (the r=2
-      // banding rule), mirrored exactly in the oracle's melted UNION
-      .select(col("doc_id"), col("is_new"), explode(array(
-        concat(lit("0:"), md5(concat(col("mh").getItem(0).cast("string"), lit(":"),
-          col("mh").getItem(1).cast("string")))),
-        concat(lit("1:"), md5(concat(col("mh").getItem(2).cast("string"), lit(":"),
-          col("mh").getItem(3).cast("string")))))).as("band"))
+    val bands = bandRows(d).select(col("doc_id"), col("is_new"), col("band"))
     val exactDup = hashes.filter(col("is_new"))
       .join(hashes.filter(!col("is_new")).select(col("h")).distinct(), Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("exact", lit(1))

@@ -2,60 +2,92 @@ package graft
 
 import java.nio.file.Files
 
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Streaming form of q79's incremental dedup: each micro-batch of incoming
-  * docs is classified against a SIGNATURE TABLE ON STORAGE (content hashes
-  * as parquet), and the accepted docs' signatures are appended back —
-  * state lives in the table, not in executor memory, so it survives
-  * restarts, is shared by other jobs, and grows on cheap storage instead
-  * of the state store. This foreachBatch + storage-table pattern is how a
-  * 100 TB/day ingest actually keeps "everything ever seen" dedup state
-  * (watermarked in-memory dedup — `StreamingDedupWatermarkSpec` — bounds
-  * state by TIME; the signature table bounds nothing and needs nothing
-  * bounded). */
+/** [[graft.streaming.StreamingDedup]] — q79's incremental dedup as a
+  * first-class continuous entry point: classification against (and
+  * checkpoint-shaped appends to) an on-storage signature table. */
 class StreamingIncrementalDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("batches dedup against a growing on-storage signature table") {
+  private def collectStatuses(buf: scala.collection.mutable.Map[Long, String])
+                             (classified: DataFrame, batchId: Long): Unit = {
+    val rows = classified.collect()
+    buf.synchronized { rows.foreach(r => buf(r.getLong(0)) = r.getString(1)) }
+  }
+
+  test("one streamed batch classifies exactly like batch q79 on the same corpus") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables(spark, sf, "documents")
     val sigDir = Files.createTempDirectory("graft-sigs-").toString
-    val accepted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
 
-    // seed the corpus signature table
-    Seq("existing document alpha", "existing document beta")
-      .toDF("text").select(sha2(col("text"), 256).as("h"))
-      .write.mode("overwrite").parquet(sigDir)
+    // same split as the q79 oracle query: corpus = doc_id < 400, new ≥ 400
+    StreamingDedup.seedSignatures(docs.filter(col("doc_id") < 400), sigDir)
+    val expected = Dedup.incrementalDedup(docs, col("doc_id") >= 400)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
+    val got = scala.collection.mutable.Map[Long, String]()
     val stream = MemoryStream[(Long, String)]
-    val q = stream.toDS().toDF("doc_id", "text")
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val sigs = batch.sparkSession.read.parquet(sigDir)
-        val hashed = batch.withColumn("h", sha2(col("text"), 256))
-        val fresh = hashed.join(sigs, Seq("h"), "left_anti")
-          // batch-internal dups: keep first doc_id per content
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-              .orderBy(col("doc_id"))))
-          .filter(col("rn") === 1)
-        val rows = fresh.select(col("doc_id"), col("text")).collect()
-        accepted.synchronized { accepted ++= rows.map(r => (r.getLong(0), r.getString(1))) }
-        fresh.select(col("h")).write.mode("append").parquet(sigDir)
-      }.start()
-    try {
-      stream.addData((1L, "existing document alpha"), (2L, "brand new one"),
-        (3L, "brand new one")) // batch-internal dup of 2
-      q.processAllAvailable()
-      stream.addData((4L, "brand new one"), (5L, "another new one")) // 4 dups batch 1's accept
-      q.processAllAvailable()
-    } finally q.stop()
+    stream.addData(docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = StreamingDedup.start(stream.toDS().toDF("doc_id", "text"), sigDir,
+      collectStatuses(got), trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
 
-    assert(accepted.map(_._1).sorted == Seq(2L, 5L))
-    // the signature table now covers everything accepted + seeded
-    assert(spark.read.parquet(sigDir).distinct().count() == 4)
+    assert(got.toMap === expected) // all new docs classified in one batch ⇒
+    // identical corpus snapshot per doc, so parity must be exact
+    // (sf0.001 plants near-dups across the 400 split but no exact dups;
+    // the exact_dup path is covered by the restart test below)
+    assert(expected.nonEmpty && expected.values.exists(_ == "near_dup"))
+  }
+
+  test("restart without rescan: table state survives, processed batches don't replay") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-docsrc-").toString
+    val sigDir = Files.createTempDirectory("graft-sigs-").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+
+    StreamingDedup.seedSignatures(
+      Seq((0L, "seed corpus document body")).toDF("doc_id", "text"), sigDir)
+
+    def docStream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+
+    // run 1: two accepted docs, one exact dup of the seed
+    Seq((1L, "seed corpus document body"), (2L, "first fresh document"),
+      (3L, "second fresh document"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val got1 = scala.collection.mutable.Map[Long, String]()
+    val q1 = StreamingDedup.start(docStream, sigDir, collectStatuses(got1),
+      checkpointDir = Some(ckpt), trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(got1.toMap === Map(1L -> "exact_dup", 2L -> "new", 3L -> "new"))
+
+    // run 2 from the same checkpoint: only the new file is read (no rescan),
+    // and doc 4 dups a RUN-1 accept — proof the classifier state came from
+    // the on-storage table, not anything in-memory
+    Seq((4L, "first fresh document"), (5L, "genuinely new third document"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val got2 = scala.collection.mutable.Map[Long, String]()
+    val q2 = StreamingDedup.start(docStream, sigDir, collectStatuses(got2),
+      checkpointDir = Some(ckpt), trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(got2.keySet === Set(4L, 5L)) // docs 1-3 not re-delivered
+    assert(got2.toMap === Map(4L -> "exact_dup", 5L -> "new"))
+
+    // the table holds exactly the seed + the three accepted docs' signatures,
+    // each once (batch=<id> partition overwrite keeps appends idempotent)
+    val sigs = spark.read.parquet(sigDir).select("kind", "sig")
+    assert(sigs.count() == sigs.distinct().count())
+    assert(sigs.filter(col("kind") === "h").count() == 4) // docs 0, 2, 3, 5
   }
 }
