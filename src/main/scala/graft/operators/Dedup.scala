@@ -204,13 +204,21 @@ object Dedup extends QueryModule {
     * Scale contract: the posting self-join's work is Σ_sh df(sh)², so a
     * single ubiquitous shingle is quadratic — hence the df ≤ [[MaxDf]]
     * prune (textbook stop-shingle removal; analogous to skipping stop-words
-    * in an inverted index). Near-dup pairs share many RARE shingles, so
-    * pruning frequent ones costs no recall at any threshold worth using
-    * (at sf0.01 max df = 7: the prune provably changes nothing, measured).
+    * in an inverted index). RECALL CONTRACT (round-8 measurement, revising
+    * the round-4 "provably free" claim): the prune is exact iff every true
+    * pair shares at least one under-cap shingle AND its full intersection
+    * sits under the cap. Both hold when df is bounded (sf0.01 max df 7,
+    * sf0.1 max df 7 — identical to the exact algorithm, measured), but on
+    * a 100×-duplicated 4× corpus the cap dropped 27% of true pairs and
+    * undercounted the rest's Jaccard — docs duplicated past the cap share
+    * ONLY over-cap shingles. Use [[ngramJaccardPairsExact]] (q88) when the
+    * duplication profile is unknown or heavy, or run exact-hash dedup
+    * (q40) first so df reflects distinct texts.
     * Everything shuffles on uniform keys (shingle, then pair). */
   private val MaxDf = 50
 
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        maxDf: Int = MaxDf): DataFrame = {
     // Postings keyed by the shingle's 64-bit hash, not the ~30-char string
     // — and the hashes come straight from the codegen'd [[ShingleHashes]]
     // expression (one pass: tokenize → FNV per n-gram → dedupe), so no
@@ -234,7 +242,7 @@ object Dedup extends QueryModule {
     // determined by (a, b) so the key stays as selective as (a, b) alone.
     post.groupBy(col("sh"))
       .agg(collect_list(col("d")).as("docs"))
-      .filter(size(col("docs")).between(2, MaxDf))
+      .filter(size(col("docs")).between(2, maxDf))
       .select(explode(col("docs")).as("da"), col("docs"))
       .select(col("da"), explode(col("docs")).as("db"))
       .filter(col("da.doc_id") < col("db.doc_id"))
@@ -250,6 +258,72 @@ object Dedup extends QueryModule {
 
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(docsTable(spark, dir))
+
+  /** EXACT n-gram Jaccard pairs via PPJoin prefix filtering (Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08) —
+    * the unconditionally-correct sibling of [[ngramJaccardPairs]]'s
+    * df-capped build (q88 vs q60; the VERDICT r07 item-7 A/B, measured).
+    *
+    * Candidate rule: order every doc's shingle hashes by global rarity
+    * (df asc, hash asc — one total order corpus-wide) and index only the
+    * PREFIX of length n − ⌈t·n⌉ + 1. J(x,y) ≥ t forces |x∩y| ≥ t·|x|
+    * (since |y| ≥ |x∩y|), so two qualifying docs must share a prefix
+    * element — pairs sharing none are filtered without ever being
+    * generated. Prefix shingles are by construction the RAREST ones, so
+    * the candidate join is naturally skew-resistant, and a length filter
+    * (t·max(|x|,|y|) ≤ min) prunes before dedup. Candidates verify
+    * EXACTLY by array intersection against the corpus sets — no cap, no
+    * recall contract, correct on arbitrarily duplicate-heavy corpora.
+    *
+    * Measured A/B vs the df-capped build (local[32], warm min of 3):
+    *   - sf0.1 (5 k docs, max df 7):  exact 5.2 s vs capped 1.3 s,
+    *     IDENTICAL results (cap provably free below the df bound);
+    *   - 4× (20 k docs, 100×-duplicated, max df 100): exact 8.3 s and
+    *     34 096 pairs vs capped 3.6 s and 24 832 pairs — the cap MISSED
+    *     27% of true pairs (docs duplicated past the cap share only
+    *     over-cap shingles), while every capped pair is a subset of the
+    *     exact output. The fixed cost is the prefix build (df join +
+    *     per-doc rarity sort) and the t=0.5 prefix being ~n/2 long
+    *     (310 k candidates → 256 pairs at sf0.1); it buys exactness in
+    *     precisely the regime a dedup engine exists for — heavily
+    *     duplicated corpora. Pick per corpus: capped when df is known
+    *     bounded (or after exact-hash dedup, q40), this otherwise. */
+  def ngramJaccardPairsExact(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // The shingle-hash scan feeds four plan branches (df count, prefix
+    // build, both verify sides) — persist it once or the codegen'd hashing
+    // dominates 4× over (same pattern as the q42 signature table; at
+    // 100 TB this is the pre-materialized posting table on storage).
+    val sets = docs
+      .withColumn("shh", graft.functions.TextExpressions.shingleHashes(col("text"), 3))
+      .filter(size(col("shh")) > 0)
+      .select(col("doc_id"), col("shh"), size(col("shh")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = sets.select(col("doc_id"), col("sz"), explode(col("shh")).as("sh"))
+    val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // rarest-first order per doc, then keep the PPJoin prefix
+    val prefixes = post.join(dfreq, "sh")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("osh"))
+      .select(col("doc_id"), col("sz"),
+        slice(transform(col("osh"), o => o.getField("sh")), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"))
+      .select(col("doc_id"), col("sz"), explode(col("pref")).as("sh"))
+    val cand = prefixes.select(col("doc_id").as("a"), col("sz").as("sa0"), col("sh"))
+      .join(prefixes.select(col("doc_id").as("b"), col("sz").as("sb0"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      // PPJoin length filter: J >= t forces t·max(|x|,|y|) <= min(|x|,|y|)
+      .filter(greatest(col("sa0"), col("sb0")) * threshold <= least(col("sa0"), col("sb0")))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shh").as("sha"), col("sz").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shh").as("shb"), col("sz").as("sb")), "b")
+      .withColumn("ninter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("ninter").cast("double") /
+        (col("sa") + col("sb") - col("ninter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+  }
 
   /** Near-dup CLUSTERS from near-dup PAIRS — the dedup pipeline's actual
     * deliverable: connected components over the pair graph, canonical doc =
@@ -371,7 +445,9 @@ object Dedup extends QueryModule {
     "q42_dedup_lsh_pairs" -> lshNearDupPairs _,
     "q43_dedup_simhash" -> simhash _,
     "q52_dedup_simhash_pairs" -> simhashHammingPairs _,
-    "q60_dedup_ngram_jaccard" -> ngramJaccardPairs _,
+    "q60_dedup_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
+    "q88_dedup_ngram_exact" ->
+      ((s: SparkSession, dir: String) => ngramJaccardPairsExact(docsTable(s, dir))),
     "q77_dedup_clusters" -> (dedupClusters(_, _)),
     "q79_dedup_incremental" -> (incrementalDedup(_, _))
   )
@@ -468,6 +544,24 @@ object Dedup extends QueryModule {
          |          WHERE df.df <= $MaxDf),
          |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ninter
          |          FROM postf l JOIN postf r
+         |            ON l.sh = r.sh AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shd) AS sz FROM sets),
+         |j AS (SELECT a, b,
+         |        round(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jaccard
+         |      FROM inter
+         |      JOIN sizes sa ON sa.doc_id = a
+         |      JOIN sizes sb ON sb.doc_id = b)
+         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY jaccard DESC, a, b""".stripMargin,
+    // the exact variant: same query WITHOUT the df cap — the oracle for the
+    // prefix-filtered engine plan is plain uncapped Jaccard
+    "q88_dedup_ngram_exact" ->
+      s"""$shingleCte,
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |post AS (SELECT doc_id, unnest(shd) AS sh FROM sets),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ninter
+         |          FROM post l JOIN post r
          |            ON l.sh = r.sh AND l.doc_id < r.doc_id
          |          GROUP BY 1, 2),
          |sizes AS (SELECT doc_id, len(shd) AS sz FROM sets),

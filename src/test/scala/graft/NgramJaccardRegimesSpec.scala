@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q60/q88 regime split, pinned (round-8 A/B measurement): the
+  * df-capped posting build is exact while document frequencies stay under
+  * the cap, and silently loses exactly the MOST-duplicated documents'
+  * pairs once they exceed it — the failure observed at the 4×
+  * 100×-duplicated corpus (27% of true pairs missed). The PPJoin
+  * prefix-filtered variant is exact in both regimes. */
+class NgramJaccardRegimesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  // two near-dup families plus an unrelated doc; all dfs tiny
+  private def lowDfDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six eight"),
+      (5L, "totally unrelated content lives here now")
+    ).toDF("doc_id", "text")
+  }
+
+  test("bounded-df regime: capped and exact algorithms agree") {
+    val capped = pairs(Dedup.ngramJaccardPairs(lowDfDocs))
+    val exact = pairs(Dedup.ngramJaccardPairsExact(lowDfDocs))
+    assert(capped === exact)
+    assert(capped.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("over-cap duplication: the cap misses what the exact variant finds") {
+    import spark.implicits._
+    // five verbatim copies — every shared shingle has df 5; with the cap
+    // below that, the capped build generates NO candidates for them
+    val dup = (10L to 14L).map(i => (i, "the same boilerplate text repeated everywhere"))
+    val docs = (dup ++ Seq((20L, "one distinct document sits alongside them"))).toDF("doc_id", "text")
+
+    val capped = pairs(Dedup.ngramJaccardPairs(docs, maxDf = 3))
+    val exact = pairs(Dedup.ngramJaccardPairsExact(docs))
+    assert(capped.isEmpty) // the dedup target vanished below the cap
+    // exact: all C(5,2)=10 identical pairs at jaccard 1.0
+    assert(exact.size == 10 && exact.forall(_._3 == 1.0))
+    assert(exact.map(p => (p._1, p._2)) ===
+      (for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)).toSet)
+  }
+}
