@@ -151,6 +151,27 @@ class BodyStreamSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deleted or compacted"))
   }
 
+  test("idle trigger upgrades a legacy hwm-less offset to the anchored form") {
+    import graft.sources.{BodySeqOffset, BodyStream => BS}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("graft-bodies-").toString
+    threeBodies(dir)
+    val stream = new graft.sources.BodyMicroBatchStream(dir,
+      maxFilesPerTrigger = 1000, filesPerPartition = 100)
+    // pre-hwm checkpoint, already caught up: an idle trigger must anchor
+    // hwm = listing(seq-1) instead of leaving the weaker length-only check
+    // (and archival ineligibility) in place until new bodies arrive
+    val upgraded = stream.latestOffset(BodySeqOffset(3L, ""), ReadLimit.allAvailable())
+      .asInstanceOf[BodySeqOffset]
+    assert(upgraded === BodySeqOffset(3L, BS.list(dir).last, 0L))
+    // a NON-idle legacy trigger anchors on the newly admitted hwm as before
+    writeBodies(dir, Seq(body(TimeSeries(Map("__name__" -> "m3"),
+      Seq(Sample(3.0, 3L))))), from = 3)
+    val advanced = stream.latestOffset(BodySeqOffset(3L, ""), ReadLimit.allAvailable())
+      .asInstanceOf[BodySeqOffset]
+    assert(advanced === BodySeqOffset(4L, BS.list(dir).last, 0L))
+  }
+
   test("archiver honors the published floor; restart resumes past archived bodies") {
     import graft.sources.{BodySeqOffset, BodyStream}
     val dir = Files.createTempDirectory("graft-bodies-").toString

@@ -23,8 +23,11 @@ echo "== gate: correctness (Verify @ $SF_VERIFY vs DuckDB oracle) =="
 sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" || exit 1
 python3 tools/check.py "$SF_VERIFY" /tmp/verify_out || exit 1
 
-echo "== gate: bench (@ $SF_BENCH, local[32]) =="
+echo "== gate: bench (@ $SF_BENCH, local[32], reps=${BENCH_REPS:-1}) =="
+# BENCH_REPS=3 makes this run the committable steady-state snapshot
+# (min-of-reps) instead of a single cold pass — VERDICT r07 item 3.
 SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_REPS=${BENCH_REPS:-1} \
   sbt -batch "runMain graft.Bench" || exit 1
 
 echo "== gate: bench_diff vs $PREV =="
