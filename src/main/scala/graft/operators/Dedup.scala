@@ -276,14 +276,14 @@ object Dedup extends QueryModule {
     * recall contract, correct on arbitrarily duplicate-heavy corpora.
     *
     * Measured A/B vs the df-capped build (local[32], warm min of 3):
-    *   - sf0.1 (5 k docs, max df 7):  exact 5.2 s vs capped 1.3 s,
+    *   - sf0.1 (5 k docs, max df 7):  exact 2.4 s vs capped 1.3 s,
     *     IDENTICAL results (cap provably free below the df bound);
-    *   - 4× (20 k docs, 100×-duplicated, max df 100): exact 8.3 s and
-    *     34 096 pairs vs capped 3.6 s and 24 832 pairs — the cap MISSED
+    *   - 4× (20 k docs, 100×-duplicated, max df 100): exact 6.4 s and
+    *     34 096 pairs vs capped 3.7 s and 24 832 pairs — the cap MISSED
     *     27% of true pairs (docs duplicated past the cap share only
     *     over-cap shingles), while every capped pair is a subset of the
-    *     exact output. The fixed cost is the prefix build (df join +
-    *     per-doc rarity sort) and the t=0.5 prefix being ~n/2 long
+    *     exact output. The ~2× premium is the prefix build (df join +
+    *     rarity rank) and the t=0.5 prefix being ~n/2 long
     *     (310 k candidates → 256 pairs at sf0.1); it buys exactness in
     *     precisely the regime a dedup engine exists for — heavily
     *     duplicated corpora. Pick per corpus: capped when df is known
@@ -300,14 +300,18 @@ object Dedup extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val post = sets.select(col("doc_id"), col("sz"), explode(col("shh")).as("sh"))
     val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // rarest-first order per doc, then keep the PPJoin prefix
+    // rarest-first rank per doc, keep only the PPJoin prefix rows. The
+    // row_number window (one shuffle on doc_id, rank emitted in-stream)
+    // replaced a collect_list + sort_array + slice/explode build — same
+    // results, 2.3× faster measured (5.5 s → 2.4 s at sf0.1): no per-doc
+    // struct arrays ever materialize. dfreq broadcasts while it fits; at
+    // true corpus scale it becomes a shuffle join on the uniform hash key.
     val prefixes = post.join(dfreq, "sh")
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("osh"))
-      .select(col("doc_id"), col("sz"),
-        slice(transform(col("osh"), o => o.getField("sh")), lit(1),
-          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"))
-      .select(col("doc_id"), col("sz"), explode(col("pref")).as("sh"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"), col("sz"), col("sh"))
     val cand = prefixes.select(col("doc_id").as("a"), col("sz").as("sa0"), col("sh"))
       .join(prefixes.select(col("doc_id").as("b"), col("sz").as("sb0"), col("sh")), "sh")
       .filter(col("a") < col("b"))
