@@ -68,6 +68,9 @@ object StreamingAsOf {
     import spark.implicits._
     require(left.isStreaming && right.isStreaming,
       "both sides must be streaming; use graft.plans.AsOf.join for batch")
+    require(idleTtlMs > 0,
+      "idleTtlMs must be positive: the eviction timeout is set to wm + idleTtlMs " +
+        "and EventTimeTimeout requires a timestamp strictly above the watermark")
     val l = left.select(col(leftKey).cast("long").as("key"), col(leftTs).as("ts"),
       lit(true).as("isLeft"), col(leftId).cast("long").as("id"), lit(0.0).as("v"))
     val r = right.select(col(rightKey).cast("long").as("key"), col(rightTs).as("ts"),
