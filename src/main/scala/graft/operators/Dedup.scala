@@ -289,6 +289,10 @@ object Dedup extends QueryModule {
     *     duplicated corpora. Pick per corpus: capped when df is known
     *     bounded (or after exact-hash dedup, q40), this otherwise. */
   def ngramJaccardPairsExact(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // outside (0,1] the prefix length n − ⌈t·n⌉ + 1 degenerates (≤0 ⇒
+    // silently empty output) — reject rather than return wrong nothing
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     // The shingle-hash scan feeds four plan branches (df count, prefix
     // build, both verify sides) — persist it once or the codegen'd hashing
     // dominates 4× over (same pattern as the q42 signature table; at

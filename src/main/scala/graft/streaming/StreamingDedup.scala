@@ -92,8 +92,12 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // snapshot: the file index is pinned when the read is planned, so
-        // this batch's own append below is never visible to its classify
-        val sigs = spark.read.parquet(sigDir).select(col("kind"), col("sig"))
+        // this batch's own append below is never visible to its classify.
+        // Explicit schema: an empty seed (or a run of all-duplicate
+        // batches) leaves partitions with no data files, where inference
+        // would fail; the declared schema also pins the table contract.
+        val sigs = spark.read.schema("kind STRING, sig STRING")
+          .parquet(sigDir).select(col("kind"), col("sig"))
         // eager localCheckpoint: statuses are fixed BEFORE the signature
         // append lands (and the two consumers below don't recompute)
         val classified = classify(batch, sigs).localCheckpoint(true)
