@@ -276,18 +276,20 @@ object Dedup extends QueryModule {
     * recall contract, correct on arbitrarily duplicate-heavy corpora.
     *
     * Measured A/B vs the df-capped build (local[32], warm min of 3):
-    *   - sf0.1 (5 k docs, max df 7):  exact 2.4 s vs capped 1.3 s,
-    *     IDENTICAL results (cap provably free below the df bound);
-    *   - 4× (20 k docs, 100×-duplicated, max df 100): exact 6.4 s and
-    *     34 096 pairs vs capped 3.7 s and 24 832 pairs — the cap MISSED
+    *   - sf0.1 (5 k docs, max df 7):  exact 1.3 s ≈ capped 1.3 s,
+    *     IDENTICAL results (cap provably free below the df bound) — after
+    *     the rank-window prefix build and the persisted prefix index,
+    *     exactness is free at this scale;
+    *   - 4× (20 k docs, 100×-duplicated, max df 100): exact 6.3 s and
+    *     34 096 pairs vs capped 3.9 s and 24 832 pairs — the cap MISSED
     *     27% of true pairs (docs duplicated past the cap share only
     *     over-cap shingles), while every capped pair is a subset of the
-    *     exact output. The ~2× premium is the prefix build (df join +
-    *     rarity rank) and the t=0.5 prefix being ~n/2 long
-    *     (310 k candidates → 256 pairs at sf0.1); it buys exactness in
-    *     precisely the regime a dedup engine exists for — heavily
-    *     duplicated corpora. Pick per corpus: capped when df is known
-    *     bounded (or after exact-hash dedup, q40), this otherwise. */
+    *     exact output; the exact premium there is verify work on the
+    *     duplicate blocks' candidates, proportional to the (real) output.
+    *     It buys exactness in precisely the regime a dedup engine exists
+    *     for — heavily duplicated corpora. Pick per corpus: capped when
+    *     df is known bounded (or after exact-hash dedup, q40), this
+    *     otherwise. */
   def ngramJaccardPairsExact(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     // outside (0,1] the prefix length n − ⌈t·n⌉ + 1 degenerates (≤0 ⇒
     // silently empty output) — reject rather than return wrong nothing
@@ -316,6 +318,11 @@ object Dedup extends QueryModule {
           .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("sz"), col("sh"))
+      // both sides of the candidate self-join read this — persisted, the
+      // df-join + rank pipeline runs once instead of twice (3.6 s → 0.9 s
+      // warm at sf0.1 measured; at corpus scale this is the materialized
+      // prefix index every PPJoin implementation builds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefixes.select(col("doc_id").as("a"), col("sz").as("sa0"), col("sh"))
       .join(prefixes.select(col("doc_id").as("b"), col("sz").as("sb0"), col("sh")), "sh")
       .filter(col("a") < col("b"))
