@@ -23,11 +23,12 @@ echo "== gate: correctness (Verify @ $SF_VERIFY vs DuckDB oracle) =="
 sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" || exit 1
 python3 tools/check.py "$SF_VERIFY" /tmp/verify_out || exit 1
 
-echo "== gate: bench (@ $SF_BENCH, local[32], reps=${BENCH_REPS:-1}) =="
-# BENCH_REPS=3 makes this run the committable steady-state snapshot
-# (min-of-reps) instead of a single cold pass — VERDICT r07 item 3.
+echo "== gate: bench (@ $SF_BENCH, local[32], reps=${BENCH_REPS:-3}) =="
+# min-of-3 by default (matching Bench's own default): the gate's bench
+# output is the committable steady-state snapshot, not a single cold pass
+# whose noise the flagged-query re-measure then has to clean up.
 SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_REPS=${BENCH_REPS:-1} \
+  SPARK_GRAFT_BENCH_REPS=${BENCH_REPS:-3} \
   sbt -batch "runMain graft.Bench" || exit 1
 
 echo "== gate: bench_diff vs $PREV =="
