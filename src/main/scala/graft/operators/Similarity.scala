@@ -279,13 +279,25 @@ object Similarity extends QueryModule {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Semantic-dedup CLUSTERS: connected components over the
+    * embedding-cosine near-dup pairs — the q61 → q77 composition, and the
+    * artifact a semantic dedup pass actually consumes (keep the
+    * component-min `cluster_id`, drop the other `n_members − 1` docs).
+    * Both stages are already 100 TB-shaped — candidates only from the
+    * hyperplane-bucket equi-join, clustering by large-star/small-star
+    * contraction — so the composition introduces no new shuffle class. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dedupClusters(
+      cosineNearDupPairs(spark, dir).select(col("a"), col("b")))
+
   val queries: Map[String, QueryFn] = Map(
     "q44_sim_cosine_topk" -> cosineTopK _,
     "q45_sim_ann_lsh" -> annLsh _,
     "q53_sim_ann_ivf" -> annIvf _,
     "q61_dedup_embedding_cosine" -> cosineNearDupPairs _,
     "q65_sim_ann_multiprobe" -> annLshMultiProbe _,
-    "q78_sim_quantized_rerank" -> (quantizedRerank(_, _))
+    "q78_sim_quantized_rerank" -> (quantizedRerank(_, _)),
+    "q90_sim_semantic_clusters" -> semanticClusters _
   )
 
   /** Oracle-side plane weight, same integer formula as [[planeWeight]]. */
@@ -383,6 +395,38 @@ object Similarity extends QueryModule {
          |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS cos_sim
          |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT a, b, cos_sim FROM p WHERE cos_sim >= 0.999 ORDER BY a, b""".stripMargin
+    },
+    // q61's pair query wrapped in the q77-style transitive closure — the
+    // oracle for the engine's contraction-based clustering (closure is
+    // test-scale only, like q77's)
+    "q90_sim_semantic_clusters" -> {
+      val bucketExpr = (0 until DedupPlanes).map { p =>
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ${planeWeightSql(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |            FROM embeddings),
+         |u AS (SELECT vec_id, emb FROM e0
+         |      UNION ALL
+         |      SELECT vec_id + 1000000, list_transform(emb, x -> x * 2.0) FROM e0),
+         |n AS (SELECT vec_id, emb,
+         |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+         |        $bucketExpr AS bucket
+         |      FROM u),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |        round(list_sum(list_transform(range(1, 65),
+         |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+         |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT a, b FROM p WHERE cos_sim >= 0.999),
+         |edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |lab AS (SELECT s AS node, least(s, min(d)) AS label FROM reach GROUP BY s)
+         |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |FROM lab GROUP BY label
+         |ORDER BY n_members DESC, cluster_id""".stripMargin
     },
     "q65_sim_ann_multiprobe" -> {
       val bucketExpr = (0 until 4).map { p =>
