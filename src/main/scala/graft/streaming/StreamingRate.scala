@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
+
+/** One counter sample on a series, keyed by (metric name, user label) —
+  * the relay's own series identity (reference data model, `record.go:8-13`).
+  * `tsUs` is event time in microseconds, matching the batch q82 pipeline. */
+final case class CounterSample(name: String, user_id: Long, tsUs: Long, value: Double)
+
+/** Per-series state carried across micro-batches: the previous sample
+  * (the only thing PromQL-style rate needs to look back at) plus the
+  * running totals that make each emitted update cumulative. */
+final case class RateState(
+    firstTsUs: Long, lastTsUs: Long, lastValue: Double,
+    nSamples: Long, nResets: Long, nLate: Long, totalIncrease: Double)
+
+/** Cumulative rate snapshot for one series, one row per micro-batch that
+  * touched the series (Update mode: the latest row per key is the answer).
+  * `rate_per_sec` is None until the series spans a positive time interval —
+  * the same sum(dt)=0 guard as the batch `safeRate`. */
+final case class RateTotals(
+    name: String, user_id: Long, n_samples: Long, n_resets: Long, n_late: Long,
+    total_increase: Double, rate_per_sec: Option[Double])
+
+/** Streaming PromQL-style `increase`/`rate` with counter-reset handling —
+  * the continuous twin of the batch q82 (`EventAnalytics.promRate`), built
+  * on Spark 4's `transformWithState` arbitrary-state API (the successor to
+  * `flatMapGroupsWithState`: typed per-key state handles, per-state TTL,
+  * timers — and it REQUIRES the RocksDB state store provider, which is the
+  * backend a large deployment runs anyway, see `RocksDbStateStoreSpec`).
+  *
+  * Semantics (identical to batch, PromQL's extrapolation-free core rule):
+  * within a series ordered by (ts, value), delta = v − v_prev; a negative
+  * delta means the counter restarted near 0, so the increase contributed is
+  * the full new value. The per-series state is ONE previous sample plus
+  * running totals — O(active series) state, not O(samples).
+  *
+  * Ordering contract: rows inside a micro-batch are sorted here (event
+  * order within a batch is not guaranteed); rows that arrive in a LATER
+  * batch with an event time at or before the state's high-water mark
+  * cannot be spliced into an already-consumed delta sequence — they are
+  * counted in `n_late` and excluded, mirroring how the engine itself drops
+  * late rows behind a watermark. Feed the operator a watermarked stream
+  * and `n_late` stays 0.
+  *
+  * Scale: state lives in the (RocksDB) state store hash-partitioned by
+  * series key — a 1000-executor job holds each series' last sample exactly
+  * once, every micro-batch shuffles only its own rows, and `ttl` evicts
+  * series that stopped reporting so state is bounded by ACTIVE series.
+  * A TTL eviction deliberately restarts the series' totals from zero (the
+  * baseline sample is gone); size the TTL to the scrape-staleness horizon.
+  */
+object StreamingRate {
+
+  private final class CounterRateProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[(String, Long), CounterSample, RateTotals] {
+    @transient private var state: ValueState[RateState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RateState]("rate", Encoders.product[RateState], ttl)
+
+    override def handleInputRows(
+        key: (String, Long), rows: Iterator[CounterSample],
+        timers: TimerValues): Iterator[RateTotals] = {
+      // deterministic (ts, value) order inside the batch — the batch
+      // pipeline's window ordering, so same-timestamp samples reproduce
+      val batch = rows.toArray.sortBy(s => (s.tsUs, s.value))
+      var s = if (state.exists()) state.get()
+              else RateState(-1L, -1L, 0.0, 0L, 0L, 0L, 0.0)
+      batch.foreach { r =>
+        if (s.nSamples > 0L && r.tsUs <= s.lastTsUs) {
+          s = s.copy(nLate = s.nLate + 1)
+        } else if (s.nSamples == 0L) {
+          s = RateState(r.tsUs, r.tsUs, r.value, 1L, 0L, s.nLate, 0.0)
+        } else {
+          val delta = r.value - s.lastValue
+          val reset = delta < 0
+          s = s.copy(
+            lastTsUs = r.tsUs, lastValue = r.value, nSamples = s.nSamples + 1,
+            nResets = s.nResets + (if (reset) 1L else 0L),
+            totalIncrease = s.totalIncrease + (if (reset) r.value else delta))
+        }
+      }
+      state.update(s)
+      val dtUs = s.lastTsUs - s.firstTsUs
+      val rate = if (dtUs > 0L)
+        Some(math.rint(s.totalIncrease / (dtUs / 1e6) * 1e6) / 1e6) else None
+      Iterator.single(RateTotals(key._1, key._2, s.nSamples, s.nResets, s.nLate,
+        math.rint(s.totalIncrease * 100) / 100, rate))
+    }
+  }
+
+  /** @param samples the counter stream (watermark it upstream — see the
+    *                ordering contract above)
+    * @param ttl     dead-series state eviction horizon; `None` keeps state
+    *                forever (test-scale only — at production cardinality,
+    *                always set one)
+    */
+  def rateUpdates(samples: Dataset[CounterSample],
+                  ttl: Option[Duration] = None): Dataset[RateTotals] = {
+    import samples.sparkSession.implicits._
+    val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    // TTL needs the ProcessingTime time mode; but that mode makes the engine
+    // fire micro-batches continuously to advance the clock even with no
+    // data, so only opt into it when eviction is actually requested.
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    samples
+      .groupByKey(s => (s.name, s.user_id))
+      .transformWithState(new CounterRateProcessor(ttlConf),
+        timeMode, OutputMode.Update())
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.time.Duration
+
+import graft.streaming.{CounterSample, RateTotals, StreamingRate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming counter rate on `transformWithState` (Spark 4 arbitrary-state
+  * API): cross-batch continuity, counter resets, in-batch ordering, late
+  * rejection, and TTL dead-series eviction. transformWithState requires the
+  * RocksDB state store provider, so every test here also exercises the
+  * production state backend. */
+class StreamingRateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def us(sec: Long) = sec * 1000000L
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Latest cumulative snapshot per series from the memory sink. */
+  private def latest(table: String): Map[(String, Long), RateTotals] = {
+    import spark.implicits._
+    spark.table(table).as[RateTotals].collect()
+      .groupBy(r => (r.name, r.user_id))
+      .map { case (k, rs) =>
+        k -> rs.maxBy(r => (r.n_samples, r.n_late, r.n_resets))
+      }
+  }
+
+  test("cumulative increase with a counter reset carries across micro-batches") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRate.rateUpdates(stream.toDS())
+        .writeStream.format("memory").queryName("rate_basic")
+        .outputMode("update").start()
+      try {
+        stream.addData(
+          CounterSample("m", 1L, us(1), 10.0), CounterSample("m", 1L, us(2), 12.0),
+          CounterSample("m", 2L, us(1), 7.0))
+        q.processAllAvailable()
+        stream.addData(
+          CounterSample("m", 1L, us(3), 15.0),
+          CounterSample("m", 1L, us(4), 3.0)) // reset: 15 -> 3 contributes +3
+        q.processAllAvailable()
+        stream.addData(CounterSample("m", 1L, us(5), 8.0))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = latest("rate_basic")
+      // series (m,1): +2 +3 reset(+3) +5 = 13 over 4s
+      assert(got(("m", 1L)) ===
+        RateTotals("m", 1L, 5L, 1L, 0L, 13.0, Some(3.25)))
+      // single-sample series: no interval yet, rate undefined (sum(dt)=0 guard)
+      assert(got(("m", 2L)) === RateTotals("m", 2L, 1L, 0L, 0L, 0.0, None))
+    }
+  }
+
+  test("rows inside one batch are consumed in event-time order") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRate.rateUpdates(stream.toDS())
+        .writeStream.format("memory").queryName("rate_order")
+        .outputMode("update").start()
+      try {
+        // arrival order inverted vs event time: must sort, not count a late row
+        stream.addData(CounterSample("c", 1L, us(2), 5.0), CounterSample("c", 1L, us(1), 3.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(latest("rate_order")(("c", 1L)) ===
+        RateTotals("c", 1L, 2L, 0L, 0L, 2.0, Some(2.0)))
+    }
+  }
+
+  test("a cross-batch stale row is rejected and counted, not spliced in") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRate.rateUpdates(stream.toDS())
+        .writeStream.format("memory").queryName("rate_late")
+        .outputMode("update").start()
+      try {
+        stream.addData(CounterSample("d", 1L, us(5), 10.0))
+        q.processAllAvailable()
+        stream.addData(CounterSample("d", 1L, us(3), 4.0)) // behind the hwm
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(latest("rate_late")(("d", 1L)) ===
+        RateTotals("d", 1L, 1L, 0L, 1L, 0.0, None))
+    }
+  }
+
+  test("TTL evicts an idle series; a fresh sample restarts from zero") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRate.rateUpdates(stream.toDS(), ttl = Some(Duration.ofMillis(500)))
+        .writeStream.format("memory").queryName("rate_ttl")
+        .outputMode("update").start()
+      // The ProcessingTime time mode (required by TTL) fires micro-batches
+      // continuously, so processAllAvailable never quiesces — poll the sink
+      // for the expected snapshot instead.
+      def await(pred: Map[(String, Long), RateTotals] => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (!pred(latest("rate_ttl"))) {
+          if (System.nanoTime() > deadline) fail("timed out waiting for sink state")
+          Thread.sleep(100)
+        }
+      }
+      try {
+        stream.addData(CounterSample("t", 1L, us(1), 10.0))
+        await(_.contains(("t", 1L)))
+        Thread.sleep(1200) // past the TTL: the (t,1) baseline sample expires
+        stream.addData(CounterSample("t", 1L, us(2), 12.0))
+        // evicted state means the second sample is a FIRST sample again:
+        // without eviction this would read (n=2, increase=2.0). Late counter
+        // 0 proves ts=2 was not judged against the expired hwm either.
+        await(m => m(("t", 1L)).n_samples == 1L && m(("t", 1L)).n_late == 0L &&
+          spark.table("rate_ttl").count() >= 2)
+      } finally q.stop()
+      assert(latest("rate_ttl")(("t", 1L)) ===
+        RateTotals("t", 1L, 1L, 0L, 0L, 0.0, None))
+    }
+  }
+}
