@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.time.Duration
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, count => cnt, lit, max, max_by, min, round, sum,
+  when, lag}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One counter sample on a series, keyed by (metric name, user label) —
   * the relay's own series identity (reference data model, `record.go:8-13`).
@@ -25,6 +27,13 @@ final case class RateState(
 final case class RateTotals(
     name: String, user_id: Long, n_samples: Long, n_resets: Long, n_late: Long,
     total_increase: Double, rate_per_sec: Option[Double])
+
+/** A batch-computed per-series warm-start row: [[RateState]] plus its key,
+  * flat so it reads straight off a DataFrame (see
+  * [[StreamingRate.batchBaseline]]). */
+final case class RateBaseline(
+    name: String, user_id: Long, firstTsUs: Long, lastTsUs: Long, lastValue: Double,
+    nSamples: Long, nResets: Long, totalIncrease: Double)
 
 /** Streaming PromQL-style `increase`/`rate` with counter-reset handling —
   * the continuous twin of the batch q82 (`EventAnalytics.promRate`), built
@@ -57,11 +66,19 @@ final case class RateTotals(
 object StreamingRate {
 
   private final class CounterRateProcessor(ttl: TTLConfig)
-      extends StatefulProcessor[(String, Long), CounterSample, RateTotals] {
+      extends StatefulProcessorWithInitialState[
+        (String, Long), CounterSample, RateTotals, RateBaseline] {
     @transient private var state: ValueState[RateState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[RateState]("rate", Encoders.product[RateState], ttl)
+
+    /** Warm start: seed the series' state from a batch-computed baseline
+      * (runs once, on the first micro-batch, before any input rows). */
+    override def handleInitialState(
+        key: (String, Long), init: RateBaseline, timers: TimerValues): Unit =
+      state.update(RateState(init.firstTsUs, init.lastTsUs, init.lastValue,
+        init.nSamples, init.nResets, 0L, init.totalIncrease))
 
     override def handleInputRows(
         key: (String, Long), rows: Iterator[CounterSample],
@@ -112,5 +129,49 @@ object StreamingRate {
       .groupByKey(s => (s.name, s.user_id))
       .transformWithState(new CounterRateProcessor(ttlConf),
         timeMode, OutputMode.Update())
+  }
+
+  /** Warm-started variant: seed per-series state from [[batchBaseline]]'s
+    * output before the first micro-batch — the backfill-then-stream story a
+    * production deployment actually runs (bulk-compute rate state over the
+    * historical lake, then continue it live without re-reading history).
+    * Resets are detected ACROSS the seam: a first streamed value below the
+    * baseline's last value counts as a counter restart, exactly as if the
+    * sample had arrived in-stream. */
+  def rateUpdatesFrom(samples: Dataset[CounterSample], baseline: Dataset[RateBaseline],
+                      ttl: Option[Duration] = None): Dataset[RateTotals] = {
+    import samples.sparkSession.implicits._
+    val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    samples
+      .groupByKey(s => (s.name, s.user_id))
+      .transformWithState(new CounterRateProcessor(ttlConf), timeMode, OutputMode.Update(),
+        baseline.groupByKey(b => (b.name, b.user_id)))
+  }
+
+  /** The batch half of the warm start: per-series rate state computed with
+    * the q82 window-lag pipeline (one shuffle on the series key; per-series
+    * state collapses to a single row). Feed its output to
+    * [[rateUpdatesFrom]] on the stream that continues the same series. */
+  def batchBaseline(samples: Dataset[CounterSample]): Dataset[RateBaseline] = {
+    import samples.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.struct
+    val w = Window.partitionBy(col("name"), col("user_id"))
+      .orderBy(col("tsUs"), col("value"))
+    samples.toDF()
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("inc", when(col("delta").isNull, lit(0.0))
+        .when(col("delta") < 0, col("value")).otherwise(col("delta")))
+      .withColumn("reset", when(col("delta") < 0, 1L).otherwise(0L))
+      .groupBy(col("name"), col("user_id"))
+      .agg(
+        min(col("tsUs")).as("firstTsUs"),
+        max(col("tsUs")).as("lastTsUs"),
+        max_by(col("value"), struct(col("tsUs"), col("value"))).as("lastValue"),
+        cnt(lit(1)).as("nSamples"),
+        sum(col("reset")).as("nResets"),
+        sum(col("inc")).as("totalIncrease"))
+      .as[RateBaseline]
   }
 }

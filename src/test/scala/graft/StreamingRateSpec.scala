@@ -2,7 +2,7 @@ package graft
 
 import java.time.Duration
 
-import graft.streaming.{CounterSample, RateTotals, StreamingRate}
+import graft.streaming.{CounterSample, RateBaseline, RateTotals, StreamingRate}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -101,6 +101,39 @@ class StreamingRateSpec extends AnyFunSuite {
       } finally q.stop()
       assert(latest("rate_late")(("d", 1L)) ===
         RateTotals("d", 1L, 1L, 0L, 1L, 0.0, None))
+    }
+  }
+
+  test("warm start from a batch baseline: the batch/stream seam is invisible") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // history = the first batch of the all-streaming test, computed in batch
+      val hist = Seq(
+        CounterSample("w", 1L, us(1), 10.0), CounterSample("w", 1L, us(2), 12.0),
+        CounterSample("w", 1L, us(3), 15.0)).toDS()
+      val baseline = StreamingRate.batchBaseline(hist)
+      assert(baseline.collect().toSeq ===
+        Seq(RateBaseline("w", 1L, us(1), us(3), 15.0, 3L, 0L, 5.0)))
+
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRate.rateUpdatesFrom(stream.toDS(), baseline)
+        .writeStream.format("memory").queryName("rate_warm")
+        .outputMode("update").start()
+      try {
+        // continues the series PAST the baseline, resetting across the seam
+        // (3 < baseline lastValue 15), plus a series the baseline never saw
+        stream.addData(CounterSample("w", 1L, us(4), 3.0), CounterSample("w", 2L, us(1), 7.0))
+        q.processAllAvailable()
+        stream.addData(CounterSample("w", 1L, us(5), 8.0))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = latest("rate_warm")
+      // identical to the all-streaming run of the same 5 samples:
+      // +2 +3 reset(+3) +5 = 13 over 4s
+      assert(got(("w", 1L)) === RateTotals("w", 1L, 5L, 1L, 0L, 13.0, Some(3.25)))
+      assert(got(("w", 2L)) === RateTotals("w", 2L, 1L, 0L, 0L, 0.0, None))
     }
   }
 
