@@ -137,6 +137,42 @@ class StreamingRateSpec extends AnyFunSuite {
     }
   }
 
+  test("state survives a query restart from the checkpoint") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ckpt = java.nio.file.Files.createTempDirectory("rate_ckpt").toString
+      // the memory sink refuses checkpoint recovery; collect via foreachBatch
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[RateTotals]()
+      val stream = MemoryStream[CounterSample]
+      def start() = StreamingRate.rateUpdates(stream.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[RateTotals], _: Long) =>
+          batch.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+      val q1 = start()
+      try {
+        stream.addData(CounterSample("r", 1L, us(1), 10.0), CounterSample("r", 1L, us(2), 12.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start() // same checkpoint: RocksDB state must reload
+      try {
+        stream.addData(CounterSample("r", 1L, us(3), 15.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      // continuity across the restart: +2 then +3 on the RELOADED last
+      // sample — a state loss would read (n=1, increase=0) after restart
+      import scala.jdk.CollectionConverters._
+      val last = seen.asScala.toSeq.maxBy(_.n_samples)
+      assert(last === RateTotals("r", 1L, 3L, 0L, 0L, 5.0, Some(2.5)))
+    }
+  }
+
   test("TTL evicts an idle series; a fresh sample restarts from zero") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
