@@ -149,6 +149,25 @@ object StreamingRate {
         baseline.groupByKey(b => (b.name, b.user_id)))
   }
 
+  /** Adapter from the relay's canonical record stream (`RemoteWrite
+    * .flatten`: name, time ms, value, labels) to [[CounterSample]] rows —
+    * the glue that makes the reference's OWN wire format (snappy +
+    * protobuf remote-write bodies) directly consumable by the streaming
+    * analytics layer. Series identity = metric name × `seriesLabel` (a
+    * numeric label, e.g. the events-style `user` label; series missing it
+    * collapse into id 0). Null values (empty series / NaN, §2.2) carry no
+    * counter information and are dropped. */
+  def fromRelay(records: DataFrame, seriesLabel: String = "user"): Dataset[CounterSample] = {
+    import records.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{coalesce, element_at}
+    records.filter(col("value").isNotNull)
+      .select(col("name"),
+        coalesce(element_at(col("labels"), seriesLabel).cast("long"), lit(0L)).as("user_id"),
+        (col("time") * lit(1000L)).as("tsUs"),
+        col("value"))
+      .as[CounterSample]
+  }
+
   /** The batch half of the warm start: per-series rate state computed with
     * the q82 window-lag pipeline (one shuffle on the series key; per-series
     * state collapses to a single row). Feed its output to

@@ -137,6 +137,42 @@ class StreamingRateSpec extends AnyFunSuite {
     }
   }
 
+  test("end-to-end: remote-write wire bodies feed the streaming rate") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import graft.sources.Prompb.{Sample, TimeSeries}
+      import graft.sources.{Prompb, RemoteWrite}
+
+      def body(ts: TimeSeries*): Array[Byte] =
+        org.xerial.snappy.Snappy.compress(Prompb.encode(ts))
+
+      val bodies = MemoryStream[Array[Byte]]
+      val samples = StreamingRate.fromRelay(
+        RemoteWrite.fromBodies(bodies.toDS().toDF("body")))
+      val q = StreamingRate.rateUpdates(samples)
+        .writeStream.format("memory").queryName("rate_wire")
+        .outputMode("update").start()
+      try {
+        // two scrapes in one body, then a reset in a second body — plus an
+        // empty series (explode_outer null value) that must be ignored
+        bodies.addData(body(
+          TimeSeries(Map("__name__" -> "reqs", "user" -> "7"),
+            Seq(Sample(10.0, 1000L), Sample(12.0, 2000L))),
+          TimeSeries(Map("__name__" -> "empty", "user" -> "1"), Seq.empty)))
+        q.processAllAvailable()
+        bodies.addData(body(
+          TimeSeries(Map("__name__" -> "reqs", "user" -> "7"), Seq(Sample(3.0, 3000L)))))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = latest("rate_wire")
+      // +2, then reset to 3 (+3) = 5 over 2s
+      assert(got(("reqs", 7L)) === RateTotals("reqs", 7L, 3L, 1L, 0L, 5.0, Some(2.5)))
+      assert(!got.contains(("empty", 1L)), "null-value rows must not create series")
+    }
+  }
+
   test("state survives a query restart from the checkpoint") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
