@@ -371,6 +371,7 @@ object Dedup extends QueryModule {
     var edges = canon
       .filter(col("lo") =!= col("hi")).distinct()
       .localCheckpoint(true)
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -393,10 +394,14 @@ object Dedup extends QueryModule {
         .distinct()
         .localCheckpoint(true)
       // fixpoint: both sides deduped, so equal count + empty difference ⇔
-      // identical edge sets (the star forest is stable under both passes)
-      converged = small.count() == edges.count() &&
+      // identical edge sets (the star forest is stable under both passes).
+      // The previous round's count is carried, not recomputed: one job per
+      // round instead of two.
+      val smallCount = small.count()
+      converged = smallCount == edgeCount &&
         small.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
       edges = small
+      edgeCount = smallCount
       iter += 1
     }
     // A truncated contraction would silently split components (wrong
