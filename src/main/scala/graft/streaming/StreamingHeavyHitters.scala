@@ -52,7 +52,10 @@ object StreamingHeavyHitters {
       // load the tracked set once; it is bounded by `capacity`
       val tracked = scala.collection.mutable.HashMap.empty[String, SsCounter]
       counters.iterator().foreach { case (t, c) => tracked.update(t, c) }
-      // deterministic apply order (token asc) so eviction ties are stable
+      // deterministic apply order (token asc) so eviction ties are stable;
+      // only touched entries are written back (dirty set), so store writes
+      // are O(distinct tokens in batch), not O(capacity)
+      val dirty = scala.collection.mutable.HashSet.empty[String]
       batchCounts.toSeq.sortBy(_._1).foreach { case (token, n) =>
         tracked.get(token) match {
           case Some(c) => tracked.update(token, c.copy(count = c.count + n))
@@ -66,8 +69,9 @@ object StreamingHeavyHitters {
             counters.removeKey(minTok)
             tracked.update(token, SsCounter(minC.count + n, minC.count))
         }
+        dirty.add(token)
       }
-      tracked.foreach { case (t, c) => counters.updateValue(t, c) }
+      dirty.foreach(t => tracked.get(t).foreach(c => counters.updateValue(t, c)))
       // snapshot: top-k by estimated count (ties: token asc)
       tracked.toSeq.sortBy { case (t, c) => (-c.count, t) }.take(k).iterator
         .zipWithIndex.map { case ((t, c), i) =>
