@@ -209,6 +209,35 @@ class StreamingRateSpec extends AnyFunSuite {
     }
   }
 
+  test("micro-batch plan shape: one shuffle, one TransformWithStateExec") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRate.rateUpdates(stream.toDS())
+        .writeStream.format("memory").queryName("rate_plan")
+        .outputMode("update").start()
+      try {
+        stream.addData(CounterSample("p", 1L, us(1), 1.0))
+        q.processAllAvailable()
+        val plan = q
+          .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan
+        val shuffles = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        val tws = plan.collect {
+          case p if p.nodeName.contains("TransformWithState") => p
+        }
+        // the ONLY exchange is the hash partitioning onto the state key —
+        // an accidental second shuffle (e.g. from an adapter) fails here
+        assert(shuffles.size == 1,
+          s"expected exactly 1 shuffle, got ${shuffles.size}:\n$plan")
+        assert(tws.nonEmpty, s"TransformWithStateExec missing from plan:\n$plan")
+      } finally q.stop()
+    }
+  }
+
   test("TTL evicts an idle series; a fresh sample restarts from zero") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
