@@ -36,13 +36,13 @@ final case class LivenessState(lastTsUs: Long, timerMs: Long, stale: Boolean)
   */
 object StreamingStaleness {
 
-  private final class StalenessProcessor(staleAfterMs: Long)
+  private final class StalenessProcessor(staleAfterMs: Long, ttl: TTLConfig)
       extends StatefulProcessor[(String, Long), CounterSample, SeriesTransition] {
     @transient private var state: ValueState[LivenessState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[LivenessState](
-        "liveness", Encoders.product[LivenessState], TTLConfig.NONE)
+        "liveness", Encoders.product[LivenessState], ttl)
 
     override def handleInputRows(
         key: (String, Long), rows: Iterator[CounterSample],
@@ -64,6 +64,9 @@ object StreamingStaleness {
     override def handleExpiredTimer(
         key: (String, Long), timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[SeriesTransition] = {
+      // belt-and-braces for the timer-vs-state-TTL race the require() in
+      // transitions() already prevents: an expired state emits nothing
+      if (!state.exists()) return Iterator.empty
       val s = state.get()
       // a stale-marked series keeps no armed timer; it re-arms on revival
       state.update(s.copy(timerMs = 0L, stale = true))
@@ -73,13 +76,25 @@ object StreamingStaleness {
 
   /** @param samples    the counter stream (same rows [[StreamingRate]] eats)
     * @param staleAfter wall-clock silence after which a series is marked
-    *                   stale (Prometheus defaults to ~5 min) */
-  def transitions(samples: Dataset[CounterSample],
-                  staleAfter: Duration): Dataset[SeriesTransition] = {
+    *                   stale (Prometheus defaults to ~5 min)
+    * @param forgetAfter optional horizon after which a STALE series'
+    *                   state itself is dropped (state TTL refreshes on
+    *                   every sample, so only silent series expire). A
+    *                   series reappearing past it re-registers silently —
+    *                   no `active` marker, like a brand-new series. Set it
+    *                   in production: without it, state grows with
+    *                   EVER-SEEN series, not active ones. Must exceed
+    *                   `staleAfter`, or the stale timer could fire on
+    *                   already-expired state. */
+  def transitions(samples: Dataset[CounterSample], staleAfter: Duration,
+                  forgetAfter: Option[Duration] = None): Dataset[SeriesTransition] = {
+    forgetAfter.foreach(f => require(f.compareTo(staleAfter) > 0,
+      s"forgetAfter $f must exceed staleAfter $staleAfter"))
     import samples.sparkSession.implicits._
+    val ttl = forgetAfter.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
     samples
       .groupByKey(s => (s.name, s.user_id))
-      .transformWithState(new StalenessProcessor(staleAfter.toMillis),
+      .transformWithState(new StalenessProcessor(staleAfter.toMillis, ttl),
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 }
