@@ -3,8 +3,8 @@ package graft.streaming
 import java.time.Duration
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.{col, count => cnt, lit, max, max_by, min, round, sum,
-  when, lag}
+import org.apache.spark.sql.functions.{col, count => cnt, lag, lit, max, max_by, min, sum,
+  when}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState,
   TTLConfig, TimeMode, TimerValues, ValueState}
 
