@@ -82,6 +82,42 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState reloads across a checkpointed restart") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ckpt = java.nio.file.Files.createTempDirectory("hh_ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[HeavyHitter]()
+      val stream = MemoryStream[TokenEvent]
+      def start() = StreamingHeavyHitters.topK(stream.toDS(), capacity = 10, k = 2)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[HeavyHitter], _: Long) =>
+          b.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+      val q1 = start()
+      try {
+        stream.addData(TokenEvent("g", "a"), TokenEvent("g", "a"), TokenEvent("g", "b"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start() // counters must come back from the state store
+      try {
+        stream.addData(TokenEvent("g", "b"), TokenEvent("g", "b"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      val last = seen.asScala.toSeq.groupBy(_.rank)
+        .map { case (_, rs) => rs.maxBy(_.count) }.toSeq.sortBy(_.rank)
+      // a state loss would read b=2 (batch-2 only); continuity reads b=3
+      assert(last === Seq(
+        HeavyHitter("g", "b", 3L, 0L, 1), HeavyHitter("g", "a", 2L, 0L, 2)))
+    }
+  }
+
   test("groups are independent: one group's eviction never touches another") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
