@@ -118,6 +118,52 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus vocabulary: streamed document tokens match exact batch counts") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, explode, lower, split}
+      // real corpus rows: the documents testdata table, tokens keyed by lang
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("lang"), col("text")).limit(200).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+
+      val stream = MemoryStream[(String, String)]
+      val tokens = stream.toDS().toDF("group", "text")
+        .select(col("group"), explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .as[TokenEvent]
+      val q = StreamingHeavyHitters.topK(tokens, capacity = 50000, k = 5)
+        .writeStream.format("memory").queryName("hh_vocab")
+        .outputMode("update").start()
+      try {
+        val (half1, half2) = docs.splitAt(docs.length / 2)
+        stream.addData(half1.toSeq: _*)
+        q.processAllAvailable()
+        stream.addData(half2.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // exact oracle: batch token counts over the same 200 docs
+      val exact = docs.toSeq.toDF("group", "text")
+        .select(col("group"), explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("group", "token").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+      val got = lastSnapshot("hh_vocab")
+      got.foreach { case (g, snap) =>
+        // capacity ≥ vocabulary here, so estimates are EXACT and top-5
+        // order must match the true counts (ties token-asc both sides)
+        val trueTop = exact.collect { case ((`g`, t), n) => (t, n) }.toSeq
+          .sortBy { case (t, n) => (-n, t) }.take(5)
+        assert(snap.map(h => (h.token, h.count)) === trueTop, s"group $g")
+        assert(snap.forall(_.error == 0L), s"group $g: under capacity, no overshoot")
+      }
+      assert(got.nonEmpty)
+    }
+  }
+
   test("groups are independent: one group's eviction never touches another") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
