@@ -8,9 +8,11 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
 
 /** One trailing-window rate snapshot for a series, emitted per micro-batch
   * that touched it: the window is `(newest sample ts − windowUs, newest]`,
-  * `increase` is the reset-corrected growth across the samples inside it,
-  * and `rate_per_sec` divides by the ACTUAL sample span (PromQL's
-  * extrapolation-free core; None with fewer than two in-window samples). */
+  * `increase` is the reset-corrected growth across consecutive IN-WINDOW
+  * samples only (PromQL's rule: samples before the range start contribute
+  * nothing), and `rate_per_sec` divides by the ACTUAL in-window sample span
+  * (the extrapolation-free core; None with fewer than two in-window
+  * samples). */
 final case class RangeRate(
     name: String, user_id: Long, window_end_us: Long, n_in_window: Long,
     increase: Double, rate_per_sec: Option[Double])
@@ -27,11 +29,12 @@ final case class BufferedSample(tsUs: Long, value: Double)
   * bounded by configuration, not by stream length (a 5 m window at 15 s
   * scrape is ≤ 21 samples regardless of how long the job runs).
   *
-  * Eviction keeps ONE sample at-or-before the window start so the increase
-  * at the window's left edge is measured, not lost (the same reason PromQL
-  * looks back past the range start for counter correction). Counter resets
-  * inside the window contribute the post-reset value, as in the batch q82
-  * pipeline and [[StreamingRate]].
+  * Increase and span are computed over IN-WINDOW samples only — exactly
+  * PromQL's `rate(m[w])`, which ignores everything before `t − w`; counter
+  * resets between consecutive in-window samples contribute the post-reset
+  * value, as in the batch q82 pipeline and [[StreamingRate]]. The buffer
+  * is evicted strictly to the window: the newest sample only moves the
+  * window forward, so an evicted sample can never re-enter a later window.
   *
   * Same ordering contract as [[StreamingRate]]: in-batch rows are sorted;
   * cross-batch stale rows (ts ≤ newest buffered ts) are dropped — feed a
@@ -58,19 +61,15 @@ object StreamingRangeRate {
       if (fresh.isEmpty) return Iterator.empty
       val merged = prior ++ fresh
       val windowStart = merged.last.tsUs - windowUs
-      // evict to the window, keeping one sample at-or-before its left edge
-      val firstInside = merged.indexWhere(_.tsUs > windowStart)
-      val kept = merged.drop(math.max(0, firstInside - 1))
-      buf.put(kept.toArray)
-      val inWindow = kept.filter(_.tsUs > windowStart)
-      val anchor = kept.take(kept.length - inWindow.length).lastOption
-      val series = anchor.toVector ++ inWindow
-      val increase = series.iterator.sliding(2).withPartial(false).map { pair =>
+      // evict strictly to the window — only in-window samples carry meaning
+      val inWindow = merged.filter(_.tsUs > windowStart)
+      buf.put(inWindow.toArray)
+      val increase = inWindow.iterator.sliding(2).withPartial(false).map { pair =>
         val d = pair(1).value - pair(0).value
         if (d < 0) pair(1).value else d // counter reset inside the window
       }.sum
-      val spanUs = series.last.tsUs - series.head.tsUs
-      val rate = if (series.length >= 2 && spanUs > 0L)
+      val spanUs = inWindow.last.tsUs - inWindow.head.tsUs
+      val rate = if (inWindow.length >= 2 && spanUs > 0L)
         Some(math.rint(increase / (spanUs / 1e6) * 1e6) / 1e6) else None
       Iterator.single(RangeRate(key._1, key._2, merged.last.tsUs, inWindow.length.toLong,
         math.rint(increase * 100) / 100, rate))

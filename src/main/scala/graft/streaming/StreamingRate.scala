@@ -50,11 +50,15 @@ final case class RateBaseline(
   *
   * Ordering contract: rows inside a micro-batch are sorted here (event
   * order within a batch is not guaranteed); rows that arrive in a LATER
-  * batch with an event time at or before the state's high-water mark
-  * cannot be spliced into an already-consumed delta sequence — they are
-  * counted in `n_late` and excluded, mirroring how the engine itself drops
-  * late rows behind a watermark. Feed the operator a watermarked stream
-  * and `n_late` stays 0.
+  * batch strictly behind the state's (ts, value) high-water mark — the
+  * exact order the batch window sorts by — cannot be spliced into an
+  * already-consumed delta sequence; they are counted in `n_late` and
+  * excluded, mirroring how the engine itself drops late rows behind a
+  * watermark. A row AT the high-water timestamp with value ≥ the last
+  * value extends the (ts, value) order and is consumed normally (delta 0
+  * for an exact duplicate), so duplicate-timestamp scrapes produce the
+  * same n_samples/total_increase as the batch pipeline over the same
+  * rows. Feed the operator a watermarked stream and `n_late` stays 0.
   *
   * Scale: state lives in the (RocksDB) state store hash-partitioned by
   * series key — a 1000-executor job holds each series' last sample exactly
@@ -89,7 +93,12 @@ object StreamingRate {
       var s = if (state.exists()) state.get()
               else RateState(-1L, -1L, 0.0, 0L, 0L, 0L, 0.0)
       batch.foreach { r =>
-        if (s.nSamples > 0L && r.tsUs <= s.lastTsUs) {
+        // late = strictly behind the (ts, value) high-water mark, the batch
+        // window's own sort order: an equal-ts row with value ≥ lastValue is
+        // the NEXT element of that order, not a splice into the past
+        val late = s.nSamples > 0L && (r.tsUs < s.lastTsUs ||
+          (r.tsUs == s.lastTsUs && r.value < s.lastValue))
+        if (late) {
           s = s.copy(nLate = s.nLate + 1)
         } else if (s.nSamples == 0L) {
           s = RateState(r.tsUs, r.tsUs, r.value, 1L, 0L, s.nLate, 0.0)
@@ -154,15 +163,25 @@ object StreamingRate {
     * the glue that makes the reference's OWN wire format (snappy +
     * protobuf remote-write bodies) directly consumable by the streaming
     * analytics layer. Series identity = metric name × `seriesLabel` (a
-    * numeric label, e.g. the events-style `user` label; series missing it
-    * collapse into id 0). Null values (empty series / NaN, §2.2) carry no
-    * counter information and are dropped. */
+    * numeric label, e.g. the events-style `user` label). Series MISSING the
+    * label collapse into id 0; a series whose label is present but
+    * NON-NUMERIC is dropped entirely (not merged into id 0 — that would
+    * cross-contaminate counter deltas and inflate n_resets/n_late for the
+    * merged key). For full-label-set identity — the reference's own series
+    * key (`record.go:14`) — use [[RelayAnalytics.counterSamples]], which
+    * hashes the whole sorted label map and never merges or drops. Null
+    * values (empty series / NaN, §2.2) carry no counter information and
+    * are dropped. */
   def fromRelay(records: DataFrame, seriesLabel: String = "user"): Dataset[CounterSample] = {
     import records.sparkSession.implicits._
     import org.apache.spark.sql.functions.{coalesce, element_at}
+    // try_cast, not cast: ANSI mode turns a malformed label into a query
+    // error; here a non-numeric label means "drop the row", not "die"
+    val raw = element_at(col("labels"), seriesLabel)
     records.filter(col("value").isNotNull)
+      .filter(raw.isNull || raw.try_cast("long").isNotNull)
       .select(col("name"),
-        coalesce(element_at(col("labels"), seriesLabel).cast("long"), lit(0L)).as("user_id"),
+        coalesce(raw.try_cast("long"), lit(0L)).as("user_id"),
         (col("time") * lit(1000L)).as("tsUs"),
         col("value"))
       .as[CounterSample]

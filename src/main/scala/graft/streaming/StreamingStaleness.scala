@@ -78,14 +78,20 @@ object StreamingStaleness {
     * @param staleAfter wall-clock silence after which a series is marked
     *                   stale (Prometheus defaults to ~5 min)
     * @param forgetAfter optional horizon after which a STALE series'
-    *                   state itself is dropped (state TTL refreshes on
-    *                   every sample, so only silent series expire). A
-    *                   series reappearing past it re-registers silently —
-    *                   no `active` marker, like a brand-new series. Set it
-    *                   in production: without it, state grows with
-    *                   EVER-SEEN series, not active ones. Must exceed
-    *                   `staleAfter`, or the stale timer could fire on
-    *                   already-expired state. */
+    *                   state itself is dropped. The TTL refreshes on every
+    *                   state write — each sample AND the stale-transition
+    *                   write in `handleExpiredTimer` — so the clock runs
+    *                   from the STALE TRANSITION, not the last sample: a
+    *                   silent series is forgotten ~`staleAfter +
+    *                   forgetAfter` after its last sample (first marked
+    *                   stale, then held `forgetAfter` longer so a prompt
+    *                   revival still emits `active`). A series reappearing
+    *                   past that re-registers silently — no `active`
+    *                   marker, like a brand-new series. Set it in
+    *                   production: without it, state grows with EVER-SEEN
+    *                   series, not active ones. Must exceed `staleAfter`,
+    *                   or the stale timer could fire on already-expired
+    *                   state. */
   def transitions(samples: Dataset[CounterSample], staleAfter: Duration,
                   forgetAfter: Option[Duration] = None): Dataset[SeriesTransition] = {
     forgetAfter.foreach(f => require(f.compareTo(staleAfter) > 0,

@@ -7,8 +7,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 /** PromQL range-window rate in ListState: the window slides with the
-  * newest sample, old samples evict, the left-edge increase is anchored
-  * by one sample at-or-before the window start. */
+  * newest sample, old samples evict, and increase/span are computed over
+  * in-window samples ONLY (PromQL ignores samples before the range
+  * start). */
 class StreamingRangeRateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -25,7 +26,7 @@ class StreamingRangeRateSpec extends AnyFunSuite {
     }
   }
 
-  test("the window slides: snapshots see only the trailing range, anchored at its edge") {
+  test("the window slides: snapshots see only the trailing range") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
@@ -46,12 +47,37 @@ class StreamingRangeRateSpec extends AnyFunSuite {
 
       val rows = spark.table("rrate").as[RangeRate].collect().toSeq.sortBy(_.window_end_us)
       assert(rows === Seq(
-        // batch 1: window (0.5s, 3s] holds all three samples, no anchor yet
+        // batch 1: window (0.5s, 3s] holds all three samples
         RangeRate("m", 1L, us(3), 3L, 5.0, Some(2.5)),
-        // batch 2: window (2.5s, 5s] holds ts3..ts5; ts2 anchors the left
-        // edge, ts1 evicted. Increase = 3 (12→15) + 3 (reset to 3) + 5 = 11
-        // over the 3s anchor→end span
-        RangeRate("m", 1L, us(5), 3L, 11.0, Some(3.666667))))
+        // batch 2: window (2.5s, 5s] holds ts3..ts5; ts1/ts2 evicted and
+        // contribute NOTHING (PromQL ignores pre-window samples).
+        // Increase = reset to 3 (+3) + 5 (3→8) = 8 over the 2s in-window span
+        RangeRate("m", 1L, us(5), 3L, 8.0, Some(4.0))))
+    }
+  }
+
+  test("one in-window sample yields no rate even when older samples exist") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRangeRate.rangeRate(stream.toDS(), Duration.ofSeconds(1))
+        .writeStream.format("memory").queryName("rrate_lone")
+        .outputMode("update").start()
+      try {
+        stream.addData(CounterSample("l", 1L, us(1), 10.0))
+        q.processAllAvailable()
+        // 9s later: the window (9s, 10s] holds ONLY the new sample — the
+        // old one is no rate anchor (PromQL: fewer than two in-window
+        // samples ⇒ no rate), and the pre-window delta is not attributed
+        stream.addData(CounterSample("l", 1L, us(10), 20.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("rrate_lone").as[RangeRate].collect().toSeq
+        .sortBy(_.window_end_us)
+      assert(rows === Seq(
+        RangeRate("l", 1L, us(1), 1L, 0.0, None),
+        RangeRate("l", 1L, us(10), 1L, 0.0, None)))
     }
   }
 

@@ -85,6 +85,39 @@ class StreamingRateSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate timestamps: streaming totals equal the batch pipeline's") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // same-ts samples in one batch, plus a cross-batch row AT the hwm ts
+      // with a larger value: both extend the batch window's (ts, value)
+      // order, so they must count as increase, not as late rows
+      val all = Seq(
+        CounterSample("e", 1L, us(1), 10.0), CounterSample("e", 1L, us(1), 11.0),
+        CounterSample("e", 1L, us(2), 12.0), CounterSample("e", 1L, us(2), 14.0))
+      val base = StreamingRate.batchBaseline(all.toDS()).collect().head
+      assert((base.nSamples, base.totalIncrease) === (4L, 4.0))
+
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRate.rateUpdates(stream.toDS())
+        .writeStream.format("memory").queryName("rate_dupts")
+        .outputMode("update").start()
+      try {
+        stream.addData(all(0), all(1), all(2))
+        q.processAllAvailable()
+        stream.addData(all(3)) // ts == hwm, value 14 > lastValue 12: consumed
+        q.processAllAvailable()
+        // value 13 < lastValue 14 at the hwm ts sorts BEFORE the consumed
+        // (2s, 14) in the batch order — unspliceable, counted late
+        stream.addData(CounterSample("e", 1L, us(2), 13.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = latest("rate_dupts")(("e", 1L))
+      assert(got === RateTotals("e", 1L, base.nSamples, base.nResets, 1L,
+        base.totalIncrease, Some(4.0)))
+    }
+  }
+
   test("a cross-batch stale row is rejected and counted, not spliced in") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
@@ -159,7 +192,13 @@ class StreamingRateSpec extends AnyFunSuite {
         bodies.addData(body(
           TimeSeries(Map("__name__" -> "reqs", "user" -> "7"),
             Seq(Sample(10.0, 1000L), Sample(12.0, 2000L))),
-          TimeSeries(Map("__name__" -> "empty", "user" -> "1"), Seq.empty)))
+          TimeSeries(Map("__name__" -> "empty", "user" -> "1"), Seq.empty),
+          // a non-numeric series label must be DROPPED, not merged into
+          // user_id 0 (that would cross-contaminate the id-0 deltas)
+          TimeSeries(Map("__name__" -> "reqs", "user" -> "canary"),
+            Seq(Sample(999.0, 1500L))),
+          // missing label: collapses into the documented id-0 bucket
+          TimeSeries(Map("__name__" -> "unlabeled"), Seq(Sample(5.0, 1000L)))))
         q.processAllAvailable()
         bodies.addData(body(
           TimeSeries(Map("__name__" -> "reqs", "user" -> "7"), Seq(Sample(3.0, 3000L)))))
@@ -170,6 +209,8 @@ class StreamingRateSpec extends AnyFunSuite {
       // +2, then reset to 3 (+3) = 5 over 2s
       assert(got(("reqs", 7L)) === RateTotals("reqs", 7L, 3L, 1L, 0L, 5.0, Some(2.5)))
       assert(!got.contains(("empty", 1L)), "null-value rows must not create series")
+      assert(!got.contains(("reqs", 0L)), "non-numeric labels must be dropped, not id-0")
+      assert(got(("unlabeled", 0L)).n_samples === 1L)
     }
   }
 
