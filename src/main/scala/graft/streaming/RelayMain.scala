@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.time.Duration
+
 import graft.sources.RemoteWrite
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** CLI entry point — the Spark form of the reference's `main()`
   * (`/root/reference/main.go:70-119`): flag parsing, writer selection,
@@ -24,11 +26,82 @@ import org.apache.spark.sql.streaming.Trigger
   *     [--region <aws-region>]        AWS region for the sink client
   *                                    (main.go:74 -region; defaults to
   *                                    $AWS_REGION like the reference)
+  *     [--analytics rate|range-rate|topk|staleness]
+  *                                    ALSO publish a continuous streaming
+  *                                    analytic computed from the same body
+  *                                    stream (own checkpoint, RocksDB state
+  *                                    store, [[RelayAnalytics]] full-label
+  *                                    identity) as JSON-lines under
+  *                                    <out>/analytics-<mode> — the relay
+  *                                    and its live query surface in ONE
+  *                                    process
+  *     [--rate-ttl 0]                 rate mode: dead-series state TTL in
+  *                                    seconds (0 = keep forever)
+  *     [--range-window 300]           range-rate mode: trailing window (s)
+  *     [--stale-after 300]            staleness mode: silence horizon (s,
+  *                                    Prometheus defaults to ~5 min)
+  *     [--topk 20] [--topk-capacity 1000]
+  *                                    topk mode: snapshot size / tracked
+  *                                    series per metric (Metwally bound:
+  *                                    freq > N/capacity guaranteed present)
   *
   * That is all five reference flags (-firehose, -stream-name, -listen-addr,
-  * -region, -write-interval) plus the Spark-side ingest/source knobs.
+  * -region, -write-interval) plus the Spark-side ingest/source/analytics
+  * knobs. The analytics stream is a SECOND reader over the same body
+  * directory with its own offsets/checkpoint: delivery and analytics
+  * advance independently, so a slow sink cannot stall the analytic (and
+  * vice versa), exactly like two consumer groups on one topic.
   */
 object RelayMain {
+
+  val Modes: Seq[String] = Seq("rate", "range-rate", "topk", "staleness")
+
+  /** The chosen analytic over canonical records, as an untyped frame — one
+    * switch shared by [[main]] and the end-to-end spec. Every mode rides
+    * [[RelayAnalytics]]' full-label-set identity. */
+  def analyticsFrame(records: DataFrame, mode: String,
+                     rateTtl: Option[Duration] = None,
+                     rangeWindow: Duration = Duration.ofMinutes(5),
+                     staleAfter: Duration = Duration.ofMinutes(5),
+                     topkCapacity: Int = 1000, topkK: Int = 20): DataFrame = mode match {
+    case "rate" =>
+      StreamingRate.rateUpdates(RelayAnalytics.counterSamples(records), rateTtl).toDF()
+    case "range-rate" =>
+      StreamingRangeRate.rangeRate(RelayAnalytics.counterSamples(records), rangeWindow).toDF()
+    case "topk" =>
+      StreamingHeavyHitters.topK(RelayAnalytics.tokenEvents(records), topkCapacity, topkK).toDF()
+    case "staleness" =>
+      StreamingStaleness.transitions(RelayAnalytics.counterSamples(records), staleAfter).toDF()
+    case other =>
+      sys.error(s"--analytics $other: expected one of ${Modes.mkString("|")}")
+  }
+
+  /** Start the analytics publisher: body stream → decode → adapter →
+    * operator → JSON-lines under `outDir` (append; the latest row per
+    * series key is the current answer — the same update-log shape the
+    * memory sink gives the specs, durable). Checkpointed: a restart resumes
+    * source offsets AND operator state, so totals continue instead of
+    * restarting from zero. */
+  def startAnalytics(spark: SparkSession, bodies: DataFrame, mode: String,
+                     outDir: String, checkpointDir: String,
+                     trigger: Trigger = RelayPipeline.DefaultTrigger,
+                     rateTtl: Option[Duration] = None,
+                     rangeWindow: Duration = Duration.ofMinutes(5),
+                     staleAfter: Duration = Duration.ofMinutes(5),
+                     topkCapacity: Int = 1000, topkK: Int = 20): StreamingQuery = {
+    val frame = analyticsFrame(RelayPipeline.records(bodies), mode,
+      rateTtl, rangeWindow, staleAfter, topkCapacity, topkK)
+    frame.writeStream
+      .queryName(s"graft-analytics-$mode")
+      .trigger(trigger)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").json(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 1).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
@@ -43,15 +116,23 @@ object RelayMain {
     // re-delivers every historical body after a crash; default one under the
     // sink dir so restarts resume instead of duplicating.
     val checkpoint = opts.getOrElse("--checkpoint", s"$outDir/_checkpoint")
+    val analytics = opts.get("--analytics")
+    analytics.foreach(m => require(Modes.contains(m),
+      s"--analytics $m: expected one of ${Modes.mkString("|")}"))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-relay")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // transformWithState requires the RocksDB provider — set it only when an
+    // analytic actually runs (the plain relay pipeline is stateless)
+    analytics.foreach(_ => builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val region = opts.getOrElse("--region", RecordSink.defaultRegion)
@@ -68,7 +149,7 @@ object RelayMain {
       f
     }
 
-    val bodies = opts.getOrElse("--source", "dsv2") match {
+    def bodyStream() = opts.getOrElse("--source", "dsv2") match {
       case "files" => RemoteWrite.bodyDirStream(spark, inDir)
       case _ => RemoteWrite.bodyDsv2Stream(spark, inDir)
     }
@@ -76,11 +157,29 @@ object RelayMain {
     // exception: the frontend's non-daemon pool would otherwise pin the JVM
     // alive after main unwinds
     try {
-      val q = RelayPipeline.start(spark, bodies,
+      val q = RelayPipeline.start(spark, bodyStream(),
         sink, firehose = firehose, trigger = trigger,
         checkpointDir = Some(checkpoint))
-      if (intervalSec == 0) { q.processAllAvailable(); q.stop() }
-      else q.awaitTermination()
+      val aq = analytics.map { mode =>
+        startAnalytics(spark, bodyStream(), mode,
+          outDir = s"$outDir/analytics-$mode",
+          checkpointDir = s"$outDir/_analytics_checkpoint",
+          trigger = trigger,
+          rateTtl = Some(opts.getOrElse("--rate-ttl", "0").toLong)
+            .filter(_ > 0).map(Duration.ofSeconds),
+          rangeWindow = Duration.ofSeconds(opts.getOrElse("--range-window", "300").toLong),
+          staleAfter = Duration.ofSeconds(opts.getOrElse("--stale-after", "300").toLong),
+          topkCapacity = opts.getOrElse("--topk-capacity", "1000").toInt,
+          topkK = opts.getOrElse("--topk", "20").toInt)
+      }
+      if (intervalSec == 0) {
+        q.processAllAvailable(); q.stop()
+        aq.foreach { a => a.processAllAvailable(); a.stop() }
+      } else {
+        // fail-fast like the reference's single process: EITHER stream
+        // dying (sink or analytic) ends the process with its error
+        spark.streams.awaitAnyTermination()
+      }
     } finally {
       frontend.foreach(_.stop())
       spark.stop()

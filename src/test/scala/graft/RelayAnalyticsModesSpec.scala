@@ -1,0 +1,123 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.sources.Prompb.{Sample, TimeSeries}
+import graft.sources.{HttpFrontend, Prompb, RemoteWrite}
+import graft.streaming.RelayMain
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The runnable one-binary analytics surface (RelayMain --analytics):
+  * real POSTs to the HTTP frontend → body files → DSv2 source → decode →
+  * full-label adapter → transformWithState operator → JSON-lines output,
+  * checkpointed on RocksDB — including a restart that must CONTINUE the
+  * operator state, the property that makes the mode a service rather than
+  * a batch job. */
+class RelayAnalyticsModesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def body(series: TimeSeries*): Array[Byte] =
+    org.xerial.snappy.Snappy.compress(Prompb.encode(series))
+
+  private def post(port: Int, bytes: Array[Byte]): Int =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/receive"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+      HttpResponse.BodyHandlers.discarding()).statusCode()
+
+  /** One drain-mode run of the analytics publisher, like
+    * `RelayMain --write-interval 0 --analytics <mode>`. */
+  private def runOnce(inDir: String, mode: String, outDir: String, ckpt: String): Unit = {
+    val q = RelayMain.startAnalytics(spark,
+      RemoteWrite.bodyDsv2Stream(spark, inDir), mode,
+      outDir = outDir, checkpointDir = ckpt, trigger = Trigger.AvailableNow())
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("POST → rate analytic JSON, and a checkpointed restart continues the totals") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-modes-in-").toString
+      val outDir = Files.createTempDirectory("ra-modes-out-").toString + "/analytics-rate"
+      val ckpt = Files.createTempDirectory("ra-modes-ckpt-").toString
+      val schema = StructType.fromDDL(
+        "name STRING, user_id BIGINT, n_samples BIGINT, n_resets BIGINT, " +
+          "n_late BIGINT, total_increase DOUBLE, rate_per_sec DOUBLE")
+
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "reqs", "job" -> "api"),
+            Seq(Sample(10.0, 1000L), Sample(12.0, 2000L))))) == 200)
+        runOnce(inDir, "rate", outDir, ckpt)
+        val first = spark.read.schema(schema).json(outDir).collect()
+        assert(first.length == 1)
+        assert(first.head.getAs[Long]("n_samples") == 2L)
+        assert(first.head.getAs[Double]("total_increase") == 2.0)
+
+        // second wave: a counter reset POSTed after the first run; the
+        // restarted query must resume BOTH source offsets (not re-reading
+        // body 0) and operator state (reset detected against value 12)
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "reqs", "job" -> "api"),
+            Seq(Sample(3.0, 3000L))))) == 200)
+        runOnce(inDir, "rate", outDir, ckpt)
+        val rows = spark.read.schema(schema).json(outDir).collect()
+        assert(rows.length == 2, "one update row per run, no replays")
+        val last = rows.maxBy(_.getAs[Long]("n_samples"))
+        assert(last.getAs[Long]("n_samples") == 3L)
+        assert(last.getAs[Long]("n_resets") == 1L)
+        assert(last.getAs[Double]("total_increase") == 5.0)
+        assert(last.getAs[Double]("rate_per_sec") == 2.5)
+      } finally f.stop()
+    }
+  }
+
+  test("POST → topk analytic JSON: dominant label set ranks first") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-topk-in-").toString
+      val outDir = Files.createTempDirectory("ra-topk-out-").toString + "/analytics-topk"
+      val ckpt = Files.createTempDirectory("ra-topk-ckpt-").toString
+
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "reqs", "job" -> "api"),
+            Seq(Sample(1.0, 1000L), Sample(2.0, 2000L), Sample(3.0, 3000L))),
+          TimeSeries(Map("__name__" -> "reqs", "job" -> "web"),
+            Seq(Sample(1.0, 1000L))))) == 200)
+        runOnce(inDir, "topk", outDir, ckpt)
+        val rows = spark.read
+          .schema(StructType.fromDDL(
+            "group STRING, token STRING, count BIGINT, error BIGINT, rank INT"))
+          .json(outDir).collect().sortBy(_.getAs[Int]("rank"))
+        assert(rows.head.getAs[String]("token") === """{__name__="reqs",job="api"}""")
+        assert(rows.head.getAs[Long]("count") === 3L)
+        assert(rows.map(_.getAs[String]("group")).toSet === Set("reqs"))
+      } finally f.stop()
+    }
+  }
+
+  test("an unknown analytics mode is rejected loudly") {
+    val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
+      "1.0 AS value", "map('__name__','m') AS labels")
+    val e = intercept[RuntimeException](RelayMain.analyticsFrame(records, "sketchy"))
+    assert(e.getMessage.contains("sketchy"))
+  }
+}

@@ -11,7 +11,9 @@
 # Usage:
 #   tools/run_relay.sh --in /data/bodies --out /data/sink \
 #       [--stream-name metrics] [--firehose] [--write-interval 10] \
-#       [--listen-addr 9501] [--region ap-northeast-1] [--source dsv2|files]
+#       [--listen-addr 9501] [--region ap-northeast-1] [--source dsv2|files] \
+#       [--analytics rate|range-rate|topk|staleness]  (+ mode knobs, see
+#        RelayMain scaladoc: --rate-ttl/--range-window/--stale-after/--topk)
 #
 # Env: SPARK_HOME (default /opt/spark), SPARK_GRAFT_CPUS (default 4).
 set -euo pipefail
