@@ -61,6 +61,17 @@ object Chunker {
   */
 trait RecordSink extends Serializable {
   def send(batch: Seq[SinkEntry]): Unit
+
+  /** Idempotent delivery for the exactly-once mode: `send` plus the replay
+    * coordinates of the chunk — micro-batch id, partition, chunk index
+    * within the partition. A sink that can address storage by these
+    * coordinates (object store path, transactional table partition)
+    * overwrites on replay instead of duplicating; the default ignores them
+    * and degrades to the at-most-once `send`, which is all the real AWS
+    * `PutRecords` API offers (the reference is at-most-once for the same
+    * reason, `kinesis.go:109-111`). */
+  def sendAt(batchId: Long, partitionId: Int, chunkIdx: Int,
+             batch: Seq[SinkEntry]): Unit = send(batch)
 }
 
 object RecordSink {
@@ -106,6 +117,62 @@ final class FirehoseFileSink(dir: String, deliveryStreamName: String,
   private val inner = new KinesisFileSink(dir, deliveryStreamName, region)
   def send(batch: Seq[SinkEntry]): Unit =
     inner.send(batch.map(_.copy(partitionKey = None)))
+}
+
+/** Exactly-once delivery: the `batch=<id>` partition-overwrite pattern
+  * proven by [[StreamingDedup]]'s signature table, lifted into the sink
+  * seam. Each chunk lands at a DETERMINISTIC path —
+  * `dir/stream/batch=<id>/p<partition>-c<chunk>.jsonl`, written
+  * temp-then-atomic-rename — so replaying a micro-batch after a crash
+  * rewrites the same files byte-identically instead of appending
+  * duplicates: delivery is idempotent per (batchId, partition, chunk).
+  * The first chunk of a partition clears that partition's earlier files
+  * inside the batch directory, so a half-delivered previous attempt
+  * self-heals rather than leaving orphan chunks.
+  *
+  * Unlike the at-most-once sinks, an I/O error here THROWS: the task
+  * retries / the micro-batch replays, and idempotence makes the retry
+  * safe — dropping on error (the reference's policy) is exactly what
+  * exactly-once forbids. `firehose=true` strips partition keys like
+  * [[FirehoseFileSink]] (`firehose.go:165-167`).
+  *
+  * Scale: one directory per micro-batch, one file per (partition, chunk) —
+  * the layout object stores want (no append, no rename across prefixes
+  * beyond the atomic temp move), and a downstream consumer reads
+  * `batch=*` as a Hive-partitioned table. */
+final class ExactlyOnceFileSink(dir: String, streamName: String,
+                                firehose: Boolean = false,
+                                val region: String = RecordSink.defaultRegion)
+    extends RecordSink {
+  /** Coordinate-free send has no replay identity — refuse it loudly rather
+    * than silently duplicating. */
+  def send(batch: Seq[SinkEntry]): Unit =
+    throw new UnsupportedOperationException(
+      "ExactlyOnceFileSink requires sendAt (batch/partition/chunk coordinates)")
+
+  override def sendAt(batchId: Long, partitionId: Int, chunkIdx: Int,
+                      batch: Seq[SinkEntry]): Unit = {
+    if (batch.isEmpty) return
+    val batchDir = new java.io.File(new java.io.File(dir, streamName), f"batch=$batchId%d")
+    batchDir.mkdirs()
+    if (chunkIdx == 0) {
+      // replay self-healing: drop every chunk this partition wrote before
+      val mine = batchDir.listFiles((_, n) => n.startsWith(f"p$partitionId%05d-"))
+      Option(mine).foreach(_.foreach(f => if (!f.delete()) throw new java.io.IOException(
+        s"cannot clear stale chunk ${f.getPath}")))
+    }
+    val target = new java.io.File(batchDir, f"p$partitionId%05d-c$chunkIdx%05d.jsonl")
+    val tmp = java.io.File.createTempFile(target.getName + ".", ".tmp", batchDir)
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+    try {
+      val payload = if (firehose) batch.map(_.copy(partitionKey = None)) else batch
+      try payload.foreach(e => out.write(e.data))
+      finally out.close()
+      java.nio.file.Files.move(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally tmp.delete() // no-op after a successful move
+  }
 }
 
 /** Test sink: collects everything in-process. Valid in local mode only

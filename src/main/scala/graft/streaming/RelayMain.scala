@@ -26,6 +26,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     [--region <aws-region>]        AWS region for the sink client
   *                                    (main.go:74 -region; defaults to
   *                                    $AWS_REGION like the reference)
+  *     [--delivery at-most-once|exactly-once]
+  *                                    at-most-once = the reference's
+  *                                    log-and-drop PutRecords emulation;
+  *                                    exactly-once = idempotent
+  *                                    batch=<id>/partition/chunk layout
+  *                                    ([[ExactlyOnceFileSink]]): replays
+  *                                    overwrite, never duplicate
   *     [--analytics rate|range-rate|topk|staleness]
   *                                    ALSO publish a continuous streaming
   *                                    analytic computed from the same body
@@ -136,9 +143,14 @@ object RelayMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val region = opts.getOrElse("--region", RecordSink.defaultRegion)
-    val sink: RecordSink =
-      if (firehose) new FirehoseFileSink(outDir, streamName, region)
-      else new KinesisFileSink(outDir, streamName, region)
+    val sink: RecordSink = opts.getOrElse("--delivery", "at-most-once") match {
+      case "exactly-once" =>
+        new ExactlyOnceFileSink(outDir, streamName, firehose, region)
+      case "at-most-once" =>
+        if (firehose) new FirehoseFileSink(outDir, streamName, region)
+        else new KinesisFileSink(outDir, streamName, region)
+      case other => sys.error(s"--delivery $other: expected at-most-once|exactly-once")
+    }
     val trigger =
       if (intervalSec == 0) Trigger.AvailableNow()
       else Trigger.ProcessingTime(s"$intervalSec seconds")

@@ -36,18 +36,25 @@ object RelayPipeline {
   /** One micro-batch (or one batch DataFrame) → sink, chunked per partition.
     * `firehose=false` ⇒ Kinesis semantics: partitionKey = metric name
     * (`kinesis.go:174`); Firehose sends no key (`firehose.go:165-167`).
-    */
-  def deliver(recordsDf: DataFrame, sink: RecordSink, firehose: Boolean = false): Unit = {
+    * Every chunk is delivered through [[RecordSink.sendAt]] with its
+    * (batchId, partition, chunk) replay coordinates: at-most-once sinks
+    * ignore them, an exactly-once sink overwrites by them — the plan from
+    * source to chunks is deterministic (narrow, no shuffle), so a replayed
+    * micro-batch regenerates identical coordinates and bytes. */
+  def deliver(recordsDf: DataFrame, sink: RecordSink, firehose: Boolean = false,
+              batchId: Long = 0L): Unit = {
     val spark = recordsDf.sparkSession
     import spark.implicits._
     RemoteWrite.jsonLines(recordsDf)
       .as[(String, String)]
       .foreachPartition { (it: Iterator[(String, String)]) =>
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
         val entries = it.map { case (name, json) =>
           SinkEntry(if (firehose) None else Some(name),
             json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-        Chunker.chunk[SinkEntry](entries, _.size.toLong).foreach(sink.send)
+        Chunker.chunk[SinkEntry](entries, _.size.toLong).zipWithIndex
+          .foreach { case (chunk, idx) => sink.sendAt(batchId, pid, idx, chunk) }
       }
   }
 
@@ -72,7 +79,7 @@ object RelayPipeline {
       count(when(col("value").isNull, true)).as("n_null_values"))
     val q = observed.writeStream
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) => deliver(batch, sink, firehose) }
+      .foreachBatch { (batch: DataFrame, id: Long) => deliver(batch, sink, firehose, id) }
     checkpointDir.foreach(d => q.option("checkpointLocation", d))
     q.start()
   }

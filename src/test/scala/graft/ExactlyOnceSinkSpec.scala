@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import graft.streaming.{ExactlyOnceFileSink, RelayPipeline, SinkEntry}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactly-once delivery ([[ExactlyOnceFileSink]]): replaying a micro-batch
+  * must leave the sink BYTE-IDENTICAL — the `batch=<id>` partition-overwrite
+  * pattern from the streaming dedup, lifted into the sink seam. */
+class ExactlyOnceSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def records(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (s"m$i", i.toLong, i.toDouble)).toDF("name", "time", "value")
+      .selectExpr("name", "time", "value", "map('__name__', name) AS labels")
+  }
+
+  /** file name → sha256 of content for every file under the stream dir. */
+  private def snapshot(dir: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map { p =>
+        val h = MessageDigest.getInstance("SHA-256").digest(Files.readAllBytes(p))
+        Paths.get(dir).relativize(p).toString -> h.map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("replaying the same micro-batch rewrites identical bytes, no duplicates") {
+    val dir = Files.createTempDirectory("eo-sink-").toString
+    val sink = new ExactlyOnceFileSink(dir, "metrics")
+    val df = records(50).coalesce(2)
+    RelayPipeline.deliver(df, sink, batchId = 7L)
+    val first = snapshot(dir)
+    assert(first.nonEmpty && first.keySet.forall(_.contains("batch=7")))
+
+    RelayPipeline.deliver(df, sink, batchId = 7L) // the replay
+    assert(snapshot(dir) === first,
+      "replay must overwrite the same paths with the same bytes")
+
+    // a DIFFERENT batch id is a different partition directory, not a merge
+    RelayPipeline.deliver(df, sink, batchId = 8L)
+    val both = snapshot(dir)
+    assert(both.size === first.size * 2)
+    assert(both.filter(_._1.contains("batch=7")) === first)
+  }
+
+  test("a half-delivered previous attempt self-heals on replay") {
+    val dir = Files.createTempDirectory("eo-heal-").toString
+    val sink = new ExactlyOnceFileSink(dir, "metrics")
+    // orphan chunk from a crashed attempt that wrote more chunks than the
+    // replay will: chunk 0's cleanup must remove it
+    val batchDir = Paths.get(dir, "metrics", "batch=3")
+    Files.createDirectories(batchDir)
+    Files.write(batchDir.resolve("p00000-c00041.jsonl"), "stale\n".getBytes)
+
+    RelayPipeline.deliver(records(10).coalesce(1), sink, batchId = 3L)
+    val files = snapshot(dir).keySet
+    assert(files === Set(Paths.get("metrics", "batch=3", "p00000-c00000.jsonl").toString),
+      s"stale chunk must be cleared, got $files")
+  }
+
+  test("chunk limits produce deterministically numbered sibling files") {
+    val dir = Files.createTempDirectory("eo-chunks-").toString
+    val sink = new ExactlyOnceFileSink(dir, "metrics")
+    RelayPipeline.deliver(records(600).coalesce(1), sink, batchId = 0L)
+    val names = snapshot(dir).keySet.map(Paths.get(_).getFileName.toString)
+    assert(names === Set("p00000-c00000.jsonl", "p00000-c00001.jsonl"),
+      "600 entries through the 500-entry chunker = chunks c0 (500) + c1 (100)")
+    val lines = Files.list(Paths.get(dir, "metrics", "batch=0")).toArray.map(_.toString)
+      .map(p => Files.readAllLines(Paths.get(p)).size).sum
+    assert(lines === 600)
+  }
+
+  test("the coordinate-free send path is refused, not silently duplicated") {
+    val sink = new ExactlyOnceFileSink("/tmp/unused", "metrics")
+    intercept[UnsupportedOperationException](
+      sink.send(Seq(SinkEntry(None, "x\n".getBytes))))
+  }
+}
