@@ -89,7 +89,10 @@ object Joins extends QueryModule {
     r.crossJoin(s).orderBy(col("r_name"), col("o_orderstatus"))
   }
 
-  /** Range (theta) join: click→purchase pairs within 24h, same user. */
+  /** Range (theta) join: click→purchase pairs within 24h, same user.
+    * Honest baseline form: equi-join on user only, so per-user expansion is
+    * quadratic in per-user event density — [[rangeJoinBucketed]] (q91) is
+    * the identical-output refinement that bounds it. */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
     val clicks = e.filter(col("event_type") === "click")
@@ -98,6 +101,40 @@ object Joins extends QueryModule {
       .select(col("user_id").as("p_user"), col("ts").as("pts"))
     clicks.join(purchases,
         col("user_id") === col("p_user") &&
+          col("cts") < col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Bucketed range join — q16's scale refinement, the q57 trick applied
+    * to the 24 h band (VERDICT r08 "What's wrong" #2): bucket size = the
+    * range width, clicks keyed by their own day-bucket, each purchase
+    * EXPLODED to its own + preceding bucket (the interval `(pts−24h, pts)`
+    * spans exactly those two), equi-join on (user, bucket), then the exact
+    * range predicate. A click lives in exactly one bucket, so no pair can
+    * match twice — output ≡ q16, same oracle, no dedup step.
+    *
+    * Scale shape: the shuffle key widens from `user` to `(user, bucket)`,
+    * so pair expansion is quadratic per (user, DAY) instead of per user's
+    * whole history — at 100× per-user density over a year, ~365× less
+    * expansion per key — and a hot user's history now spreads across 365
+    * shuffle partitionings instead of one skewed key. Cost: 2× the
+    * purchase rows through the shuffle (the exploded bucket column),
+    * linear and cheap next to the avoided quadratic tail. */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 24L * 3600 * 1000000 // bucket = range width, exactly
+    val e = Tables(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        floor(unix_micros(col("ts")) / lit(bucketUs)).cast("long").as("cb"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"),
+        floor(unix_micros(col("ts")) / lit(bucketUs)).cast("long").as("pb"))
+      .withColumn("jb", explode(array(col("pb"), col("pb") - 1)))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") && col("cb") === col("jb") &&
           col("cts") < col("pts") &&
           col("cts") >= col("pts") - expr("INTERVAL 24 HOURS"))
       .groupBy(col("user_id"))
@@ -299,6 +336,7 @@ object Joins extends QueryModule {
     "q14_join_anti" -> antiJoin _,
     "q15_join_cross" -> crossJoin _,
     "q16_join_range" -> rangeJoin _,
+    "q91_join_range_bucketed" -> rangeJoinBucketed _,
     "q17_join_asof" -> asofJoin _,
     "q57_join_asof_bucketed" -> asofJoinBucketed _,
     "q58_join_asof_sorted" -> asofJoinSorted _
@@ -376,6 +414,14 @@ object Joins extends QueryModule {
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
         |ORDER BY 1, 2""".stripMargin,
     "q16_join_range" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q91 ≡ q16: the bucketed form must hash-match the same oracle
+    "q91_join_range_bucketed" ->
       """SELECT c.user_id, count(*) AS n_pairs
         |FROM events c JOIN events p
         |  ON c.user_id = p.user_id

@@ -53,6 +53,21 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q91: the bucketed range join keys the shuffle on (user, day-bucket)") {
+    // Bounded expansion means the equi-join key must INCLUDE the bucket
+    // column: keyed on user alone, a hot user's whole history re-pairs
+    // quadratically. The bucket arithmetic must also survive into the key
+    // (a broken floor/cast once turned the key into a no-match constant —
+    // ADVICE r03 on q57's first form).
+    val p = plan("q91_join_range_bucketed")
+    val joinLine = p.linesIterator.filter(_.contains("Join condition keys")).mkString
+    val keys = p.linesIterator.filter(l =>
+      l.contains("Left keys") || l.contains("Right keys")).mkString("\n")
+    assert(keys.contains("user_id") && (keys.contains("cb") || keys.contains("jb")),
+      s"equi-keys must be (user, bucket), got:\n$keys\n$joinLine\nfull:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q44/q53: the deliberate all-pairs scans broadcast the small side") {
     // Brute-force cosine and IVF centroid assignment are documented
     // probe-x-corpus / corpus-x-centroid products; the invariant is that
