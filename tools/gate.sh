@@ -7,11 +7,19 @@
 #
 # Usage: tools/gate.sh              (defaults below)
 #   SF_VERIFY=/root/testdata/sf0.01 SF_BENCH=/root/testdata/sf0.1
-#   PREV=BENCH_r05.json tools/gate.sh
+#   PREV=bench/bench_r05.json ROUND=09 tools/gate.sh
+#
+# The regression diff runs against the PREVIOUS ROUND'S FULL committed
+# snapshot (bench/bench_r*.json — all queries), not the driver's BENCH_r*
+# tail whose per-query map is truncated (VERDICT r08 "What's wrong" #1: a
+# tail-only diff silently skipped the queries the tail cut off). On PASS,
+# ROUND=<NN> archives this round's full bench_out.json as
+# bench/bench_r<NN>.json so the next round has a full baseline too.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
 SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
+PREV=${PREV:-$(ls bench/bench_r*.json 2>/dev/null | sort | tail -1)}
 PREV=${PREV:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}
 
 echo "== gate: test suite (sbt -batch test) =="
@@ -50,5 +58,11 @@ if [ $rc -ne 0 ]; then
     exit 1
   fi
   echo "gate: flagged queries pass warm — cold-run noise, not a regression"
+fi
+if [ -n "${ROUND:-}" ]; then
+  mkdir -p bench
+  cp bench_out.json "bench/bench_r${ROUND}.json"
+  echo "gate: archived full snapshot -> bench/bench_r${ROUND}.json ($(python3 -c \
+    "import json;print(len(json.load(open('bench_out.json'))['queries']))")q)"
 fi
 echo "gate: PASS"
