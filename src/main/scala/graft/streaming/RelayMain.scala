@@ -46,7 +46,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    seconds (0 = keep forever)
   *     [--range-window 300]           range-rate mode: trailing window (s)
   *     [--stale-after 300]            staleness mode: silence horizon (s,
-  *                                    Prometheus defaults to ~5 min)
+  *                                    Prometheus defaults to ~5 min).
+  *                                    Staleness needs a periodic trigger
+  *                                    to fire its timers — run it with a
+  *                                    nonzero --write-interval; a drain
+  *                                    run (0) only registers liveness
   *     [--topk 20] [--topk-capacity 1000]
   *                                    topk mode: snapshot size / tracked
   *                                    series per metric (Metwally bound:

@@ -23,6 +23,13 @@ SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
 DST = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig")
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
+# Spark cannot split a parquet file below row-group granularity; pyarrow's
+# default writes ONE row group, which would serialize every scan of the
+# enlarged tables into a single task and measure scan-parallelism collapse
+# instead of operator scaling. 16 k rows/group ≈ the splittability a real
+# lake layout has.
+ROW_GROUP = 16384
+
 
 def duplicate(name: str, id_col: str) -> None:
     t = pq.read_table(SRC / f"{name}.parquet")
@@ -34,7 +41,7 @@ def duplicate(name: str, id_col: str) -> None:
             pc.add(t[id_col], i * offset))
         parts.append(shifted)
     out = pa.concat_tables(parts)
-    pq.write_table(out, DST / f"{name}.parquet")
+    pq.write_table(out, DST / f"{name}.parquet", row_group_size=ROW_GROUP)
     print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
 
 
@@ -55,7 +62,7 @@ def densify_events() -> None:
         c = c.set_column(ts_idx, t.schema.field("ts"), shifted_ts.cast(t.schema.field("ts").type))
         parts.append(c)
     out = pa.concat_tables(parts)
-    pq.write_table(out, DST / "events.parquet")
+    pq.write_table(out, DST / "events.parquet", row_group_size=ROW_GROUP)
     print(f"events: {t.num_rows} -> {out.num_rows} rows ({COPIES}x per-user density)")
 
 
