@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    batch=<id>/partition/chunk layout
   *                                    ([[ExactlyOnceFileSink]]): replays
   *                                    overwrite, never duplicate
-  *     [--analytics rate|range-rate|topk|staleness]
+  *     [--analytics rate|range-rate|topk|topk-rate|staleness]
   *                                    ALSO publish a continuous streaming
   *                                    analytic computed from the same body
   *                                    stream (own checkpoint, RocksDB state
@@ -65,7 +65,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object RelayMain {
 
-  val Modes: Seq[String] = Seq("rate", "range-rate", "topk", "staleness")
+  val Modes: Seq[String] = Seq("rate", "range-rate", "topk", "topk-rate", "staleness")
 
   /** The chosen analytic over canonical records, as an untyped frame — one
     * switch shared by [[main]] and the end-to-end spec. Every mode rides
@@ -81,6 +81,8 @@ object RelayMain {
       StreamingRangeRate.rangeRate(RelayAnalytics.counterSamples(records), rangeWindow).toDF()
     case "topk" =>
       StreamingHeavyHitters.topK(RelayAnalytics.tokenEvents(records), topkCapacity, topkK).toDF()
+    case "topk-rate" =>
+      StreamingTopkRate.topkRate(RelayAnalytics.counterSamples(records), topkK, rateTtl).toDF()
     case "staleness" =>
       StreamingStaleness.transitions(RelayAnalytics.counterSamples(records), staleAfter).toDF()
     case other =>

@@ -114,6 +114,35 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → topk-rate analytic JSON: hottest series by current rate") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-tkr-in-").toString
+      val outDir = Files.createTempDirectory("ra-tkr-out-").toString + "/analytics-topk-rate"
+      val ckpt = Files.createTempDirectory("ra-tkr-ckpt-").toString
+
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "reqs", "job" -> "api"),
+            Seq(Sample(0.0, 0L), Sample(10.0, 2000L))),   // 5/s
+          TimeSeries(Map("__name__" -> "reqs", "job" -> "web"),
+            Seq(Sample(0.0, 0L), Sample(4.0, 2000L))))) == 200) // 2/s
+        runOnce(inDir, "topk-rate", outDir, ckpt)
+        val rows = spark.read
+          .schema(StructType.fromDDL(
+            "name STRING, user_id BIGINT, rate_per_sec DOUBLE, rank INT"))
+          .json(outDir).collect().sortBy(_.getAs[Int]("rank"))
+        assert(rows.length == 2)
+        assert(rows.head.getAs[Double]("rate_per_sec") === 5.0)
+        assert(rows.head.getAs[Int]("rank") === 1)
+        assert(rows(1).getAs[Double]("rate_per_sec") === 2.0)
+        assert(rows.map(_.getAs[Long]("user_id")).distinct.length == 2,
+          "full-label identity separates the two job label sets")
+      } finally f.stop()
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
