@@ -16,6 +16,8 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Usage: runMain graft.RelayBench [nBodies] [seriesPerBody]
   * (defaults 2000 × 100 = 200k samples). The generation step is untimed.
+  * Env: SPARK_GRAFT_RELAY_DELIVERY=exactly-once swaps in the idempotent
+  * batch=<id> sink to measure the cost of the exactly-once layout.
   */
 object RelayBench {
   def main(args: Array[String]): Unit = {
@@ -42,16 +44,21 @@ object RelayBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val delivery = sys.env.getOrElse("SPARK_GRAFT_RELAY_DELIVERY", "at-most-once")
+    val sink: graft.streaming.RecordSink = delivery match {
+      case "exactly-once" => new graft.streaming.ExactlyOnceFileSink(outDir, "bench")
+      case _ => new KinesisFileSink(outDir, "bench")
+    }
     val samples = nBodies.toLong * seriesPerBody
     val t0 = System.nanoTime()
     val q = RelayPipeline.start(spark,
       RemoteWrite.bodyDsv2Stream(spark, dir, maxFilesPerTrigger = nBodies),
-      new KinesisFileSink(outDir, "bench"), trigger = Trigger.AvailableNow())
+      sink, trigger = Trigger.AvailableNow())
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
 
     val line = f"""{"metric":"relay_throughput","bodies":$nBodies,"samples":$samples,""" +
-      f""""sec":$secs%.3f,"bodies_per_sec":${nBodies / secs}%.0f,""" +
+      f""""delivery":"$delivery","sec":$secs%.3f,"bodies_per_sec":${nBodies / secs}%.0f,""" +
       f""""samples_per_sec":${samples / secs}%.0f}"""
     Files.writeString(Paths.get("relay_bench_out.json"), line + "\n")
     println(line)
