@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    batch=<id>/partition/chunk layout
   *                                    ([[ExactlyOnceFileSink]]): replays
   *                                    overwrite, never duplicate
-  *     [--analytics rate|range-rate|topk|topk-rate|staleness]
+  *     [--analytics rate|range-rate|topk|topk-rate|staleness[,mode...]]
   *                                    ALSO publish a continuous streaming
   *                                    analytic computed from the same body
   *                                    stream (own checkpoint, RocksDB state
@@ -129,7 +129,10 @@ object RelayMain {
     // re-delivers every historical body after a crash; default one under the
     // sink dir so restarts resume instead of duplicating.
     val checkpoint = opts.getOrElse("--checkpoint", s"$outDir/_checkpoint")
+    // comma-separated modes all run from one process (each its own reader,
+    // checkpoint, and state store — like several consumer groups)
     val analytics = opts.get("--analytics")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     analytics.foreach(m => require(Modes.contains(m),
       s"--analytics $m: expected one of ${Modes.mkString("|")}"))
 
@@ -142,9 +145,9 @@ object RelayMain {
       .config("spark.ui.enabled", "false")
     // transformWithState requires the RocksDB provider — set it only when an
     // analytic actually runs (the plain relay pipeline is stateless)
-    analytics.foreach(_ => builder.config(
+    if (analytics.nonEmpty) builder.config(
       "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -179,9 +182,11 @@ object RelayMain {
         sink, firehose = firehose, trigger = trigger,
         checkpointDir = Some(checkpoint))
       val aq = analytics.map { mode =>
+        // per-mode checkpoint: operator state schemas differ across modes,
+        // so a shared dir would poison a later run in another mode
         startAnalytics(spark, bodyStream(), mode,
           outDir = s"$outDir/analytics-$mode",
-          checkpointDir = s"$outDir/_analytics_checkpoint",
+          checkpointDir = s"$outDir/_analytics_checkpoint-$mode",
           trigger = trigger,
           rateTtl = Some(opts.getOrElse("--rate-ttl", "0").toLong)
             .filter(_ > 0).map(Duration.ofSeconds),
