@@ -58,6 +58,50 @@ class StreamingTopkRateSpec extends AnyFunSuite {
     }
   }
 
+  test("parity with the oracle-checked batch q83 on real testdata") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val dir = "/root/testdata/sf0.001"
+      // q83's input shape: name = event_type, series = user_id
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val samples = graft.Tables(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("name"), col("user_id"),
+          unix_micros(col("ts")).as("tsUs"), col("value"))
+        .as[CounterSample].collect().toSeq
+
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingTopkRate.topkRate(stream.toDS(), k = 3)
+        .writeStream.format("memory").queryName("tkr_parity")
+        .outputMode("update").start()
+      try {
+        // split at a global time boundary (streaming consumes series
+        // forward in time; a time-respecting cut is what a watermarked
+        // ingest delivers, and it must not change the answer)
+        val cut = samples.map(_.tsUs).sorted.apply(samples.size / 2)
+        val (a, b) = samples.partition(_.tsUs <= cut)
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+
+      // last emission per metric = rows of the final (k per metric) batch;
+      // reconstruct by keeping each (name, rank)'s LAST row in table order
+      val emitted = spark.table("tkr_parity").as[TopkRate].collect()
+      val streaming = emitted.zipWithIndex
+        .groupBy(r => (r._1.name, r._1.rank))
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .toSeq.sortBy(r => (r.name, r.rank))
+
+      val batch = operators.EventAnalytics.promTopkRate(spark, dir)
+        .collect().map(r => TopkRate(r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSeq.sortBy(r => (r.name, r.rank))
+
+      assert(streaming === batch,
+        "streaming topk(rate) must equal the DuckDB-oracle-checked batch q83")
+    }
+  }
+
   test("k bounds the emission; counter resets fold like q82/q83") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
