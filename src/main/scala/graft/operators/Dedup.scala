@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication battery for LLM training-data pipelines over `documents`
@@ -459,6 +460,57 @@ object Dedup extends QueryModule {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedup(docsTable(spark, dir), col("doc_id") >= 400)
 
+  /** Duplicated token-span coverage — the SUBSTRING-level dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): document-level dedup (q40/q42/q88) misses the
+    * boilerplate case where distinct documents share long verbatim spans.
+    * For every k-token sliding window we take a 64-bit content hash
+    * (16 hex chars of md5 — the same engine-portable truncation as q68's
+    * split hash), count in how many DISTINCT docs each window occurs, and
+    * report per doc what fraction of its windows also appear elsewhere —
+    * `dup_ratio` = the fraction of the doc that is corpus-duplicated text.
+    * Downstream, ExactSubstr-style cutting drops spans with n_docs ≥ 2;
+    * the per-doc ratio is the triage view (which docs are mostly
+    * boilerplate) and the ranked top-N here is the report a corpus audit
+    * reads. Lee et al. build a suffix array for exact maximal spans; the
+    * fixed-k window grid is the shuffle-friendly equivalent (their own
+    * "approximate" variant, §4.1 of the paper) — any duplicated span
+    * ≥ k tokens is covered by ≥ 1 duplicated window, at k-gram hashing
+    * cost instead of corpus-wide suffix sort.
+    *
+    * Scale shape: tokenize → explode k-grams (narrow, ~n_tok rows/doc) →
+    * ONE shuffle onto the window hash (uniform 64-bit key; partial
+    * aggregation collapses within-doc repeats map-side) → window-function
+    * doc-count over the hash partition → ONE shuffle back onto doc_id.
+    * No joins, no pair expansion: work is linear in corpus tokens, which
+    * is exactly why ExactSubstr dedup runs at the trillion-token scale
+    * document-pair methods cannot. At 100 TB the (h → n_docs) map is the
+    * materialization to keep (append-per-batch like q79's signature
+    * table); ubiquitous-boilerplate hashes (df in the millions) are
+    * bounded because each (doc,h) pair appears once post-aggregation. */
+  def dupSpanCoverage(docs: DataFrame, k: Int = 8, topN: Int = 50): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+    val spans = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => substring(md5(array_join(slice(col("toks"), i, lit(k)), " ")), 1, 16))).as("h"))
+    val perDocWindow = spans.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+    val withDf = perDocWindow.withColumn("n_docs",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    withDf.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(lit(0L)))
+          .cast("long").as("dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("dup_windows").cast("double") / col("n_windows"), 6))
+      .orderBy(col("dup_ratio").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCoverage(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q40_dedup_exact" -> exactDedup _,
     "q41_dedup_minhash_sig" -> minhashSignatures _,
@@ -469,7 +521,8 @@ object Dedup extends QueryModule {
     "q88_dedup_ngram_exact" ->
       ((s: SparkSession, dir: String) => ngramJaccardPairsExact(docsTable(s, dir))),
     "q77_dedup_clusters" -> (dedupClusters(_, _)),
-    "q79_dedup_incremental" -> (incrementalDedup(_, _))
+    "q79_dedup_incremental" -> (incrementalDedup(_, _)),
+    "q92_dedup_dup_spans" -> (dupSpanCoverage(_, _))
   )
 
   /** Shared oracle CTE: token 3-gram shingles per doc. */
@@ -630,6 +683,18 @@ object Dedup extends QueryModule {
          |           THEN 'near_dup'
          |         ELSE 'new' END AS status
          |  FROM documents n WHERE n.doc_id >= 400)
-         |SELECT doc_id, status FROM status ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, status FROM status ORDER BY doc_id""".stripMargin,
+    "q92_dedup_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(toks)-6),
+        |          i -> substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16))) AS h
+        |      FROM t WHERE len(toks) >= 8),
+        |w AS (SELECT doc_id, h, count(*) AS cnt FROM s GROUP BY 1, 2),
+        |d AS (SELECT doc_id, cnt, count(*) OVER (PARTITION BY h) AS n_docs FROM w)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_windows,
+        |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt), 6) AS dup_ratio
+        |FROM d GROUP BY 1 ORDER BY dup_ratio DESC, doc_id LIMIT 50""".stripMargin
   )
 }

@@ -248,6 +248,99 @@ object Pipeline extends QueryModule {
   def profile(spark: SparkSession, dir: String): DataFrame =
     profile(docsTable(spark, dir))
 
+  /** Seeded deterministic global shuffle — the training-order permutation.
+    * A training run needs every epoch's document order to be (a) uniform
+    * w.r.t. a seed, (b) bit-identical on re-run/resume, and (c) computable
+    * without a global sort bottleneck. Order key is `md5(seed ':' doc_id)`
+    * (content-addressed, so re-running — or re-sharding — the corpus never
+    * reorders previously-placed docs relative to each other).
+    *
+    * The global position is computed TeraSort-style in two phases rather
+    * than one `row_number()` over an unpartitioned window (which would
+    * funnel the whole corpus through a single task): (1) rank within each
+    * of 256 buckets keyed by the hash's first byte — since the bucket is a
+    * PREFIX of the order key, in-bucket order concatenated in bucket order
+    * IS the global order; (2) add per-bucket offsets (exclusive prefix
+    * sums of the 256 bucket counts — a 256-row window, driver-trivial,
+    * broadcast back). At 100 TB each bucket ranks ~0.4% of the corpus in
+    * parallel and nothing but the 256-row count table is ever centralized;
+    * for 100k+ executors raise the prefix to 2 bytes (65 536 buckets) —
+    * same plan. Writers then `repartitionByRange(pos)` into epoch shards. */
+  def seededShuffle(docs: DataFrame, seed: String = "42"): DataFrame = {
+    val d = docs.select(col("doc_id"),
+        md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val ranked = d.withColumn("rn", row_number()
+      .over(Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id")))
+      .cast("long"))
+    val offsets = d.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    ranked.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), (col("rn") + col("off")).as("pos"))
+      .orderBy(col("pos"))
+  }
+
+  def seededShuffle(spark: SparkSession, dir: String): DataFrame =
+    seededShuffle(docsTable(spark, dir))
+
+  /** Domain-mixture resampling to fixed per-domain token budgets — the
+    * DoReMi/Pile-style mixing step: given target token counts per language
+    * (the domain weights a mixture law prescribes), select a deterministic
+    * uniform subset of each language's docs that fills its budget. Docs
+    * are ordered by a salted content hash (uniform-at-random w.r.t. the
+    * salt, stable across runs) and taken while the tokens BEFORE the doc
+    * are under budget — so each budget is exceeded by at most one doc,
+    * and the selection is a prefix of a fixed permutation (growing a
+    * budget only ADDS docs; re-mixing never churns the already-selected
+    * set).
+    *
+    * Scale shape: the naive form is one `row_number` + running-sum window
+    * per language — but a language is exactly the skewed partition key a
+    * 100 TB corpus punishes (English would be one task). So the running
+    * token sum is computed with the same two-phase trick as
+    * [[seededShuffle]]: in-(lang, hash-prefix-bucket) cumulative sums in
+    * parallel, plus per-(lang,bucket) exclusive offsets (a ≤ 256×n_langs
+    * row aggregate, broadcast). Output is identical to the single-window
+    * form — the oracle IS the single-window form — but no task ever sees
+    * more than a bucket of one language. */
+  def mixtureResample(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("target_tok",
+        when(col("lang") === "en", 2800L)
+          .when(col("lang") === "de", 1600L)
+          .when(col("lang") === "es", 1600L)
+          .when(col("lang") === "fr", 1200L)
+          .otherwise(800L))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":mix"))))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val inBucket = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val local = t
+      .withColumn("rn_b", row_number().over(inBucket).cast("long"))
+      .withColumn("cum_b", sum(col("n_tok"))
+        .over(inBucket.rowsBetween(Window.unboundedPreceding, 0)))
+    val acrossBuckets = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("tok_sum"))
+      .withColumn("rk_off", coalesce(sum(col("cnt")).over(acrossBuckets), lit(0L)))
+      .withColumn("tok_off", coalesce(sum(col("tok_sum")).over(acrossBuckets), lit(0L)))
+      .select(col("lang"), col("bucket"), col("rk_off"), col("tok_off"))
+    local.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("rk", (col("rn_b") + col("rk_off")).cast("int"))
+      .withColumn("cum_tok", col("cum_b") + col("tok_off"))
+      .filter(col("cum_tok") - col("n_tok") < col("target_tok"))
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame =
+    mixtureResample(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q68_split_hash" -> (hashSplit(_, _)),
     "q69_sample_stratified" -> (stratifiedSample(_, _)),
@@ -257,7 +350,9 @@ object Pipeline extends QueryModule {
     "q73_pack_sequences" -> (packSequences(_, _)),
     "q74_text_tfidf" -> (tfIdfTop(_, _)),
     "q75_decontaminate" -> (decontaminate(_, _)),
-    "q76_profile" -> (profile(_, _))
+    "q76_profile" -> (profile(_, _)),
+    "q93_shuffle_seeded" -> (seededShuffle(_, _)),
+    "q94_mixture_resample" -> (mixtureResample(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -356,6 +451,29 @@ object Pipeline extends QueryModule {
         |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
         |UNION ALL SELECT 'text', CAST(count(text) AS BIGINT), CAST(count(DISTINCT text) AS BIGINT),
         |       CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    // The oracle computes the SAME permutation with one global window —
+    // the readable spec the two-phase bucket form must reproduce exactly.
+    "q93_shuffle_seeded" ->
+      """WITH d AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM d ORDER BY pos""".stripMargin,
+    // Single-window spec of the per-lang budgeted prefix; the Spark side
+    // computes it bucketed (see mixtureResample scaladoc).
+    "q94_mixture_resample" ->
+      """WITH t AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |             CASE lang WHEN 'en' THEN 2800 WHEN 'de' THEN 1600 WHEN 'es' THEN 1600
+        |                       WHEN 'fr' THEN 1200 ELSE 800 END AS target_tok,
+        |             md5(CAST(doc_id AS VARCHAR) || ':mix') AS h
+        |      FROM documents),
+        |r AS (SELECT lang, doc_id, n_tok, target_tok,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk,
+        |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |      FROM t)
+        |SELECT lang, rk, doc_id, n_tok, cum_tok
+        |FROM r WHERE cum_tok - n_tok < target_tok
+        |ORDER BY lang, rk""".stripMargin
   )
 }

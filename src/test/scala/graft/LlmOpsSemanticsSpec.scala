@@ -224,4 +224,20 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
         s"$group: approx $a vs exact $e exceeds 3·rsd")
     }
   }
+
+  test("duplicated-span coverage: identical docs fully covered, variant partially") {
+    // 20-token docs, k=8 → 13 windows each. Docs 0 & 1 identical → every
+    // window shared → ratio 1.0. Doc 2 differs only at token 18 ('sigma'
+    // case-flip): windows starting 11..13 cover it → 3 unique, 10 shared
+    // → ratio 10/13. Doc 3 shares nothing → ratio 0.
+    val r = operators.Dedup.dupSpanCoverage(spark, docsDir).collect()
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L))
+    assert(r(0L) == ((13L, 13L, 1.0)))
+    assert(r(1L) == ((13L, 13L, 1.0)))
+    assert(r(2L)._1 == 13L && r(2L)._2 == 10L)
+    assert(math.abs(r(2L)._3 - 10.0 / 13.0) < 1e-5)
+    assert(r(3L) == ((13L, 0L, 0.0)))
+  }
 }

@@ -93,4 +93,51 @@ class PipelineSemanticsSpec extends AnyFunSuite {
       .join(dim, col("fk") === col("k")).count()
     assert(pruned == plain)
   }
+
+  test("seeded shuffle is a permutation equal to the global single-window ranking") {
+    val docs = corpus(500)
+    val got = Pipeline.seededShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exact positions 1..N, each once
+    assert(got.map(_._2).sorted.toSeq == (1L to 500L).toSeq)
+    // the two-phase bucketed form must reproduce the naive global ranking
+    val expect = docs
+      .select(col("doc_id"), md5(concat(lit("42:"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, h) => (h, id) }
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
+    assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
+  }
+
+  test("seeded shuffle: growing the corpus preserves relative order of existing docs") {
+    def order(n: Int): Seq[Long] = Pipeline.seededShuffle(corpus(n)).collect()
+      .sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    val small = order(200)
+    val big = order(400).filter(_ < 200)
+    assert(small == big) // content-addressed key: new docs interleave, never reorder
+  }
+
+  test("mixture resample fills each language budget with a stable hash-prefix") {
+    val docs = corpus(400) // texts are 3 tokens each; en/de split by parity
+    val targets = Map("en" -> 2800L, "de" -> 1600L)
+    val rows = Pipeline.mixtureResample(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val target = targets(lang)
+      val sorted = rs.sortBy(_._2)
+      // ranks dense from 1; cum_tok is the running sum of n_tok in rank order
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.map(_._4).sum == sorted.last._5)
+      // every selected doc started under budget; selection reaches the
+      // budget, or exhausts the language (200 docs × 3 tokens = 600 here)
+      assert(sorted.forall(r => r._5 - r._4 < target))
+      assert(sorted.last._5 >= target || sorted.length == 200,
+        s"$lang budget unfilled with docs remaining")
+    }
+    // prefix property: the selected set under a bigger corpus of the same
+    // docs is determined per-doc by hash rank, so re-running is identical
+    val again = Pipeline.mixtureResample(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
