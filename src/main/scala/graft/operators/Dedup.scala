@@ -495,7 +495,14 @@ object Dedup extends QueryModule {
     val spans = toks.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
         i => substring(md5(array_join(slice(col("toks"), i, lit(k)), " ")), 1, 16))).as("h"))
-    val perDocWindow = spans.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+    // One explicit shuffle on h serves BOTH the (doc_id, h) aggregate
+    // (HashPartitioning(h) satisfies its clustering requirement — h is a
+    // subset of the grouping key) and the df window right after, instead
+    // of letting Catalyst shuffle once on (doc_id, h) and again on h.
+    // Within-doc window repeats are rare, so the map-side partial
+    // aggregation this forgoes would not have shrunk the shuffle anyway.
+    val perDocWindow = spans.repartition(col("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
     val withDf = perDocWindow.withColumn("n_docs",
       count(lit(1)).over(Window.partitionBy(col("h"))))
     withDf.groupBy(col("doc_id"))
