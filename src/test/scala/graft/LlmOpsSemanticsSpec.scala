@@ -240,4 +240,18 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     assert(math.abs(r(2L)._3 - 10.0 / 13.0) < 1e-5)
     assert(r(3L) == ((13L, 0L, 0.0)))
   }
+
+  test("duplicated-span token coverage: overlapping windows union, not sum") {
+    // Docs 0 & 1: every window duplicated → all 20 tokens covered. Doc 2:
+    // duplicated windows start 1..10, covering tokens 1..17 (union of
+    // overlapping 8-grams — 10 windows × 8 tokens would overcount 4.7×).
+    // Doc 3: nothing shared → 0 covered.
+    val r = operators.Dedup.dupSpanCut(spark, docsDir).collect()
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r(0L) == ((20L, 20L, 1.0)))
+    assert(r(1L) == ((20L, 20L, 1.0)))
+    assert(r(2L) == ((20L, 17L, 0.85)))
+    assert(r(3L) == ((20L, 0L, 0.0)))
+  }
 }
