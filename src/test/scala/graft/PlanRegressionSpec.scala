@@ -145,4 +145,24 @@ class PlanRegressionSpec extends AnyFunSuite {
   test("q85: range-frame window costs exactly one shuffle") {
     assert("hashpartitioning\\(".r.findAllIn(plan("q85_window_range_frame")).size == 1)
   }
+
+  test("q92/q95: span aggregate and df window share ONE shuffle on the window hash") {
+    // Both span queries repartition(h) explicitly so the (doc_id, h)
+    // aggregate / dup-mark window reuse it — a second hashpartitioning(h)
+    // would mean the pair set crosses the wire twice again.
+    Seq("q92_dedup_dup_spans", "q95_dedup_span_cut").foreach { name =>
+      assert("hashpartitioning\\(h#".r.findAllIn(plan(name)).size == 1,
+        s"$name re-shuffles the span set on h")
+    }
+  }
+
+  test("q93/q94: the bucket-offset tables join broadcast — ranked rows never re-shuffle") {
+    // The two-phase numbering only beats a global window if the offset
+    // join is free: the ≤256-row (×langs) offset table must broadcast.
+    Seq("q93_shuffle_seeded", "q94_mixture_resample").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name offsets not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name shuffles for the offset join:\n$p")
+    }
+  }
 }
