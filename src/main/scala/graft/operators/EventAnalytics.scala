@@ -138,12 +138,84 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("name"), col("hour"))
       .limit(200)
 
+  /** PromQL instant-vector family — `irate`, `idelta`, `delta`: the
+    * last-two-samples operators (prometheus `functions.go` instantValue:
+    * irate/idelta read ONLY the final two points in range; delta is
+    * last−first with gauge semantics, no reset rule). Shares
+    * [[seriesDeltas]] with q82/q83 so the reset rule can't drift, then
+    * keeps just each series' newest delta row via a descending
+    * `row_number` — same tiebreak (ts, value) as the delta window itself,
+    * so duplicate-timestamp scrapes pick the same "last" row in both
+    * engines. One shuffle on the series key; the three window functions
+    * (rank, first-value, count) all share its partitioning. */
+  def promInstant(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.partitionBy(col("name"), col("user_id"))
+      .orderBy(col("tus").desc, col("value").desc)
+    val wAsc = Window.partitionBy(col("name"), col("user_id"))
+      .orderBy(col("tus"), col("value"))
+    val wAll = Window.partitionBy(col("name"), col("user_id"))
+    seriesDeltas(spark, dir)
+      .withColumn("rn", row_number().over(wDesc))
+      .withColumn("first_v", first(col("value")).over(wAsc))
+      .withColumn("n_samples", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("user_id"),
+        when(col("dt") > 0, round(col("inc") / (col("dt") / lit(1e6)), 6))
+          .as("irate_per_sec"),
+        round(col("delta"), 4).as("idelta"),
+        round(col("value") - col("first_v"), 4).as("delta_over_time"),
+        col("n_samples"))
+      .orderBy(col("name"), col("user_id"))
+      .limit(300)
+  }
+
+  /** PromQL `predict_linear` + `quantile_over_time` per series: least-
+    * squares extrapolation 5 minutes past each series' last sample
+    * (prometheus `functions.go` linearRegression) and the exact
+    * interpolated p90 — the capacity-planning pair. The regression runs on
+    * PER-SERIES-CENTERED seconds (x = t − min(t)): epoch-microsecond x
+    * values would put var(x) ~1e30 on a ~1e15 mean, where float
+    * cancellation makes cov/var engine-divergent; centered, both engines
+    * agree to 6 decimals. `regr_slope`/`regr_intercept` are Spark-native
+    * declarative aggregates (codegen'd, mergeable partials — one shuffle
+    * with map-side combine); single-sample and single-instant series yield
+    * NULL slope in both engines (0/0 division) and are filtered by the
+    * n ≥ 2 contract. */
+  def promPredictLinear(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("name"), col("user_id"))
+    val centered = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("t0", min(col("tus")).over(w))
+      .withColumn("x", (col("tus") - col("t0")) / lit(1e6))
+    centered.groupBy(col("name"), col("user_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        regr_slope(col("value"), col("x")).as("slope_raw"),
+        regr_intercept(col("value"), col("x")).as("icept_raw"),
+        max(col("x")).as("x_end"),
+        expr("percentile(value, 0.9)").as("p90_raw"))
+      .filter(col("n_samples") >= 2)
+      .select(col("name"), col("user_id"), col("n_samples"),
+        round(col("slope_raw"), 6).as("slope_per_sec"),
+        round(col("icept_raw"), 4).as("intercept"),
+        round(col("icept_raw") + col("slope_raw") * (col("x_end") + lit(300)), 4)
+          .as("predict_5m"),
+        round(col("p90_raw"), 4).as("p90_over_time"))
+      .orderBy(col("name"), col("user_id"))
+      .limit(300)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
     "q82_prom_rate" -> promRate _,
     "q83_prom_topk_rate" -> promTopkRate _,
-    "q84_prom_over_time" -> promOverTime _
+    "q84_prom_over_time" -> promOverTime _,
+    "q96_prom_instant" -> promInstant _,
+    "q97_prom_predict_linear" -> promPredictLinear _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,6 +290,45 @@ object EventAnalytics extends QueryModule {
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
         |  AND l_shipdate < TIMESTAMP '2000-02-01'
         |  AND l_discount > 0.05 AND l_quantity < 25
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q96_prom_instant" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta,
+        |         tus - lag(tus) OVER w AS dt
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
+        |lastd AS (
+        |  SELECT name, user_id, value, delta, dt,
+        |         CASE WHEN delta IS NULL THEN NULL WHEN delta < 0 THEN value ELSE delta END AS inc,
+        |         row_number() OVER (PARTITION BY name, user_id ORDER BY tus DESC, value DESC) AS rn
+        |  FROM d),
+        |firsts AS (
+        |  SELECT name, user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         first(value ORDER BY tus, value) AS first_v
+        |  FROM d GROUP BY 1, 2)
+        |SELECT f.name, f.user_id,
+        |       CASE WHEN ld.dt > 0 THEN round(ld.inc / (ld.dt / 1e6), 6) END AS irate_per_sec,
+        |       round(ld.delta, 4) AS idelta,
+        |       round(ld.value - f.first_v, 4) AS delta_over_time,
+        |       f.n_samples
+        |FROM firsts f JOIN lastd ld USING (name, user_id)
+        |WHERE ld.rn = 1
+        |ORDER BY name, user_id LIMIT 300""".stripMargin,
+    "q97_prom_predict_linear" ->
+      """WITH c AS (
+        |  SELECT event_type AS name, user_id, value,
+        |         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type, user_id)) / 1e6 AS x
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT name, user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |       round(regr_slope(value, x), 6) AS slope_per_sec,
+        |       round(regr_intercept(value, x), 4) AS intercept,
+        |       round(regr_intercept(value, x) + regr_slope(value, x) * (max(x) + 300), 4) AS predict_5m,
+        |       round(quantile_cont(value, 0.9), 4) AS p90_over_time
+        |FROM c GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY name, user_id LIMIT 300""".stripMargin
   )
 }

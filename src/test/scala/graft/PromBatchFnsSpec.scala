@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the PromQL instant-vector and predict_linear
+  * batch operators (q96/q97) on planted series — the invariants the oracle
+  * hash can't express: irate reads ONLY the last two samples, the reset
+  * rule applies to the final delta, and the regression recovers an exact
+  * planted line.
+  */
+class PromBatchFnsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** events fixture in Tables' on-disk shape (ts = LongType nanos).
+    *   ("ctr", 1): counter 10, 20, 5 (reset), 8 at t = 0/10/20/30 s
+    *   ("lin", 2): exact line value = 2 + 0.5·x at the same instants
+    */
+  private lazy val dir: String = {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val rows = Seq(
+      (1L, ns(0), 1L, "ctr", 10.0, "{}"),
+      (2L, ns(10), 1L, "ctr", 20.0, "{}"),
+      (3L, ns(20), 1L, "ctr", 5.0, "{}"),
+      (4L, ns(30), 1L, "ctr", 8.0, "{}"),
+      (5L, ns(0), 2L, "lin", 2.0, "{}"),
+      (6L, ns(10), 2L, "lin", 7.0, "{}"),
+      (7L, ns(20), 2L, "lin", 12.0, "{}"),
+      (8L, ns(30), 2L, "lin", 17.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-prom").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q96: irate/idelta come from the last two samples; delta is last-first") {
+    val r = operators.EventAnalytics.promInstant(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        (x.get(2), x.getDouble(3), x.getDouble(4), x.getLong(5))).toMap
+    // ctr: final delta 8-5 = +3 over 10 s → irate 0.3 (the earlier +10 and
+    // the reset must NOT contribute); delta_over_time = 8-10 (gauge, no
+    // reset correction — Prometheus delta() semantics)
+    assert(r(("ctr", 1L)) == ((0.3, 3.0, -2.0, 4L)))
+    // lin: final delta +5 over 10 s
+    assert(r(("lin", 2L)) == ((0.5, 5.0, 15.0, 4L)))
+  }
+
+  test("q96: a reset AT the last sample restarts irate from the post-reset value") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom2").toString
+    Seq((1L, ns(0), 1L, "c", 100.0, "{}"), (2L, ns(10), 1L, "c", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val row = operators.EventAnalytics.promInstant(spark, d).collect().head
+    assert(row.getDouble(2) == 0.4) // counter restarted: increase = 4, not -96
+    assert(row.getDouble(3) == -96.0) // idelta is the raw instant delta
+  }
+
+  test("q97: regression recovers the planted line exactly; p90 interpolates") {
+    val r = operators.EventAnalytics.promPredictLinear(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5), x.getDouble(6))).toMap
+    // value = 2 + 0.5·x sampled at x = 0..30 → slope 0.5, intercept 2,
+    // prediction at x_end + 300 s = 2 + 0.5·330 = 167
+    assert(r(("lin", 2L)) == ((4L, 0.5, 2.0, 167.0, 15.5)))
+    // p90 of [2,7,12,17]: rank 0.9·3 = 2.7 → 12 + 0.7·5 = 15.5 (checked
+    // above); the ctr series regresses through the reset — only sanity-
+    // check its sample count here
+    assert(r(("ctr", 1L))._1 == 4L)
+  }
+}
