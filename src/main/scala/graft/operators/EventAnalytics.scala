@@ -208,6 +208,53 @@ object EventAnalytics extends QueryModule {
       .limit(300)
   }
 
+  /** PromQL `histogram_quantile` — bucketed estimation, the way every
+    * Prometheus latency SLO is actually computed: samples land in
+    * cumulative `le` buckets ([1,2,5,10,25,50,100,+Inf] here, a standard
+    * latency ladder), and the quantile is linearly interpolated INSIDE the
+    * first bucket whose cumulative count reaches q·total (prometheus
+    * promql/quantile.go bucketQuantile: uniform-within-bucket assumption,
+    * +Inf clamps to the highest finite bound). This is the mergeable,
+    * fixed-size alternative to exact percentiles (q56) — bucket counts
+    * combine map-side and across time windows, which is why Prometheus
+    * chose the representation. Batch analogue over each (metric, hour)'s
+    * raw samples (server-side PromQL runs it on bucket-counter RATES; the
+    * interpolation math is identical).
+    *
+    * One shuffle to (name, hour, le) counts with map-side combine, then
+    * two window passes sharing the (name, hour) partitioning; the bucket
+    * ladder bounds per-group state at 8 rows regardless of sample count. */
+  def promHistogramQuantile(spark: SparkSession, dir: String, q: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("name"), col("hour")).orderBy(col("le"))
+    val wAll = Window.partitionBy(col("name"), col("hour"))
+    val buckets = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("event_type").as("name"),
+        timestamp_micros(expr("unix_micros(ts) div 3600000000") * lit(3600000000L))
+          .as("hour"),
+        col("value"))
+      .withColumn("le",
+        when(col("value") <= 1, 1.0).when(col("value") <= 2, 2.0)
+          .when(col("value") <= 5, 5.0).when(col("value") <= 10, 10.0)
+          .when(col("value") <= 25, 25.0).when(col("value") <= 50, 50.0)
+          .when(col("value") <= 100, 100.0).otherwise(lit(1e9)))
+    buckets.groupBy(col("name"), col("hour"), col("le")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cumcnt", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("lo", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .withColumn("cumlo", col("cumcnt") - col("cnt"))
+      .filter(col("cumcnt") >= lit(q) * col("total"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("hour"), col("total").cast("long").as("n_samples"),
+        round(when(col("le") >= 1e9, lit(100.0))
+          .otherwise(col("lo") + (col("le") - col("lo")) *
+            ((lit(q) * col("total") - col("cumlo")) / col("cnt"))), 4).as("p95"))
+      .orderBy(col("name"), col("hour"))
+      .limit(200)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -215,7 +262,9 @@ object EventAnalytics extends QueryModule {
     "q83_prom_topk_rate" -> promTopkRate _,
     "q84_prom_over_time" -> promOverTime _,
     "q96_prom_instant" -> promInstant _,
-    "q97_prom_predict_linear" -> promPredictLinear _
+    "q97_prom_predict_linear" -> promPredictLinear _,
+    "q98_prom_histogram_quantile" -> ((s: SparkSession, dir: String) =>
+      promHistogramQuantile(s, dir))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -329,6 +378,33 @@ object EventAnalytics extends QueryModule {
         |       round(quantile_cont(value, 0.9), 4) AS p90_over_time
         |FROM c GROUP BY 1, 2
         |HAVING count(*) >= 2
-        |ORDER BY name, user_id LIMIT 300""".stripMargin
+        |ORDER BY name, user_id LIMIT 300""".stripMargin,
+    "q98_prom_histogram_quantile" ->
+      """WITH s AS (
+        |  SELECT event_type AS name,
+        |         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour, value
+        |  FROM events WHERE value IS NOT NULL AND value >= 0),
+        |b AS (
+        |  SELECT name, hour,
+        |         CASE WHEN value <= 1 THEN 1 WHEN value <= 2 THEN 2 WHEN value <= 5 THEN 5
+        |              WHEN value <= 10 THEN 10 WHEN value <= 25 THEN 25 WHEN value <= 50 THEN 50
+        |              WHEN value <= 100 THEN 100 ELSE 1e9 END AS le
+        |  FROM s),
+        |c AS (SELECT name, hour, le, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT name, hour, le, cnt,
+        |         sum(cnt) OVER (PARTITION BY name, hour ORDER BY le) AS cumcnt,
+        |         sum(cnt) OVER (PARTITION BY name, hour) AS total,
+        |         coalesce(lag(le) OVER (PARTITION BY name, hour ORDER BY le), 0) AS lo,
+        |         sum(cnt) OVER (PARTITION BY name, hour ORDER BY le) - cnt AS cumlo
+        |  FROM c),
+        |pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY name, hour ORDER BY le) AS rn
+        |  FROM cum WHERE cumcnt >= 0.95 * total)
+        |SELECT name, hour, CAST(total AS BIGINT) AS n_samples,
+        |       round(CASE WHEN le >= 1e9 THEN 100
+        |            ELSE lo + (le - lo) * ((0.95 * total - cumlo) / cnt) END, 4) AS p95
+        |FROM pick WHERE rn = 1
+        |ORDER BY name, hour LIMIT 200""".stripMargin
   )
 }

@@ -69,4 +69,19 @@ class PromBatchFnsSpec extends AnyFunSuite {
     // check its sample count here
     assert(r(("ctr", 1L))._1 == 4L)
   }
+
+  test("q98: histogram quantile interpolates inside the target bucket") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom3").toString
+    // values 1..20 in one hour → buckets le=1:1, 2:1, 5:3, 10:5, 25:10
+    // (cum 1,2,5,10,20); 0.95·20 = 19 lands in le=25: lo=10, cumlo=10,
+    // cnt=10 → p95 = 10 + 15·(19−10)/10 = 23.5
+    (1 to 20).map(i => (i.toLong, ns(i), 1L, "lat", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val row = operators.EventAnalytics.promHistogramQuantile(spark, d).collect().head
+    assert(row.getLong(2) == 20L)
+    assert(math.abs(row.getDouble(3) - 23.5) < 1e-9)
+  }
 }
