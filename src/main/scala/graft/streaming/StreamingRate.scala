@@ -15,25 +15,32 @@ final case class CounterSample(name: String, user_id: Long, tsUs: Long, value: D
 
 /** Per-series state carried across micro-batches: the previous sample
   * (the only thing PromQL-style rate needs to look back at) plus the
-  * running totals that make each emitted update cumulative. */
+  * running totals that make each emitted update cumulative, plus the most
+  * recent consumed delta (`lastDtUs`/`lastInc`, −1/0 before the second
+  * sample) for the irate instant-vector output. */
 final case class RateState(
     firstTsUs: Long, lastTsUs: Long, lastValue: Double,
-    nSamples: Long, nResets: Long, nLate: Long, totalIncrease: Double)
+    nSamples: Long, nResets: Long, nLate: Long, totalIncrease: Double,
+    lastDtUs: Long, lastInc: Double)
 
 /** Cumulative rate snapshot for one series, one row per micro-batch that
   * touched the series (Update mode: the latest row per key is the answer).
   * `rate_per_sec` is None until the series spans a positive time interval —
-  * the same sum(dt)=0 guard as the batch `safeRate`. */
+  * the same sum(dt)=0 guard as the batch `safeRate`. `irate_per_sec` is
+  * PromQL irate — the last two samples only, reset rule applied, the q96
+  * batch semantic — None until a consumed delta spans positive time. */
 final case class RateTotals(
     name: String, user_id: Long, n_samples: Long, n_resets: Long, n_late: Long,
-    total_increase: Double, rate_per_sec: Option[Double])
+    total_increase: Double, rate_per_sec: Option[Double],
+    irate_per_sec: Option[Double])
 
 /** A batch-computed per-series warm-start row: [[RateState]] plus its key,
   * flat so it reads straight off a DataFrame (see
   * [[StreamingRate.batchBaseline]]). */
 final case class RateBaseline(
     name: String, user_id: Long, firstTsUs: Long, lastTsUs: Long, lastValue: Double,
-    nSamples: Long, nResets: Long, totalIncrease: Double)
+    nSamples: Long, nResets: Long, totalIncrease: Double,
+    lastDtUs: Long, lastInc: Double)
 
 /** Streaming PromQL-style `increase`/`rate` with counter-reset handling —
   * the continuous twin of the batch q82 (`EventAnalytics.promRate`), built
@@ -82,7 +89,8 @@ object StreamingRate {
     override def handleInitialState(
         key: (String, Long), init: RateBaseline, timers: TimerValues): Unit =
       state.update(RateState(init.firstTsUs, init.lastTsUs, init.lastValue,
-        init.nSamples, init.nResets, 0L, init.totalIncrease))
+        init.nSamples, init.nResets, 0L, init.totalIncrease,
+        init.lastDtUs, init.lastInc))
 
     override def handleInputRows(
         key: (String, Long), rows: Iterator[CounterSample],
@@ -91,7 +99,7 @@ object StreamingRate {
       // pipeline's window ordering, so same-timestamp samples reproduce
       val batch = rows.toArray.sortBy(s => (s.tsUs, s.value))
       var s = if (state.exists()) state.get()
-              else RateState(-1L, -1L, 0.0, 0L, 0L, 0L, 0.0)
+              else RateState(-1L, -1L, 0.0, 0L, 0L, 0L, 0.0, -1L, 0.0)
       batch.foreach { r =>
         // late = strictly behind the (ts, value) high-water mark, the batch
         // window's own sort order: an equal-ts row with value ≥ lastValue is
@@ -101,22 +109,26 @@ object StreamingRate {
         if (late) {
           s = s.copy(nLate = s.nLate + 1)
         } else if (s.nSamples == 0L) {
-          s = RateState(r.tsUs, r.tsUs, r.value, 1L, 0L, s.nLate, 0.0)
+          s = RateState(r.tsUs, r.tsUs, r.value, 1L, 0L, s.nLate, 0.0, -1L, 0.0)
         } else {
           val delta = r.value - s.lastValue
           val reset = delta < 0
           s = s.copy(
             lastTsUs = r.tsUs, lastValue = r.value, nSamples = s.nSamples + 1,
             nResets = s.nResets + (if (reset) 1L else 0L),
-            totalIncrease = s.totalIncrease + (if (reset) r.value else delta))
+            totalIncrease = s.totalIncrease + (if (reset) r.value else delta),
+            lastDtUs = r.tsUs - s.lastTsUs,
+            lastInc = if (reset) r.value else delta)
         }
       }
       state.update(s)
       val dtUs = s.lastTsUs - s.firstTsUs
       val rate = if (dtUs > 0L)
         Some(math.rint(s.totalIncrease / (dtUs / 1e6) * 1e6) / 1e6) else None
+      val irate = if (s.lastDtUs > 0L)
+        Some(math.rint(s.lastInc / (s.lastDtUs / 1e6) * 1e6) / 1e6) else None
       Iterator.single(RateTotals(key._1, key._2, s.nSamples, s.nResets, s.nLate,
-        math.rint(s.totalIncrease * 100) / 100, rate))
+        math.rint(s.totalIncrease * 100) / 100, rate, irate))
     }
   }
 
@@ -194,11 +206,12 @@ object StreamingRate {
   def batchBaseline(samples: Dataset[CounterSample]): Dataset[RateBaseline] = {
     import samples.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.struct
+    import org.apache.spark.sql.functions.{coalesce, struct}
     val w = Window.partitionBy(col("name"), col("user_id"))
       .orderBy(col("tsUs"), col("value"))
     samples.toDF()
       .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dt", col("tsUs") - lag(col("tsUs"), 1).over(w))
       .withColumn("inc", when(col("delta").isNull, lit(0.0))
         .when(col("delta") < 0, col("value")).otherwise(col("delta")))
       .withColumn("reset", when(col("delta") < 0, 1L).otherwise(0L))
@@ -209,7 +222,12 @@ object StreamingRate {
         max_by(col("value"), struct(col("tsUs"), col("value"))).as("lastValue"),
         cnt(lit(1)).as("nSamples"),
         sum(col("reset")).as("nResets"),
-        sum(col("inc")).as("totalIncrease"))
+        sum(col("inc")).as("totalIncrease"),
+        // newest delta, for irate continuity across the warm-start seam;
+        // −1 sentinel (no delta yet) for single-sample series
+        max_by(coalesce(col("dt"), lit(-1L)), struct(col("tsUs"), col("value")))
+          .as("lastDtUs"),
+        max_by(col("inc"), struct(col("tsUs"), col("value"))).as("lastInc"))
       .as[RateBaseline]
   }
 }

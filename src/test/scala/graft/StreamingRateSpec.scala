@@ -61,9 +61,9 @@ class StreamingRateSpec extends AnyFunSuite {
       val got = latest("rate_basic")
       // series (m,1): +2 +3 reset(+3) +5 = 13 over 4s
       assert(got(("m", 1L)) ===
-        RateTotals("m", 1L, 5L, 1L, 0L, 13.0, Some(3.25)))
+        RateTotals("m", 1L, 5L, 1L, 0L, 13.0, Some(3.25), Some(5.0)))
       // single-sample series: no interval yet, rate undefined (sum(dt)=0 guard)
-      assert(got(("m", 2L)) === RateTotals("m", 2L, 1L, 0L, 0L, 0.0, None))
+      assert(got(("m", 2L)) === RateTotals("m", 2L, 1L, 0L, 0L, 0.0, None, None))
     }
   }
 
@@ -81,7 +81,7 @@ class StreamingRateSpec extends AnyFunSuite {
         q.processAllAvailable()
       } finally q.stop()
       assert(latest("rate_order")(("c", 1L)) ===
-        RateTotals("c", 1L, 2L, 0L, 0L, 2.0, Some(2.0)))
+        RateTotals("c", 1L, 2L, 0L, 0L, 2.0, Some(2.0), Some(2.0)))
     }
   }
 
@@ -114,7 +114,7 @@ class StreamingRateSpec extends AnyFunSuite {
       } finally q.stop()
       val got = latest("rate_dupts")(("e", 1L))
       assert(got === RateTotals("e", 1L, base.nSamples, base.nResets, 1L,
-        base.totalIncrease, Some(4.0)))
+        base.totalIncrease, Some(4.0), None)) // last consumed delta spans dt=0
     }
   }
 
@@ -133,7 +133,7 @@ class StreamingRateSpec extends AnyFunSuite {
         q.processAllAvailable()
       } finally q.stop()
       assert(latest("rate_late")(("d", 1L)) ===
-        RateTotals("d", 1L, 1L, 0L, 1L, 0.0, None))
+        RateTotals("d", 1L, 1L, 0L, 1L, 0.0, None, None))
     }
   }
 
@@ -147,7 +147,7 @@ class StreamingRateSpec extends AnyFunSuite {
         CounterSample("w", 1L, us(3), 15.0)).toDS()
       val baseline = StreamingRate.batchBaseline(hist)
       assert(baseline.collect().toSeq ===
-        Seq(RateBaseline("w", 1L, us(1), us(3), 15.0, 3L, 0L, 5.0)))
+        Seq(RateBaseline("w", 1L, us(1), us(3), 15.0, 3L, 0L, 5.0, us(1), 3.0)))
 
       val stream = MemoryStream[CounterSample]
       val q = StreamingRate.rateUpdatesFrom(stream.toDS(), baseline)
@@ -165,8 +165,8 @@ class StreamingRateSpec extends AnyFunSuite {
       val got = latest("rate_warm")
       // identical to the all-streaming run of the same 5 samples:
       // +2 +3 reset(+3) +5 = 13 over 4s
-      assert(got(("w", 1L)) === RateTotals("w", 1L, 5L, 1L, 0L, 13.0, Some(3.25)))
-      assert(got(("w", 2L)) === RateTotals("w", 2L, 1L, 0L, 0L, 0.0, None))
+      assert(got(("w", 1L)) === RateTotals("w", 1L, 5L, 1L, 0L, 13.0, Some(3.25), Some(5.0)))
+      assert(got(("w", 2L)) === RateTotals("w", 2L, 1L, 0L, 0L, 0.0, None, None))
     }
   }
 
@@ -207,7 +207,7 @@ class StreamingRateSpec extends AnyFunSuite {
 
       val got = latest("rate_wire")
       // +2, then reset to 3 (+3) = 5 over 2s
-      assert(got(("reqs", 7L)) === RateTotals("reqs", 7L, 3L, 1L, 0L, 5.0, Some(2.5)))
+      assert(got(("reqs", 7L)) === RateTotals("reqs", 7L, 3L, 1L, 0L, 5.0, Some(2.5), Some(3.0)))
       assert(!got.contains(("empty", 1L)), "null-value rows must not create series")
       assert(!got.contains(("reqs", 0L)), "non-numeric labels must be dropped, not id-0")
       assert(got(("unlabeled", 0L)).n_samples === 1L)
@@ -246,7 +246,45 @@ class StreamingRateSpec extends AnyFunSuite {
       // sample — a state loss would read (n=1, increase=0) after restart
       import scala.jdk.CollectionConverters._
       val last = seen.asScala.toSeq.maxBy(_.n_samples)
-      assert(last === RateTotals("r", 1L, 3L, 0L, 0L, 5.0, Some(2.5)))
+      assert(last === RateTotals("r", 1L, 3L, 0L, 0L, 5.0, Some(2.5), Some(3.0)))
+    }
+  }
+
+  test("irate parity with the oracle-checked batch q96 on real testdata") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val dir = "/root/testdata/sf0.001"
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val samples = graft.Tables(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("name"), col("user_id"),
+          unix_micros(col("ts")).as("tsUs"), col("value"))
+        .as[CounterSample].collect().toSeq
+
+      val stream = MemoryStream[CounterSample]
+      val q = StreamingRate.rateUpdates(stream.toDS())
+        .writeStream.format("memory").queryName("rate_q96_parity")
+        .outputMode("update").start()
+      try {
+        // time-respecting two-batch split, as a watermarked ingest delivers
+        val cut = samples.map(_.tsUs).sorted.apply(samples.size / 2)
+        val (a, b) = samples.partition(_.tsUs <= cut)
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+
+      val streaming = latest("rate_q96_parity")
+        .map { case (k, r) => k -> r.irate_per_sec.getOrElse(Double.NaN) }
+      val batch = operators.EventAnalytics.promInstant(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+      assert(streaming.keySet == batch.keySet)
+      streaming.foreach { case (k, v) =>
+        val b = batch(k)
+        assert(v.isNaN == b.isNaN && (v.isNaN || math.abs(v - b) < 1e-9),
+          s"series $k: streaming irate $v != batch q96 $b")
+      }
     }
   }
 
@@ -309,7 +347,7 @@ class StreamingRateSpec extends AnyFunSuite {
           spark.table("rate_ttl").count() >= 2)
       } finally q.stop()
       assert(latest("rate_ttl")(("t", 1L)) ===
-        RateTotals("t", 1L, 1L, 0L, 0L, 0.0, None))
+        RateTotals("t", 1L, 1L, 0L, 0L, 0.0, None, None))
     }
   }
 }
