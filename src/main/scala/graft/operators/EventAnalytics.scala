@@ -224,25 +224,38 @@ object EventAnalytics extends QueryModule {
     * One shuffle to (name, hour, le) counts with map-side combine, then
     * two window passes sharing the (name, hour) partitioning; the bucket
     * ladder bounds per-group state at 8 rows regardless of sample count. */
+  /** The `le` ladder shared by batch q98 and the streaming twin
+    * (`streaming/StreamingHistogramQuantile`): one definition so the two
+    * execution modes cannot disagree on bucket bounds. +Inf is 1e9. */
+  val HistBuckets: Seq[Double] = Seq(1.0, 2.0, 5.0, 10.0, 25.0, 50.0, 100.0)
+
   def promHistogramQuantile(spark: SparkSession, dir: String, q: Double = 0.95): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("name"), col("hour")).orderBy(col("le"))
     val wAll = Window.partitionBy(col("name"), col("hour"))
+    val leCol = HistBuckets.foldRight(lit(1e9): org.apache.spark.sql.Column) {
+      (bound, rest) => when(col("value") <= bound, bound).otherwise(rest)
+    }
     val buckets = Tables(spark, dir, "events")
       .filter(col("value").isNotNull && col("value") >= 0)
       .select(col("event_type").as("name"),
         timestamp_micros(expr("unix_micros(ts) div 3600000000") * lit(3600000000L))
           .as("hour"),
         col("value"))
-      .withColumn("le",
-        when(col("value") <= 1, 1.0).when(col("value") <= 2, 2.0)
-          .when(col("value") <= 5, 5.0).when(col("value") <= 10, 10.0)
-          .when(col("value") <= 25, 25.0).when(col("value") <= 50, 50.0)
-          .when(col("value") <= 100, 100.0).otherwise(lit(1e9)))
+      .withColumn("le", leCol)
+    // `lo` is the previous LADDER bound, not the previous non-empty
+    // bucket: promql's bucketQuantile interpolates inside [lo(le), le]
+    // even when intermediate buckets are empty (they only pass cumulative
+    // count through). A lag() over the non-empty rows would widen the
+    // interpolation span and misplace the estimate.
+    val loCol = HistBuckets.zip(0.0 +: HistBuckets.init)
+      .foldRight(lit(HistBuckets.last): org.apache.spark.sql.Column) {
+        case ((bound, prev), rest) => when(col("le") === bound, prev).otherwise(rest)
+      }
     buckets.groupBy(col("name"), col("hour"), col("le")).agg(count(lit(1)).as("cnt"))
       .withColumn("cumcnt", sum(col("cnt")).over(w))
       .withColumn("total", sum(col("cnt")).over(wAll))
-      .withColumn("lo", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .withColumn("lo", loCol)
       .withColumn("cumlo", col("cumcnt") - col("cnt"))
       .filter(col("cumcnt") >= lit(q) * col("total"))
       .withColumn("rn", row_number().over(w))
@@ -395,7 +408,8 @@ object EventAnalytics extends QueryModule {
         |  SELECT name, hour, le, cnt,
         |         sum(cnt) OVER (PARTITION BY name, hour ORDER BY le) AS cumcnt,
         |         sum(cnt) OVER (PARTITION BY name, hour) AS total,
-        |         coalesce(lag(le) OVER (PARTITION BY name, hour ORDER BY le), 0) AS lo,
+        |         CASE le WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 5 THEN 2 WHEN 10 THEN 5
+        |                 WHEN 25 THEN 10 WHEN 50 THEN 25 WHEN 100 THEN 50 ELSE 100 END AS lo,
         |         sum(cnt) OVER (PARTITION BY name, hour ORDER BY le) - cnt AS cumlo
         |  FROM c),
         |pick AS (

@@ -84,4 +84,19 @@ class PromBatchFnsSpec extends AnyFunSuite {
     assert(row.getLong(2) == 20L)
     assert(math.abs(row.getDouble(3) - 23.5) < 1e-9)
   }
+
+  test("q98: empty intermediate buckets do not widen the interpolation span") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom4").toString
+    // values 1 and 30: buckets le=1 (cnt 1) and le=50 (cnt 1), everything
+    // between empty. 0.95·2 = 1.9 lands in le=50; promql interpolates from
+    // the previous LADDER bound 25 (not from the previous non-empty bucket
+    // 1): p95 = 25 + 25·(1.9−1)/1 = 47.5
+    Seq((1L, ns(1), 1L, "g", 1.0, "{}"), (2L, ns(2), 1L, "g", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val row = operators.EventAnalytics.promHistogramQuantile(spark, d).collect().head
+    assert(math.abs(row.getDouble(3) - 47.5) < 1e-9)
+  }
 }

@@ -143,6 +143,32 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → histogram analytic JSON: bucketed p95 per metric-hour") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-hist-in-").toString
+      val outDir = Files.createTempDirectory("ra-hist-out-").toString + "/analytics-histogram"
+      val ckpt = Files.createTempDirectory("ra-hist-ckpt-").toString
+
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        // latencies 1..20 ms in one hour → the q98 planted answer 23.5
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "latency", "job" -> "api"),
+            (1 to 20).map(i => Sample(i.toDouble, i * 1000L))))) == 200)
+        runOnce(inDir, "histogram", outDir, ckpt)
+        val rows = spark.read
+          .schema(StructType.fromDDL(
+            "name STRING, hour_us BIGINT, n_samples BIGINT, p95 DOUBLE"))
+          .json(outDir).collect()
+        val last = rows.maxBy(_.getAs[Long]("n_samples"))
+        assert(last.getAs[String]("name") === "latency")
+        assert(last.getAs[Long]("n_samples") === 20L)
+        assert(last.getAs[Double]("p95") === 23.5)
+      } finally f.stop()
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
