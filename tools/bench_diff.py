@@ -68,6 +68,14 @@ def main():
         print(f"{q:34s} {old[q]:7.2f} {'-':>7s}     removed")
     print(f"\ntotals: old {sum(old.values()):.1f}s ({len(old)}q)  "
           f"new {sum(new.values()):.1f}s ({len(new)}q)")
+    # cohort drift: median per-query ratio across the shared set. Purely
+    # informational — it tells the reader whether a flagged query is an
+    # outlier against a steady cohort (code smell) or the whole box drifted
+    # (environment). Flag logic above is unchanged.
+    ratios = sorted(new[q] / old[q] for q in shared if old[q])
+    if len(ratios) >= 10:
+        print(f"cohort drift: median x{ratios[len(ratios) // 2]:.2f} "
+              f"over {len(ratios)} shared queries")
     if regressions:
         print(f"\n{len(regressions)} regression(s) over {tol:.0f}% + 0.15s:")
         for q, o, n, pct in regressions:
