@@ -268,6 +268,37 @@ object EventAnalytics extends QueryModule {
       .limit(200)
   }
 
+  /** PromQL binary operation with vector matching —
+    * `rate(error[...]) / rate(click[...])` matched `on(user)`: the
+    * error-budget-burn query every SLO dashboard runs. PromQL's binary-op
+    * semantics over instant vectors are relational: evaluate each side,
+    * equi-join on the matching label set (one-to-one here; unmatched
+    * series DROP, the default inner-join behavior — promql/engine.go
+    * VectorBinop), apply the scalar op. Both sides reuse the exact q82
+    * rate pipeline ([[seriesDeltas]] + [[safeRate]]) so the reset rule
+    * cannot drift from the rest of the family; null rates (single-instant
+    * series) drop like PromQL drops NaN-producing sides.
+    *
+    * Scale shape: the two sides are one shared scan (the name filter
+    * splits AFTER the per-series aggregate), each collapsing to one row
+    * per series before the join — so the join input is series-cardinality,
+    * not sample-cardinality, and shuffles on the uniform user key. */
+  def promVectorRatio(spark: SparkSession, dir: String): DataFrame = {
+    val rates = seriesDeltas(spark, dir)
+      .groupBy(col("name"), col("user_id"))
+      .agg(safeRate.as("rate_per_sec"))
+      .filter(col("rate_per_sec").isNotNull)
+    val err = rates.filter(col("name") === "error")
+      .select(col("user_id"), col("rate_per_sec").as("error_rate"))
+    val clk = rates.filter(col("name") === "click")
+      .select(col("user_id"), col("rate_per_sec").as("click_rate"))
+    err.join(clk, Seq("user_id"))
+      .withColumn("ratio", round(col("error_rate") / col("click_rate"), 6))
+      .select(col("user_id"), col("error_rate"), col("click_rate"), col("ratio"))
+      .orderBy(col("user_id"))
+      .limit(300)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -277,7 +308,8 @@ object EventAnalytics extends QueryModule {
     "q96_prom_instant" -> promInstant _,
     "q97_prom_predict_linear" -> promPredictLinear _,
     "q98_prom_histogram_quantile" -> ((s: SparkSession, dir: String) =>
-      promHistogramQuantile(s, dir))
+      promHistogramQuantile(s, dir)),
+    "q99_prom_vector_ratio" -> promVectorRatio _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -419,6 +451,28 @@ object EventAnalytics extends QueryModule {
         |       round(CASE WHEN le >= 1e9 THEN 100
         |            ELSE lo + (le - lo) * ((0.95 * total - cumlo) / cnt) END, 4) AS p95
         |FROM pick WHERE rn = 1
-        |ORDER BY name, hour LIMIT 200""".stripMargin
+        |ORDER BY name, hour LIMIT 200""".stripMargin,
+    "q99_prom_vector_ratio" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta,
+        |         tus - lag(tus) OVER w AS dt
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
+        |r AS (
+        |  SELECT name, user_id,
+        |         CASE WHEN sum(dt) > 0
+        |              THEN round(sum(CASE WHEN delta IS NULL THEN NULL
+        |                             WHEN delta < 0 THEN value ELSE delta END)
+        |                    / (sum(dt) / 1e6), 6) END AS rate_per_sec
+        |  FROM d GROUP BY 1, 2),
+        |v AS (SELECT name, user_id, rate_per_sec FROM r WHERE rate_per_sec IS NOT NULL)
+        |SELECT e.user_id, e.rate_per_sec AS error_rate, c.rate_per_sec AS click_rate,
+        |       round(e.rate_per_sec / c.rate_per_sec, 6) AS ratio
+        |FROM v e JOIN v c ON e.user_id = c.user_id
+        |WHERE e.name = 'error' AND c.name = 'click'
+        |ORDER BY e.user_id LIMIT 300""".stripMargin
   )
 }

@@ -99,4 +99,25 @@ class PromBatchFnsSpec extends AnyFunSuite {
     val row = operators.EventAnalytics.promHistogramQuantile(spark, d).collect().head
     assert(math.abs(row.getDouble(3) - 47.5) < 1e-9)
   }
+
+  test("q99: vector matching keeps only users present on both sides") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom5").toString
+    // user 1: error rate 2/s (0->20 over 10 s), click rate 4/s → ratio 0.5
+    // user 2: errors only; user 3: clicks only — both must DROP (inner
+    // join, promql's default binary-op matching)
+    Seq(
+      (1L, ns(0), 1L, "error", 0.0, "{}"), (2L, ns(10), 1L, "error", 20.0, "{}"),
+      (3L, ns(0), 1L, "click", 0.0, "{}"), (4L, ns(10), 1L, "click", 40.0, "{}"),
+      (5L, ns(0), 2L, "error", 0.0, "{}"), (6L, ns(10), 2L, "error", 5.0, "{}"),
+      (7L, ns(0), 3L, "click", 0.0, "{}"), (8L, ns(10), 3L, "click", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = operators.EventAnalytics.promVectorRatio(spark, d).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L)
+    assert(rows.head.getDouble(1) == 2.0 && rows.head.getDouble(2) == 4.0)
+    assert(rows.head.getDouble(3) == 0.5)
+  }
 }
