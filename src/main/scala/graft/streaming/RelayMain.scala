@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    batch=<id>/partition/chunk layout
   *                                    ([[ExactlyOnceFileSink]]): replays
   *                                    overwrite, never duplicate
-  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram[,mode...]]
+  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict[,mode...]]
   *                                    ALSO publish a continuous streaming
   *                                    analytic computed from the same body
   *                                    stream (own checkpoint, RocksDB state
@@ -66,7 +66,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object RelayMain {
 
   val Modes: Seq[String] =
-    Seq("rate", "range-rate", "topk", "topk-rate", "staleness", "histogram")
+    Seq("rate", "range-rate", "topk", "topk-rate", "staleness", "histogram", "predict")
 
   /** The chosen analytic over canonical records, as an untyped frame — one
     * switch shared by [[main]] and the end-to-end spec. Every mode rides
@@ -88,6 +88,8 @@ object RelayMain {
       StreamingStaleness.transitions(RelayAnalytics.counterSamples(records), staleAfter).toDF()
     case "histogram" =>
       StreamingHistogramQuantile.quantiles(RelayAnalytics.counterSamples(records)).toDF()
+    case "predict" =>
+      StreamingPredictLinear.predictUpdates(RelayAnalytics.counterSamples(records)).toDF()
     case other =>
       sys.error(s"--analytics $other: expected one of ${Modes.mkString("|")}")
   }

@@ -169,6 +169,34 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → predict analytic JSON: planted line extrapolates") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-pred-in-").toString
+      val outDir = Files.createTempDirectory("ra-pred-out-").toString + "/analytics-predict"
+      val ckpt = Files.createTempDirectory("ra-pred-ckpt-").toString
+
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        // value = 2 + 0.5·x at x = 0..30 s → predict_5m = 2 + 0.5·330 = 167
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "disk", "job" -> "db"),
+            Seq(Sample(2.0, 0L), Sample(7.0, 10000L),
+              Sample(12.0, 20000L), Sample(17.0, 30000L))))) == 200)
+        runOnce(inDir, "predict", outDir, ckpt)
+        val rows = spark.read
+          .schema(StructType.fromDDL(
+            "name STRING, user_id BIGINT, n_samples BIGINT, " +
+              "slope_per_sec DOUBLE, intercept DOUBLE, predict_5m DOUBLE"))
+          .json(outDir).collect()
+        val last = rows.maxBy(_.getAs[Long]("n_samples"))
+        assert(last.getAs[String]("name") === "disk")
+        assert(last.getAs[Double]("slope_per_sec") === 0.5)
+        assert(last.getAs[Double]("predict_5m") === 167.0)
+      } finally f.stop()
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
