@@ -299,6 +299,49 @@ object EventAnalytics extends QueryModule {
       .limit(300)
   }
 
+  /** PromQL RANGE-QUERY evaluation — `sum by (name) (rate(m[24h]))` on an
+    * aligned 6-hour step grid: the shape every Grafana panel actually
+    * issues (a range query = the grid of instant evaluations at
+    * `start/end/step`, promql/engine.go rangeEval). Per-series increase
+    * uses the family's shared reset rule; each sample then lands in the
+    * ≤ ⌈w/step⌉+1 aligned steps whose trailing window [s−w, s] contains
+    * it — a BOUNDED explode (5 rows/sample here), the dual of q91's
+    * bucketed range join: turn "for each step, which samples?" into
+    * "for each sample, which steps?" so the grid never joins against the
+    * sample table. One shuffle onto (name, step) with map-side combine.
+    * Extrapolation-free core rule as everywhere in this family (increase
+    * is the sum of in-window deltas; rate divides by the window). */
+  def promRangeEval(spark: SparkSession, dir: String,
+                    stepSec: Long = 21600L, windowSec: Long = 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("name"), col("user_id"))
+      .orderBy(col("tsec"), col("value"))
+    val incs = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("tsec"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("inc", when(col("delta").isNull, lit(null))
+        .when(col("delta") < 0, col("value")).otherwise(col("delta")))
+      .filter(col("inc").isNotNull)
+    incs
+      .select(col("name"), col("user_id"), col("inc"),
+        explode(sequence(
+          expr(s"((tsec + ${stepSec - 1}) div $stepSec) * $stepSec"),
+          expr(s"((tsec + $windowSec) div $stepSec) * $stepSec"),
+          lit(stepSec))).as("step"))
+      .groupBy(col("name"), col("step").as("step_sec"))
+      .agg(countDistinct(col("user_id")).as("n_series"),
+        count(lit(1)).as("n_samples"),
+        round(sum(col("inc")), 2).as("total_increase"))
+      // rate from the ROUNDED total: the raw float sum differs across
+      // engines in the last ulp, which flips round(x, 6) on exact
+      // half-boundaries; the 2-dp total is identical on both sides
+      .withColumn("rate_per_sec", round(col("total_increase") / windowSec, 6))
+      .orderBy(col("name"), col("step_sec"))
+      .limit(500)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -309,7 +352,8 @@ object EventAnalytics extends QueryModule {
     "q97_prom_predict_linear" -> promPredictLinear _,
     "q98_prom_histogram_quantile" -> ((s: SparkSession, dir: String) =>
       promHistogramQuantile(s, dir)),
-    "q99_prom_vector_ratio" -> promVectorRatio _
+    "q99_prom_vector_ratio" -> promVectorRatio _,
+    "q100_prom_range_eval" -> ((s: SparkSession, dir: String) => promRangeEval(s, dir))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -473,6 +517,29 @@ object EventAnalytics extends QueryModule {
         |       round(e.rate_per_sec / c.rate_per_sec, 6) AS ratio
         |FROM v e JOIN v c ON e.user_id = c.user_id
         |WHERE e.name = 'error' AND c.name = 'click'
-        |ORDER BY e.user_id LIMIT 300""".stripMargin
+        |ORDER BY e.user_id LIMIT 300""".stripMargin,
+    "q100_prom_range_eval" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) // 1000000 AS tsec, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tsec, value,
+        |         value - lag(value) OVER w AS delta
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tsec, value)),
+        |i AS (
+        |  SELECT name, user_id, tsec,
+        |         CASE WHEN delta IS NULL THEN NULL WHEN delta < 0 THEN value ELSE delta END AS inc
+        |  FROM d),
+        |x AS (
+        |  SELECT name, user_id, inc,
+        |         unnest(range(((tsec + 21599) // 21600) * 21600,
+        |                      ((tsec + 86400) // 21600) * 21600 + 1, 21600)) AS step
+        |  FROM i WHERE inc IS NOT NULL)
+        |SELECT name, CAST(step AS BIGINT) AS step_sec,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       round(sum(inc), 2) AS total_increase,
+        |       round(round(sum(inc), 2) / 86400, 6) AS rate_per_sec
+        |FROM x GROUP BY 1, 2 ORDER BY name, step_sec LIMIT 500""".stripMargin
   )
 }

@@ -120,4 +120,20 @@ class PromBatchFnsSpec extends AnyFunSuite {
     assert(rows.head.getDouble(1) == 2.0 && rows.head.getDouble(2) == 4.0)
     assert(rows.head.getDouble(3) == 0.5)
   }
+
+  test("q100: one increase lands in exactly the steps whose 24h window holds it") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom6").toString
+    // counter 0 -> 10 with the delta at t = 21600 s: visible from every
+    // aligned 6h step s with s-86400 <= 21600 <= s → s = 21600..108000,
+    // exactly 5 grid points, each reporting increase 10
+    Seq((1L, ns(0), 1L, "c", 0.0, "{}"), (2L, ns(21600), 1L, "c", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = operators.EventAnalytics.promRangeEval(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(21600L, 43200L, 64800L, 86400L, 108000L))
+    assert(rows.forall(r => r._2 == 1L && r._3 == 1L && r._4 == 10.0))
+  }
 }
