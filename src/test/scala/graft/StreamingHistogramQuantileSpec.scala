@@ -93,6 +93,42 @@ class StreamingHistogramQuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket counts survive a checkpointed restart") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ckpt = java.nio.file.Files.createTempDirectory("hq_ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[HistQuantile]()
+      val stream = MemoryStream[CounterSample]
+      def start() = StreamingHistogramQuantile.quantiles(stream.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[HistQuantile], _: Long) =>
+          batch.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+      val q1 = start()
+      try {
+        stream.addData((1 to 10).map(i => CounterSample("lat", 1L, us(i), i.toDouble)): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start() // same checkpoint: HistCounts must reload
+      try {
+        stream.addData((11 to 20).map(i => CounterSample("lat", 1L, us(i), i.toDouble)): _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      // a state loss would quantile only 11..20; continuity reproduces the
+      // full 1..20 planted answer
+      import scala.jdk.CollectionConverters._
+      val last = seen.asScala.toSeq.maxBy(_.n_samples)
+      assert(last.n_samples == 20L)
+      assert(math.abs(last.p95 - 23.5) < 1e-9)
+    }
+  }
+
   test("parity with the oracle-checked batch q98 on real testdata") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext

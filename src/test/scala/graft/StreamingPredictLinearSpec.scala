@@ -56,6 +56,41 @@ class StreamingPredictLinearSpec extends AnyFunSuite {
     }
   }
 
+  test("sufficient statistics survive a checkpointed restart") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ckpt = java.nio.file.Files.createTempDirectory("pl_ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[PredictUpdate]()
+      val stream = MemoryStream[CounterSample]
+      def start() = StreamingPredictLinear.predictUpdates(stream.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[PredictUpdate], _: Long) =>
+          batch.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+      val q1 = start()
+      try {
+        stream.addData(CounterSample("lin", 2L, us(0), 2.0), CounterSample("lin", 2L, us(10), 7.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start() // same checkpoint: RegrState must reload
+      try {
+        stream.addData(CounterSample("lin", 2L, us(20), 12.0), CounterSample("lin", 2L, us(30), 17.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      // state loss would re-anchor t0 at 20 s and fit only the tail two
+      // points; continuity reproduces the all-in-one-run planted answer
+      import scala.jdk.CollectionConverters._
+      val last = seen.asScala.toSeq.maxBy(_.n_samples)
+      assert(last === PredictUpdate("lin", 2L, 4L, Some(0.5), Some(2.0), Some(167.0)))
+    }
+  }
+
   test("parity with the oracle-checked batch q97 on real testdata") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
