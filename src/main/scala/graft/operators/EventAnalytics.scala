@@ -279,25 +279,29 @@ object EventAnalytics extends QueryModule {
     * cannot drift from the rest of the family; null rates (single-instant
     * series) drop like PromQL drops NaN-producing sides.
     *
-    * Scale shape: the two sides are one shared scan (the name filter
-    * splits AFTER the per-series aggregate), each collapsing to one row
-    * per series before the join — so the join input is series-cardinality,
-    * not sample-cardinality, and shuffles on the uniform user key. */
-  def promVectorRatio(spark: SparkSession, dir: String): DataFrame = {
-    val rates = seriesDeltas(spark, dir)
+    * Scale shape: the naive form joins two branches that each re-derive
+    * the scan + delta window; instead the label match is a PIVOT — one
+    * scan, one per-series rate aggregate, one (user) pivot aggregate.
+    * The "join" collapses into the pivot's group-by on the matching label
+    * (inner-join drop = both pivot columns non-null), so the only
+    * series-cardinality shuffle is the pivot's, on the uniform user key.
+    * This is the general evaluation trick for promql binary ops on a
+    * columnar engine: vector matching is a pivot, not a self-join. */
+  def promVectorRatio(spark: SparkSession, dir: String): DataFrame =
+    seriesDeltas(spark, dir)
+      .filter(col("name").isin("error", "click"))
       .groupBy(col("name"), col("user_id"))
       .agg(safeRate.as("rate_per_sec"))
       .filter(col("rate_per_sec").isNotNull)
-    val err = rates.filter(col("name") === "error")
-      .select(col("user_id"), col("rate_per_sec").as("error_rate"))
-    val clk = rates.filter(col("name") === "click")
-      .select(col("user_id"), col("rate_per_sec").as("click_rate"))
-    err.join(clk, Seq("user_id"))
-      .withColumn("ratio", round(col("error_rate") / col("click_rate"), 6))
-      .select(col("user_id"), col("error_rate"), col("click_rate"), col("ratio"))
+      .groupBy(col("user_id"))
+      .pivot("name", Seq("error", "click"))
+      .agg(first(col("rate_per_sec")))
+      .filter(col("error").isNotNull && col("click").isNotNull)
+      .select(col("user_id"), col("error").as("error_rate"),
+        col("click").as("click_rate"),
+        round(col("error") / col("click"), 6).as("ratio"))
       .orderBy(col("user_id"))
       .limit(300)
-  }
 
   /** PromQL RANGE-QUERY evaluation — `sum by (name) (rate(m[24h]))` on an
     * aligned 6-hour step grid: the shape every Grafana panel actually
