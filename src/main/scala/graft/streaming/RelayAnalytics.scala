@@ -38,6 +38,15 @@ object RelayAnalytics {
   /** 64-bit series identity over the full sorted label set. */
   def seriesId(labels: Column): Column = xxhash64(sortedEntries(labels))
 
+  /** 64-bit MATCHING key: the sorted label set EXCLUDING `__name__` —
+    * promql's default binary-op vector matching ("labels must be equal,
+    * ignoring the metric name", promql/engine.go resultMetric). Two
+    * metrics over the same underlying series (same job/instance/…) hash
+    * equal here while [[seriesId]] keeps them distinct. */
+  def matchKey(labels: Column): Column =
+    xxhash64(array_sort(map_entries(
+      map_filter(labels, (k, _) => k =!= "__name__"))))
+
   /** Human-readable canonical series: `{k="v",k2="v2"}` with keys sorted —
     * the PromQL notation, stable across label-map orderings. */
   def seriesString(labels: Column): Column =
@@ -58,6 +67,19 @@ object RelayAnalytics {
     records.filter(col("value").isNotNull)
       .select(col("name"),
         seriesId(col("labels")).as("user_id"),
+        (col("time") * lit(1000L)).as("tsUs"),
+        col("value"))
+      .as[CounterSample]
+  }
+
+  /** Like [[counterSamples]] but keyed on [[matchKey]] — for operators
+    * that MATCH series across metrics ([[StreamingVectorRatio]]): the
+    * name rides in `name`, the identity deliberately excludes it. */
+  def matchSamples(records: DataFrame): Dataset[CounterSample] = {
+    import records.sparkSession.implicits._
+    records.filter(col("value").isNotNull)
+      .select(col("name"),
+        matchKey(col("labels")).as("user_id"),
         (col("time") * lit(1000L)).as("tsUs"),
         col("value"))
       .as[CounterSample]

@@ -33,7 +33,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    batch=<id>/partition/chunk layout
   *                                    ([[ExactlyOnceFileSink]]): replays
   *                                    overwrite, never duplicate
-  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict[,mode...]]
+  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict|ratio[,...]]
+  *     [--ratio-num error] [--ratio-den click]
+  *                                    ratio mode: numerator/denominator
+  *                                    metric names (matching key = the
+  *                                    label set minus __name__)
   *                                    ALSO publish a continuous streaming
   *                                    analytic computed from the same body
   *                                    stream (own checkpoint, RocksDB state
@@ -66,7 +70,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object RelayMain {
 
   val Modes: Seq[String] =
-    Seq("rate", "range-rate", "topk", "topk-rate", "staleness", "histogram", "predict")
+    Seq("rate", "range-rate", "topk", "topk-rate", "staleness", "histogram", "predict",
+      "ratio")
 
   /** The chosen analytic over canonical records, as an untyped frame — one
     * switch shared by [[main]] and the end-to-end spec. Every mode rides
@@ -75,7 +80,9 @@ object RelayMain {
                      rateTtl: Option[Duration] = None,
                      rangeWindow: Duration = Duration.ofMinutes(5),
                      staleAfter: Duration = Duration.ofMinutes(5),
-                     topkCapacity: Int = 1000, topkK: Int = 20): DataFrame = mode match {
+                     topkCapacity: Int = 1000, topkK: Int = 20,
+                     ratioNum: String = "error", ratioDen: String = "click"): DataFrame =
+    mode match {
     case "rate" =>
       StreamingRate.rateUpdates(RelayAnalytics.counterSamples(records), rateTtl).toDF()
     case "range-rate" =>
@@ -90,6 +97,11 @@ object RelayMain {
       StreamingHistogramQuantile.quantiles(RelayAnalytics.counterSamples(records)).toDF()
     case "predict" =>
       StreamingPredictLinear.predictUpdates(RelayAnalytics.counterSamples(records)).toDF()
+    case "ratio" =>
+      // matchSamples, not counterSamples: binary-op matching ignores
+      // __name__ (the metric rides in `name`; the key is the other labels)
+      StreamingVectorRatio.ratioUpdates(RelayAnalytics.matchSamples(records),
+        ratioNum, ratioDen).toDF()
     case other =>
       sys.error(s"--analytics $other: expected one of ${Modes.mkString("|")}")
   }
@@ -106,9 +118,10 @@ object RelayMain {
                      rateTtl: Option[Duration] = None,
                      rangeWindow: Duration = Duration.ofMinutes(5),
                      staleAfter: Duration = Duration.ofMinutes(5),
-                     topkCapacity: Int = 1000, topkK: Int = 20): StreamingQuery = {
+                     topkCapacity: Int = 1000, topkK: Int = 20,
+                     ratioNum: String = "error", ratioDen: String = "click"): StreamingQuery = {
     val frame = analyticsFrame(RelayPipeline.records(bodies), mode,
-      rateTtl, rangeWindow, staleAfter, topkCapacity, topkK)
+      rateTtl, rangeWindow, staleAfter, topkCapacity, topkK, ratioNum, ratioDen)
     frame.writeStream
       .queryName(s"graft-analytics-$mode")
       .trigger(trigger)
@@ -198,7 +211,9 @@ object RelayMain {
           rangeWindow = Duration.ofSeconds(opts.getOrElse("--range-window", "300").toLong),
           staleAfter = Duration.ofSeconds(opts.getOrElse("--stale-after", "300").toLong),
           topkCapacity = opts.getOrElse("--topk-capacity", "1000").toInt,
-          topkK = opts.getOrElse("--topk", "20").toInt)
+          topkK = opts.getOrElse("--topk", "20").toInt,
+          ratioNum = opts.getOrElse("--ratio-num", "error"),
+          ratioDen = opts.getOrElse("--ratio-den", "click"))
       }
       if (intervalSec == 0) {
         q.processAllAvailable(); q.stop()

@@ -197,6 +197,35 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → ratio analytic JSON: metrics match on the label set minus __name__") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-ratio-in-").toString
+      val outDir = Files.createTempDirectory("ra-ratio-out-").toString + "/analytics-ratio"
+      val ckpt = Files.createTempDirectory("ra-ratio-ckpt-").toString
+
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        // same job label on both metrics → they must match despite the
+        // differing __name__; error rate 2/s over click rate 4/s = 0.5
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "error", "job" -> "api"),
+            Seq(Sample(0.0, 0L), Sample(20.0, 10000L))),
+          TimeSeries(Map("__name__" -> "click", "job" -> "api"),
+            Seq(Sample(0.0, 0L), Sample(40.0, 10000L))))) == 200)
+        runOnce(inDir, "ratio", outDir, ckpt)
+        val rows = spark.read
+          .schema(StructType.fromDDL(
+            "user_id BIGINT, error_rate DOUBLE, click_rate DOUBLE, ratio DOUBLE"))
+          .json(outDir).collect()
+        assert(rows.length == 1, rows.mkString(","))
+        assert(rows.head.getAs[Double]("error_rate") === 2.0)
+        assert(rows.head.getAs[Double]("click_rate") === 4.0)
+        assert(rows.head.getAs[Double]("ratio") === 0.5)
+      } finally f.stop()
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
