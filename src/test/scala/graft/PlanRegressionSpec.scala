@@ -156,6 +156,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q99/q100: PromQL eval reads the events table exactly once") {
+    // q99's vector matching is a PIVOT, not a self-join — a regression to
+    // two branches would re-derive the scan and the delta window per side.
+    // q100's step grid comes from a bounded sample-side explode — joining
+    // a generated step table against samples would add a second scan.
+    // (FormattedMode prints each scan node twice: tree + detail.)
+    Seq("q99_prom_vector_ratio", "q100_prom_range_eval").foreach { name =>
+      assert("Scan parquet".r.findAllIn(plan(name)).size == 2,
+        s"$name reads events more than once")
+    }
+  }
+
   test("q93/q94: the bucket-offset tables join broadcast — ranked rows never re-shuffle") {
     // The two-phase numbering only beats a global window if the offset
     // join is free: the ≤256-row (×langs) offset table must broadcast.
