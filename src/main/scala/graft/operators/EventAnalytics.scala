@@ -199,11 +199,15 @@ object EventAnalytics extends QueryModule {
         expr("percentile(value, 0.9)").as("p90_raw"))
       .filter(col("n_samples") >= 2)
       .select(col("name"), col("user_id"), col("n_samples"),
-        round(col("slope_raw"), 6).as("slope_per_sec"),
-        round(col("icept_raw"), 4).as("intercept"),
-        round(col("icept_raw") + col("slope_raw") * (col("x_end") + lit(300)), 4)
-          .as("predict_5m"),
-        round(col("p90_raw"), 4).as("p90_over_time"))
+        // `+ 0.0` normalizes IEEE signed zero: a raw slope of ~-1e-9 rounds
+        // to -0.0 in DuckDB but +0.0 in Spark — value-equal, bit-unequal, so
+        // the driver's bitwise hash diverges. `-0.0 + 0.0 = +0.0` in both
+        // engines; applied to every rounded double on both sides.
+        (round(col("slope_raw"), 6) + lit(0.0)).as("slope_per_sec"),
+        (round(col("icept_raw"), 4) + lit(0.0)).as("intercept"),
+        (round(col("icept_raw") + col("slope_raw") * (col("x_end") + lit(300)), 4)
+          + lit(0.0)).as("predict_5m"),
+        (round(col("p90_raw"), 4) + lit(0.0)).as("p90_over_time"))
       .orderBy(col("name"), col("user_id"))
       .limit(300)
   }
@@ -465,10 +469,10 @@ object EventAnalytics extends QueryModule {
         |         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type, user_id)) / 1e6 AS x
         |  FROM events WHERE value IS NOT NULL)
         |SELECT name, user_id, CAST(count(*) AS BIGINT) AS n_samples,
-        |       round(regr_slope(value, x), 6) AS slope_per_sec,
-        |       round(regr_intercept(value, x), 4) AS intercept,
-        |       round(regr_intercept(value, x) + regr_slope(value, x) * (max(x) + 300), 4) AS predict_5m,
-        |       round(quantile_cont(value, 0.9), 4) AS p90_over_time
+        |       round(regr_slope(value, x), 6) + 0.0 AS slope_per_sec,
+        |       round(regr_intercept(value, x), 4) + 0.0 AS intercept,
+        |       round(regr_intercept(value, x) + regr_slope(value, x) * (max(x) + 300), 4) + 0.0 AS predict_5m,
+        |       round(quantile_cont(value, 0.9), 4) + 0.0 AS p90_over_time
         |FROM c GROUP BY 1, 2
         |HAVING count(*) >= 2
         |ORDER BY name, user_id LIMIT 300""".stripMargin,

@@ -70,6 +70,24 @@ class PromBatchFnsSpec extends AnyFunSuite {
     assert(r(("ctr", 1L))._1 == 4L)
   }
 
+  test("q97: a tiny negative slope rounds to bit-exact +0.0, never -0.0") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom0").toString
+    // slope = -1e-9/s: value drops by 1e-7 over 100 s. round(−1e-9, 6) is
+    // the signed-zero trap — DuckDB keeps the IEEE sign (−0.0), Spark
+    // doesn't, and the driver hashes bits. The +0.0 normalization must make
+    // the output bit-identical to +0.0.
+    Seq((1L, ns(0), 1L, "z", 1.0, "{}"), (2L, ns(100), 1L, "z", 1.0 - 1e-7, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val row = operators.EventAnalytics.promPredictLinear(spark, d).collect().head
+    val slope = row.getDouble(3)
+    assert(slope == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(slope) == 0L,
+      s"slope must be +0.0, got bits ${java.lang.Double.doubleToRawLongBits(slope)}")
+  }
+
   test("q98: histogram quantile interpolates inside the target bucket") {
     import spark.implicits._
     def ns(sec: Long) = sec * 1000000000L

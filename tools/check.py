@@ -6,14 +6,40 @@ Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
 
 Loads each <outDir>/<name> parquet (the Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same sf tables, and
-compares: column names (sorted), row count, and values (exact, after
-sorting columns by name, then sorting rows by all columns — i.e. a multiset
-compare, so queries without a total ORDER BY don't spuriously fail).
+compares: column names (sorted), row count, and values — BIT-EXACT for
+doubles (struct.pack('<d')), because the driver hashes bits: round 9
+shipped a +0.0 vs -0.0 divergence (q97) that `==` comparison was blind to
+(0.0 == -0.0 is True). Rows are fetched via fetchall(), NOT pandas .df(),
+so SQL NULL stays None and is distinguishable from float NaN (pandas float
+columns collapse both to nan). Both-NaN counts as equal (engines may emit
+different NaN payloads when writing); everything else must match bitwise.
+Rows are compared as a multiset (sorted by stringified tuple), so queries
+without a total ORDER BY don't spuriously fail.
 """
-import duckdb, json, sys, math
+import duckdb, json, math, struct, sys
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+
+def cell_eq(x, y):
+    if x is None or y is None:
+        return x is y
+    if isinstance(x, float) and isinstance(y, float):
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return struct.pack("<d", x) == struct.pack("<d", y)
+    if isinstance(x, float) != isinstance(y, float):
+        return False  # float vs non-float never matches the driver's hash
+    return str(x) == str(y)
+
+
+def fmt(x):
+    if isinstance(x, float):
+        s = repr(x)
+        return s + ("" if math.copysign(1.0, x) > 0 or s.startswith("-") else " (-0.0)")
+    return repr(x)
+
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -25,34 +51,32 @@ n_pass = n_fail = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
-        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
-        want = con.sql(sql).df()
-        got = got[sorted(got.columns)].reset_index(drop=True)
-        want = want[sorted(want.columns)].reset_index(drop=True)
-        if list(got.columns) == list(want.columns) and len(got.columns):
-            cols = list(got.columns)
-            got = got.sort_values(cols, key=lambda s: s.astype(str)).reset_index(drop=True)
-            want = want.sort_values(cols, key=lambda s: s.astype(str)).reset_index(drop=True)
+        g_rel = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
+        w_rel = con.sql(sql)
+        g_cols, w_cols = list(g_rel.columns), list(w_rel.columns)
+        g_order = sorted(range(len(g_cols)), key=lambda i: g_cols[i])
+        w_order = sorted(range(len(w_cols)), key=lambda i: w_cols[i])
+        got = [tuple(r[i] for i in g_order) for r in g_rel.fetchall()]
+        want = [tuple(r[i] for i in w_order) for r in w_rel.fetchall()]
+        g_cols = [g_cols[i] for i in g_order]
+        w_cols = [w_cols[i] for i in w_order]
         errs = []
-        if list(got.columns) != list(want.columns):
-            errs.append(f"columns: spark={list(got.columns)} duck={list(want.columns)}")
+        if g_cols != w_cols:
+            errs.append(f"columns: spark={g_cols} duck={w_cols}")
         elif len(got) != len(want):
             errs.append(f"rows: spark={len(got)} duck={len(want)}")
         else:
-            for c in got.columns:
-                a, b = got[c].tolist(), want[c].tolist()
-                bad = []
-                for i, (x, y) in enumerate(zip(a, b)):
-                    if x is None and y is None:
-                        continue
-                    if isinstance(x, float) and isinstance(y, float):
-                        if x == y or (math.isnan(x) and math.isnan(y)):
-                            continue
-                        bad.append((i, x, y))
-                    elif str(x) != str(y):
-                        bad.append((i, x, y))
-                if bad:
-                    errs.append(f"col {c}: {len(bad)} diffs, first {bad[:3]}")
+            key = lambda row: tuple(str(x) for x in row)
+            got.sort(key=key)
+            want.sort(key=key)
+            bad_by_col = {}
+            for i, (gr, wr) in enumerate(zip(got, want)):
+                for j, (x, y) in enumerate(zip(gr, wr)):
+                    if not cell_eq(x, y):
+                        bad_by_col.setdefault(g_cols[j], []).append(
+                            (i, fmt(x), fmt(y)))
+            for c, bad in bad_by_col.items():
+                errs.append(f"col {c}: {len(bad)} diffs, first {bad[:3]}")
         if errs:
             n_fail += 1
             print(f"FAIL {name}")

@@ -17,18 +17,29 @@
 # bench/bench_r<NN>.json so the next round has a full baseline too.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+# Archive the gate's own transcript: VERDICT r09 "What's wrong" #3 — the
+# committed GATE_r*.txt must always correspond to the committed snapshot,
+# so the gate tees itself rather than relying on the operator to remember.
+if [ -n "${ROUND:-}" ] && [ -z "${GATE_TEE:-}" ]; then
+  export GATE_TEE=1
+  exec > >(tee "GATE_r${ROUND}.txt") 2>&1
+fi
 SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
 SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
-PREV=${PREV:-$(ls bench/bench_r*.json 2>/dev/null | sort | tail -1)}
-PREV=${PREV:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}
+# sort -V: plain sort puts bench_r100 before bench_r99 once rounds hit
+# three digits (ADVICE r09) — version sort keeps the latest round latest.
+PREV=${PREV:-$(ls bench/bench_r*.json 2>/dev/null | sort -V | tail -1)}
+PREV=${PREV:-$(ls BENCH_r*.json 2>/dev/null | sort -V | tail -1)}
 
 echo "== gate: test suite (sbt -batch test) =="
 # Round-7 shipped with Test/compile broken and nothing caught it (VERDICT r07
 # "What's wrong" #1/#2): the suite — compilation included — gates the round.
 sbt -batch test || { echo "gate: FAIL — sbt test red (compile or assertion)"; exit 1; }
 
-echo "== gate: correctness (Verify @ $SF_VERIFY vs DuckDB oracle) =="
-sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" || exit 1
+echo "== gate: correctness (Verify @ $SF_VERIFY vs DuckDB oracle, CPUS=32) =="
+# CPUS=32 for driver parity (VERDICT r09 #4): an order-sensitive float bug
+# that only manifests at the driver's local[32] must fail HERE, not there.
+SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" || exit 1
 python3 tools/check.py "$SF_VERIFY" /tmp/verify_out || exit 1
 
 echo "== gate: bench (@ $SF_BENCH, local[32], reps=${BENCH_REPS:-3}) =="
