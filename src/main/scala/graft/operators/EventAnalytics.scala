@@ -68,6 +68,14 @@ object EventAnalytics extends QueryModule {
           .otherwise(col("delta")))
   }
 
+  /** Integer floor division with DuckDB `//` semantics. Spark's `div`
+    * truncates toward zero, so negative (pre-1970) microsecond timestamps
+    * land one bucket HIGHER than the oracle's floor division (ADVICE r09).
+    * `(a - pmod(a, n)) / n` floors for all signs — pmod is non-negative —
+    * and stays exact: the numerator is an exact multiple of n below 2^53. */
+  private def floorDiv(a: org.apache.spark.sql.Column, n: Long): org.apache.spark.sql.Column =
+    ((a - pmod(a, lit(n))) / lit(n)).cast("long")
+
   /** Rate guarded against an all-same-timestamp series: sum(dt) = 0 must
     * yield NULL in BOTH engines (Spark's non-ANSI divide gives NULL, but
     * DuckDB's IEEE division would give ±inf/NaN — mirrored by an explicit
@@ -126,7 +134,7 @@ object EventAnalytics extends QueryModule {
     Tables(spark, dir, "events")
       .filter(col("value").isNotNull)
       .select(col("event_type").as("name"), col("user_id"),
-        timestamp_micros(expr("unix_micros(ts) div 3600000000") * lit(3600000000L))
+        timestamp_micros(floorDiv(unix_micros(col("ts")), 3600000000L) * lit(3600000000L))
           .as("hour"),
         col("value"))
       .groupBy(col("name"), col("hour"))
@@ -243,7 +251,7 @@ object EventAnalytics extends QueryModule {
     val buckets = Tables(spark, dir, "events")
       .filter(col("value").isNotNull && col("value") >= 0)
       .select(col("event_type").as("name"),
-        timestamp_micros(expr("unix_micros(ts) div 3600000000") * lit(3600000000L))
+        timestamp_micros(floorDiv(unix_micros(col("ts")), 3600000000L) * lit(3600000000L))
           .as("hour"),
         col("value"))
       .withColumn("le", leCol)
@@ -327,7 +335,7 @@ object EventAnalytics extends QueryModule {
     val incs = Tables(spark, dir, "events")
       .filter(col("value").isNotNull)
       .select(col("event_type").as("name"), col("user_id"),
-        expr("unix_micros(ts) div 1000000").as("tsec"), col("value"))
+        floorDiv(unix_micros(col("ts")), 1000000L).as("tsec"), col("value"))
       .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
       .withColumn("inc", when(col("delta").isNull, lit(null))
         .when(col("delta") < 0, col("value")).otherwise(col("delta")))
@@ -335,8 +343,8 @@ object EventAnalytics extends QueryModule {
     incs
       .select(col("name"), col("user_id"), col("inc"),
         explode(sequence(
-          expr(s"((tsec + ${stepSec - 1}) div $stepSec) * $stepSec"),
-          expr(s"((tsec + $windowSec) div $stepSec) * $stepSec"),
+          floorDiv(col("tsec") + lit(stepSec - 1), stepSec) * lit(stepSec),
+          floorDiv(col("tsec") + lit(windowSec), stepSec) * lit(stepSec),
           lit(stepSec))).as("step"))
       .groupBy(col("name"), col("step").as("step_sec"))
       .agg(countDistinct(col("user_id")).as("n_series"),
@@ -350,6 +358,105 @@ object EventAnalytics extends QueryModule {
       .limit(500)
   }
 
+  /** PromQL MANY-TO-ONE vector matching —
+    * `rate(m[...]) / on(user) group_left(segment) user_quota`: the other
+    * matching cardinality every real dashboard hits (promql/engine.go
+    * VectorBinop, `CardManyToOne` branch). The "many" side is the
+    * per-(metric, user) rate vector (the family's shared q82 pipeline);
+    * the "one" side is a per-user info vector — unique on the matching
+    * label by PromQL contract (duplicate match labels are a hard error) —
+    * whose extra `segment` label is COPIED onto every matched many-side
+    * row (`group_left(segment)`) and whose value scales it (rate per
+    * account quota). Unmatched rows on either side drop (inner).
+    *
+    * Scale shape: the one side is an aggregate over the matching label —
+    * small by construction (≤ one row per label value, here per user) —
+    * so the match is a BROADCAST hash join: zero shuffle of the many side
+    * beyond its own rate aggregate, no matter how many series it has.
+    * That broadcast is exactly how a 1000-executor cluster wants
+    * `group_left` evaluated, and `PlanRegressionSpec` pins it. */
+  def promGroupLeft(spark: SparkSession, dir: String): DataFrame = {
+    val rates = seriesDeltas(spark, dir)
+      .groupBy(col("name"), col("user_id"))
+      .agg(safeRate.as("rate_per_sec"))
+      .filter(col("rate_per_sec").isNotNull)
+    val info = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"),
+        round(abs(col("c_acctbal")) + lit(1.0), 2).as("quota"))
+    rates.join(broadcast(info), Seq("user_id"))
+      .select(col("name"), col("user_id"), col("segment"), col("rate_per_sec"),
+        round(col("rate_per_sec") / col("quota"), 6).as("rate_per_quota"))
+      .orderBy(col("name"), col("user_id"))
+      .limit(300)
+  }
+
+  /** PromQL `offset` + `absent()` — the two instant-vector modifiers left
+    * in the family (promql/engine.go evalVectorSelector's offset shift;
+    * functions.go funcAbsent). `m offset 1w` evaluates the selector at
+    * eval_ts − offset, i.e. each series' newest sample at or before the
+    * shifted instant — the week-over-week comparison every SLO review
+    * runs (`m - m offset 1w`). `absent(m)` is the alerting dual: 1 when
+    * NO series matches the selector — here an anti-join of an expected
+    * metric catalog against the live series set, the batch twin of the
+    * streaming staleness operator (`StreamingStaleness`).
+    *
+    * ONE scan, one shuffle: both the "now" and the "offset" picks are a
+    * single conditional struct-max aggregate — max((ts, value)) per
+    * series, and the same max over only the rows at or before the shifted
+    * instant — so the selector never re-reads or re-sorts the input (the
+    * row_number formulation would window-sort events twice). eval_ts is
+    * the corpus' newest sample, a 1-row broadcast scalar (never a driver
+    * collect); the aggregated per-series picks (series-cardinality, tiny)
+    * persist to feed both the diff rows and the absent anti-join, and the
+    * 7-row catalog broadcasts. Struct max compares (ts, value)
+    * lexicographically in both engines — the family tiebreak, so
+    * duplicate-timestamp picks are engine-reproducible. */
+  def promOffsetAbsent(spark: SparkSession, dir: String,
+                       offsetSec: Long = 604800L): DataFrame = {
+    val samples = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+    val evalTs = samples.agg(max(col("tus")).as("eval_tus"))
+    val picks = samples
+      .crossJoin(broadcast(evalTs)) // 1-row scalar: the evaluation instant
+      .groupBy(col("name"), col("user_id"))
+      .agg(
+        max(struct(col("tus"), col("value"))).getField("value").as("v_now"),
+        max(when(col("tus") <= col("eval_tus") - lit(offsetSec * 1000000L),
+          struct(col("tus"), col("value")))).getField("value").as("v_prev"))
+      .persist() // series-cardinality; serves the diff AND absent branches
+    // `m - m offset 1w` is a binary op: series with no sample at or
+    // before the shifted instant drop (inner-join semantics).
+    val diffs = picks.filter(col("v_prev").isNotNull)
+      .select(col("name"), col("user_id"), col("v_now"), col("v_prev"),
+        // + 0.0 normalizes signed zero (the q97 rule): a diff of ~-1e-9
+        // rounds to -0.0 in DuckDB, +0.0 in Spark.
+        (round(col("v_now") - col("v_prev"), 4) + lit(0.0)).as("diff_1w"),
+        lit(0L).as("absent"))
+    import spark.implicits._
+    val catalog = ExpectedMetrics.toDF("name")
+    val absent = catalog.join(
+        picks.select(col("name")).distinct(), Seq("name"), "left_anti")
+      .select(col("name"), lit(null).cast("long").as("user_id"),
+        lit(null).cast("double").as("v_now"),
+        lit(null).cast("double").as("v_prev"),
+        lit(null).cast("double").as("diff_1w"),
+        lit(1L).as("absent"))
+    // absent rows first: they are the alert signal, and a LIMIT must
+    // never be able to cut them off behind hundreds of diff rows.
+    diffs.unionAll(absent)
+      .orderBy(col("absent").desc, col("name"), col("user_id"))
+      .limit(400)
+  }
+
+  /** The alert catalog `absent()` checks: the five live metrics plus two
+    * that never report — the rows a Prometheus alert would fire on. */
+  val ExpectedMetrics: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view",
+      "latency_p99", "gc_seconds")
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -361,7 +468,10 @@ object EventAnalytics extends QueryModule {
     "q98_prom_histogram_quantile" -> ((s: SparkSession, dir: String) =>
       promHistogramQuantile(s, dir)),
     "q99_prom_vector_ratio" -> promVectorRatio _,
-    "q100_prom_range_eval" -> ((s: SparkSession, dir: String) => promRangeEval(s, dir))
+    "q100_prom_range_eval" -> ((s: SparkSession, dir: String) => promRangeEval(s, dir)),
+    "q101_prom_group_left" -> promGroupLeft _,
+    "q102_prom_offset_absent" -> ((s: SparkSession, dir: String) =>
+      promOffsetAbsent(s, dir))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -548,6 +658,54 @@ object EventAnalytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS n_samples,
         |       round(sum(inc), 2) AS total_increase,
         |       round(round(sum(inc), 2) / 86400, 6) AS rate_per_sec
-        |FROM x GROUP BY 1, 2 ORDER BY name, step_sec LIMIT 500""".stripMargin
+        |FROM x GROUP BY 1, 2 ORDER BY name, step_sec LIMIT 500""".stripMargin,
+    "q101_prom_group_left" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta,
+        |         tus - lag(tus) OVER w AS dt
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
+        |r AS (
+        |  SELECT name, user_id,
+        |         CASE WHEN sum(dt) > 0
+        |              THEN round(sum(CASE WHEN delta IS NULL THEN NULL
+        |                             WHEN delta < 0 THEN value ELSE delta END)
+        |                    / (sum(dt) / 1e6), 6) END AS rate_per_sec
+        |  FROM d GROUP BY 1, 2),
+        |v AS (SELECT name, user_id, rate_per_sec FROM r WHERE rate_per_sec IS NOT NULL),
+        |i AS (SELECT c_custkey AS user_id, c_mktsegment AS segment,
+        |             round(abs(c_acctbal) + 1.0, 2) AS quota FROM customer)
+        |SELECT v.name, v.user_id, i.segment, v.rate_per_sec,
+        |       round(v.rate_per_sec / i.quota, 6) AS rate_per_quota
+        |FROM v JOIN i USING (user_id)
+        |ORDER BY name, user_id LIMIT 300""".stripMargin,
+    "q102_prom_offset_absent" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |ev AS (SELECT max(tus) AS eval_tus FROM s),
+        |picks AS (
+        |  SELECT name, user_id,
+        |         (max({'t': tus, 'v': value})).v AS v_now,
+        |         (max(CASE WHEN tus <= eval_tus - 604800000000
+        |               THEN {'t': tus, 'v': value} END)).v AS v_prev
+        |  FROM s, ev GROUP BY 1, 2),
+        |diffs AS (
+        |  SELECT name, user_id, v_now, v_prev,
+        |         round(v_now - v_prev, 4) + 0.0 AS diff_1w,
+        |         CAST(0 AS BIGINT) AS absent
+        |  FROM picks WHERE v_prev IS NOT NULL),
+        |catalog(name) AS (VALUES ('click'), ('error'), ('purchase'),
+        |  ('signup'), ('view'), ('latency_p99'), ('gc_seconds')),
+        |absent_rows AS (
+        |  SELECT c.name, CAST(NULL AS BIGINT) AS user_id,
+        |         CAST(NULL AS DOUBLE) AS v_now, CAST(NULL AS DOUBLE) AS v_prev,
+        |         CAST(NULL AS DOUBLE) AS diff_1w, CAST(1 AS BIGINT) AS absent
+        |  FROM catalog c ANTI JOIN (SELECT DISTINCT name FROM picks) live USING (name))
+        |SELECT * FROM (SELECT * FROM diffs UNION ALL SELECT * FROM absent_rows)
+        |ORDER BY absent DESC, name, user_id LIMIT 400""".stripMargin
   )
 }

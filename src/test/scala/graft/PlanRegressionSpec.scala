@@ -168,6 +168,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q101: group_left's one side joins broadcast — the many side never re-shuffles") {
+    // PromQL CardManyToOne: the info vector is unique per matching label,
+    // small by construction. A regression to sort-merge would shuffle the
+    // entire per-series rate vector a second time just to copy a label.
+    val p = plan("q101_prom_group_left")
+    assert(p.contains("BroadcastHashJoin"), s"q101 info vector not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q101 shuffles the many side:\n$p")
+  }
+
+  test("q102: eval_ts broadcasts, picks are cached for both branches, no sort-merge") {
+    // The 1-row eval_ts scalar joins as a broadcast nested loop (never a
+    // cartesian); the conditional struct-max means events is aggregated
+    // ONCE, and the per-series picks feed both the diff rows and the
+    // absent anti-join from cache (InMemoryTableScan) rather than
+    // recomputing the aggregate per branch.
+    val p = plan("q102_prom_offset_absent")
+    assert(!p.contains("CartesianProduct"), s"q102 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q102 eval_ts scalar not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q102 shuffles a pick branch:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"q102 recomputes picks per branch:\n$p")
+  }
+
   test("q93/q94: the bucket-offset tables join broadcast — ranked rows never re-shuffle") {
     // The two-phase numbering only beats a global window if the offset
     // join is free: the ≤256-row (×langs) offset table must broadcast.

@@ -139,6 +139,67 @@ class PromBatchFnsSpec extends AnyFunSuite {
     assert(rows.head.getDouble(3) == 0.5)
   }
 
+  test("q101: group_left copies the one side's label; unmatched rows drop both ways") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom7").toString
+    // user 1: rate 2/s, has an info row (GOLD, quota 4.0) → kept, segment
+    // copied, rate/quota = 0.5. user 3: rate but NO info row → drops
+    // (many side unmatched). customer 2: info but no series → drops
+    // (one side unmatched) — promql CardManyToOne inner semantics.
+    Seq((1L, ns(0), 1L, "m", 0.0, "{}"), (2L, ns(10), 1L, "m", 20.0, "{}"),
+      (3L, ns(0), 3L, "m", 0.0, "{}"), (4L, ns(10), 3L, "m", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    Seq((1L, "u1", 0, 3.0, "GOLD"), (2L, "u2", 0, 7.0, "SILVER"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val rows = operators.EventAnalytics.promGroupLeft(spark, d).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3),
+      r.getDouble(4)) == (("m", 1L, "GOLD", 2.0, 0.5)))
+  }
+
+  test("q102: offset picks the newest sample at or before eval-offset; absent fires per catalog") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom8").toString
+    // click: 1.0@0, 3.0@50, then DUPLICATE timestamp 200 with 6.0 and 7.0
+    //   (tiebreak: larger value wins, the family rule) → v_now 7.0;
+    //   offset 100 s from eval_ts 200 → cutoff 100 → v_prev 3.0, diff 4.0.
+    // error: only a sample AFTER the cutoff → present (not absent) but
+    //   drops from the diff rows (binary-op inner semantics).
+    // The other 5 catalog metrics never report → absent rows, first.
+    Seq((1L, ns(0), 1L, "click", 1.0, "{}"), (2L, ns(50), 1L, "click", 3.0, "{}"),
+      (3L, ns(200), 1L, "click", 6.0, "{}"), (4L, ns(200), 1L, "click", 7.0, "{}"),
+      (5L, ns(150), 1L, "error", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = operators.EventAnalytics.promOffsetAbsent(spark, d, offsetSec = 100L)
+      .collect()
+    val (absent, diffs) = rows.partition(_.getLong(5) == 1L)
+    assert(absent.map(_.getString(0)).toSeq ==
+      Seq("gc_seconds", "latency_p99", "purchase", "signup", "view"))
+    assert(absent.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(4)))
+    assert(diffs.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))).toSeq == Seq(("click", 1L, 7.0, 3.0, 4.0)))
+  }
+
+  test("hour buckets floor toward -inf: pre-1970 samples match the oracle's // semantics") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-prom9").toString
+    // ts = -30 min: truncating division buckets it at hour 0 (1970-01-01
+    // 00:00), floor division at hour -1 (1969-12-31 23:00) — DuckDB's //
+    // floors, so the Spark side must too (ADVICE r09).
+    Seq((1L, -1800L * 1000000000L, 1L, "g", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val row = operators.EventAnalytics.promOverTime(spark, d).collect().head
+    assert(row.getTimestamp(1).getTime == -3600L * 1000L,
+      s"expected 1969-12-31 23:00 UTC, got ${row.getTimestamp(1)}")
+  }
+
   test("q100: one increase lands in exactly the steps whose 24h window holds it") {
     import spark.implicits._
     def ns(sec: Long) = sec * 1000000000L
