@@ -72,6 +72,16 @@ trait RecordSink extends Serializable {
     * reason, `kinesis.go:109-111`). */
   def sendAt(batchId: Long, partitionId: Int, chunkIdx: Int,
              batch: Seq[SinkEntry]): Unit = send(batch)
+
+  /** Called once, DRIVER-side, before a micro-batch's partition tasks
+    * deliver. Exactly-once sinks clear the batch's prior on-disk attempt
+    * here: the per-partition self-heal (chunkIdx == 0) can only see its
+    * own partition's files, so orphans from an attempt with a DIFFERENT
+    * partitioning (changed cpu count / source splits between restarts) or
+    * from a partition that is now empty would survive it and read back as
+    * duplicates (ADVICE r09). Default: no-op — at-most-once sinks have no
+    * replay identity to clear. */
+  def beginBatch(batchId: Long): Unit = ()
 }
 
 object RecordSink {
@@ -149,6 +159,20 @@ final class ExactlyOnceFileSink(dir: String, streamName: String,
   def send(batch: Seq[SinkEntry]): Unit =
     throw new UnsupportedOperationException(
       "ExactlyOnceFileSink requires sendAt (batch/partition/chunk coordinates)")
+
+  /** Whole-batch clear before delivery: removes EVERY file of the prior
+    * attempt, including partitions the replay no longer writes (fewer
+    * partitions, newly-empty partitions) that the per-partition self-heal
+    * in [[sendAt]] cannot reach. Runs driver-side, so it cannot race the
+    * partition tasks it precedes. */
+  override def beginBatch(batchId: Long): Unit = {
+    val batchDir = new java.io.File(new java.io.File(dir, streamName), f"batch=$batchId%d")
+    if (batchDir.isDirectory) {
+      Option(batchDir.listFiles()).foreach(_.foreach(f =>
+        if (!f.delete()) throw new java.io.IOException(
+          s"cannot clear stale file ${f.getPath}")))
+    }
+  }
 
   override def sendAt(batchId: Long, partitionId: Int, chunkIdx: Int,
                       batch: Seq[SinkEntry]): Unit = {

@@ -45,6 +45,7 @@ object RelayPipeline {
               batchId: Long = 0L): Unit = {
     val spark = recordsDf.sparkSession
     import spark.implicits._
+    sink.beginBatch(batchId) // driver-side: clear the batch's prior attempt
     RemoteWrite.jsonLines(recordsDf)
       .as[(String, String)]
       .foreachPartition { (it: Iterator[(String, String)]) =>

@@ -55,7 +55,7 @@ object StreamingHistogramQuantile {
         val lo = if (i == 0) 0.0 else buckets(i - 1)
         lo + (buckets(i) - lo) * ((target - cum) / counts(i))
       }
-    BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Rounding.r4(raw)
   }
 
   private final class HistProcessor(q: Double, ttl: TTLConfig)

@@ -75,8 +75,7 @@ object StreamingPredictLinear {
           val slope = s.cxy / s.m2x
           val icept = s.meanY - slope * s.meanX
           val xEnd = (s.lastTsUs - s.t0Us) / 1e6
-          def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          import Rounding.{r4, r6}
           PredictUpdate(key._1, key._2, s.n,
             Some(r6(slope)), Some(r4(icept)), Some(r4(icept + slope * (xEnd + horizonSec))))
         } else PredictUpdate(key._1, key._2, s.n, None, None, None)

@@ -70,9 +70,9 @@ object StreamingRangeRate {
       }.sum
       val spanUs = inWindow.last.tsUs - inWindow.head.tsUs
       val rate = if (inWindow.length >= 2 && spanUs > 0L)
-        Some(math.rint(increase / (spanUs / 1e6) * 1e6) / 1e6) else None
+        Some(Rounding.r6(increase / (spanUs / 1e6))) else None
       Iterator.single(RangeRate(key._1, key._2, merged.last.tsUs, inWindow.length.toLong,
-        math.rint(increase * 100) / 100, rate))
+        Rounding.r2(increase), rate))
     }
   }
 

@@ -124,11 +124,11 @@ object StreamingRate {
       state.update(s)
       val dtUs = s.lastTsUs - s.firstTsUs
       val rate = if (dtUs > 0L)
-        Some(math.rint(s.totalIncrease / (dtUs / 1e6) * 1e6) / 1e6) else None
+        Some(Rounding.r6(s.totalIncrease / (dtUs / 1e6))) else None
       val irate = if (s.lastDtUs > 0L)
-        Some(math.rint(s.lastInc / (s.lastDtUs / 1e6) * 1e6) / 1e6) else None
+        Some(Rounding.r6(s.lastInc / (s.lastDtUs / 1e6))) else None
       Iterator.single(RateTotals(key._1, key._2, s.nSamples, s.nResets, s.nLate,
-        math.rint(s.totalIncrease * 100) / 100, rate, irate))
+        Rounding.r2(s.totalIncrease), rate, irate))
     }
   }
 

@@ -79,7 +79,7 @@ object StreamingTopkRate {
       val ranked = series.iterator().flatMap { case (sid, st) =>
         val dtUs = st.lastTsUs - st.firstTsUs
         if (dtUs > 0L)
-          Some(sid -> math.rint(st.totalIncrease / (dtUs / 1e6) * 1e6) / 1e6)
+          Some(sid -> Rounding.r6(st.totalIncrease / (dtUs / 1e6)))
         else None
       }.toVector.sortBy { case (sid, rate) => (-rate, sid) }.take(k)
       ranked.iterator.zipWithIndex.map { case ((sid, rate), idx) =>

@@ -36,9 +36,6 @@ final case class RatioUpdate(
   * fixed-size entries per ACTIVE key, TTL-evictable. */
 object StreamingVectorRatio {
 
-  private def r6(v: Double): Double =
-    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   private final class RatioProcessor(num: String, den: String, ttl: TTLConfig)
       extends StatefulProcessor[Long, CounterSample, RatioUpdate] {
     @transient private var sides: MapState[String, SideState] = _
@@ -66,7 +63,7 @@ object StreamingVectorRatio {
 
     private def rate(s: Option[SideState]): Option[Double] = s.flatMap { v =>
       val dtUs = v.lastTsUs - v.firstTsUs
-      if (dtUs > 0L) Some(r6(v.totalIncrease / (dtUs / 1e6))) else None
+      if (dtUs > 0L) Some(Rounding.r6(v.totalIncrease / (dtUs / 1e6))) else None
     }
 
     override def handleInputRows(
@@ -81,7 +78,7 @@ object StreamingVectorRatio {
       }
       val e = rate(if (sides.containsKey(num)) Some(sides.getValue(num)) else None)
       val c = rate(if (sides.containsKey(den)) Some(sides.getValue(den)) else None)
-      val ratio = for (ev <- e; cv <- c) yield r6(ev / cv)
+      val ratio = for (ev <- e; cv <- c) yield Rounding.r6(ev / cv)
       Iterator.single(RatioUpdate(key, e, c, ratio))
     }
   }

@@ -63,6 +63,30 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
       s"stale chunk must be cleared, got $files")
   }
 
+  test("a replay with FEWER partitions clears the wider attempt's orphans") {
+    // ADVICE r09: the per-partition chunk-0 self-heal only reaches the
+    // partitions the replay re-runs. If the prior attempt wrote p0..p3 and
+    // the replay (changed cpu count / source splits) writes only p0..p1,
+    // p2/p3's files would survive and downstream batch=* readers would see
+    // duplicates. beginBatch's whole-directory clear closes that hole.
+    val dir = Files.createTempDirectory("eo-width-").toString
+    val sink = new ExactlyOnceFileSink(dir, "metrics")
+    val df = records(40)
+    RelayPipeline.deliver(df.repartition(4), sink, batchId = 5L)
+    assert(snapshot(dir).keySet.map(Paths.get(_).getFileName.toString) ===
+      (0 until 4).map(p => f"p$p%05d-c00000.jsonl").toSet)
+
+    RelayPipeline.deliver(df.repartition(2), sink, batchId = 5L) // narrower replay
+    val after = snapshot(dir).keySet.map(Paths.get(_).getFileName.toString)
+    assert(after === Set("p00000-c00000.jsonl", "p00001-c00000.jsonl"),
+      s"orphans from the 4-partition attempt must not survive, got $after")
+
+    // total payload is conserved across the re-partitioned replay
+    val lines = Files.list(Paths.get(dir, "metrics", "batch=5")).toArray.map(_.toString)
+      .map(p => Files.readAllLines(Paths.get(p)).size).sum
+    assert(lines === 40)
+  }
+
   test("chunk limits produce deterministically numbered sibling files") {
     val dir = Files.createTempDirectory("eo-chunks-").toString
     val sink = new ExactlyOnceFileSink(dir, "metrics")
