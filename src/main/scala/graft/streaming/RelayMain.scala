@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    batch=<id>/partition/chunk layout
   *                                    ([[ExactlyOnceFileSink]]): replays
   *                                    overwrite, never duplicate
-  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict|ratio[,...]]
+  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict|ratio|range-eval[,...]]
   *     [--ratio-num error] [--ratio-den click]
   *                                    ratio mode: numerator/denominator
   *                                    metric names (matching key = the
@@ -59,6 +59,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    topk mode: snapshot size / tracked
   *                                    series per metric (Metwally bound:
   *                                    freq > N/capacity guaranteed present)
+  *     [--grid-step 21600] [--grid-window 86400]
+  *                                    range-eval mode: aligned step and
+  *                                    trailing window (s) of the continuous
+  *                                    range-query grid (batch q100's
+  *                                    defaults); --rate-ttl retires sealed
+  *                                    cells
+  *     [--state-changelog]            RocksDB changelog checkpointing for
+  *                                    the analytics state stores: commit
+  *                                    uploads the delta, snapshots go
+  *                                    async. The SURVEY §6.7 study's
+  *                                    conclusion — no win on local-disk
+  *                                    checkpoints (default stays off),
+  *                                    enable when --checkpoint points at a
+  *                                    remote DFS where full-snapshot
+  *                                    upload IS the commit latency
   *
   * That is all five reference flags (-firehose, -stream-name, -listen-addr,
   * -region, -write-interval) plus the Spark-side ingest/source/analytics
@@ -71,7 +86,7 @@ object RelayMain {
 
   val Modes: Seq[String] =
     Seq("rate", "range-rate", "topk", "topk-rate", "staleness", "histogram", "predict",
-      "ratio")
+      "ratio", "range-eval")
 
   /** The chosen analytic over canonical records, as an untyped frame — one
     * switch shared by [[main]] and the end-to-end spec. Every mode rides
@@ -81,7 +96,9 @@ object RelayMain {
                      rangeWindow: Duration = Duration.ofMinutes(5),
                      staleAfter: Duration = Duration.ofMinutes(5),
                      topkCapacity: Int = 1000, topkK: Int = 20,
-                     ratioNum: String = "error", ratioDen: String = "click"): DataFrame =
+                     ratioNum: String = "error", ratioDen: String = "click",
+                     gridStep: Duration = Duration.ofSeconds(21600L),
+                     gridWindow: Duration = Duration.ofSeconds(86400L)): DataFrame =
     mode match {
     case "rate" =>
       StreamingRate.rateUpdates(RelayAnalytics.counterSamples(records), rateTtl).toDF()
@@ -102,6 +119,9 @@ object RelayMain {
       // __name__ (the metric rides in `name`; the key is the other labels)
       StreamingVectorRatio.ratioUpdates(RelayAnalytics.matchSamples(records),
         ratioNum, ratioDen).toDF()
+    case "range-eval" =>
+      StreamingRangeEval.gridUpdates(RelayAnalytics.counterSamples(records),
+        gridStep, gridWindow, rateTtl).toDF()
     case other =>
       sys.error(s"--analytics $other: expected one of ${Modes.mkString("|")}")
   }
@@ -119,9 +139,12 @@ object RelayMain {
                      rangeWindow: Duration = Duration.ofMinutes(5),
                      staleAfter: Duration = Duration.ofMinutes(5),
                      topkCapacity: Int = 1000, topkK: Int = 20,
-                     ratioNum: String = "error", ratioDen: String = "click"): StreamingQuery = {
+                     ratioNum: String = "error", ratioDen: String = "click",
+                     gridStep: Duration = Duration.ofSeconds(21600L),
+                     gridWindow: Duration = Duration.ofSeconds(86400L)): StreamingQuery = {
     val frame = analyticsFrame(RelayPipeline.records(bodies), mode,
-      rateTtl, rangeWindow, staleAfter, topkCapacity, topkK, ratioNum, ratioDen)
+      rateTtl, rangeWindow, staleAfter, topkCapacity, topkK, ratioNum, ratioDen,
+      gridStep, gridWindow)
     frame.writeStream
       .queryName(s"graft-analytics-$mode")
       .trigger(trigger)
@@ -166,6 +189,8 @@ object RelayMain {
     if (analytics.nonEmpty) builder.config(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (args.contains("--state-changelog")) builder.config(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -213,7 +238,9 @@ object RelayMain {
           topkCapacity = opts.getOrElse("--topk-capacity", "1000").toInt,
           topkK = opts.getOrElse("--topk", "20").toInt,
           ratioNum = opts.getOrElse("--ratio-num", "error"),
-          ratioDen = opts.getOrElse("--ratio-den", "click"))
+          ratioDen = opts.getOrElse("--ratio-den", "click"),
+          gridStep = Duration.ofSeconds(opts.getOrElse("--grid-step", "21600").toLong),
+          gridWindow = Duration.ofSeconds(opts.getOrElse("--grid-window", "86400").toLong))
       }
       if (intervalSec == 0) {
         q.processAllAvailable(); q.stop()

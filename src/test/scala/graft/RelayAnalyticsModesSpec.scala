@@ -226,6 +226,76 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → range-eval analytic JSON: the continuous q100 grid") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-grid-in-").toString
+      val outDir = Files.createTempDirectory("ra-grid-out-").toString + "/analytics-range-eval"
+      val ckpt = Files.createTempDirectory("ra-grid-ckpt-").toString
+
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        // counter 0 → 10 with the delta at t = 2 s: visible from the four
+        // aligned 6 h steps whose trailing 24 h window holds it
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "reqs", "job" -> "api"),
+            Seq(Sample(0.0, 0L), Sample(10.0, 2000L))))) == 200)
+        runOnce(inDir, "range-eval", outDir, ckpt)
+        val rows = spark.read
+          .schema(StructType.fromDDL(
+            "name STRING, step_sec BIGINT, n_series BIGINT, n_samples BIGINT, " +
+              "total_increase DOUBLE, rate_per_sec DOUBLE"))
+          .json(outDir).collect().sortBy(_.getAs[Long]("step_sec"))
+        assert(rows.map(_.getAs[Long]("step_sec")).toSeq ==
+          Seq(21600L, 43200L, 64800L, 86400L))
+        rows.foreach { r =>
+          assert(r.getAs[String]("name") === "reqs")
+          assert(r.getAs[Long]("n_series") === 1L)
+          assert(r.getAs[Double]("total_increase") === 10.0)
+          assert(r.getAs[Double]("rate_per_sec") === 0.000116)
+        }
+      } finally f.stop()
+    }
+  }
+
+  test("--state-changelog: rate mode runs and restarts with changelog checkpointing on") {
+    withRocksDb {
+      // the deployment knob RelayMain plumbs for remote checkpoint dirs
+      // (SURVEY §6.7 study): delta-upload commits must survive a restart
+      // exactly like full-snapshot commits
+      val key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val inDir = Files.createTempDirectory("ra-clog-in-").toString
+        val outDir = Files.createTempDirectory("ra-clog-out-").toString + "/analytics-rate"
+        val ckpt = Files.createTempDirectory("ra-clog-ckpt-").toString
+        val schema = StructType.fromDDL(
+          "name STRING, user_id BIGINT, n_samples BIGINT, n_resets BIGINT, " +
+            "n_late BIGINT, total_increase DOUBLE, rate_per_sec DOUBLE")
+        val f = new HttpFrontend(inDir, 0)
+        f.start()
+        try {
+          assert(post(f.boundPort, body(
+            TimeSeries(Map("__name__" -> "reqs", "job" -> "api"),
+              Seq(Sample(10.0, 1000L), Sample(12.0, 2000L))))) == 200)
+          runOnce(inDir, "rate", outDir, ckpt)
+          assert(post(f.boundPort, body(
+            TimeSeries(Map("__name__" -> "reqs", "job" -> "api"),
+              Seq(Sample(15.0, 3000L))))) == 200)
+          runOnce(inDir, "rate", outDir, ckpt) // restart replays the changelog
+          val last = spark.read.schema(schema).json(outDir).collect()
+            .maxBy(_.getAs[Long]("n_samples"))
+          assert(last.getAs[Long]("n_samples") == 3L)
+          assert(last.getAs[Double]("total_increase") == 5.0)
+        } finally f.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
