@@ -457,6 +457,60 @@ object EventAnalytics extends QueryModule {
     Seq("click", "error", "purchase", "signup", "view",
       "latency_p99", "gc_seconds")
 
+  /** PromQL SUBQUERY evaluation — `max_over_time(rate(m[24h])[*:6h])` per
+    * series: the nested-eval shape (promql/engine.go evalSubquery) that
+    * turns "what is the rate now" into "what was the WORST rate" — the
+    * query behind every burn-rate alert window. A subquery evaluates the
+    * inner expression at every aligned step of its resolution, producing
+    * an intermediate range vector, then the outer `_over_time` function
+    * aggregates those step values per series. Here: the inner rate grid
+    * is q100's bounded sample→step explode evaluated PER SERIES (each
+    * reset-corrected increase lands in the ≤ ⌈w/step⌉+1 steps whose
+    * trailing window holds it); the outer max/avg folds each series' grid
+    * column. `[*:6h]` = the subquery spans the whole corpus retention
+    * (an explicit range bound would add q102's 1-row broadcast scalar —
+    * composition, not new machinery).
+    *
+    * The intermediate range vector is held as INTEGER micro-rates
+    * (round(inc·1e6/w) per step, from the 2-dp total — the q100
+    * contract): a nested eval aggregates ALREADY-AGGREGATED floats, and
+    * summing 6-dp doubles in engine-specific order flips round(avg, 4)
+    * on exact half-boundaries (measured: 1 series in 300 at sf0.01).
+    * Integer step values make the outer sum exact, so max and avg divide
+    * IDENTICAL operands in both engines — the only way a nested float
+    * eval stays bit-reproducible. ONE scan, two shuffles ((name,user)
+    * deltas → (name,user,step) partials), then the outer fold rides the
+    * same (name,user) clustering. */
+  def promSubquery(spark: SparkSession, dir: String,
+                   stepSec: Long = 21600L, windowSec: Long = 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("name"), col("user_id"))
+      .orderBy(col("tsec"), col("value"))
+    val stepRates = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        floorDiv(unix_micros(col("ts")), 1000000L).as("tsec"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("inc", when(col("delta").isNull, lit(null))
+        .when(col("delta") < 0, col("value")).otherwise(col("delta")))
+      .filter(col("inc").isNotNull)
+      .select(col("name"), col("user_id"), col("inc"),
+        explode(sequence(
+          floorDiv(col("tsec") + lit(stepSec - 1), stepSec) * lit(stepSec),
+          floorDiv(col("tsec") + lit(windowSec), stepSec) * lit(stepSec),
+          lit(stepSec))).as("step"))
+      .groupBy(col("name"), col("user_id"), col("step"))
+      .agg(round(sum(col("inc")), 2).as("inc2"))
+      .withColumn("rate_ppm",
+        round(col("inc2") * lit(1e6) / windowSec, 0).cast("long"))
+    stepRates.groupBy(col("name"), col("user_id"))
+      .agg(count(lit(1)).as("n_steps"),
+        (max(col("rate_ppm")) / lit(1e6)).as("max_rate"),
+        round(sum(col("rate_ppm")) / (count(lit(1)) * lit(1e6)), 4).as("avg_rate"))
+      .orderBy(col("name"), col("user_id"))
+      .limit(300)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -471,7 +525,9 @@ object EventAnalytics extends QueryModule {
     "q100_prom_range_eval" -> ((s: SparkSession, dir: String) => promRangeEval(s, dir)),
     "q101_prom_group_left" -> promGroupLeft _,
     "q102_prom_offset_absent" -> ((s: SparkSession, dir: String) =>
-      promOffsetAbsent(s, dir))
+      promOffsetAbsent(s, dir)),
+    "q103_prom_subquery" -> ((s: SparkSession, dir: String) =>
+      promSubquery(s, dir))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -706,6 +762,32 @@ object EventAnalytics extends QueryModule {
         |         CAST(NULL AS DOUBLE) AS diff_1w, CAST(1 AS BIGINT) AS absent
         |  FROM catalog c ANTI JOIN (SELECT DISTINCT name FROM picks) live USING (name))
         |SELECT * FROM (SELECT * FROM diffs UNION ALL SELECT * FROM absent_rows)
-        |ORDER BY absent DESC, name, user_id LIMIT 400""".stripMargin
+        |ORDER BY absent DESC, name, user_id LIMIT 400""".stripMargin,
+    "q103_prom_subquery" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) // 1000000 AS tsec, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tsec, value,
+        |         value - lag(value) OVER w AS delta
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tsec, value)),
+        |i AS (
+        |  SELECT name, user_id, tsec,
+        |         CASE WHEN delta IS NULL THEN NULL WHEN delta < 0 THEN value ELSE delta END AS inc
+        |  FROM d),
+        |x AS (
+        |  SELECT name, user_id, inc,
+        |         unnest(range(((tsec + 21599) // 21600) * 21600,
+        |                      ((tsec + 86400) // 21600) * 21600 + 1, 21600)) AS step
+        |  FROM i WHERE inc IS NOT NULL),
+        |g AS (
+        |  SELECT name, user_id, step,
+        |         CAST(round(round(sum(inc), 2) * 1e6 / 86400, 0) AS BIGINT) AS rate_ppm
+        |  FROM x GROUP BY 1, 2, 3)
+        |SELECT name, user_id, CAST(count(*) AS BIGINT) AS n_steps,
+        |       max(rate_ppm) / 1e6 AS max_rate,
+        |       round(sum(rate_ppm) / (count(*) * 1e6), 4) AS avg_rate
+        |FROM g GROUP BY 1, 2
+        |ORDER BY name, user_id LIMIT 300""".stripMargin
   )
 }

@@ -161,8 +161,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     // two branches would re-derive the scan and the delta window per side.
     // q100's step grid comes from a bounded sample-side explode — joining
     // a generated step table against samples would add a second scan.
+    // q103's nested eval folds the same grid per series: still one scan.
     // (FormattedMode prints each scan node twice: tree + detail.)
-    Seq("q99_prom_vector_ratio", "q100_prom_range_eval").foreach { name =>
+    Seq("q99_prom_vector_ratio", "q100_prom_range_eval",
+        "q103_prom_subquery").foreach { name =>
       assert("Scan parquet".r.findAllIn(plan(name)).size == 2,
         s"$name reads events more than once")
     }

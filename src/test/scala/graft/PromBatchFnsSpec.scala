@@ -200,6 +200,25 @@ class PromBatchFnsSpec extends AnyFunSuite {
       s"expected 1969-12-31 23:00 UTC, got ${row.getTimestamp(1)}")
   }
 
+  test("q103: subquery evaluates the inner grid then folds it per series") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom10").toString
+    // the q100 planted grid (one increase of 10, visible from 5 aligned
+    // steps) folded by the outer max/avg: every step's micro-rate is
+    // round(10e6/86400) = 116 ppm, so max = 0.000116 and avg rounds to
+    // 0.0001 — the nested eval must see 5 grid points, not 1 sample
+    Seq((1L, ns(0), 1L, "c", 0.0, "{}"), (2L, ns(21600), 1L, "c", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = operators.EventAnalytics.promSubquery(spark, d).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(2) == 5L, "n_steps")
+    assert(r.getDouble(3) == 0.000116, "max_rate")
+    assert(r.getDouble(4) == 0.0001, "avg_rate")
+  }
+
   test("q100: one increase lands in exactly the steps whose 24h window holds it") {
     import spark.implicits._
     def ns(sec: Long) = sec * 1000000000L
