@@ -374,7 +374,10 @@ object EventAnalytics extends QueryModule {
     * so the match is a BROADCAST hash join: zero shuffle of the many side
     * beyond its own rate aggregate, no matter how many series it has.
     * That broadcast is exactly how a 1000-executor cluster wants
-    * `group_left` evaluated, and `PlanRegressionSpec` pins it. */
+    * `group_left` evaluated, and `PlanRegressionSpec` pins it.
+    * (`group_right` is this operator with the sides swapped — promql
+    * normalizes it to the group_left form before eval, and so would we:
+    * same plan, the broadcast still lands on the "one" side.) */
   def promGroupLeft(spark: SparkSession, dir: String): DataFrame = {
     val rates = seriesDeltas(spark, dir)
       .groupBy(col("name"), col("user_id"))
