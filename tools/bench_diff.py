@@ -9,6 +9,18 @@ Usage: python3 tools/bench_diff.py [old] [new] [--tol PCT]
 Exit 1 if any shared query slowed by more than --tol percent (default 50 —
 wide because local[32] wall-clock jitters; the signal to act on is a query
 that doubles, not one that wobbles 20%).
+
+--witness FILE: a SECOND independent measurement of the same code the old
+snapshot measured (in practice: the driver's own post-round bench run,
+archived as bench/driver_r*.json at the next round's start). Round-10
+incident: the r9 snapshot caught an unusually fast box window for four
+sub-second join queries (q13 0.27s) while the driver's independent run of
+the IDENTICAL code measured 0.62s; the next gate then flagged +79..92%
+"regressions" in code that had not changed, and they survived the warm
+best-of-5 because the snapshot itself was lucky, not the new run noisy.
+A true code regression is slower than BOTH witnesses of the old code; a
+flagged query within 1.3x of the witness value is re-classified as
+snapshot drift and does not fail the gate.
 """
 import json
 import re
@@ -43,9 +55,13 @@ def main():
     p.add_argument("new", nargs="?", default="bench_out.json")
     p.add_argument("--tol", type=float, default=50.0,
                    help="regression threshold in percent (default 50)")
+    p.add_argument("--witness", default=None,
+                   help="second measurement of the OLD code (driver run); "
+                        "flags within 1.3x of it are snapshot drift")
     ns = p.parse_args()
     tol = ns.tol
     old, new = load_queries(ns.old), load_queries(ns.new)
+    witness = load_queries(ns.witness) if ns.witness else {}
     # failed queries are recorded as null — exclude from comparison, but report
     for q in sorted(k for k, v in new.items() if v is None):
         print(f"{q}: FAILED in new run (null timing)")
@@ -64,8 +80,15 @@ def main():
             regressions.append((q, o, n, pct))
     for q in sorted(set(new) - set(old)):
         print(f"{q:34s} {'-':>7s} {new[q]:7.2f}     new")
-    for q in sorted(set(old) - set(new)):
-        print(f"{q:34s} {old[q]:7.2f} {'-':>7s}     removed")
+    removed = sorted(set(old) - set(new))
+    if len(removed) > len(shared):
+        # subset run (gate's flagged-query re-measure): listing every
+        # absent query as "removed" buries the signal — summarize instead
+        print(f"(subset diff: {len(shared)} shared, "
+              f"{len(removed)} old queries not in this run)")
+    else:
+        for q in removed:
+            print(f"{q:34s} {old[q]:7.2f} {'-':>7s}     removed")
     print(f"\ntotals: old {sum(old.values()):.1f}s ({len(old)}q)  "
           f"new {sum(new.values()):.1f}s ({len(new)}q)")
     # cohort drift: median per-query ratio across the shared set. Purely
@@ -76,6 +99,17 @@ def main():
     if len(ratios) >= 10:
         print(f"cohort drift: median x{ratios[len(ratios) // 2]:.2f} "
               f"over {len(ratios)} shared queries")
+    if regressions and witness:
+        kept = []
+        for q, o, n, pct in regressions:
+            w = witness.get(q)
+            if w and n <= w * 1.3:
+                print(f"  {q}: snapshot drift, not code — new {n:.2f}s is "
+                      f"within 1.3x of the driver's {w:.2f}s for the same "
+                      f"old code (snapshot said {o:.2f}s)")
+            else:
+                kept.append((q, o, n, pct))
+        regressions = kept
     if regressions:
         print(f"\n{len(regressions)} regression(s) over {tol:.0f}% + 0.15s:")
         for q, o, n, pct in regressions:

@@ -30,6 +30,13 @@ SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
 # three digits (ADVICE r09) — version sort keeps the latest round latest.
 PREV=${PREV:-$(ls bench/bench_r*.json 2>/dev/null | sort -V | tail -1)}
 PREV=${PREV:-$(ls BENCH_r*.json 2>/dev/null | sort -V | tail -1)}
+# Second witness of the prior round's code: the driver's own post-round
+# bench run (bench_out.json as committed by the round tail, archived as
+# bench/driver_r*.json at round start). Round-10 incident: four join
+# queries flagged +79..92% vs an unusually-fast snapshot while matching
+# the driver's numbers for the identical code — drift, not regression.
+WITNESS=${WITNESS:-$(ls bench/driver_r*.json 2>/dev/null | sort -V | tail -1)}
+WITNESS_ARG=${WITNESS:+--witness $WITNESS}
 
 echo "== gate: test suite (sbt -batch test) =="
 # Round-7 shipped with Test/compile broken and nothing caught it (VERDICT r07
@@ -51,7 +58,7 @@ SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" || exit 1
 
 echo "== gate: bench_diff vs $PREV =="
-diff_out=$(python3 tools/bench_diff.py "$PREV" bench_out.json)
+diff_out=$(python3 tools/bench_diff.py "$PREV" bench_out.json $WITNESS_ARG)
 rc=$?
 echo "$diff_out"
 if [ $rc -ne 0 ]; then
@@ -66,7 +73,7 @@ if [ $rc -ne 0 ]; then
     SPARK_GRAFT_BENCH_QUERIES=$flagged SPARK_GRAFT_BENCH_REPS=${BENCH_REPS_FLAGGED:-5} \
     SPARK_GRAFT_BENCH_OUT=/tmp/bench_flagged.json \
     sbt -batch "runMain graft.Bench" || exit 1
-  python3 tools/bench_diff.py "$PREV" /tmp/bench_flagged.json
+  python3 tools/bench_diff.py "$PREV" /tmp/bench_flagged.json $WITNESS_ARG
   rc=$?
   if [ $rc -ne 0 ]; then
     echo "gate: FAIL — regression survives a warm best-of-3; fix before snapshot"
