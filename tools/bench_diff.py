@@ -70,11 +70,29 @@ def main():
 
     regressions = []
     shared = sorted(set(old) & set(new))
+    # Cohort-drift normalization: the shared queries are ~95 runs of code
+    # that did NOT change — a control group. A real code regression is an
+    # outlier AGAINST that cohort; when the whole box slows down (observed
+    # x1.17..x1.30 within hours), every query's raw ratio inflates together
+    # and the flagged set rotates randomly between runs. Scale the old
+    # values by the cohort median ratio before applying the threshold.
+    # Guard: with drift beyond x1.5 the run is too noisy to adjudicate at
+    # all — refuse rather than normalize a possible global code slowdown
+    # away. (A global regression also shows against --witness totals.)
+    all_ratios = sorted(new[q] / old[q] for q in shared if old[q])
+    cohort = all_ratios[len(all_ratios) // 2] if len(all_ratios) >= 10 else 1.0
+    if cohort > 1.5:
+        print(f"cohort drift x{cohort:.2f} exceeds 1.5 — run unusable for "
+              f"regression adjudication; re-run in a quieter window")
+        sys.exit(1)
+    scale = max(1.0, cohort)
     print(f"{'query':34s} {'old':>7s} {'new':>7s} {'delta':>8s}")
     for q in shared:
         o, n = old[q], new[q]
         pct = (n - o) / o * 100 if o else 0.0
-        flag = " <-- REGRESSION" if pct > tol and n - o > 0.15 else ""
+        adj = o * scale
+        flag = (" <-- REGRESSION"
+                if (n - adj) / adj * 100 > tol and n - adj > 0.15 else "")
         print(f"{q:34s} {o:7.2f} {n:7.2f} {pct:+7.1f}%{flag}")
         if flag:
             regressions.append((q, o, n, pct))
@@ -91,14 +109,9 @@ def main():
             print(f"{q:34s} {old[q]:7.2f} {'-':>7s}     removed")
     print(f"\ntotals: old {sum(old.values()):.1f}s ({len(old)}q)  "
           f"new {sum(new.values()):.1f}s ({len(new)}q)")
-    # cohort drift: median per-query ratio across the shared set. Purely
-    # informational — it tells the reader whether a flagged query is an
-    # outlier against a steady cohort (code smell) or the whole box drifted
-    # (environment). Flag logic above is unchanged.
-    ratios = sorted(new[q] / old[q] for q in shared if old[q])
-    if len(ratios) >= 10:
-        print(f"cohort drift: median x{ratios[len(ratios) // 2]:.2f} "
-              f"over {len(ratios)} shared queries")
+    if len(all_ratios) >= 10:
+        print(f"cohort drift: median x{cohort:.2f} over {len(all_ratios)} "
+              f"shared queries (flag thresholds scaled by it)")
     if regressions and witness:
         kept = []
         for q, o, n, pct in regressions:
