@@ -514,6 +514,117 @@ object EventAnalytics extends QueryModule {
       .limit(300)
   }
 
+  /** PromQL label manipulation + output shaping — `label_replace`,
+    * `label_join`, `clamp`, `bottomk`: the four output-shaping operators a
+    * dashboard applies after the math (prometheus functions.go
+    * funcLabelReplace/funcLabelJoin/funcClampMin/funcClampMax; the bottomk
+    * branch of engine.go's aggregation heap). `label_replace` derives a
+    * `tier` label from the leading digit of the user label (regex capture,
+    * as the real function does on arbitrary label text); `label_join`
+    * concatenates (name, tier) into a `series` identity; `clamp` bounds
+    * the rate into [1e-4, 3e-4] (both bounds inside the observed rate
+    * distribution, so floor and ceiling each do real work); `bottomk(3)`
+    * keeps each metric's three SLOWEST series — ranked on the 6-dp rate
+    * (deterministic across engines), the ascending dual of q83's topk.
+    *
+    * All four are pure projections over the family's shared rate vector:
+    * zero shuffles beyond q83's shape (series agg + per-name rank window),
+    * and the regex runs on the already-aggregated series-cardinality
+    * vector, never per sample — at 100 TB the label ops cost nothing. */
+  def promLabelOps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("name"))
+      .orderBy(col("rate_per_sec"), col("user_id"))
+    seriesDeltas(spark, dir)
+      .groupBy(col("name"), col("user_id"))
+      .agg(safeRate.as("rate_per_sec"))
+      .filter(col("rate_per_sec").isNotNull)
+      .withColumn("tier",
+        concat(lit("t"), regexp_extract(col("user_id").cast("string"), "^(\\d)", 1)))
+      .withColumn("series", concat_ws(":", col("name"), col("tier")))
+      .withColumn("rate_clamped",
+        least(greatest(col("rate_per_sec"), lit(0.0001)), lit(0.0003)))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= 3)
+      .select(col("name"), col("user_id"), col("tier"), col("series"),
+        col("rate_clamped"), col("rn"))
+      .orderBy(col("name"), col("rn"))
+  }
+
+  /** PromQL counter-hygiene family — `changes()`, `resets()`,
+    * `stddev_over_time`, `last_over_time` per series (prometheus
+    * functions.go funcChanges/funcResets/funcStddevOverTime/
+    * funcLastOverTime): the fleet-health query that finds flapping gauges
+    * and crash-looping counters. `changes` counts non-zero deltas and
+    * `resets` negative ones — both ride [[seriesDeltas]]' single window
+    * pass; `last_over_time` is the q102 struct-max pick, so no second
+    * sort; `stddev_pop` matches promql's population semantics (Spark and
+    * DuckDB both use mergeable central-moment partials). One shuffle on
+    * the series key; everything else combines map-side. */
+  def promChangesResets(spark: SparkSession, dir: String): DataFrame =
+    seriesDeltas(spark, dir)
+      .groupBy(col("name"), col("user_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("delta").isNotNull && col("delta") =!= 0, 1).otherwise(0))
+          .cast("long").as("n_changes"),
+        sum(when(col("delta") < 0, 1).otherwise(0)).cast("long").as("n_resets"),
+        (round(stddev_pop(col("value")), 4) + lit(0.0)).as("stddev_over_time"),
+        max(struct(col("tus"), col("value"))).getField("value").as("last_over_time"))
+      .orderBy(col("name"), col("user_id"))
+      .limit(300)
+
+  /** PromQL `holt_winters` (a.k.a. double_exponential_smoothing since
+    * prometheus v3) — per-series level+trend smoothing with sf=0.3,
+    * tf=0.1 (functions.go funcDoubleExponentialSmoothing/calcTrendValue:
+    * s1 seeds at the first sample, the trend seeds at v1−v0, then each
+    * step folds x = sf·v_i, b = tf·(s1−s0)+(1−tf)·b, y = (1−sf)·(s1+b)).
+    *
+    * The recurrence is inherently sequential PER SERIES — the shape that
+    * tempts a driver-side loop — but per-series sample count is bounded
+    * by retention (the same assumption PromQL's own in-memory evaluation
+    * makes), so it distributes as: one shuffle to (name, user), sort the
+    * collected samples as an array, and run the fold as a higher-order
+    * `aggregate` expression — codegen-evaluated per row, no UDF, no
+    * driver involvement, series-parallel across the cluster. Both engines
+    * execute the identical IEEE op sequence over the identically-sorted
+    * array ((t, v) lexicographic — the family tiebreak), so the raw
+    * doubles match bit-for-bit before rounding; the smoothing constants
+    * are spelled as the same literals (0.3/0.7/0.1/0.9) on both sides
+    * because `1 - 0.3` computed at runtime is NOT the double `0.7`. */
+  def promHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val arr = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("value").as("v"))
+      .groupBy(col("name"), col("user_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        array_sort(collect_list(struct(col("t"), col("v")))).as("samples"))
+      .filter(col("n_samples") >= 2)
+    arr.select(col("name"), col("user_id"), col("n_samples"),
+        expr("""
+          aggregate(
+            slice(samples, 2, size(samples) - 1),
+            named_struct('s0', cast(0.0 as double),
+                         's1', element_at(samples, 1).v,
+                         'b',  cast(0.0 as double),
+                         'n',  cast(1 as bigint)),
+            (acc, e) -> CASE WHEN acc.n = 1
+              THEN named_struct('s0', acc.s1,
+                     's1', 0.3 * e.v + 0.7 * (acc.s1 + (e.v - acc.s1)),
+                     'b',  e.v - acc.s1,
+                     'n',  cast(2 as bigint))
+              ELSE named_struct('s0', acc.s1,
+                     's1', 0.3 * e.v + 0.7 * (acc.s1 + (0.1 * (acc.s1 - acc.s0) + 0.9 * acc.b)),
+                     'b',  0.1 * (acc.s1 - acc.s0) + 0.9 * acc.b,
+                     'n',  acc.n + 1) END)
+        """).as("hw"))
+      .select(col("name"), col("user_id"), col("n_samples"),
+        (round(col("hw.s1"), 4) + lit(0.0)).as("smoothed"),
+        (round(col("hw.b"), 4) + lit(0.0)).as("trend"))
+      .orderBy(col("name"), col("user_id"))
+      .limit(300)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -529,6 +640,9 @@ object EventAnalytics extends QueryModule {
     "q101_prom_group_left" -> promGroupLeft _,
     "q102_prom_offset_absent" -> ((s: SparkSession, dir: String) =>
       promOffsetAbsent(s, dir)),
+    "q104_prom_label_ops" -> promLabelOps _,
+    "q105_prom_changes_resets" -> promChangesResets _,
+    "q106_prom_holt_winters" -> promHoltWinters _,
     "q103_prom_subquery" -> ((s: SparkSession, dir: String) =>
       promSubquery(s, dir))
   )
@@ -766,6 +880,81 @@ object EventAnalytics extends QueryModule {
         |  FROM catalog c ANTI JOIN (SELECT DISTINCT name FROM picks) live USING (name))
         |SELECT * FROM (SELECT * FROM diffs UNION ALL SELECT * FROM absent_rows)
         |ORDER BY absent DESC, name, user_id LIMIT 400""".stripMargin,
+    "q104_prom_label_ops" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta,
+        |         tus - lag(tus) OVER w AS dt
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
+        |r AS (
+        |  SELECT name, user_id,
+        |         CASE WHEN sum(dt) > 0
+        |              THEN round(sum(CASE WHEN delta IS NULL THEN NULL
+        |                             WHEN delta < 0 THEN value ELSE delta END)
+        |                    / (sum(dt) / 1e6), 6) END AS rate_per_sec
+        |  FROM d GROUP BY 1, 2),
+        |v AS (
+        |  SELECT name, user_id, rate_per_sec,
+        |         't' || regexp_extract(CAST(user_id AS VARCHAR), '^(\d)', 1) AS tier,
+        |         least(greatest(rate_per_sec, 0.0001), 0.0003) AS rate_clamped
+        |  FROM r WHERE rate_per_sec IS NOT NULL),
+        |k AS (
+        |  SELECT name, user_id, tier, concat_ws(':', name, tier) AS series, rate_clamped,
+        |         CAST(row_number() OVER (PARTITION BY name
+        |           ORDER BY rate_per_sec, user_id) AS INT) AS rn
+        |  FROM v)
+        |SELECT name, user_id, tier, series, rate_clamped, rn FROM k WHERE rn <= 3
+        |ORDER BY name, rn""".stripMargin,
+    "q105_prom_changes_resets" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value))
+        |SELECT name, user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(CASE WHEN delta IS NOT NULL AND delta <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+        |       round(stddev_pop(value), 4) + 0.0 AS stddev_over_time,
+        |       (max({'t': tus, 'v': value})).v AS last_over_time
+        |FROM d GROUP BY 1, 2
+        |ORDER BY name, user_id LIMIT 300""".stripMargin,
+    // Recursive CTE, NOT list_reduce: DuckDB 1.0's list_reduce with a
+    // struct accumulator aliases partially-updated fields — the 'b' field
+    // expression observes the freshly-written 's1' (reproduced: b =
+    // 0.1·(s1_NEW − s0_old) + 0.9·b_old from sample 4 on), silently
+    // corrupting any multi-field fold. The recursion reads only the
+    // previous iteration's row, so each step sees a consistent state and
+    // matches the Spark fold bit-for-bit on all 300 sf0.01 series.
+    "q106_prom_holt_winters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS t, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |o AS (
+        |  SELECT name, user_id, v,
+        |         row_number() OVER (PARTITION BY name, user_id ORDER BY t, v) AS rn,
+        |         count(*) OVER (PARTITION BY name, user_id) AS n
+        |  FROM s),
+        |r AS (
+        |  SELECT name, user_id, n, 1 AS it,
+        |         CAST(0.0 AS DOUBLE) AS s0, v AS s1, CAST(0.0 AS DOUBLE) AS b
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.name, r.user_id, r.n, r.it + 1,
+        |         r.s1,
+        |         CASE WHEN r.it = 1 THEN 0.3 * o.v + 0.7 * (r.s1 + (o.v - r.s1))
+        |              ELSE 0.3 * o.v + 0.7 * (r.s1 + (0.1 * (r.s1 - r.s0) + 0.9 * r.b)) END,
+        |         CASE WHEN r.it = 1 THEN o.v - r.s1
+        |              ELSE 0.1 * (r.s1 - r.s0) + 0.9 * r.b END
+        |  FROM r JOIN o ON o.name = r.name AND o.user_id = r.user_id AND o.rn = r.it + 1)
+        |SELECT name, user_id, CAST(n AS BIGINT) AS n_samples,
+        |       round(s1, 4) + 0.0 AS smoothed, round(b, 4) + 0.0 AS trend
+        |FROM r WHERE it = n AND n >= 2
+        |ORDER BY name, user_id LIMIT 300""".stripMargin,
     "q103_prom_subquery" ->
       """WITH s AS (
         |  SELECT event_type AS name, user_id, epoch_us(ts) // 1000000 AS tsec, value

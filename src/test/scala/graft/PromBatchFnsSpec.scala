@@ -219,6 +219,49 @@ class PromBatchFnsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.0001, "avg_rate")
   }
 
+  test("q104: label_replace derives tier, label_join builds series, clamp bounds the rate") {
+    val r = operators.EventAnalytics.promLabelOps(spark, dir).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getString(2), x.getString(3), x.getDouble(4), x.getInt(5))).toMap
+    // ctr rate = (10+5+3)/30 = 0.6, lin = 15/30 = 0.5: both clamp to the
+    // 3e-4 ceiling; tier is the user label's leading digit, series the
+    // ':'-joined identity, and each metric's single series ranks rn=1
+    assert(r("ctr") == ((1L, "t1", "ctr:t1", 0.0003, 1)))
+    assert(r("lin") == ((2L, "t2", "lin:t2", 0.0003, 1)))
+  }
+
+  test("q105: changes counts non-zero deltas only; resets counts negative ones") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom11").toString
+    // planted flat stretch: 1,1,2 → ONE change (the repeated sample is not
+    // a change — prometheus funcChanges counts v_i != v_{i-1})
+    Seq((1L, ns(0), 1L, "g", 1.0, "{}"), (2L, ns(10), 1L, "g", 1.0, "{}"),
+        (3L, ns(20), 1L, "g", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val flat = operators.EventAnalytics.promChangesResets(spark, d).collect().head
+    assert((flat.getLong(2), flat.getLong(3), flat.getLong(4)) == ((3L, 1L, 0L)))
+    val r = operators.EventAnalytics.promChangesResets(spark, dir).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6))).toMap
+    // ctr deltas +10/-15/+3: 3 changes, 1 reset; stddev_pop([10,20,5,8]) =
+    // sqrt(31.6875); last_over_time is the newest sample
+    assert(r("ctr") == ((3L, 1L, 5.6292, 8.0)))
+    assert(r("lin") == ((3L, 0L, 5.5902, 17.0)))
+  }
+
+  test("q106: holt_winters folds the prometheus recurrence; an exact line smooths to itself") {
+    val r = operators.EventAnalytics.promHoltWinters(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    // hand-computed fold (sf=0.3, tf=0.1) over ctr=[10,20,5,8]:
+    //   s1=10, b=10 → s=20 → s=22.5 → s=24.625, b=9.25
+    assert(r("ctr") == ((4L, 24.625, 9.25)))
+    // lin is the exact line 2+0.5x: level tracks it perfectly and the
+    // trend locks to the true +5/sample slope — the smoothing fixed point
+    assert(r("lin") == ((4L, 17.0, 5.0)))
+  }
+
   test("q100: one increase lands in exactly the steps whose 24h window holds it") {
     import spark.implicits._
     def ns(sec: Long) = sec * 1000000000L
