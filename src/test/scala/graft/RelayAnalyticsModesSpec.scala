@@ -197,6 +197,36 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → holt-winters analytic JSON: the fold smooths the posted series") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-hw-in-").toString
+      val outDir = Files.createTempDirectory("ra-hw-out-").toString + "/analytics-holt-winters"
+      val ckpt = Files.createTempDirectory("ra-hw-ckpt-").toString
+
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        // the q106 planted fixture: [10,20,5,8] folds to level 24.625,
+        // trend 9.25 (hand-computed in PromBatchFnsSpec)
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "ctr", "job" -> "db"),
+            Seq(Sample(10.0, 0L), Sample(20.0, 10000L),
+              Sample(5.0, 20000L), Sample(8.0, 30000L))))) == 200)
+        runOnce(inDir, "holt-winters", outDir, ckpt)
+        val rows = spark.read
+          .schema(StructType.fromDDL(
+            "name STRING, user_id BIGINT, n_samples BIGINT, n_late BIGINT, " +
+              "smoothed DOUBLE, trend DOUBLE"))
+          .json(outDir).collect()
+        val last = rows.maxBy(_.getAs[Long]("n_samples"))
+        assert(last.getAs[String]("name") === "ctr")
+        assert(last.getAs[Long]("n_samples") === 4L)
+        assert(last.getAs[Double]("smoothed") === 24.625)
+        assert(last.getAs[Double]("trend") === 9.25)
+      } finally f.stop()
+    }
+  }
+
   test("POST → ratio analytic JSON: metrics match on the label set minus __name__") {
     withRocksDb {
       val inDir = Files.createTempDirectory("ra-ratio-in-").toString
