@@ -625,6 +625,56 @@ object EventAnalytics extends QueryModule {
       .limit(300)
   }
 
+  /** Shared integer micro-rate vector: each series' 6-dp rate as a LONG
+    * ppm count (the q103 contract — integer cross-series arithmetic is
+    * order-independent, so downstream aggregates divide IDENTICAL
+    * operands in both engines regardless of partial-combine order). */
+  private def seriesRatesPpm(spark: SparkSession, dir: String): DataFrame =
+    seriesDeltas(spark, dir)
+      .groupBy(col("name"), col("user_id"))
+      .agg(safeRate.as("rate_per_sec"))
+      .filter(col("rate_per_sec").isNotNull)
+      .withColumn("ppm", round(col("rate_per_sec") * lit(1e6), 0).cast("long"))
+
+  /** PromQL cross-series AGGREGATION operators — `count`, `avg`, `stddev`,
+    * `stdvar`, `quantile(0.5/0.9, …)`, `group` over the per-series rate
+    * vector, grouped by metric (promql/engine.go aggregation: the operator
+    * set beyond the sum/topk/bottomk already covered by q100/q83/q104).
+    * `stddev`/`stdvar` use population semantics, as promql does; `group`
+    * is the constant-1 presence aggregator (v2.32+). Rates enter as
+    * integer ppm ([[seriesRatesPpm]]) so the means and moments are built
+    * from identical operands in both engines — the cross-engine sum-order
+    * hazard is confined to the last-ulp of IDENTICAL integer sums, which
+    * cannot flip a 4-dp round. Two shuffles total (series agg, then the
+    * tiny per-name agg), both with map-side combine. */
+  def promAggAcross(spark: SparkSession, dir: String): DataFrame =
+    seriesRatesPpm(spark, dir)
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_series"),
+        (round(avg(col("ppm")), 4) + lit(0.0)).as("avg_ppm"),
+        (round(stddev_pop(col("ppm")), 4) + lit(0.0)).as("stddev_ppm"),
+        (round(var_pop(col("ppm")), 4) + lit(0.0)).as("stdvar_ppm"),
+        (round(expr("percentile(ppm, 0.5)"), 4) + lit(0.0)).as("p50_ppm"),
+        (round(expr("percentile(ppm, 0.9)"), 4) + lit(0.0)).as("p90_ppm"),
+        lit(1L).as("group_all"))
+      .orderBy(col("name"))
+
+  /** PromQL `count_values` — the value-distribution fingerprint (promql
+    * aggregation with a value-derived label): how many series currently
+    * report each distinct rate, keyed by the stringified value exactly as
+    * the real operator materializes its new label. The canonical use is
+    * spotting fleets stuck at identical values (version numbers, zeroed
+    * counters). One extra tiny shuffle over the series vector; the value
+    * label is formatted AFTER aggregation, on distinct-value cardinality. */
+  def promCountValues(spark: SparkSession, dir: String): DataFrame =
+    seriesRatesPpm(spark, dir)
+      .groupBy(col("name"), col("ppm"))
+      .agg(count(lit(1)).as("n_series"))
+      .select(col("name"), col("ppm").cast("string").as("rate_ppm"),
+        col("n_series"))
+      .orderBy(col("name"), col("rate_ppm").cast("long"))
+      .limit(500)
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -641,6 +691,8 @@ object EventAnalytics extends QueryModule {
     "q102_prom_offset_absent" -> ((s: SparkSession, dir: String) =>
       promOffsetAbsent(s, dir)),
     "q104_prom_label_ops" -> promLabelOps _,
+    "q107_prom_agg_across" -> promAggAcross _,
+    "q108_prom_count_values" -> promCountValues _,
     "q105_prom_changes_resets" -> promChangesResets _,
     "q106_prom_holt_winters" -> promHoltWinters _,
     "q103_prom_subquery" -> ((s: SparkSession, dir: String) =>
@@ -908,6 +960,58 @@ object EventAnalytics extends QueryModule {
         |  FROM v)
         |SELECT name, user_id, tier, series, rate_clamped, rn FROM k WHERE rn <= 3
         |ORDER BY name, rn""".stripMargin,
+    "q107_prom_agg_across" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta,
+        |         tus - lag(tus) OVER w AS dt
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
+        |r AS (
+        |  SELECT name, user_id,
+        |         CASE WHEN sum(dt) > 0
+        |              THEN round(sum(CASE WHEN delta IS NULL THEN NULL
+        |                             WHEN delta < 0 THEN value ELSE delta END)
+        |                    / (sum(dt) / 1e6), 6) END AS rate_per_sec
+        |  FROM d GROUP BY 1, 2),
+        |p AS (
+        |  SELECT name, user_id,
+        |         CAST(round(rate_per_sec * 1e6, 0) AS BIGINT) AS ppm
+        |  FROM r WHERE rate_per_sec IS NOT NULL)
+        |SELECT name, CAST(count(*) AS BIGINT) AS n_series,
+        |       round(avg(ppm), 4) + 0.0 AS avg_ppm,
+        |       round(stddev_pop(ppm), 4) + 0.0 AS stddev_ppm,
+        |       round(var_pop(ppm), 4) + 0.0 AS stdvar_ppm,
+        |       round(quantile_cont(ppm, 0.5), 4) + 0.0 AS p50_ppm,
+        |       round(quantile_cont(ppm, 0.9), 4) + 0.0 AS p90_ppm,
+        |       CAST(1 AS BIGINT) AS group_all
+        |FROM p GROUP BY name ORDER BY name""".stripMargin,
+    "q108_prom_count_values" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT name, user_id, tus, value,
+        |         value - lag(value) OVER w AS delta,
+        |         tus - lag(tus) OVER w AS dt
+        |  FROM s WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, value)),
+        |r AS (
+        |  SELECT name, user_id,
+        |         CASE WHEN sum(dt) > 0
+        |              THEN round(sum(CASE WHEN delta IS NULL THEN NULL
+        |                             WHEN delta < 0 THEN value ELSE delta END)
+        |                    / (sum(dt) / 1e6), 6) END AS rate_per_sec
+        |  FROM d GROUP BY 1, 2),
+        |p AS (
+        |  SELECT name, user_id,
+        |         CAST(round(rate_per_sec * 1e6, 0) AS BIGINT) AS ppm
+        |  FROM r WHERE rate_per_sec IS NOT NULL)
+        |SELECT name, CAST(ppm AS VARCHAR) AS rate_ppm,
+        |       CAST(count(*) AS BIGINT) AS n_series
+        |FROM p GROUP BY name, ppm
+        |ORDER BY name, CAST(rate_ppm AS BIGINT) LIMIT 500""".stripMargin,
     "q105_prom_changes_resets" ->
       """WITH s AS (
         |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value

@@ -262,6 +262,43 @@ class PromBatchFnsSpec extends AnyFunSuite {
     assert(r("lin") == ((4L, 17.0, 5.0)))
   }
 
+  test("q107: aggregation operators fold the cross-series rate vector per metric") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom12").toString
+    // three counters of metric "m": increases 3/30s, 6/30s, 9/30s →
+    // rates 0.1/0.2/0.3 = 100000/200000/300000 ppm
+    val rows = for ((u, inc) <- Seq((1L, 1.0), (2L, 2.0), (3L, 3.0));
+                    i <- 0 to 3)
+      yield (u * 10 + i, ns(10L * i), u, "m", inc * i, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = operators.EventAnalytics.promAggAcross(spark, d).collect().head
+    assert(r.getString(0) == "m" && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 200000.0, "avg")
+    // stddev_pop([1e5,2e5,3e5]) = sqrt(2/3)·1e5; stdvar its square
+    assert(r.getDouble(3) == 81649.6581, "stddev")
+    assert(r.getDouble(4) == 6666666666.6667, "stdvar")
+    assert(r.getDouble(5) == 200000.0, "p50")
+    assert(r.getDouble(6) == 280000.0, "p90 interpolates: 2e5 + 0.8·1e5")
+    assert(r.getLong(7) == 1L, "group")
+  }
+
+  test("q108: count_values fingerprints series stuck at identical rates") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom13").toString
+    // two series at the same 0.1/s rate, one at 0.3/s
+    val rows = for ((u, inc) <- Seq((1L, 1.0), (2L, 1.0), (3L, 3.0));
+                    i <- 0 to 3)
+      yield (u * 10 + i, ns(10L * i), u, "m", inc * i, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = operators.EventAnalytics.promCountValues(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("m", "100000") -> 2L, ("m", "300000") -> 1L))
+  }
+
   test("q100: one increase lands in exactly the steps whose 24h window holds it") {
     import spark.implicits._
     def ns(sec: Long) = sec * 1000000000L
