@@ -675,6 +675,59 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("name"), col("rate_ppm").cast("long"))
       .limit(500)
 
+  /** PromQL `absent_over_time` + `present_over_time` on an hourly grid —
+    * the alerting TIMELINE (functions.go funcAbsentOverTime/
+    * funcPresentOverTime): for every expected metric and every hour of
+    * the corpus, did it report? q102's `absent()` answers at one instant;
+    * this is its range-vector dual, and the batch twin of the streaming
+    * staleness operator's transition log ([[StreamingStaleness]]).
+    *
+    * The timeline is SUMMARIZED per metric — present/absent hour counts
+    * plus the longest continuous absence (the number an alert's FOR
+    * clause compares against) — rather than materialized as a grid of
+    * hour rows: the gaps-and-islands form over each metric's distinct
+    * present hours. All arithmetic is integer hour indices, so the
+    * oracle comparison is exact by construction.
+    *
+    * Shape: the heavy input collapses FIRST — one map-side-combined
+    * distinct to (name, hour) (tiny: metrics × hours) — then one window
+    * pass for inner gaps, a 7-row broadcast join against the catalog,
+    * and the corpus bounds ride a 1-row broadcast (never a driver
+    * collect). At 100 TB nothing after the first distinct scales with
+    * input rows. */
+  def promAbsentOverTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"),
+        floorDiv(unix_micros(col("ts")), 3600000000L).as("h"))
+    val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    // gaps-and-islands on each metric's distinct present hours: the
+    // longest run of absent hours is the max of (inner gaps between
+    // consecutive present hours, the leading gap from the corpus start,
+    // the trailing gap to the corpus end)
+    val w = Window.partitionBy(col("name")).orderBy(col("h"))
+    val perMetric = hourly.distinct()
+      .withColumn("gap_before", col("h") - lag(col("h"), 1).over(w) - lit(1L))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("present_hours"),
+        coalesce(max(col("gap_before")), lit(0L)).as("inner_gap"),
+        min(col("h")).as("first_h"), max(col("h")).as("last_h"))
+    val catalog = ExpectedMetrics.toDF("name")
+    catalog.join(broadcast(perMetric), Seq("name"), "left")
+      .crossJoin(broadcast(bounds))
+      .withColumn("n_hours", col("h1") - col("h0") + lit(1L))
+      .select(col("name"), col("n_hours"),
+        coalesce(col("present_hours"), lit(0L)).as("present_hours"),
+        (col("n_hours") - coalesce(col("present_hours"), lit(0L))).as("absent_hours"),
+        when(col("present_hours").isNull, col("n_hours"))
+          .otherwise(greatest(col("inner_gap"),
+            col("first_h") - col("h0"), col("h1") - col("last_h")))
+          .as("longest_gap_hours"))
+      .orderBy(col("name"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -691,6 +744,7 @@ object EventAnalytics extends QueryModule {
     "q102_prom_offset_absent" -> ((s: SparkSession, dir: String) =>
       promOffsetAbsent(s, dir)),
     "q104_prom_label_ops" -> promLabelOps _,
+    "q109_prom_absent_over_time" -> promAbsentOverTime _,
     "q107_prom_agg_across" -> promAggAcross _,
     "q108_prom_count_values" -> promCountValues _,
     "q105_prom_changes_resets" -> promChangesResets _,
@@ -960,6 +1014,29 @@ object EventAnalytics extends QueryModule {
         |  FROM v)
         |SELECT name, user_id, tier, series, rate_clamped, rn FROM k WHERE rn <= 3
         |ORDER BY name, rn""".stripMargin,
+    "q109_prom_absent_over_time" ->
+      """WITH s AS (
+        |  SELECT DISTINCT event_type AS name, epoch_us(ts) // 3600000000 AS h
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM s),
+        |g AS (
+        |  SELECT name, h, h - lag(h) OVER (PARTITION BY name ORDER BY h) - 1 AS gap_before
+        |  FROM s),
+        |m AS (
+        |  SELECT name, count(*) AS present_hours,
+        |         coalesce(max(gap_before), 0) AS inner_gap,
+        |         min(h) AS first_h, max(h) AS last_h
+        |  FROM g GROUP BY name),
+        |catalog(name) AS (VALUES ('click'), ('error'), ('purchase'),
+        |  ('signup'), ('view'), ('latency_p99'), ('gc_seconds'))
+        |SELECT c.name AS name, CAST(b.h1 - b.h0 + 1 AS BIGINT) AS n_hours,
+        |       CAST(coalesce(m.present_hours, 0) AS BIGINT) AS present_hours,
+        |       CAST(b.h1 - b.h0 + 1 - coalesce(m.present_hours, 0) AS BIGINT) AS absent_hours,
+        |       CAST(CASE WHEN m.present_hours IS NULL THEN b.h1 - b.h0 + 1
+        |            ELSE greatest(m.inner_gap, m.first_h - b.h0, b.h1 - m.last_h) END AS BIGINT)
+        |         AS longest_gap_hours
+        |FROM catalog c LEFT JOIN m ON m.name = c.name CROSS JOIN b
+        |ORDER BY 1""".stripMargin,
     "q107_prom_agg_across" ->
       """WITH s AS (
         |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value

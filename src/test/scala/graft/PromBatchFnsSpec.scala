@@ -299,6 +299,26 @@ class PromBatchFnsSpec extends AnyFunSuite {
     assert(r == Map(("m", "100000") -> 2L, ("m", "300000") -> 1L))
   }
 
+  test("q109: gaps-and-islands finds the longest absence, leading gaps included") {
+    import spark.implicits._
+    def hr(h: Long) = h * 3600L * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom14").toString
+    // corpus spans hours 0..5: click present {0,1,5} → inner gap 3;
+    // error present {5} only → LEADING gap 5; the other 5 catalog
+    // metrics never report → absent the whole 6-hour spine
+    Seq((1L, hr(0), 1L, "click", 1.0, "{}"), (2L, hr(1), 1L, "click", 2.0, "{}"),
+        (3L, hr(5), 1L, "click", 3.0, "{}"), (4L, hr(5), 2L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = operators.EventAnalytics.promAbsentOverTime(spark, d).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("click") == ((6L, 3L, 3L, 3L)))
+    assert(r("error") == ((6L, 1L, 5L, 5L)))
+    assert(r("gc_seconds") == ((6L, 0L, 6L, 6L)))
+    assert(r.size == 7)
+  }
+
   test("q100: one increase lands in exactly the steps whose 24h window holds it") {
     import spark.implicits._
     def ns(sec: Long) = sec * 1000000000L
