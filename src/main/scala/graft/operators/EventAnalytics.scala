@@ -702,13 +702,15 @@ object EventAnalytics extends QueryModule {
       .filter(col("value").isNotNull)
       .select(col("event_type").as("name"),
         floorDiv(unix_micros(col("ts")), 3600000000L).as("h"))
+      .distinct()
+      .persist() // metrics × hours cardinality; serves bounds AND gaps
     val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     // gaps-and-islands on each metric's distinct present hours: the
     // longest run of absent hours is the max of (inner gaps between
     // consecutive present hours, the leading gap from the corpus start,
     // the trailing gap to the corpus end)
     val w = Window.partitionBy(col("name")).orderBy(col("h"))
-    val perMetric = hourly.distinct()
+    val perMetric = hourly
       .withColumn("gap_before", col("h") - lag(col("h"), 1).over(w) - lit(1L))
       .groupBy(col("name"))
       .agg(count(lit(1)).as("present_hours"),

@@ -193,6 +193,35 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), s"q102 recomputes picks per branch:\n$p")
   }
 
+  test("q105/q106: the per-series fold family costs exactly one shuffle, one scan") {
+    // q105 rides the seriesDeltas window; q106 collects+folds in the same
+    // (name, user) aggregate. A second hashpartitioning would mean the
+    // recurrence re-shuffles series-cardinality data; a second scan would
+    // mean a branch re-derives the input. (Each scan prints twice in
+    // FormattedMode: tree + detail.)
+    Seq("q105_prom_changes_resets", "q106_prom_holt_winters").foreach { name =>
+      val p = plan(name)
+      assert("hashpartitioning\\(".r.findAllIn(p).size <= 2, // agg + presentation sort
+        s"$name shuffles more than series agg + sort")
+      assert("Scan parquet".r.findAllIn(p).size == 2, s"$name re-reads events")
+    }
+  }
+
+  test("q107/q108: cross-series aggregation reuses ONE scan and the series shuffle") {
+    Seq("q107_prom_agg_across", "q108_prom_count_values").foreach { name =>
+      val p = plan(name)
+      assert("Scan parquet".r.findAllIn(p).size == 2, s"$name re-reads events")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q109: catalog and bounds join broadcast; present-hours set is cached once") {
+    val p = plan("q109_prom_absent_over_time")
+    assert(p.contains("InMemoryTableScan"), s"q109 recomputes the distinct:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q109 shuffles a 7-row join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q93/q94: the bucket-offset tables join broadcast — ranked rows never re-shuffle") {
     // The two-phase numbering only beats a global window if the offset
     // join is free: the ≤256-row (×langs) offset table must broadcast.
