@@ -730,6 +730,37 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("name"))
   }
 
+  /** PromQL time functions — `day_of_week()`/`hour()` over the sample
+    * stream (prometheus functions.go funcDayOfWeek/funcHour), composed
+    * into the weekly-seasonality heatmap behind capacity planning: per
+    * (dow, hour) slot across the corpus, events seen, distinct live
+    * series, and the mean sample value. dow follows promql's convention
+    * (0 = Sunday, UTC); epoch day 0 was a Thursday, so
+    * dow = (epoch_day + 4) mod 7 — pure integer arithmetic, no calendar
+    * or timezone library on either engine, and floor-division/pmod all
+    * the way down so pre-1970 samples bucket identically too (the q84
+    * rule; the oracle mirrors pmod with a double-mod). The mean divides
+    * per-row 1e-4-quantized integer sums (the q103/q107 exactness
+    * contract) so both engines divide identical operands. One scan, one
+    * 168-key map-side-combined shuffle; the exact series-distinct is the
+    * costly half at 100 TB (Spark's two-stage distinct expansion) — the
+    * mergeable-sketch trade for it is q21's HLL. */
+  def promTimeFns(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .withColumn("tsec0", floorDiv(unix_micros(col("ts")), 1000000L))
+      .select(col("event_type").as("name"), col("user_id"),
+        round(col("value") * lit(10000), 0).cast("long").as("v4"),
+        pmod(floorDiv(col("tsec0"), 86400L) + lit(4L), lit(7L)).as("dow"),
+        floorDiv(pmod(col("tsec0"), lit(86400L)), 3600L).as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(concat_ws("|", col("name"), col("user_id"))).as("n_series"),
+        (round(sum(col("v4")) / (lit(10000.0) * count(lit(1))), 4) + lit(0.0))
+          .as("avg_value"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
@@ -752,7 +783,8 @@ object EventAnalytics extends QueryModule {
     "q105_prom_changes_resets" -> promChangesResets _,
     "q106_prom_holt_winters" -> promHoltWinters _,
     "q103_prom_subquery" -> ((s: SparkSession, dir: String) =>
-      promSubquery(s, dir))
+      promSubquery(s, dir)),
+    "q111_prom_time_fns" -> promTimeFns _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1163,6 +1195,22 @@ object EventAnalytics extends QueryModule {
         |       max(rate_ppm) / 1e6 AS max_rate,
         |       round(sum(rate_ppm) / (count(*) * 1e6), 4) AS avg_rate
         |FROM g GROUP BY 1, 2
-        |ORDER BY name, user_id LIMIT 300""".stripMargin
+        |ORDER BY name, user_id LIMIT 300""".stripMargin,
+    // dow/hour via pure integer epoch arithmetic (day 0 = Thursday, promql
+    // dow 0 = Sunday); the double-mod mirrors Spark's non-negative pmod so
+    // pre-1970 samples bucket identically under DuckDB's sign-of-dividend %
+    "q111_prom_time_fns" ->
+      """WITH f AS (
+        |  SELECT event_type AS name, user_id,
+        |         CAST(round(value * 10000, 0) AS BIGINT) AS v4,
+        |         epoch_us(ts) // 1000000 AS tsec
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT ((((tsec // 86400) + 4) % 7 + 7) % 7) AS dow,
+        |       (((tsec % 86400) + 86400) % 86400) // 3600 AS hour,
+        |       count(*) AS n_events,
+        |       count(DISTINCT name || '|' || CAST(user_id AS VARCHAR)) AS n_series,
+        |       round(CAST(sum(v4) AS BIGINT) / (10000.0 * count(*)), 4) + 0.0
+        |         AS avg_value
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -341,6 +341,54 @@ object Pipeline extends QueryModule {
   def mixtureResample(spark: SparkSession, dir: String): DataFrame =
     mixtureResample(docsTable(spark, dir))
 
+  /** Per-source document quota — the domain-cap curation pass web-scale
+    * corpus builds run so no single site dominates the training mix
+    * (C4/RefinedWeb-style per-domain caps): keep at most `cap` docs per
+    * source, highest-quality first (n_chars desc, doc_id tiebreak), and
+    * report the kept/dropped funnel per source.
+    *
+    * Scale shape: the naive form is one `row_number` window over `source`
+    * — a full shuffle where one hot domain (a handful of sites is a double
+    * -digit share of any web crawl) lands on ONE reducer. Instead the cap
+    * is selected in TWO phases, the window analogue of q54's salted
+    * aggregation: a window over (source, salt) keeps each sub-shard's
+    * local top-`cap` — only rows that could make the global cut survive,
+    * because a global top-`cap` row is top-`cap` within its own shard too
+    * — then the global window ranks that ≤ salts·cap bounded set. The
+    * only row-proportional shuffle is keyed (source, salt), uniform by
+    * construction (xxhash64 of the unique doc_id); the salt never reaches
+    * the output, so the oracle is the naive single-window form. Per-source
+    * totals ride a second narrow scan as a map-side-combined aggregate
+    * (3-column pushdown), and the per-source stats join is a broadcast of
+    * source-cardinality rows. */
+  def sourceQuota(docs: DataFrame, cap: Int = 15, salts: Int = 16): DataFrame = {
+    val salted = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+    val wLocal = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wGlobal = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = salted
+      .withColumn("rn1", row_number().over(wLocal))
+      .filter(col("rn1") <= cap)
+      .withColumn("rn", row_number().over(wGlobal))
+      .filter(col("rn") <= cap)
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+    val keptStats = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+    totals.join(broadcast(keptStats), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("total_chars"), col("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
+    sourceQuota(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q68_split_hash" -> (hashSplit(_, _)),
     "q69_sample_stratified" -> (stratifiedSample(_, _)),
@@ -352,7 +400,8 @@ object Pipeline extends QueryModule {
     "q75_decontaminate" -> (decontaminate(_, _)),
     "q76_profile" -> (profile(_, _)),
     "q93_shuffle_seeded" -> (seededShuffle(_, _)),
-    "q94_mixture_resample" -> (mixtureResample(_, _))
+    "q94_mixture_resample" -> (mixtureResample(_, _)),
+    "q110_source_quota" -> (sourceQuota(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -474,6 +523,23 @@ object Pipeline extends QueryModule {
         |      FROM t)
         |SELECT lang, rk, doc_id, n_tok, cum_tok
         |FROM r WHERE cum_tok - n_tok < target_tok
-        |ORDER BY lang, rk""".stripMargin
+        |ORDER BY lang, rk""".stripMargin,
+    // the oracle is the naive single-window form — the salted two-phase
+    // selection is plan shape only, invisible in the result
+    "q110_source_quota" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |tot AS (SELECT source, count(*) AS n_docs,
+        |               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |        FROM documents GROUP BY 1),
+        |k AS (SELECT source, count(*) AS n_kept,
+        |             CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |      FROM ranked WHERE rn <= 15 GROUP BY 1)
+        |SELECT tot.source AS source, n_docs, n_kept,
+        |       n_docs - n_kept AS n_dropped, total_chars, kept_chars
+        |FROM tot JOIN k USING (source) ORDER BY source""".stripMargin
   )
 }

@@ -135,13 +135,51 @@ object TextStats extends QueryModule {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetition(docsTable(spark, dir))
 
+  /** C4/Gopher-style quality-filter cascade with FIRST-FAILING-RULE
+    * attribution: every rejected doc is charged to the first rule that
+    * failed it, so the per-(lang, reason) counts explain corpus loss the
+    * way curation dashboards report it — rules later in the cascade never
+    * see docs an earlier rule already dropped. Rules, in cascade order:
+    * too_short (n_chars), low_alpha (alphabetic char ratio — markup/noise
+    * signal), low_stopword (Gopher's "no function words" gibberish
+    * signal), long_words (mean token length — unsegmented/binary junk).
+    *
+    * Every threshold is a cross-multiplied INTEGER inequality (e.g.
+    * alpha/len < 0.81 is spelled al·100 < lt·81), so no double ratio ever
+    * crosses the engine boundary — the q103/q107 exactness rule applied
+    * to predicates. Single narrow scan, per-row O(len) regex/token work,
+    * one tiny (lang × reason) map-side-combined shuffle. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val lt = length(col("text"))
+    val nt = size(split(col("text"), " "))
+    val al = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val st = size(filter(split(col("text"), " "),
+      t => t.isin("the", "a", "of", "to", "and")))
+    // mean token length = (chars minus the nt-1 separators) / nt > 4.8
+    val reason = when(col("n_chars") < 120, "too_short")
+      .when(al * 100 < lt * 81, "low_alpha")
+      .when(st * 100 < nt * 3, "low_stopword")
+      .when((lt - nt + 1) * 20 > nt * 96, "long_words")
+      .otherwise("kept")
+    docs.withColumn("reason", reason)
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"), col("reason"))
+  }
+
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnel(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
     "q48_text_quality" -> qualityScore _,
     "q49_text_tokens" -> tokenCount _,
     "q50_text_fingerprint" -> fingerprint _,
-    "q89_text_repetition" -> (repetition(_, _))
+    "q89_text_repetition" -> (repetition(_, _)),
+    "q112_filter_funnel" -> (filterFunnel(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -205,6 +243,24 @@ object TextStats extends QueryModule {
         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
         |       round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
         |         AS rep_ratio
-        |FROM s ORDER BY rep_ratio DESC, doc_id LIMIT 50""".stripMargin
+        |FROM s ORDER BY rep_ratio DESC, doc_id LIMIT 50""".stripMargin,
+    "q112_filter_funnel" ->
+      """WITH f AS (SELECT lang, n_chars,
+        |    length(text) AS lt,
+        |    len(string_split(text, ' ')) AS nt,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS al,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS st
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN n_chars < 120 THEN 'too_short'
+        |       WHEN al * 100 < lt * 81 THEN 'low_alpha'
+        |       WHEN st * 100 < nt * 3 THEN 'low_stopword'
+        |       WHEN (lt - nt + 1) * 20 > nt * 96 THEN 'long_words'
+        |       ELSE 'kept' END AS reason,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -140,4 +140,61 @@ class PipelineSemanticsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  private def quotaRows(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(x => x.getString(0) ->
+      ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+
+  test("source quota: cap keeps the highest-n_chars docs; small sources keep everything") {
+    val docs = ((0 until 30).map(i => (i.toLong, "t", "en", "src0", (100 + i).toLong)) ++
+      (100 until 105).map(i => (i.toLong, "t", "en", "src1", 50L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = quotaRows(Pipeline.sourceQuota(docs, cap = 15, salts = 4).collect())
+    // src0: 30 docs, n_chars 100..129 → top-15 are 115..129
+    assert(r("src0") == ((30L, 15L, 15L,
+      (100 to 129).sum.toLong, (115 to 129).sum.toLong)))
+    // src1: 5 docs under the cap → all kept, nothing dropped
+    assert(r("src1") == ((5L, 5L, 0L, 250L, 250L)))
+  }
+
+  test("source quota: salted two-phase selection equals the naive single window") {
+    // n_chars distinct within each source (i*37 mod 199 is injective for
+    // i < 199-ish per residue class) so the kept SET is unique — any
+    // phase-1 shard that wrongly evicts a global-top row changes kept_chars
+    val docs = (0 until 195)
+      .map(i => (i.toLong, "t", "en", s"src${i % 5}", ((i * 37) % 199).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val two = quotaRows(Pipeline.sourceQuota(docs, cap = 15, salts = 8).collect())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val naive = docs.withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= 15, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 15, 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("rn") <= 15, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .collect()
+    assert(two == quotaRows(naive))
+  }
+
+  test("filter funnel: every doc is charged to the FIRST failing rule only") {
+    // d1 fails too_short AND low_alpha AND low_stopword → charged too_short;
+    // d2 fails low_alpha AND low_stopword → charged low_alpha;
+    // d3 fails low_stopword AND long_words → charged low_stopword;
+    // d4 fails only long_words (has stopwords, high alpha, long tokens);
+    // d5 passes everything.
+    val d1 = "1234 5678 90"
+    val d2 = Seq.fill(30)("ab12").mkString(" ")
+    val d3 = Seq.fill(25)("abcde").mkString(" ")
+    val d4 = (Seq.fill(3)("the") ++ Seq.fill(27)("abcdef")).mkString(" ")
+    val d5 = (Seq.fill(5)("the") ++ Seq.fill(20)("abcde")).mkString(" ")
+    val docs = Seq(d1, d2, d3, d4, d5).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextStats.filterFunnel(docs).collect()
+      .map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r == Map("too_short" -> 1L, "low_alpha" -> 1L,
+      "low_stopword" -> 1L, "long_words" -> 1L, "kept" -> 1L))
+  }
 }

@@ -231,4 +231,26 @@ class PlanRegressionSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), s"$name shuffles for the offset join:\n$p")
     }
   }
+
+  test("q110: the quota's heavy window is salted; the stats join broadcasts") {
+    // The row-proportional shuffle must be keyed (source, xxhash64-salt) —
+    // a regression to a bare source window puts a hot domain on one task.
+    val p = plan("q110_source_quota")
+    assert(p.contains("xxhash64"), s"q110 lost the salted phase-1 window:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2, s"q110 lost a window phase:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q110 stats join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q110 shuffles source-cardinality rows:\n$p")
+  }
+
+  test("q111/q112: single-scan scan-and-aggregate — no join, no window") {
+    // Both are one narrow projection + one tiny grouped aggregate; a
+    // second scan or a join appearing here means a rewrite broke the
+    // single-pass shape. (FormattedMode prints each scan twice.)
+    Seq("q111_prom_time_fns", "q112_filter_funnel").foreach { name =>
+      val p = plan(name)
+      assert("Scan parquet".r.findAllIn(p).size == 2, s"$name re-reads its table:\n$p")
+      assert(!p.contains("Join"), s"$name plans a join:\n$p")
+      assert(!p.contains("Window"), s"$name plans a window:\n$p")
+    }
+  }
 }

@@ -334,4 +334,23 @@ class PromBatchFnsSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == Seq(21600L, 43200L, 64800L, 86400L, 108000L))
     assert(rows.forall(r => r._2 == 1L && r._3 == 1L && r._4 == 10.0))
   }
+
+  test("q111: dow/hour are promql UTC integers — epoch day 0 is Thursday, Sunday is 0") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-prom7").toString
+    // 1970-01-01 (a Thursday → dow 4) 00:30 and 1970-01-04 (the first
+    // Sunday → dow 0) 05:xx from two distinct series
+    Seq((1L, ns(1800), 1L, "m", 1.0, "{}"),
+        (2L, ns(3 * 86400 + 5 * 3600 + 60), 1L, "m", 3.0, "{}"),
+        (3L, ns(3 * 86400 + 5 * 3600 + 120), 2L, "m", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = operators.EventAnalytics.promTimeFns(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows == Map(
+      (4L, 0L) -> ((1L, 1L, 1.0)),   // Thursday hour 0: one event, one series
+      (0L, 5L) -> ((2L, 2L, 4.0))))  // Sunday hour 5: two series, mean 4.0
+  }
 }
