@@ -279,6 +279,54 @@ object Similarity extends QueryModule {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Semantic (embedding-cosine) benchmark decontamination — the
+    * complement of q75's n-gram decontaminate, and the variant modern
+    * corpus builds run alongside it: an eval doc is "contaminated into
+    * the training set" when some train doc embeds within cosine θ of it
+    * (paraphrases and translations that shared-n-gram matching misses).
+    *
+    * Scale shape — exact, yet never all-pairs-on-the-big-side: the eval
+    * benchmark is SMALL BY CONSTRUCTION (thousands of docs at any corpus
+    * scale), so it is [[broadcast]] and the train corpus streams ONCE
+    * through a broadcast nested-loop join with per-row k·d dot-product
+    * work, then folds to |eval| rows via a map-side-combined aggregate.
+    * No train-side shuffle of anything but the |eval|-sized partials —
+    * the one shape that stays exact at 100 TB (the LSH route trades
+    * recall; q61 covers it for the symmetric pair case).
+    *
+    * Corpus rows matching `evalPred` form the benchmark; all other rows
+    * are the train side. Per eval doc: how many train docs land within
+    * θ, and the worst (max) similarity — null when uncontaminated. */
+  def semanticDecontaminate(corpus: DataFrame, evalPred: Column,
+                            theta: Double = 0.98): DataFrame = {
+    val n = normed(corpus)
+    val evals = broadcast(n.filter(evalPred)
+      .select(col("vec_id").as("eval_id"), col("emb").as("eemb"), col("nrm").as("enrm")))
+    n.filter(!evalPred)
+      .crossJoin(evals)
+      .withColumn("sim", dot(col("emb"), col("eemb")) / (col("nrm") * col("enrm")))
+      .groupBy(col("eval_id"))
+      .agg(count(when(col("sim") >= theta, 1)).as("n_contaminated"),
+        round(max(when(col("sim") >= theta, col("sim"))), 6).as("max_sim"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+      .orderBy(col("eval_id"))
+  }
+
+  /** Driver adapter: evals are `vec_id % 41 = 0`; contamination is
+    * PLANTED for half of them (`vec_id % 82 = 0` re-enters the train
+    * side ×2-scaled under a shifted id — cosine exactly 1, the q61
+    * planting convention), so the report shows both outcomes. */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val base = embTable(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val planted = base.filter(pmod(col("vec_id"), lit(82)) === 0)
+      .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+        transform(col("emb"), x => x * lit(2.0)).as("emb"))
+    val corpus = base.unionAll(planted).select(col("vec_id"), col("emb").as("embedding"))
+    semanticDecontaminate(corpus,
+      pmod(col("vec_id"), lit(41)) === 0 && col("vec_id") < 1000000L)
+  }
+
   /** Semantic-dedup CLUSTERS: connected components over the
     * embedding-cosine near-dup pairs — the q61 → q77 composition, and the
     * artifact a semantic dedup pass actually consumes (keep the
@@ -297,7 +345,8 @@ object Similarity extends QueryModule {
     "q61_dedup_embedding_cosine" -> cosineNearDupPairs _,
     "q65_sim_ann_multiprobe" -> annLshMultiProbe _,
     "q78_sim_quantized_rerank" -> (quantizedRerank(_, _)),
-    "q90_sim_semantic_clusters" -> semanticClusters _
+    "q90_sim_semantic_clusters" -> semanticClusters _,
+    "q113_decontaminate_semantic" -> semanticDecontaminate _
   )
 
   /** Oracle-side plane weight, same integer formula as [[planeWeight]]. */
@@ -472,6 +521,32 @@ object Similarity extends QueryModule {
          |           ORDER BY sim DESC, vec_id) AS INT) AS rn
          |       FROM s2)
          |SELECT probe_id, vec_id, cos_sim, rn FROM r2 WHERE rn <= 5
-         |ORDER BY probe_id, rn""".stripMargin
+         |ORDER BY probe_id, rn""".stripMargin,
+    // eval = vec_id%41=0 (original ids only); planted contamination =
+    // vec_id%82=0 rescaled ×2 under id+2000000 (q61 convention)
+    "q113_decontaminate_semantic" ->
+      """WITH e0 AS (SELECT vec_id,
+        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |            FROM embeddings),
+        |u AS (SELECT vec_id, emb FROM e0
+        |      UNION ALL
+        |      SELECT vec_id + 2000000, list_transform(emb, x -> x * 2.0)
+        |      FROM e0 WHERE vec_id % 82 = 0),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+        |      FROM u),
+        |ev AS (SELECT vec_id AS eval_id, emb AS eemb, nrm AS enrm
+        |       FROM n WHERE vec_id % 41 = 0 AND vec_id < 1000000),
+        |tr AS (SELECT * FROM n
+        |       WHERE NOT (vec_id % 41 = 0 AND vec_id < 1000000)),
+        |j AS (SELECT eval_id,
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> tr.emb[i] * ev.eemb[i])) / (tr.nrm * ev.enrm) AS sim
+        |      FROM tr CROSS JOIN ev)
+        |SELECT eval_id,
+        |       count(CASE WHEN sim >= 0.98 THEN 1 END) AS n_contaminated,
+        |       round(max(CASE WHEN sim >= 0.98 THEN sim END), 6) AS max_sim,
+        |       count(CASE WHEN sim >= 0.98 THEN 1 END) > 0 AS contaminated
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

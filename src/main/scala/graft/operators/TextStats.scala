@@ -172,6 +172,49 @@ object TextStats extends QueryModule {
   def filterFunnel(spark: SparkSession, dir: String): DataFrame =
     filterFunnel(docsTable(spark, dir))
 
+  /** BPE merge-candidate mining — the first step of corpus-scale
+    * tokenizer training (Sennrich et al. ACL'16): count ADJACENT token
+    * pairs and rank by frequency; the top pair is the next merge a BPE
+    * trainer would apply, and the cumulative-coverage column says how
+    * much of the corpus's pair mass the first k merges would touch
+    * (vocab-budget planning).
+    *
+    * Scale shape: per-row O(len) pair construction (`transform` over the
+    * token array — no self-join, no posexplode+re-join on position), one
+    * map-side-combined groupBy(pair) whose shuffle carries ≤ per-doc
+    * distinct pairs, a distributed TakeOrdered for the top-k, and the
+    * cumulative window runs AFTER the limit — over k rows, never over
+    * the vocab. The total-pair-mass scalar rides a separate narrow scan
+    * (`sum(size-1)` — no second explode) and broadcasts as one row.
+    * Counts are exact integers; the only doubles are divisions of
+    * identical integers, so every cell is bit-stable across engines. */
+  def bpeMergeCandidates(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val t = toks(docs)
+    val pairs = t
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topK)
+    val total = t.select(
+      sum(greatest(size(col("toks")) - 1, lit(0))).cast("long").as("total_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("pair"))
+    pairs.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("pct", round(col("n_occ") / col("total_pairs"), 6))
+      .withColumn("cum_pct",
+        round(sum(col("n_occ")).over(w) / col("total_pairs"), 6))
+      .select(col("rank"), col("pair"), col("n_occ"), col("pct"), col("cum_pct"))
+      .orderBy(col("rank"))
+  }
+
+  def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeCandidates(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
@@ -179,7 +222,8 @@ object TextStats extends QueryModule {
     "q49_text_tokens" -> tokenCount _,
     "q50_text_fingerprint" -> fingerprint _,
     "q89_text_repetition" -> (repetition(_, _)),
-    "q112_filter_funnel" -> (filterFunnel(_, _))
+    "q112_filter_funnel" -> (filterFunnel(_, _)),
+    "q114_bpe_merge_candidates" -> (bpeMergeCandidates(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -261,6 +305,28 @@ object TextStats extends QueryModule {
         |  count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  round(avg(n_chars), 4) AS avg_chars
-        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // range(2, len+1) with 1-based lists ≡ Spark's sequence(1, size-1)
+    // with 0-based arrays: both emit pairs (1,2)..(len-1,len)
+    "q114_bpe_merge_candidates" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT unnest(list_transform(range(2, len(toks) + 1),
+        |         i -> toks[i-1] || ' ' || toks[i])) AS pair
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occ
+        |      FROM p GROUP BY 1 ORDER BY n_occ DESC, pair LIMIT 30),
+        |tot AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT)
+        |          AS total_pairs FROM t),
+        |r AS (SELECT pair, n_occ,
+        |        CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS INT)
+        |          AS "rank",
+        |        CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, pair
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum
+        |      FROM c)
+        |SELECT "rank", pair, n_occ,
+        |       round(n_occ / total_pairs, 6) AS pct,
+        |       round(cum / total_pairs, 6) AS cum_pct
+        |FROM r CROSS JOIN tot ORDER BY "rank"""".stripMargin
   )
 }

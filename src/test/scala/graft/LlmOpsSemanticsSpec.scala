@@ -254,4 +254,41 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     assert(r(2L) == ((20L, 17L, 0.85)))
     assert(r(3L) == ((20L, 0L, 0.0)))
   }
+
+  test("semantic decontamination: threshold hits counted, clean evals report null") {
+    import spark.implicits._
+    // evals: 0 = x-axis, 1 = z-axis. train: 100 = 2×eval0 (cos exactly 1),
+    // 101 orthogonal to both, 103 = 45° off eval0 (cos ≈ 0.707 ≥ θ=0.5),
+    // 104 at cos ≈ 0.316 (below θ). eval1 has no neighbor within θ.
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f)),
+      (100L, Seq(2f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)),
+      (103L, Seq(1f, 1f, 0f, 0f)), (104L, Seq(1f, 3f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = operators.Similarity
+      .semanticDecontaminate(corpus, col("vec_id") < 10, theta = 0.5)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double]), x.getBoolean(3))))
+      .toMap
+    assert(r(0L) == ((2L, Some(1.0), true)))
+    assert(r(1L) == ((0L, None, false)))
+    assert(r.keySet == Set(0L, 1L), "every eval doc reports, hit or not")
+  }
+
+  test("bpe merge candidates: adjacent-pair counts, tie order, cumulative coverage") {
+    import spark.implicits._
+    // d0 "a b a b c" → pairs (a b)×2, (b a), (b c); d1 single-token → no
+    // pairs (guards the sequence(1, size-1) edge); d2 "a b" → (a b).
+    // Totals: 5 pairs; top: (a b)=3, then the 1-count tie breaks by pair asc.
+    val docs = Seq((0L, "a b a b c"), (1L, "x"), (2L, "a b"))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextStats.bpeMergeCandidates(docs, topK = 10).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (1, "a b", 3L, 0.6, 0.6),
+      (2, "b a", 1L, 0.2, 0.8),
+      (3, "b c", 1L, 0.2, 1.0)))
+  }
 }

@@ -242,6 +242,30 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q110 shuffles source-cardinality rows:\n$p")
   }
 
+  test("q113: eval side broadcasts through a nested-loop join; train never shuffles pairs") {
+    // The exact-decontamination contract: the benchmark is the broadcast
+    // side of a BroadcastNestedLoopJoin and the only shuffle is the
+    // |eval|-sized partial aggregate. A SortMergeJoin or a non-broadcast
+    // cartesian appearing here means the train corpus started shuffling.
+    val p = plan("q113_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"q113 lost the broadcast NL join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q113 shuffles the train side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q113 plans a cartesian:\n$p")
+    assert(p.contains("HashAggregate"), s"q113 lost the partial aggregate:\n$p")
+  }
+
+  test("q114: top-k is a distributed TakeOrdered; the window runs after the limit") {
+    // The vocab-sized relation must reach the driver only as a k-row
+    // TakeOrderedAndProject; the cumulative window then costs one k-row
+    // task. A Window BEFORE the limit (global sort of the vocab) or a
+    // SortMergeJoin for the scalar total are the regressions this pins.
+    val p = plan("q114_bpe_merge_candidates")
+    assert(p.contains("TakeOrderedAndProject"), s"q114 lost the distributed top-k:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q114 total-pairs scalar not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q114 shuffles the scalar join:\n$p")
+  }
+
   test("q111/q112: single-scan scan-and-aggregate — no join, no window") {
     // Both are one narrow projection + one tiny grouped aggregate; a
     // second scan or a join appearing here means a rewrite broke the
