@@ -19,16 +19,19 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is set at session build. Supplying an explicit read schema with `ts`
-    * as LongType sidesteps the footer-schema conversion entirely, so this
-    * loader works in ANY session — no conf requirement, and no session-conf
-    * mutation at query-build time (which races under concurrent query
-    * construction). The raw nanos are truncated to micros — the same
-    * truncation DuckDB's µs TIMESTAMP applies, so oracle comparisons see
-    * identical values. Pushdown is unaffected: filters and pruning still
-    * reach the parquet scan with a user-specified schema.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS) in others; both are physical INT64.
+    * TIMESTAMP(NANOS) is rejected outright by Spark 4 (PARQUET_TYPE_ILLEGAL)
+    * unless `spark.sql.legacy.parquet.nanosAsLong` is set at session build.
+    * Supplying an explicit read schema with `ts` as LongType sidesteps the
+    * footer-schema conversion entirely, so this loader works in ANY session —
+    * no conf requirement, and no session-conf mutation at query-build time
+    * (which races under concurrent query construction). The raw INT64 is then
+    * normalized to epoch-micros using the file footer's own logical-type
+    * annotation (`tsToMicrosExpr`), so the loader is correct for either
+    * generation — and for the test fixtures, which write plain INT64 nanos.
+    * Pushdown is unaffected: filters and pruning still reach the parquet scan
+    * with a user-specified schema.
     */
   private val eventsReadSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -41,7 +44,47 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(eventsReadSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr(
+          tsToMicrosExpr(spark, s"$dir/events.parquet"))))
+
+  /** Raw-INT64 → epoch-micros conversion expression for `ts`, decided by the
+    * parquet footer's logical-type annotation rather than a value heuristic
+    * (near-epoch fixture timestamps make any magnitude test ambiguous).
+    * Plain INT64 with no annotation is nanos — the unit the planted test
+    * fixtures and the original TIMESTAMP(NANOS) testdata share. Footer reads
+    * are driver-side, one ~KB-scale read per distinct path (cached), so query
+    * build cost is unchanged; executors never touch this.
+    */
+  private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tsToMicrosExpr(spark: SparkSession, path: String): String =
+    tsUnitCache.computeIfAbsent(path, { p =>
+      import org.apache.parquet.format.converter.ParquetMetadataConverter
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .minBy(_.getName)
+        else hp
+      val footer = ParquetFileReader.readFooter(conf, file, ParquetMetadataConverter.NO_FILTER)
+      val ann = footer.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+        .asPrimitiveType().getLogicalTypeAnnotation
+      ann match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case TimeUnit.MICROS => "ts"
+            case TimeUnit.MILLIS => "ts * 1000"
+            case _               => "ts div 1000" // NANOS
+          }
+        case _ => "ts div 1000" // unannotated INT64: project-convention nanos
+      }
+    })
 }
 
 /** A bundle of named queries plus their DuckDB oracle SQL.
