@@ -784,8 +784,46 @@ object EventAnalytics extends QueryModule {
     "q106_prom_holt_winters" -> promHoltWinters _,
     "q103_prom_subquery" -> ((s: SparkSession, dir: String) =>
       promSubquery(s, dir)),
-    "q111_prom_time_fns" -> promTimeFns _
+    "q111_prom_time_fns" -> promTimeFns _,
+    "q115_prom_deriv_math" -> promDerivMath _
   )
+
+  /** PromQL function-surface close-out: `deriv` (per-series least-squares
+    * slope — prometheus functions.go funcDeriv, the identical regression
+    * behind q97's predict_linear minus the projection), `avg_over_time`,
+    * the element-wise math vector functions (`abs`/`sgn`/`sqrt`/`log2`/
+    * `ceil`/`floor` — functions.go's simpleCall table), and `sort_desc`
+    * result ordering. The math functions are pure scalar maps applied
+    * AFTER the per-series aggregate, so the plan is exactly q97's: one
+    * shuffle on the series key carrying mergeable regr_* and avg partials,
+    * then zero-shuffle projections — the element-wise layer adds no cost
+    * at any scale. `sgn` reads the ROUNDED slope on both engines so a
+    * ±1e-9 slope is sign-stable, and `sort_desc` orders by the rounded
+    * value with a (name, user) tiebreak, the q74 round-before-rank rule. */
+  def promDerivMath(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("name"), col("user_id"))
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("x", (col("tus") - min(col("tus")).over(w)) / lit(1e6))
+      .groupBy(col("name"), col("user_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        regr_slope(col("value"), col("x")).as("d"),
+        avg(col("value")).as("avg_raw"))
+      .filter(col("n_samples") >= 2)
+      .select(col("name"), col("user_id"), col("n_samples"),
+        (round(col("d"), 6) + lit(0.0)).as("deriv_per_sec"),
+        (round(col("avg_raw"), 6) + lit(0.0)).as("avg_ot"),
+        signum(round(col("d"), 6) + lit(0.0)).cast("int").as("sgn_deriv"),
+        (round(sqrt(abs(col("avg_raw"))), 6) + lit(0.0)).as("sqrt_abs_avg"),
+        (round(log2(abs(col("avg_raw")) + lit(1.0)), 6) + lit(0.0)).as("log2_avg"),
+        ceil(col("avg_raw")).cast("long").as("ceil_avg"),
+        floor(col("avg_raw")).cast("long").as("floor_avg"))
+      .orderBy(col("deriv_per_sec").desc, col("name"), col("user_id"))
+      .limit(300)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q84_prom_over_time" ->
@@ -1211,6 +1249,25 @@ object EventAnalytics extends QueryModule {
         |       count(DISTINCT name || '|' || CAST(user_id AS VARCHAR)) AS n_series,
         |       round(CAST(sum(v4) AS BIGINT) / (10000.0 * count(*)), 4) + 0.0
         |         AS avg_value
-        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q115_prom_deriv_math" ->
+      """WITH c AS (
+        |  SELECT event_type AS name, user_id, value,
+        |         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type, user_id)) / 1e6 AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT name, user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         regr_slope(value, x) AS d, avg(value) AS avg_raw
+        |  FROM c GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT name, user_id, n_samples,
+        |       round(d, 6) + 0.0 AS deriv_per_sec,
+        |       round(avg_raw, 6) + 0.0 AS avg_ot,
+        |       CAST(sign(round(d, 6) + 0.0) AS INT) AS sgn_deriv,
+        |       round(sqrt(abs(avg_raw)), 6) + 0.0 AS sqrt_abs_avg,
+        |       round(log2(abs(avg_raw) + 1.0), 6) + 0.0 AS log2_avg,
+        |       CAST(ceil(avg_raw) AS BIGINT) AS ceil_avg,
+        |       CAST(floor(avg_raw) AS BIGINT) AS floor_avg
+        |FROM a
+        |ORDER BY deriv_per_sec DESC, name, user_id LIMIT 300""".stripMargin
   )
 }

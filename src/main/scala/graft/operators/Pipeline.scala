@@ -389,6 +389,58 @@ object Pipeline extends QueryModule {
   def sourceQuota(spark: SparkSession, dir: String): DataFrame =
     sourceQuota(docsTable(spark, dir))
 
+  /** BM25 (Okapi) top-k retrieval for a literal query-term set — the lexical
+    * retrieval primitive behind training-corpus search and RAG indexing
+    * (Robertson & Zaragoza 2009; the `k1`/`b` defaults are the standard
+    * Lucene/Elasticsearch 1.2/0.75). Single-scan shape: one tokenize →
+    * per-doc aggregate (map-side combine) yields BOTH the doc length and
+    * one conditional tf counter per query term, so the corpus shuffles
+    * exactly once on doc_id; `stack` melts the per-term counters without a
+    * second scan, and df/N/avgdl are term-count- and single-row-sized
+    * aggregates that broadcast back. Nothing corpus-sized is joined or
+    * re-scanned: at 100 TB the plan is scan → combine → tiny broadcasts,
+    * with the final top-k a rounded-then-ranked TakeOrdered (q74's
+    * round-before-rank rule, so rank order is engine-identical). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75, topN: Int = 20): DataFrame = {
+    val tfCols = terms.map(t => count(when(col("tok") === t, 1)).as(s"tf_$t"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val stats = perDoc.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val matched = perDoc.select(col("doc_id"), col("dl"),
+      expr(s"stack(${terms.length}, " +
+        terms.map(t => s"'$t', tf_$t").mkString(", ") + ") AS (term, tf)"))
+      .filter(col("tf") > 0)
+    val dfc = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    matched.join(broadcast(dfc), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        (round(sum(col("s")), 6) + lit(0.0)).as("score"))
+      // top-k first via distributed TakeOrdered, THEN rank: the row_number
+      // window runs over ≤ topN rows, never the corpus-sized score set.
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select(col("rnk"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Default query terms: mid-frequency corpus vocabulary, so scores spread
+    * across meaningfully different df values. */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "vector", "customer")
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(docsTable(spark, dir), Bm25Terms)
+
   val queries: Map[String, QueryFn] = Map(
     "q68_split_hash" -> (hashSplit(_, _)),
     "q69_sample_stratified" -> (stratifiedSample(_, _)),
@@ -401,7 +453,8 @@ object Pipeline extends QueryModule {
     "q76_profile" -> (profile(_, _)),
     "q93_shuffle_seeded" -> (seededShuffle(_, _)),
     "q94_mixture_resample" -> (mixtureResample(_, _)),
-    "q110_source_quota" -> (sourceQuota(_, _))
+    "q110_source_quota" -> (sourceQuota(_, _)),
+    "q116_text_bm25" -> (bm25TopK(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -540,6 +593,38 @@ object Pipeline extends QueryModule {
         |      FROM ranked WHERE rn <= 15 GROUP BY 1)
         |SELECT tot.source AS source, n_docs, n_kept,
         |       n_docs - n_kept AS n_dropped, total_chars, kept_chars
-        |FROM tot JOIN k USING (source) ORDER BY source""".stripMargin
+        |FROM tot JOIN k USING (source) ORDER BY source""".stripMargin,
+    "q116_text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         count(*) FILTER (WHERE tok = 'spark') AS tf_spark,
+        |         count(*) FILTER (WHERE tok = 'join') AS tf_join,
+        |         count(*) FILTER (WHERE tok = 'vector') AS tf_vector,
+        |         count(*) FILTER (WHERE tok = 'customer') AS tf_customer
+        |  FROM tok WHERE tok <> '' GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM perdoc),
+        |melted AS (
+        |  SELECT doc_id, dl, term, tf FROM (
+        |    SELECT doc_id, dl, 'spark' AS term, tf_spark AS tf FROM perdoc
+        |    UNION ALL SELECT doc_id, dl, 'join', tf_join FROM perdoc
+        |    UNION ALL SELECT doc_id, dl, 'vector', tf_vector FROM perdoc
+        |    UNION ALL SELECT doc_id, dl, 'customer', tf_customer FROM perdoc)
+        |  WHERE tf > 0),
+        |dfc AS (SELECT term, count(*) AS df FROM melted GROUP BY term),
+        |scored AS (
+        |  SELECT m.doc_id, CAST(count(*) AS INT) AS n_terms,
+        |         round(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |           * m.tf * 2.2
+        |           / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl))), 6) + 0.0 AS score
+        |  FROM melted m JOIN dfc d USING (term) CROSS JOIN stats s
+        |  GROUP BY m.doc_id),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk,
+        |         doc_id, n_terms, score
+        |  FROM scored)
+        |SELECT rnk, doc_id, n_terms, score FROM ranked
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
   )
 }

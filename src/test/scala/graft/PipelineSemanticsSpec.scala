@@ -197,4 +197,22 @@ class PipelineSemanticsSpec extends AnyFunSuite {
     assert(r == Map("too_short" -> 1L, "low_alpha" -> 1L,
       "low_stopword" -> 1L, "long_words" -> 1L, "kept" -> 1L))
   }
+
+  test("bm25 recovers the hand-computed Okapi scores on a planted corpus") {
+    // doc 0: tf(spark)=2, tf(join)=1, dl=4; doc 1: tf(spark)=1, dl=4;
+    // doc 2: no query terms. N=3, avgdl=4 so the length norm is exactly 1
+    // and score = sum_t idf(t)·tf·(k1+1)/(tf+k1), idf = ln((N-df+.5)/(df+.5)+1).
+    val docs = Seq(
+      (0L, "spark spark join x", "en", "s", 18L),
+      (1L, "spark y y y", "en", "s", 11L),
+      (2L, "z z z z", "en", "s", 7L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Pipeline.bm25TopK(docs, Seq("spark", "join")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val idfSpark = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val idfJoin = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val s0 = r6(idfSpark * 2 * 2.2 / (2 + 1.2) + idfJoin * 1 * 2.2 / (1 + 1.2))
+    val s1 = r6(idfSpark * 1 * 2.2 / (1 + 1.2))
+    assert(out.toSeq == Seq((1, 0L, 2, s0), (2, 1L, 1, s1))) // doc 2 absent
+  }
 }

@@ -353,4 +353,22 @@ class PromBatchFnsSpec extends AnyFunSuite {
       (4L, 0L) -> ((1L, 1L, 1.0)),   // Thursday hour 0: one event, one series
       (0L, 5L) -> ((2L, 2L, 4.0))))  // Sunday hour 5: two series, mean 4.0
   }
+
+  test("q115: deriv recovers the planted slope; math fns and sort_desc hold") {
+    // The shared fixture: ("lin", 2) is the exact line 2 + 0.5·x (deriv
+    // 0.5, avg 9.5); ("ctr", 1) regresses 10/20/5/8 on x = 0/10/20/30 to
+    // slope −105/500 = −0.21. sort_desc puts lin first.
+    val rows = operators.EventAnalytics.promDerivMath(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getInt(5), r.getDouble(6),
+          r.getDouble(7), r.getLong(8), r.getLong(9)))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(rows(("lin", 2L)) == ((0.5, 9.5, 1, r6(math.sqrt(9.5)),
+      r6(math.log(10.5) / math.log(2.0)), 10L, 9L)))
+    assert(rows(("ctr", 1L)) == ((-0.21, 10.75, -1, r6(math.sqrt(10.75)),
+      r6(math.log(11.75) / math.log(2.0)), 11L, 10L)))
+    val order = operators.EventAnalytics.promDerivMath(spark, dir).collect()
+      .map(_.getString(0))
+    assert(order.toSeq == Seq("lin", "ctr")) // sort_desc by deriv
+  }
 }
