@@ -338,7 +338,67 @@ object Similarity extends QueryModule {
     graft.operators.Dedup.dedupClusters(
       cosineNearDupPairs(spark, dir).select(col("a"), col("b")))
 
+  /** IVF codebook training: deterministic Lloyd iterations — the step that
+    * produces the coarse centroids q53's IVF search takes as given (Lloyd
+    * 1982; the IVF layout is Jégou et al.'s PQ/IVFADC coarse quantizer).
+    * Init = the k lowest vec_ids (deterministic, engine-portable), then
+    * `rounds` assignment passes with an element-wise-mean recompute between
+    * them.
+    *
+    * Determinism across engines, the hard part of oracle-checking k-means:
+    * centroid components are ROUNDED to 6 decimals before any distance
+    * (so the engines' avg() fold noise, ~1e-16, can't leak into
+    * assignment), distances use the same |a|²−2a·b+|c|² composition of
+    * ascending left-folds on both sides, and d² is rounded before the
+    * argmin with a cid tiebreak — the q74 round-before-rank rule applied
+    * to cluster assignment.
+    *
+    * Scale shape: centroids are k×dim — always broadcast; assignment is a
+    * broadcast nested-loop over the corpus (each executor streams its
+    * slice once, the corpus NEVER shuffles); the recompute shuffles only
+    * (cid, pos) partial sums — k·dim keys with map-side combine. Per
+    * round: one corpus scan, zero corpus shuffles; this is exactly how
+    * Spark MLlib's KMeans structures an iteration. */
+  def kmeansTrain(emb: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val r6 = (c: Column) => round(c, 6)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2", r6(
+          graft.functions.VectorExpressions.sumOfSquares(col("emb"))
+            - lit(2.0) * dot(col("emb"), col("cemb"))
+            + graft.functions.VectorExpressions.sumOfSquares(col("cemb"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("emb"), col("d2"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("c"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), transform(col("pc"), x => r6(x.getField("c"))).as("cemb"))
+    val init = e.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cid"), transform(col("emb"), r6).as("cemb"))
+    val finalAssign = (1 until rounds).foldLeft(assign(init)) {
+      (a, _) => assign(recompute(a))
+    }
+    finalAssign.groupBy(col("cid"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        (round(avg(col("d2")), 4) + lit(0.0)).as("mean_d2"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy(col("cid"))
+  }
+
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrain(embTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
+    "q117_sim_kmeans" -> (kmeansTrain(_, _)),
     "q44_sim_cosine_topk" -> cosineTopK _,
     "q45_sim_ann_lsh" -> annLsh _,
     "q53_sim_ann_ivf" -> annIvf _,
@@ -362,6 +422,43 @@ object Similarity extends QueryModule {
       |      FROM e)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q117_sim_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |init AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         list_transform(emb, x -> round(x, 6)) AS cemb
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |d1 AS (
+        |  SELECT e.vec_id, i.cid, e.emb,
+        |         round(list_sum(list_transform(e.emb, x -> x * x))
+        |           - 2 * list_sum(list_transform(list_zip(e.emb, i.cemb),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           + list_sum(list_transform(i.cemb, x -> x * x)), 6) AS d2
+        |  FROM e CROSS JOIN init i),
+        |a1 AS (SELECT vec_id, cid, emb FROM (
+        |         SELECT vec_id, cid, emb,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |elem AS (SELECT cid, u.i AS pos, emb[u.i] AS v
+        |         FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u),
+        |cm AS (SELECT cid, pos, round(avg(v), 6) AS c FROM elem GROUP BY 1, 2),
+        |c2 AS (SELECT cid, list(c ORDER BY pos) AS cemb FROM cm GROUP BY cid),
+        |d2t AS (
+        |  SELECT e.vec_id, c.cid,
+        |         round(list_sum(list_transform(e.emb, x -> x * x))
+        |           - 2 * list_sum(list_transform(list_zip(e.emb, c.cemb),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           + list_sum(list_transform(c.cemb, x -> x * x)), 6) AS d2
+        |  FROM e CROSS JOIN c2 c),
+        |a2 AS (SELECT vec_id, cid, d2 FROM (
+        |         SELECT vec_id, cid, d2,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |         FROM d2t) WHERE rn = 1)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(avg(d2), 4) + 0.0 AS mean_d2,
+        |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
     "q44_sim_cosine_topk" ->
       s"""$normedCte,
          |j AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,

@@ -291,4 +291,22 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       (2, "b a", 1L, 0.2, 0.8),
       (3, "b c", 1L, 0.2, 1.0)))
   }
+
+  test("kmeans recovers planted clusters with a cross-cluster init") {
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    // Two tight planted clusters around axis-0 and axis-1; vec 0 and vec 1
+    // sit in DIFFERENT true clusters so the lowest-id init spans both.
+    def v(axis: Int, eps: Float): Seq[Float] =
+      (0 until 64).map(d => (if (d == axis) 1.0f else 0.0f) + (if (d == 63) eps else 0.0f))
+    val rows = Seq(
+      (0L, v(0, 0.0f)), (1L, v(1, 0.0f)),
+      (2L, v(0, 0.1f)), (3L, v(1, 0.1f)),
+      (4L, v(0, -0.1f)), (5L, v(1, -0.1f)))
+    val out = operators.Similarity.kmeansTrain(
+        rows.toDF("vec_id", "embedding"), k = 2, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // cluster 0 = {0,2,4} (axis-0), cluster 1 = {1,3,5} (axis-1)
+    assert(out.toSeq == Seq((0, 3L, 0L, 4L), (1, 3L, 1L, 5L)))
+  }
 }
