@@ -397,8 +397,67 @@ object Similarity extends QueryModule {
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrain(embTable(spark, dir))
 
+  /** PageRank over the exact k-NN cosine graph — the graph-analytics
+    * operator class (iterative joins, the Pregel-on-Spark shape GraphX
+    * uses; Page et al. 1999). Corpus centrality over a similarity graph
+    * weights dedup-cluster representatives and sampling priorities.
+    *
+    * Edges: each vector's top-k cosine neighbors by q44's exact machinery
+    * (fixed out-degree k → no dangling mass, uniform weight 1/k; the edge
+    * table is cached — it feeds in-degree plus every iteration). At 100 TB
+    * candidate generation swaps to the LSH/IVF forms (q45/q65/q53);
+    * PageRank itself is edge-linear.
+    *
+    * Determinism: per-iteration ranks round to 9 decimals on both engines,
+    * so the groupBy fold's ~1e-17 noise can't compound across iterations;
+    * `(1 - 0.85)` is computed (not a 0.15 literal) so both engines use the
+    * identical IEEE double.
+    *
+    * Scale shape per iteration: one shuffle of rank mass on dst with
+    * map-side combine; ranks and edges hash-partition on the same key so
+    * AQE reuses the exchange. No driver-side state, no collect. */
+  def simPagerank(emb: DataFrame, k: Int = 3, iters: Int = 3,
+                  damp: Double = 0.85): DataFrame = {
+    val n = normed(emb)
+    val probes = n.select(col("vec_id").as("src"), col("emb").as("pemb"),
+      col("nrm").as("pnrm"))
+    val wk = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("vec_id"))
+    val edges = n.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("src"))
+      .withColumn("sim", dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("vec_id").as("dst"))
+      .cache()
+    val nodes = n.select(col("vec_id"))
+    val nN = nodes.agg(count(lit(1)).as("nn"))
+    val init = nodes.crossJoin(broadcast(nN))
+      .select(col("vec_id"), round(lit(1.0) / col("nn"), 9).as("r"))
+    val finalRanks = (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contrib = edges
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("r") / lit(k.toDouble)).as("inc"))
+      nodes.crossJoin(broadcast(nN))
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          round((lit(1.0) - lit(damp)) / col("nn")
+            + lit(damp) * coalesce(col("inc"), lit(0.0)), 9).as("r"))
+    }
+    val indeg = edges.groupBy(col("dst"))
+      .agg(count(lit(1)).cast("long").as("in_deg"))
+    finalRanks
+      .join(indeg.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        (round(col("r"), 8) + lit(0.0)).as("pr"))
+      .orderBy(col("vec_id"))
+  }
+
+  def simPagerank(spark: SparkSession, dir: String): DataFrame =
+    simPagerank(embTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q117_sim_kmeans" -> (kmeansTrain(_, _)),
+    "q118_graph_pagerank" -> (simPagerank(_, _)),
     "q44_sim_cosine_topk" -> cosineTopK _,
     "q45_sim_ann_lsh" -> annLsh _,
     "q53_sim_ann_ivf" -> annIvf _,
@@ -421,7 +480,39 @@ object Similarity extends QueryModule {
       |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
       |      FROM e)""".stripMargin
 
+  /** One unrolled PageRank iteration as a DuckDB CTE: rank mass shuffles
+    * to dst (sum of r/k over in-edges), damped, rounded to 9 like Spark. */
+  private def prIterCte(cur: String, prev: String): String =
+    s"""$cur AS (SELECT e.vec_id,
+       |    round((1 - 0.85) / nn.n + 0.85 * coalesce(c.inc, 0.0), 9) AS r
+       |  FROM e CROSS JOIN nn LEFT JOIN (
+       |    SELECT dst, sum(r.r / 3.0) AS inc
+       |    FROM edges JOIN $prev r ON edges.src = r.vec_id GROUP BY dst) c
+       |  ON e.vec_id = c.dst)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q118_graph_pagerank" ->
+      s"""$normedCte,
+         |j AS (SELECT p.vec_id AS src, c.vec_id AS dst,
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> p.emb[i] * c.emb[i])) / (p.nrm * c.nrm) AS sim
+         |      FROM n p JOIN n c ON c.vec_id <> p.vec_id),
+         |edges AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |                      ORDER BY sim DESC, dst) AS rn FROM j)
+         |  WHERE rn <= 3),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |r0 AS (SELECT vec_id, round(1.0 / nn.n, 9) AS r FROM e CROSS JOIN nn),
+         |${prIterCte("r1", "r0")},
+         |${prIterCte("r2", "r1")},
+         |${prIterCte("r3", "r2")},
+         |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg
+         |        FROM edges GROUP BY dst)
+         |SELECT e.vec_id, coalesce(deg.in_deg, CAST(0 AS BIGINT)) AS in_deg,
+         |       round(r3.r, 8) + 0.0 AS pr
+         |FROM e LEFT JOIN deg ON e.vec_id = deg.dst
+         |JOIN r3 ON e.vec_id = r3.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     "q117_sim_kmeans" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |           FROM embeddings),

@@ -309,4 +309,32 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     // cluster 0 = {0,2,4} (axis-0), cluster 1 = {1,3,5} (axis-1)
     assert(out.toSeq == Seq((0, 3L, 0L, 4L), (1, 3L, 1L, 5L)))
   }
+
+  test("pagerank on a planted 1-NN graph matches the hand-run recurrence") {
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    // a=e0, b=e0+0.1·e2, c=e1+0.2·e0 → 1-NN edges a→b, b→a, c→a
+    // (cos(a,b)≈.995; cos(c,a)≈.196 just beats cos(c,b)≈.195).
+    def base(axis: Int) = (0 until 64).map(d => if (d == axis) 1.0f else 0.0f)
+    val rows = Seq(
+      (0L, base(0)),
+      (1L, base(0).updated(2, 0.1f)),
+      (2L, base(1).updated(0, 0.2f)))
+    val out = operators.Similarity.simPagerank(
+        rows.toDF("vec_id", "embedding"), k = 1, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(x => x._1 -> x._2).toSeq == Seq(0L -> 2L, 1L -> 1L, 2L -> 0L))
+    // hand-run the damped recurrence with the same per-iteration rounding
+    def r9(x: Double) = math.round(x * 1e9) / 1e9
+    var r = Map(0L -> r9(1.0 / 3), 1L -> r9(1.0 / 3), 2L -> r9(1.0 / 3))
+    val in = Map(0L -> Seq(1L, 2L), 1L -> Seq(0L), 2L -> Seq.empty[Long])
+    (1 to 3).foreach { _ =>
+      r = in.map { case (v, srcs) =>
+        v -> r9((1 - 0.85) / 3 + 0.85 * srcs.map(r).sum)
+      }
+    }
+    out.foreach { case (v, _, pr) => assert(math.abs(pr - r(v)) < 1e-8, s"node $v") }
+    // rank mass is conserved up to rounding: sums to 1
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-6)
+  }
 }

@@ -277,4 +277,18 @@ class PlanRegressionSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"$name plans a window:\n$p")
     }
   }
+
+  test("q116: bm25 stats and df join back broadcast; the corpus never re-shuffles") {
+    val p = plan("q116_text_bm25")
+    assert(!p.contains("SortMergeJoin"), s"q116 shuffles a join side:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q116 lost its broadcasts:\n$p")
+  }
+
+  test("q117: kmeans centroids broadcast every round; the corpus never shuffles") {
+    val p = plan("q117_sim_kmeans")
+    assert(!p.contains("SortMergeJoin"), s"q117 shuffles the corpus for assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"q117 lost the centroid broadcast:\n$p")
+  }
 }
