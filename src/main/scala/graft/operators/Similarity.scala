@@ -397,63 +397,88 @@ object Similarity extends QueryModule {
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrain(embTable(spark, dir))
 
-  /** PageRank over the exact k-NN cosine graph — the graph-analytics
-    * operator class (iterative joins, the Pregel-on-Spark shape GraphX
-    * uses; Page et al. 1999). Corpus centrality over a similarity graph
-    * weights dedup-cluster representatives and sampling priorities.
+  /** PageRank over a k-NN cosine graph — the graph-analytics operator
+    * class (iterative joins, the Pregel-on-Spark shape GraphX uses; Page
+    * et al. 1999). Corpus centrality over a similarity graph weights
+    * dedup-cluster representatives and sampling priorities.
     *
-    * Edges: each vector's top-k cosine neighbors by q44's exact machinery
-    * (fixed out-degree k → no dangling mass, uniform weight 1/k; the edge
-    * table is cached — it feeds in-degree plus every iteration). At 100 TB
-    * candidate generation swaps to the LSH/IVF forms (q45/q65/q53);
-    * PageRank itself is edge-linear.
+    * Edge generation has two modes. `planes = 0` is the exact all-pairs
+    * form — oracle-style baseline, quadratic, ONLY for small fixtures
+    * (this round's 32× probe caught the all-pairs window sort at 64k
+    * vectors burning 40+ CPU-minutes in one straggler task: the textbook
+    * does-not-survive-100× shape). `planes > 0` — the declared query's
+    * form — buckets both sides with the q45 hyperplane LSH and equi-joins
+    * on the bucket id: per-bucket work is |bucket|², the corpus shuffles
+    * once on the bucket key, and nothing corpus-sized broadcasts. Either
+    * way only (src, dst, sim) enters the top-k window — the embedding
+    * arrays are projected away BEFORE the sort exchange, so the window
+    * sorts 24-byte rows, not kilobyte rows.
     *
-    * Determinism: per-iteration ranks round to 9 decimals on both engines,
-    * so the groupBy fold's ~1e-17 noise can't compound across iterations;
-    * `(1 - 0.85)` is computed (not a 0.15 literal) so both engines use the
-    * identical IEEE double.
+    * Bucketed edges have variable out-degree (a lone vector in its bucket
+    * has none), so rank mass divides by the ACTUAL out-degree and dangling
+    * vectors contribute nothing — the standard removed-dangling
+    * simplification, identical on both engines.
     *
-    * Scale shape per iteration: one shuffle of rank mass on dst with
-    * map-side combine; ranks and edges hash-partition on the same key so
-    * AQE reuses the exchange. No driver-side state, no collect. */
+    * Determinism: ranks are FIXED-POINT integers in 1e-12 units. Every
+    * step is exact integer arithmetic (edge contribution = r div od,
+    * mass aggregation = integer sum) or a single IEEE op (0.85·inc then
+    * floor) — there is no floating-point fold anywhere in the recurrence,
+    * so both engines produce bit-identical ranks BY CONSTRUCTION, not by
+    * rounding margin (a decimal-rounded formulation hit a 1-in-500
+    * boundary flip in testing; fixed point removes the failure mode).
+    * Per iteration: one shuffle of rank mass on dst with map-side
+    * combine; no driver-side state, no collect. */
   def simPagerank(emb: DataFrame, k: Int = 3, iters: Int = 3,
-                  damp: Double = 0.85): DataFrame = {
-    val n = normed(emb)
-    val probes = n.select(col("vec_id").as("src"), col("emb").as("pemb"),
-      col("nrm").as("pnrm"))
-    val wk = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("vec_id"))
-    val edges = n.crossJoin(broadcast(probes))
+                  damp: Double = 0.85, planes: Int = 0): DataFrame = {
+    val wk = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val pairsWide =
+      if (planes > 0) {
+        val b = bucketed(emb, planes)
+        b.join(b.select(col("vec_id").as("src"), col("emb").as("pemb"),
+          col("nrm").as("pnrm"), col("bucket")), Seq("bucket"))
+      } else {
+        val n = normed(emb)
+        n.crossJoin(broadcast(n.select(col("vec_id").as("src"),
+          col("emb").as("pemb"), col("nrm").as("pnrm"))))
+      }
+    val edges = pairsWide
       .filter(col("vec_id") =!= col("src"))
-      .withColumn("sim", dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm")))
+      .select(col("src"), col("vec_id").as("dst"),
+        (dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm"))).as("sim"))
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= k)
-      .select(col("src"), col("vec_id").as("dst"))
+      .select(col("src"), col("dst"))
       .cache()
-    val nodes = n.select(col("vec_id"))
+    val odeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("od"))
+    val edgesOd = edges.join(odeg, "src")
+    val nodes = normed(emb).select(col("vec_id"))
     val nN = nodes.agg(count(lit(1)).as("nn"))
+    // fixed-point: 1e12 rank units; integer div / integer sum / one IEEE
+    // multiply per step — bit-identical across engines by construction
     val init = nodes.crossJoin(broadcast(nN))
-      .select(col("vec_id"), round(lit(1.0) / col("nn"), 9).as("r"))
+      .select(col("vec_id"), expr("1000000000000 div nn").as("r"))
     val finalRanks = (1 to iters).foldLeft(init) { (ranks, _) =>
-      val contrib = edges
+      val contrib = edgesOd
         .join(ranks.withColumnRenamed("vec_id", "src"), "src")
-        .groupBy(col("dst")).agg(sum(col("r") / lit(k.toDouble)).as("inc"))
+        .groupBy(col("dst")).agg(sum(expr("r div od")).as("inc"))
       nodes.crossJoin(broadcast(nN))
         .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left_outer")
         .select(col("vec_id"),
-          round((lit(1.0) - lit(damp)) / col("nn")
-            + lit(damp) * coalesce(col("inc"), lit(0.0)), 9).as("r"))
+          (floor((lit(1.0) - lit(damp)) * lit(1e12) / col("nn")).cast("long")
+            + floor(lit(damp) * coalesce(col("inc"), lit(0L))).cast("long")).as("r"))
     }
     val indeg = edges.groupBy(col("dst"))
       .agg(count(lit(1)).cast("long").as("in_deg"))
     finalRanks
       .join(indeg.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-        (round(col("r"), 8) + lit(0.0)).as("pr"))
+        (round(col("r") / lit(1e12), 8) + lit(0.0)).as("pr"))
       .orderBy(col("vec_id"))
   }
 
   def simPagerank(spark: SparkSession, dir: String): DataFrame =
-    simPagerank(embTable(spark, dir))
+    simPagerank(embTable(spark, dir), planes = 6)
 
   val queries: Map[String, QueryFn] = Map(
     "q117_sim_kmeans" -> (kmeansTrain(_, _)),
@@ -480,36 +505,48 @@ object Similarity extends QueryModule {
       |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
       |      FROM e)""".stripMargin
 
-  /** One unrolled PageRank iteration as a DuckDB CTE: rank mass shuffles
-    * to dst (sum of r/k over in-edges), damped, rounded to 9 like Spark. */
+  /** One unrolled PageRank iteration as a DuckDB CTE — the same
+    * fixed-point recurrence as the Spark side: integer rank units,
+    * integer floor-div contribution, integer mass sum, one IEEE multiply
+    * for damping. Bit-identical by construction. */
   private def prIterCte(cur: String, prev: String): String =
     s"""$cur AS (SELECT e.vec_id,
-       |    round((1 - 0.85) / nn.n + 0.85 * coalesce(c.inc, 0.0), 9) AS r
+       |    CAST(floor((1 - 0.85) * 1e12 / nn.n) AS BIGINT)
+       |      + CAST(floor(0.85 * coalesce(c.inc, 0)) AS BIGINT) AS r
        |  FROM e CROSS JOIN nn LEFT JOIN (
-       |    SELECT dst, sum(r.r / 3.0) AS inc
-       |    FROM edges JOIN $prev r ON edges.src = r.vec_id GROUP BY dst) c
+       |    SELECT dst, sum(r.r // o.od) AS inc
+       |    FROM edges JOIN odeg o USING (src)
+       |    JOIN $prev r ON edges.src = r.vec_id GROUP BY dst) c
        |  ON e.vec_id = c.dst)""".stripMargin
+
+  /** Oracle-side 6-plane LSH bucket, the q45 formula widened to 6 bits. */
+  private val bucket6Sql: String = (0 until 6).map { p =>
+    s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ${planeWeightSql(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+  }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
     "q118_graph_pagerank" ->
       s"""$normedCte,
+         |b AS (SELECT vec_id, emb, nrm, $bucket6Sql AS bucket FROM n),
          |j AS (SELECT p.vec_id AS src, c.vec_id AS dst,
          |        list_sum(list_transform(range(1, 65),
          |          i -> p.emb[i] * c.emb[i])) / (p.nrm * c.nrm) AS sim
-         |      FROM n p JOIN n c ON c.vec_id <> p.vec_id),
+         |      FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id),
          |edges AS (SELECT src, dst FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY src
          |                      ORDER BY sim DESC, dst) AS rn FROM j)
          |  WHERE rn <= 3),
+         |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+         |         FROM edges GROUP BY src),
          |nn AS (SELECT count(*) AS n FROM e),
-         |r0 AS (SELECT vec_id, round(1.0 / nn.n, 9) AS r FROM e CROSS JOIN nn),
+         |r0 AS (SELECT vec_id, 1000000000000 // nn.n AS r FROM e CROSS JOIN nn),
          |${prIterCte("r1", "r0")},
          |${prIterCte("r2", "r1")},
          |${prIterCte("r3", "r2")},
          |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg
          |        FROM edges GROUP BY dst)
          |SELECT e.vec_id, coalesce(deg.in_deg, CAST(0 AS BIGINT)) AS in_deg,
-         |       round(r3.r, 8) + 0.0 AS pr
+         |       round(r3.r / 1e12, 8) + 0.0 AS pr
          |FROM e LEFT JOIN deg ON e.vec_id = deg.dst
          |JOIN r3 ON e.vec_id = r3.vec_id
          |ORDER BY e.vec_id""".stripMargin,

@@ -324,16 +324,19 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
         rows.toDF("vec_id", "embedding"), k = 1, iters = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.map(x => x._1 -> x._2).toSeq == Seq(0L -> 2L, 1L -> 1L, 2L -> 0L))
-    // hand-run the damped recurrence with the same per-iteration rounding
-    def r9(x: Double) = math.round(x * 1e9) / 1e9
-    var r = Map(0L -> r9(1.0 / 3), 1L -> r9(1.0 / 3), 2L -> r9(1.0 / 3))
+    // hand-run the fixed-point recurrence (1e12 rank units; out-degree 1
+    // everywhere in this fixture, so the integer div is a no-op)
+    var r = Map(0L -> 1000000000000L / 3, 1L -> 1000000000000L / 3,
+      2L -> 1000000000000L / 3)
     val in = Map(0L -> Seq(1L, 2L), 1L -> Seq(0L), 2L -> Seq.empty[Long])
     (1 to 3).foreach { _ =>
       r = in.map { case (v, srcs) =>
-        v -> r9((1 - 0.85) / 3 + 0.85 * srcs.map(r).sum)
+        v -> (math.floor((1 - 0.85) * 1e12 / 3).toLong
+          + math.floor(0.85 * srcs.map(r).sum).toLong)
       }
     }
-    out.foreach { case (v, _, pr) => assert(math.abs(pr - r(v)) < 1e-8, s"node $v") }
+    out.foreach { case (v, _, pr) =>
+      assert(math.abs(pr - r(v) / 1e12) < 1e-8, s"node $v") }
     // rank mass is conserved up to rounding: sums to 1
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-6)
   }
