@@ -480,9 +480,97 @@ object Similarity extends QueryModule {
   def simPagerank(spark: SparkSession, dir: String): DataFrame =
     simPagerank(embTable(spark, dir), planes = 6)
 
+  /** Product quantization + asymmetric distance (ADC) retrieval — the
+    * second stage of Jégou et al.'s IVFADC, completing the ANN stack
+    * (LSH q45/q65, IVF q53, scalar-quant rerank q78, codebook training
+    * q117). The 64-dim space splits into `m` 8-dim subspaces; each gets a
+    * `k`-centroid codebook (lowest-id init + one Lloyd round, the q117
+    * determinism discipline: centroids and distances rounded before any
+    * argmin, cid tiebreak), and every vector compresses to m 4-bit codes
+    * — 8 bytes instead of 256. Probes never touch compressed vectors
+    * directly: a probe×codebook lookup table of subspace distances (m·k
+    * rows per probe) joins the code table on (subspace, code) and approx
+    * distance is the SUM of table entries (the "asymmetric" in ADC).
+    * The exact-cosine rerank of the `shortlist` then restores exactness
+    * at the top (q78's two-stage rule).
+    *
+    * Scale shape: codebooks and LUTs are m·k-sized — always broadcast;
+    * encoding is one corpus scan; the ADC join keys on (s, code) with the
+    * corpus-side codes table shuffling ONCE; the rerank touches only
+    * probes×shortlist rows. Nothing quadratic anywhere.
+    *
+    * Determinism note (why the oracle hash matches): approx distances are
+    * sums of 8 per-subspace values each pre-rounded to 6 decimals, then
+    * re-rounded to 5 before ranking with a vec_id tiebreak — the fold
+    * noise of adding 8 doubles (~1e-16) cannot reorder a 1e-5-grid
+    * ranking except on exact ties, which the tiebreak absorbs. */
+  def pqAdc(emb: DataFrame, probePred: Column, m: Int = 8, k: Int = 16,
+            shortlist: Int = 20, topK: Int = 5): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // (vec_id, s, sub): the m 8-dim subvectors of every vector
+    val subs = e.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("emb"), s * 8 + 1, 8).as("sub"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    def assign(book: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("cid"))
+      subs.join(broadcast(book), Seq("s"))
+        .withColumn("d2", r6(d2(col("sub"), col("cemb"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("cid"), col("sub"))
+    }
+    val init = subs.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").cast("int").as("cid"),
+        transform(col("sub"), r6).as("cemb"))
+    // one Lloyd round: element-wise means of the init assignment
+    val book = assign(init)
+      .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("s"), col("cid"), col("pos")).agg(avg(col("v")).as("c"))
+      .groupBy(col("s"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("s"), col("cid"), transform(col("pc"), x => r6(x.getField("c"))).as("cemb"))
+    val codes = assign(book).select(col("vec_id"), col("s"), col("cid"))
+    // probe LUT: distance from every probe subvector to every centroid
+    val lut = subs.join(broadcast(e.filter(probePred).select(col("vec_id").as("probe_id"))),
+        col("vec_id") === col("probe_id"))
+      .join(broadcast(book), Seq("s"))
+      .select(col("probe_id"), col("s"), col("cid"),
+        r6(d2(col("sub"), col("cemb"))).as("pd2"))
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+    val short = codes.join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      // every (probe, vec) pair must carry all m subspace terms — an
+      // inner join dropping a subspace would silently shrink distances
+      .agg(count(lit(1)).as("nsub"), round(sum(col("pd2")), 5).as("approx_d2"))
+      .filter(col("nsub") === m)
+      .withColumn("rn", row_number().over(wApprox))
+      .filter(col("rn") <= shortlist)
+    // exact cosine rerank of the shortlist (q78's two-stage rule)
+    val n = normed(emb)
+    val wExact = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    short.select(col("probe_id"), col("vec_id"))
+      .join(n, "vec_id")
+      .join(broadcast(n.select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+        col("nrm").as("pnrm"))), Seq("probe_id"))
+      .withColumn("sim", dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= topK)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  def pqAdc(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(embTable(spark, dir), col("vec_id") < 10)
+
   val queries: Map[String, QueryFn] = Map(
     "q117_sim_kmeans" -> (kmeansTrain(_, _)),
     "q118_graph_pagerank" -> (simPagerank(_, _)),
+    "q119_sim_pq_adc" -> (pqAdc(_, _)),
     "q44_sim_cosine_topk" -> cosineTopK _,
     "q45_sim_ann_lsh" -> annLsh _,
     "q53_sim_ann_ivf" -> annIvf _,
@@ -519,12 +607,62 @@ object Similarity extends QueryModule {
        |    JOIN $prev r ON edges.src = r.vec_id GROUP BY dst) c
        |  ON e.vec_id = c.dst)""".stripMargin
 
+  /** Oracle-side 8-dim subspace squared distance, the same zip-diff fold
+    * the Spark side's `aggregate(zip_with(...))` performs. */
+  private def subD2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
   /** Oracle-side 6-plane LSH bucket, the q45 formula widened to 6 bits. */
   private val bucket6Sql: String = (0 until 6).map { p =>
     s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ${planeWeightSql(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q119_sim_pq_adc" ->
+      s"""$normedCte,
+         |subs AS (SELECT vec_id, ss.s, emb[(ss.s*8+1):(ss.s*8+8)] AS sub
+         |         FROM e, (SELECT unnest(range(0, 8)) AS s) ss),
+         |init AS (SELECT s, CAST(vec_id AS INT) AS cid,
+         |                list_transform(sub, x -> round(x, 6)) AS cemb
+         |         FROM subs WHERE vec_id < 16),
+         |a1 AS (SELECT vec_id, s, cid, sub FROM (
+         |    SELECT sb.vec_id, sb.s, i.cid, sb.sub,
+         |           row_number() OVER (PARTITION BY sb.vec_id, sb.s
+         |             ORDER BY round(${subD2Sql("sb.sub", "i.cemb")}, 6), i.cid) AS rn
+         |    FROM subs sb JOIN init i USING (s)) WHERE rn = 1),
+         |bm AS (SELECT s, cid, u.i AS pos, round(avg(sub[u.i]), 6) AS c
+         |       FROM a1 CROSS JOIN (SELECT unnest(range(1, 9)) AS i) u
+         |       GROUP BY 1, 2, 3),
+         |book AS (SELECT s, cid, list(c ORDER BY pos) AS cemb FROM bm GROUP BY 1, 2),
+         |codes AS (SELECT vec_id, s, cid FROM (
+         |    SELECT sb.vec_id, sb.s, b.cid,
+         |           row_number() OVER (PARTITION BY sb.vec_id, sb.s
+         |             ORDER BY round(${subD2Sql("sb.sub", "b.cemb")}, 6), b.cid) AS rn
+         |    FROM subs sb JOIN book b USING (s)) WHERE rn = 1),
+         |lut AS (SELECT sb.vec_id AS probe_id, sb.s, b.cid,
+         |               round(${subD2Sql("sb.sub", "b.cemb")}, 6) AS pd2
+         |        FROM subs sb JOIN book b USING (s) WHERE sb.vec_id < 10),
+         |sj AS (SELECT l.probe_id, c.vec_id, count(*) AS nsub,
+         |              round(sum(l.pd2), 5) AS approx_d2
+         |       FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+         |         AND c.vec_id <> l.probe_id
+         |       GROUP BY 1, 2),
+         |short AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY approx_d2, vec_id) AS rn
+         |    FROM sj WHERE nsub = 8) WHERE rn <= 20),
+         |rr AS (SELECT sh.probe_id, sh.vec_id,
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> p.emb[i] * c.emb[i])) / (p.nrm * c.nrm) AS sim
+         |       FROM short sh JOIN n c ON sh.vec_id = c.vec_id
+         |       JOIN n p ON sh.probe_id = p.vec_id)
+         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim, rn FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY sim DESC, vec_id) AS rn FROM rr)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "q118_graph_pagerank" ->
       s"""$normedCte,
          |b AS (SELECT vec_id, emb, nrm, $bucket6Sql AS bucket FROM n),

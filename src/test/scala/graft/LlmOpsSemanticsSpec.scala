@@ -340,4 +340,16 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     // rank mass is conserved up to rounding: sums to 1
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-6)
   }
+
+  test("PQ+ADC with a full-coverage shortlist reduces exactly to brute force") {
+    // 10 vectors, shortlist 20 → the ADC stage shortlists every candidate,
+    // so the exact-cosine rerank must reproduce q44's brute-force answer
+    // verbatim — this pins the encode/LUT/join plumbing without depending
+    // on quantization quality.
+    val pq = operators.Similarity.pqAdc(spark, embDir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = operators.Similarity.cosineTopK(spark, embDir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(pq == exact, s"PQ diverged from brute force:\n$pq\nvs\n$exact")
+  }
 }
