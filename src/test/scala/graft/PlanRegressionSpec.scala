@@ -291,4 +291,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), s"q117 lost the centroid broadcast:\n$p")
   }
+
+  test("q119: every PQ join (codebook, LUT, rerank probes) builds broadcast") {
+    // codebooks and LUTs are m*k-sized by construction — if any of the
+    // joins degrades to sort-merge, something corpus-sized leaked into a
+    // build side and the ADC stage stops scaling.
+    val p = plan("q119_sim_pq_adc")
+    assert(!p.contains("SortMergeJoin"), s"q119 planned a sort-merge join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q119 lost its broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
