@@ -567,10 +567,119 @@ object Similarity extends QueryModule {
   def pqAdc(spark: SparkSession, dir: String): DataFrame =
     pqAdc(embTable(spark, dir), col("vec_id") < 10)
 
+  /** Full IVFADC (Jégou, Douze & Schmid, TPAMI 2011): the q53/q117 coarse
+    * quantizer restricts the search to `nprobe` inverted lists, and
+    * candidates inside those lists rank by q119's asymmetric distance —
+    * computed on RESIDUALS (vector − its coarse centroid), the detail
+    * that makes PQ codes spend their 8 bytes on the within-cell offset
+    * rather than re-encoding the cell. This is the composition the
+    * billion-vector indexes actually deploy; it closes the ANN stack this
+    * module builds up operator by operator (LSH q45/q65 → IVF q53 →
+    * scalar-quant rerank q78 → codebook training q117 → PQ/ADC q119).
+    *
+    * Every stage reuses the proven determinism discipline: lowest-id
+    * inits, one Lloyd round per codebook, centroid components and
+    * distances rounded before every cid-tiebroken argmin, ADC sums
+    * re-rounded before ranking, exact-cosine rerank at the top.
+    *
+    * Scale shape: both codebooks and the per-probe LUT are
+    * kc·(1 + m·kp)-sized — always broadcast; the corpus scans once per
+    * codebook pass and the ADC join keys on (list, subspace, code), so
+    * IVF pruning happens IN the equi-join key: candidates outside the
+    * probed lists never materialize. Nothing quadratic anywhere. */
+  def ivfAdc(emb: DataFrame, probePred: Column, kc: Int = 8, nprobe: Int = 2,
+             m: Int = 8, kp: Int = 16, shortlist: Int = 20, topK: Int = 5): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    def meansOf(assigned: DataFrame, key: Seq[String], vec: String): DataFrame =
+      assigned
+        .select(key.map(col) :+ posexplode(col(vec)).as(Seq("pos", "v")): _*)
+        .groupBy((key :+ "pos").map(col): _*).agg(avg(col("v")).as("c"))
+        .groupBy(key.map(col): _*)
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(key.map(col) :+ transform(col("pc"), x => r6(x.getField("c"))).as("cemb"): _*)
+    // ---- coarse quantizer (q117's two-round discipline, k = kc) ----
+    def cAssign(book: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("ccid"))
+      e.crossJoin(broadcast(book))
+        .withColumn("d2", r6(d2(col("emb"), col("cemb"))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("ccid"), col("emb"))
+    }
+    val cInit = e.orderBy(col("vec_id")).limit(kc)
+      .withColumn("ccid", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("ccid"), transform(col("emb"), r6).as("cemb"))
+    val cBook = meansOf(cAssign(cInit).withColumnRenamed("emb", "vec"), Seq("ccid"), "vec")
+    val assigned = cAssign(cBook)
+    // ---- residuals and their subvectors ----
+    val resid = assigned.join(broadcast(cBook), "ccid")
+      .select(col("vec_id"), col("ccid"),
+        zip_with(col("emb"), col("cemb"), (x, y) => x - y).as("res"))
+    val rsubs = resid.select(col("vec_id"), col("ccid"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("res"), s * 8 + 1, 8).as("sub"))): _*)).as("x"))
+      .select(col("vec_id"), col("ccid"), col("x.s").as("s"), col("x.sub").as("sub"))
+    // ---- PQ codebook on residual subvectors (q119's discipline) ----
+    def pAssign(book: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("pcid"))
+      rsubs.join(broadcast(book), Seq("s"))
+        .withColumn("d2", r6(d2(col("sub"), col("pcemb"))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("ccid"), col("s"), col("pcid"), col("sub"))
+    }
+    val pInit = rsubs.filter(col("vec_id") < kp)
+      .select(col("s"), col("vec_id").cast("int").as("pcid"),
+        transform(col("sub"), r6).as("pcemb"))
+    val pBook = meansOf(pAssign(pInit), Seq("s", "pcid"), "sub")
+      .withColumnRenamed("cemb", "pcemb")
+    val codes = pAssign(pBook).select(col("vec_id"), col("ccid"), col("s"), col("pcid"))
+    // ---- probe side: nprobe nearest lists, residual LUT per list ----
+    val probes = e.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    val wProbe = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("ccid"))
+    val plists = probes.crossJoin(broadcast(cBook))
+      .withColumn("d2", r6(d2(col("pemb"), col("cemb"))))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("ccid"),
+        zip_with(col("pemb"), col("cemb"), (x, y) => x - y).as("pres"))
+    val lut = plists.select(col("probe_id"), col("ccid"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("pres"), s * 8 + 1, 8).as("psub"))): _*)).as("x"))
+      .select(col("probe_id"), col("ccid"), col("x.s").as("s"), col("x.psub").as("psub"))
+      .join(broadcast(pBook), Seq("s"))
+      .select(col("probe_id"), col("ccid"), col("s"), col("pcid"),
+        r6(d2(col("psub"), col("pcemb"))).as("pd2"))
+    // ---- ADC inside the probed lists only (pruning lives in the join key) ----
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+    val short = codes.join(broadcast(lut), Seq("ccid", "s", "pcid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(count(lit(1)).as("nsub"), round(sum(col("pd2")), 5).as("approx_d2"))
+      .filter(col("nsub") === m)
+      .withColumn("rn", row_number().over(wApprox)).filter(col("rn") <= shortlist)
+    // ---- exact cosine rerank (q78's two-stage rule) ----
+    val n = normed(emb)
+    val wExact = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    short.select(col("probe_id"), col("vec_id"))
+      .join(n, "vec_id")
+      .join(broadcast(n.select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+        col("nrm").as("pnrm"))), Seq("probe_id"))
+      .withColumn("sim", dot(col("pemb"), col("emb")) / (col("pnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= topK)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  def ivfAdc(spark: SparkSession, dir: String): DataFrame =
+    ivfAdc(embTable(spark, dir), col("vec_id") < 10)
+
   val queries: Map[String, QueryFn] = Map(
     "q117_sim_kmeans" -> (kmeansTrain(_, _)),
     "q118_graph_pagerank" -> (simPagerank(_, _)),
     "q119_sim_pq_adc" -> (pqAdc(_, _)),
+    "q120_sim_ivfadc" -> (ivfAdc(_, _)),
     "q44_sim_cosine_topk" -> cosineTopK _,
     "q45_sim_ann_lsh" -> annLsh _,
     "q53_sim_ann_ivf" -> annIvf _,
@@ -620,6 +729,79 @@ object Similarity extends QueryModule {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q120_sim_ivfadc" ->
+      s"""$normedCte,
+         |cinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
+         |                 list_transform(emb, x -> round(x, 6)) AS cemb
+         |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         |ca1 AS (SELECT vec_id, ccid, emb FROM (
+         |    SELECT e.vec_id, i.ccid, e.emb,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(${subD2Sql("e.emb", "i.cemb")}, 6), i.ccid) AS rn
+         |    FROM e CROSS JOIN cinit i) WHERE rn = 1),
+         |cbm AS (SELECT ccid, u.i AS pos, round(avg(emb[u.i]), 6) AS c
+         |        FROM ca1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
+         |        GROUP BY 1, 2),
+         |cbook AS (SELECT ccid, list(c ORDER BY pos) AS cemb FROM cbm GROUP BY 1),
+         |ca2 AS (SELECT vec_id, ccid, emb FROM (
+         |    SELECT e.vec_id, b.ccid, e.emb,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(${subD2Sql("e.emb", "b.cemb")}, 6), b.ccid) AS rn
+         |    FROM e CROSS JOIN cbook b) WHERE rn = 1),
+         |resid AS (SELECT a.vec_id, a.ccid,
+         |                 list_transform(list_zip(a.emb, b.cemb),
+         |                   p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS res
+         |          FROM ca2 a JOIN cbook b USING (ccid)),
+         |rsubs AS (SELECT vec_id, ccid, ss.s, res[(ss.s*8+1):(ss.s*8+8)] AS sub
+         |          FROM resid, (SELECT unnest(range(0, 8)) AS s) ss),
+         |pinit AS (SELECT s, CAST(vec_id AS INT) AS pcid,
+         |                 list_transform(sub, x -> round(x, 6)) AS pcemb
+         |          FROM rsubs WHERE vec_id < 16),
+         |pa1 AS (SELECT vec_id, ccid, s, pcid, sub FROM (
+         |    SELECT r.vec_id, r.ccid, r.s, i.pcid, r.sub,
+         |           row_number() OVER (PARTITION BY r.vec_id, r.s
+         |             ORDER BY round(${subD2Sql("r.sub", "i.pcemb")}, 6), i.pcid) AS rn
+         |    FROM rsubs r JOIN pinit i USING (s)) WHERE rn = 1),
+         |pbm AS (SELECT s, pcid, u.i AS pos, round(avg(sub[u.i]), 6) AS c
+         |        FROM pa1 CROSS JOIN (SELECT unnest(range(1, 9)) AS i) u
+         |        GROUP BY 1, 2, 3),
+         |pbook AS (SELECT s, pcid, list(c ORDER BY pos) AS pcemb FROM pbm GROUP BY 1, 2),
+         |codes AS (SELECT vec_id, ccid, s, pcid FROM (
+         |    SELECT r.vec_id, r.ccid, r.s, b.pcid,
+         |           row_number() OVER (PARTITION BY r.vec_id, r.s
+         |             ORDER BY round(${subD2Sql("r.sub", "b.pcemb")}, 6), b.pcid) AS rn
+         |    FROM rsubs r JOIN pbook b USING (s)) WHERE rn = 1),
+         |plists AS (SELECT probe_id, ccid, pres FROM (
+         |    SELECT e.vec_id AS probe_id, b.ccid,
+         |           list_transform(list_zip(e.emb, b.cemb),
+         |             p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS pres,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(${subD2Sql("e.emb", "b.cemb")}, 6), b.ccid) AS rn
+         |    FROM e CROSS JOIN cbook b WHERE e.vec_id < 10) WHERE rn <= 2),
+         |lut AS (SELECT pl.probe_id, pl.ccid, ss.s, b.pcid,
+         |               round(${subD2Sql("pl.pres[(ss.s*8+1):(ss.s*8+8)]", "b.pcemb")}, 6) AS pd2
+         |        FROM plists pl
+         |        CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+         |        JOIN pbook b ON b.s = ss.s),
+         |sj AS (SELECT l.probe_id, c.vec_id, count(*) AS nsub,
+         |              round(sum(l.pd2), 5) AS approx_d2
+         |       FROM codes c JOIN lut l ON c.ccid = l.ccid AND c.s = l.s
+         |         AND c.pcid = l.pcid AND c.vec_id <> l.probe_id
+         |       GROUP BY 1, 2),
+         |short AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY approx_d2, vec_id) AS rn
+         |    FROM sj WHERE nsub = 8) WHERE rn <= 20),
+         |rr AS (SELECT sh.probe_id, sh.vec_id,
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> p.emb[i] * c.emb[i])) / (p.nrm * c.nrm) AS sim
+         |       FROM short sh JOIN n c ON sh.vec_id = c.vec_id
+         |       JOIN n p ON sh.probe_id = p.vec_id)
+         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim, rn FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY sim DESC, vec_id) AS rn FROM rr)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "q119_sim_pq_adc" ->
       s"""$normedCte,
          |subs AS (SELECT vec_id, ss.s, emb[(ss.s*8+1):(ss.s*8+8)] AS sub

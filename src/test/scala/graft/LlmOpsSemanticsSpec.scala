@@ -352,4 +352,30 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(pq == exact, s"PQ diverged from brute force:\n$pq\nvs\n$exact")
   }
+
+  test("IVFADC: probing all lists reduces to brute force; nprobe=1 stays in-list") {
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    // the kmeans fixture: two tight clusters, vec 0/1 in different ones so
+    // the lowest-id coarse init spans both
+    def v(axis: Int, eps: Float): Seq[Float] =
+      (0 until 64).map(d => (if (d == axis) 1.0f else 0.0f) + (if (d == 63) eps else 0.0f))
+    val df = Seq(
+      (0L, v(0, 0.0f)), (1L, v(1, 0.0f)), (2L, v(0, 0.1f)),
+      (3L, v(1, 0.1f)), (4L, v(0, -0.1f)), (5L, v(1, -0.1f)))
+      .toDF("vec_id", "embedding")
+    // nprobe = kc → no pruning; shortlist covers all 5 candidates → exact
+    val all = operators.Similarity.ivfAdc(df, col("vec_id") < 6,
+        kc = 2, nprobe = 2, kp = 4, shortlist = 10, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val exact = operators.Similarity.cosineTopK(df, col("vec_id") < 6, 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rn")) -> r.getLong(1)).toMap
+    assert(all == exact, s"unpruned IVFADC diverged:\n$all\nvs\n$exact")
+    // nprobe = 1: probe 0 searches only its own coarse list {0,2,4}; its
+    // in-cluster twins tie on cosine and the vec_id tiebreak picks 2
+    val pruned = operators.Similarity.ivfAdc(df, col("vec_id") === 0,
+      kc = 2, nprobe = 1, kp = 4, shortlist = 10, topK = 1).collect()
+    assert(pruned.length == 1 && pruned.head.getLong(1) == 2L,
+      s"in-list neighbor not found: ${pruned.mkString}")
+  }
 }

@@ -292,13 +292,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"q117 lost the centroid broadcast:\n$p")
   }
 
-  test("q119: every PQ join (codebook, LUT, rerank probes) builds broadcast") {
-    // codebooks and LUTs are m*k-sized by construction — if any of the
+  test("q119/q120: every PQ/IVFADC join (codebooks, LUTs, rerank probes) builds broadcast") {
+    // codebooks and LUTs are k-sized by construction — if any of the
     // joins degrades to sort-merge, something corpus-sized leaked into a
     // build side and the ADC stage stops scaling.
-    val p = plan("q119_sim_pq_adc")
-    assert(!p.contains("SortMergeJoin"), s"q119 planned a sort-merge join:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"q119 lost its broadcasts:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    Seq("q119_sim_pq_adc", "q120_sim_ivfadc").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"), s"$name planned a sort-merge join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcasts:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
   }
 }
