@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Similarity,
     operators.TextStats,
     operators.Multimodal,
-    operators.Pipeline
+    operators.Pipeline,
+    operators.ProductAnalytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

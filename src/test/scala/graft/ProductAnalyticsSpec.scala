@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the product-analytics operators (q121–q123) on
+  * planted event timelines — the semantics the oracle hash can't pin down:
+  * funnel steps are ORDERED (a click before the first view doesn't count),
+  * the 7-day completion window binds, pre-signup activity never appears in
+  * a retention cell, and a gap of exactly 30 minutes starts a NEW session
+  * (mirroring q32's session_window boundary).
+  */
+class ProductAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ns(sec: Long) = sec * 1000000000L
+  private def day(d: Long, sec: Long = 0) = ns(d * 86400 + sec)
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-pa").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q121: funnel steps are ordered and bounded by the 7-day window") {
+    // u1 completes in order; u2's click precedes its first view (no step 2);
+    // u3's purchase lands day 8 (outside t1+7d); u4 never views;
+    // u5 completes with a later second click that must not matter.
+    val dir = writeEvents(Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(10), 1L, "click", 1.0, "{}"),
+      (3L, ns(20), 1L, "purchase", 1.0, "{}"),
+      (4L, ns(0), 2L, "click", 1.0, "{}"),
+      (5L, ns(10), 2L, "view", 1.0, "{}"),
+      (6L, ns(20), 2L, "purchase", 1.0, "{}"),
+      (7L, day(0), 3L, "view", 1.0, "{}"),
+      (8L, day(0, 10), 3L, "click", 1.0, "{}"),
+      (9L, day(8), 3L, "purchase", 1.0, "{}"),
+      (10L, ns(0), 4L, "purchase", 1.0, "{}"),
+      (11L, ns(0), 5L, "view", 1.0, "{}"),
+      (12L, ns(5), 5L, "click", 1.0, "{}"),
+      (13L, ns(6), 5L, "purchase", 1.0, "{}"),
+      (14L, ns(7), 5L, "click", 1.0, "{}")))
+    val r = operators.ProductAnalytics.funnel(spark, dir).collect()
+      .map(x => x.getInt(0) -> (x.getString(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1) == (("view", 4L, 1.0)))     // u1,u2,u3,u5
+    assert(r(2) == (("click", 3L, 0.75)))   // u1,u3,u5 — u2's early click ignored
+    assert(r(3) == (("purchase", 2L, 0.5))) // u1,u5 — u3 outside the 7-day window
+  }
+
+  test("q121: purchase must follow the click, not merely the view") {
+    // view@0, purchase@5, click@10: purchase precedes step 2 → funnel stops at 2
+    val dir = writeEvents(Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(5), 1L, "purchase", 1.0, "{}"),
+      (3L, ns(10), 1L, "click", 1.0, "{}")))
+    val r = operators.ProductAnalytics.funnel(spark, dir).collect()
+      .map(x => x.getInt(0) -> x.getLong(2)).toMap
+    assert(r(1) == 1L && r(2) == 1L && r(3) == 0L)
+  }
+
+  test("q122: cohort = first-signup day; pre-signup activity is excluded") {
+    val dir = writeEvents(Seq(
+      (1L, day(0), 1L, "signup", 1.0, "{}"),
+      (2L, day(1), 1L, "click", 1.0, "{}"),
+      (3L, day(3), 1L, "view", 1.0, "{}"),
+      (4L, day(0, 60), 2L, "signup", 1.0, "{}"),
+      (5L, day(0), 3L, "click", 1.0, "{}"),     // pre-signup: must not count
+      (6L, day(1), 3L, "signup", 1.0, "{}"),
+      (7L, day(3), 3L, "purchase", 1.0, "{}"),
+      (8L, day(2), 4L, "click", 1.0, "{}")))    // never signs up: no cohort
+    val r = operators.ProductAnalytics.retention(spark, dir).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(("1970-01-01", 0L)) == ((2L, 2L, 1.0)))
+    assert(r(("1970-01-01", 1L)) == ((1L, 2L, 0.5)))
+    assert(r(("1970-01-01", 3L)) == ((1L, 2L, 0.5)))
+    assert(r(("1970-01-02", 0L)) == ((1L, 1L, 1.0)))
+    assert(r(("1970-01-02", 2L)) == ((1L, 1L, 1.0)))
+    assert(r.size == 5) // u3's day-0 click produced no (cohort, -1) cell
+  }
+
+  test("q123: a gap of exactly 30 minutes starts a new session") {
+    val dir = writeEvents(Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(100), 1L, "click", 2.0, "{}"),
+      (3L, ns(200), 1L, "view", 3.0, "{}"),
+      (4L, ns(3600), 1L, "view", 4.0, "{}"),
+      (5L, ns(3650), 1L, "purchase", 5.0, "{}"),
+      (6L, ns(0), 2L, "view", 1.0, "{}"),
+      (7L, ns(1800), 2L, "view", 1.0, "{}"),    // exactly the gap: new session
+      (8L, ns(0), 3L, "view", 7.5, "{}")))      // singleton session, span 0
+    val r = operators.ProductAnalytics.sessionStats(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r(1L) == ((2L, 5L, 2.5, 200L, 15.0)))
+    assert(r(2L) == ((2L, 2L, 1.0, 0L, 2.0)))
+    assert(r(3L) == ((1L, 1L, 1.0, 0L, 7.5)))
+  }
+}
