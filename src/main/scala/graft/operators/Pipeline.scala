@@ -441,6 +441,38 @@ object Pipeline extends QueryModule {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(docsTable(spark, dir), Bm25Terms)
 
+  /** RAG-style sliding-window chunking: fixed-size token windows with
+    * overlap (size 64, stride 48 → 16-token overlap), the retrieval-corpus
+    * preparation step between cleaning and embedding. Emits one row per
+    * chunk with its token span, boundary tokens, and character mass.
+    *
+    * Trailing partials are kept (standard practice: the tail tokens must
+    * land in SOME chunk; dedup of tiny tails is the retriever's concern).
+    * All outputs are integers/strings — bit-stable across engines by
+    * construction.
+    *
+    * Scale: the only explode is ⌈n_tokens/stride⌉ per document — output-
+    * proportional, shuffle-free until the final sort of the chunk table
+    * itself. `slice` on the already-split array keeps per-chunk work O(size)
+    * with no re-tokenization, and the whole plan is one parquet scan.
+    */
+  def ragChunks(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride))).as(Seq("chunk_idx", "start_tok")))
+      .withColumn("chunk", slice(col("toks"), col("start_tok") + 1, lit(size)))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok").cast("int").as("start_tok"),
+        org.apache.spark.sql.functions.size(col("chunk")).as("n_tok"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), -1).as("last_tok"),
+        aggregate(col("chunk"), lit(0L), (acc, x) => acc + length(x)).as("n_chars"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  def ragChunks(spark: SparkSession, dir: String): DataFrame =
+    ragChunks(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q68_split_hash" -> (hashSplit(_, _)),
     "q69_sample_stratified" -> (stratifiedSample(_, _)),
@@ -454,7 +486,8 @@ object Pipeline extends QueryModule {
     "q93_shuffle_seeded" -> (seededShuffle(_, _)),
     "q94_mixture_resample" -> (mixtureResample(_, _)),
     "q110_source_quota" -> (sourceQuota(_, _)),
-    "q116_text_bm25" -> (bm25TopK(_, _))
+    "q116_text_bm25" -> (bm25TopK(_, _)),
+    "q125_rag_chunks" -> (ragChunks(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -625,6 +658,23 @@ object Pipeline extends QueryModule {
         |         doc_id, n_terms, score
         |  FROM scored)
         |SELECT rnk, doc_id, n_terms, score FROM ranked
-        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // range(0, n, 48) ≡ Spark's sequence(0, n-1, 48): both stop before n
+    "q125_rag_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM t),
+        |c AS (SELECT doc_id, start,
+        |        list_slice(toks, start + 1, least(start + 64, n)) AS chunk
+        |      FROM s)
+        |SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_idx,
+        |       CAST(start AS INTEGER) AS start_tok,
+        |       CAST(len(chunk) AS INTEGER) AS n_tok,
+        |       chunk[1] AS first_tok, chunk[-1] AS last_tok,
+        |       CAST(list_sum(list_transform(chunk, x -> length(x))) AS BIGINT)
+        |         AS n_chars
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

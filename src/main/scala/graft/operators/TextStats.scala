@@ -215,6 +215,53 @@ object TextStats extends QueryModule {
   def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
     bpeMergeCandidates(docsTable(spark, dir))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score every
+    * document under a unigram LM with add-one smoothing TRAINED ON THE
+    * CORPUS ITSELF (CCNet uses a pretrained KenLM; the self-trained unigram
+    * makes the query closed over its inputs and thus oracle-checkable), then
+    * split each language into head/middle/tail perplexity tertiles — the
+    * exact knob CCNet exposes for "keep only head+middle".
+    *
+    * Cross-engine exactness: per-token surprisal is quantized ONCE to an
+    * integer (micro-bits, `round(-log2(p)·1e6)`) before any aggregation, so
+    * per-doc sums are exact BIGINTs in any summation order and the final
+    * ppl is one identical double division. Tertile assignment orders by the
+    * already-rounded ppl with doc_id tiebreak — deterministic in both
+    * engines (`ntile` has identical floor/remainder semantics).
+    *
+    * Scale: token-linear. The LM is |vocab| rows (bounded by the corpus's
+    * distinct-token count, ~100k–10M on real corpora — broadcastable by
+    * construction; a pretrained-LM variant would broadcast its table the
+    * same way). The per-token join is map-side against that broadcast, so
+    * the only shuffles are the vocab count and the per-doc aggregate —
+    * nothing pairwise, no skew (the join side is replicated, not hashed).
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val toksE = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toksE.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v_size"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(-log2((col("c") + 1) / (col("n_total") + col("v_size"))) * 1e6, 0)
+          .cast("long").as("s_ppm"))
+    val scored = toksE.join(broadcast(lm), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_ppm")).as("sum_ppm"))
+      .withColumn("ppl_bits",
+        round(col("sum_ppm").cast("double") / col("n_tokens") / 1e6, 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ppl_bits"), col("doc_id"))
+    scored.withColumn("tertile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("ppl_bits"),
+        when(col("tertile") === 1, "head").when(col("tertile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBuckets(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
@@ -223,7 +270,8 @@ object TextStats extends QueryModule {
     "q50_text_fingerprint" -> fingerprint _,
     "q89_text_repetition" -> (repetition(_, _)),
     "q112_filter_funnel" -> (filterFunnel(_, _)),
-    "q114_bpe_merge_candidates" -> (bpeMergeCandidates(_, _))
+    "q114_bpe_merge_candidates" -> (bpeMergeCandidates(_, _)),
+    "q124_perplexity_buckets" -> (perplexityBuckets(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -327,6 +375,32 @@ object TextStats extends QueryModule {
         |SELECT "rank", pair, n_occ,
         |       round(n_occ / total_pairs, 6) AS pct,
         |       round(cum / total_pairs, 6) AS cum_pct
-        |FROM r CROSS JOIN tot ORDER BY "rank"""".stripMargin
+        |FROM r CROSS JOIN tot ORDER BY "rank"""".stripMargin,
+    "q124_perplexity_buckets" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM cnt),
+        |lm AS (SELECT tok,
+        |         CAST(round(-log2((c + 1) / (n_total + v_size)) * 1000000)
+        |           AS BIGINT) AS s_ppm
+        |       FROM cnt CROSS JOIN tot),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.lang, count(*) AS n_tokens,
+        |         sum(lm.s_ppm) AS sum_ppm
+        |  FROM tk JOIN lm USING (tok) GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         round(CAST(sum_ppm AS DOUBLE) / n_tokens / 1000000, 6) AS ppl_bits
+        |  FROM sc),
+        |t AS (
+        |  SELECT doc_id, lang, n_tokens, ppl_bits,
+        |         ntile(3) OVER (PARTITION BY lang ORDER BY ppl_bits, doc_id) AS tert
+        |  FROM pp)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, ppl_bits,
+        |       CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }
