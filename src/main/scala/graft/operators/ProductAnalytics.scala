@@ -33,9 +33,13 @@ object ProductAnalytics extends QueryModule {
     * hash exchange on user_id; the per-user frame then collapses to step
     * counts and a 3-row conversion table via a single explode.
     */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user funnel frame: (user_id, t1, t2, t3) with nulls for unreached
+    * steps — the batch truth [[graft.streaming.StreamingFunnel]] must agree
+    * with on in-order input. One shuffle: the window and the groupBy share
+    * the user_id hash partitioning. */
+  def funnelPerUser(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-    val perRow = Tables(spark, dir, "events")
+    val perRow = events
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t2", min(when(col("event_type") === "click" &&
@@ -44,9 +48,13 @@ object ProductAnalytics extends QueryModule {
         col("ts") > col("t2") &&
         col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"), col("ts"))).over(w))
     // groupBy(user_id) reuses the window's hash partitioning — no 2nd shuffle
-    val perUser = perRow.groupBy(col("user_id"))
+    perRow.groupBy(col("user_id"))
       .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
         first(col("t3")).as("t3"))
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = funnelPerUser(Tables(spark, dir, "events"))
     val counts = perUser.agg(count(col("t1")).as("n1"),
       count(col("t2")).as("n2"), count(col("t3")).as("n3"))
     counts
