@@ -130,10 +130,95 @@ object ProductAnalytics extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Last-touch marketing attribution: each `purchase` is credited to the
+    * user's most recent `click` or `view` STRICTLY before it and within a
+    * 1-day lookback; purchases with no qualifying touch are `direct`.
+    *
+    * Spark-first shape: the textbook formulation is an as-of self-join of
+    * purchases against touches (quadratic candidate expansion under skew);
+    * here the per-user running `max(when(touch, ts))` window carries the
+    * last touch of each kind to every row in ONE pass — the same
+    * single-shuffle user_id partitioning as the rest of the family. The
+    * strictly-before rule uses a 1-PRECEDING row frame PLUS an explicit
+    * ts < purchase-ts guard, so a touch sharing the purchase's timestamp
+    * never credits itself. Ties between a click and a view at the same
+    * touch instant go to the click (the more intentful touch).
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dayUs = 86400L * 1000000
+    val touched = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_click", max(when(col("event_type") === "click", col("us"))).over(w))
+      .withColumn("last_view", max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("lc", when(col("last_click") < col("us") &&
+        col("last_click") >= col("us") - dayUs, col("last_click")))
+      .withColumn("lv", when(col("last_view") < col("us") &&
+        col("last_view") >= col("us") - dayUs, col("last_view")))
+      .withColumn("touch", when(col("lc").isNotNull &&
+          (col("lv").isNull || col("lc") >= col("lv")), lit("click"))
+        .when(col("lv").isNotNull, lit("view"))
+        .otherwise(lit("direct")))
+      .withColumn("lag_sec", floor((col("us") - greatest(col("lc"), col("lv"))) / lit(1000000L)))
+    touched.groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("lag_sec")), 4).as("avg_lag_sec"))
+      .orderBy(col("touch"))
+  }
+
+  /** A/B experiment readout with Welch's t statistic: users are split into
+    * arms by the same deterministic md5 content hash as q68 (no RNG), and
+    * the purchase-value metric is compared arm-to-arm. All moments are
+    * accumulated on exact integer cents (value has 2-dp precision), so
+    * Σx and Σx² are order-independent BIGINTs and every downstream double
+    * (mean, sample variance, Welch t, Welch–Satterthwaite dof) is one
+    * identical expression tree in both engines — bit-stable without any
+    * tolerance. Single scan → two-row aggregate → one broadcast-size
+    * compare row.
+    */
+  def abWelch(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val arms = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents.as("cents"))
+      .withColumn("arm", when(
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 15), 16, 10)
+          .cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+      .withColumn("mean", col("sx").cast("double") / col("n") / 100)
+      .withColumn("vr", (col("sxx") - col("sx").cast("double") * col("sx") / col("n"))
+        / (col("n") - 1) / 10000)
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("mean").as("mean_a"), col("vr").as("var_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("mean").as("mean_b"), col("vr").as("var_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se2", col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+      .select(col("n_a"), round(col("mean_a"), 6).as("mean_a"),
+        round(col("var_a"), 6).as("var_a"),
+        col("n_b"), round(col("mean_b"), 6).as("mean_b"),
+        round(col("var_b"), 6).as("var_b"),
+        (round((col("mean_a") - col("mean_b")) / sqrt(col("se2")), 6) + lit(0.0)).as("welch_t"),
+        // x*x, not pow(x,2): pow's libm rounding may differ per engine;
+        // the explicit product is one IEEE multiply in both
+        round(col("se2") * col("se2") / (
+          (col("var_a") / col("n_a")) * (col("var_a") / col("n_a")) / (col("n_a") - 1) +
+            (col("var_b") / col("n_b")) * (col("var_b") / col("n_b")) / (col("n_b") - 1)),
+          4).as("welch_dof"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q121_funnel_conversion" -> funnel _,
     "q122_retention_cohorts" -> retention _,
-    "q123_session_stats" -> sessionStats _
+    "q123_session_stats" -> sessionStats _,
+    "q126_attribution_last_touch" -> attribution _,
+    "q127_ab_welch" -> abWelch _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -196,6 +281,58 @@ object ProductAnalytics extends QueryModule {
         |       round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_events,
         |       max(span_sec) AS max_span_sec,
         |       round(sum(value_sum), 2) AS sum_value
-        |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q126_attribution_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type = 'click' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click,
+        |    max(CASE WHEN event_type = 'view' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+        |  FROM e),
+        |p AS (
+        |  SELECT value, us,
+        |    CASE WHEN last_click < us AND last_click >= us - 86400000000 THEN last_click END AS lc,
+        |    CASE WHEN last_view < us AND last_view >= us - 86400000000 THEN last_view END AS lv
+        |  FROM t WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT value, us,
+        |    CASE WHEN lc IS NOT NULL AND (lv IS NULL OR lc >= lv) THEN 'click'
+        |         WHEN lv IS NOT NULL THEN 'view' ELSE 'direct' END AS touch,
+        |    floor((us - greatest(lc, lv)) / 1000000) AS lag_sec
+        |  FROM p)
+        |SELECT touch, count(*) AS n_purchases,
+        |       round(sum(value), 2) AS total_value,
+        |       round(avg(lag_sec), 4) AS avg_lag_sec
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q127_ab_welch" ->
+      """WITH x AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)
+        |                    AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT arm, count(*) AS n, sum(cents) AS sx, sum(cents * cents) AS sxx
+        |  FROM x GROUP BY 1),
+        |s AS (
+        |  SELECT arm, n,
+        |         CAST(sx AS DOUBLE) / n / 100 AS mean,
+        |         (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) / 10000 AS vr
+        |  FROM m),
+        |a AS (SELECT n AS n_a, mean AS mean_a, vr AS var_a FROM s WHERE arm = 'A'),
+        |b AS (SELECT n AS n_b, mean AS mean_b, vr AS var_b FROM s WHERE arm = 'B'),
+        |j AS (SELECT *, var_a / n_a + var_b / n_b AS se2 FROM a CROSS JOIN b)
+        |SELECT n_a, round(mean_a, 6) AS mean_a, round(var_a, 6) AS var_a,
+        |       n_b, round(mean_b, 6) AS mean_b, round(var_b, 6) AS var_b,
+        |       round((mean_a - mean_b) / sqrt(se2), 6) + 0.0 AS welch_t,
+        |       round(se2 * se2 / (
+        |         (var_a / n_a) * (var_a / n_a) / (n_a - 1) +
+        |         (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) AS welch_dof
+        |FROM j""".stripMargin
   )
 }

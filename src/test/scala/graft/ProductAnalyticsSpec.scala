@@ -81,6 +81,53 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(r.size == 5) // u3's day-0 click produced no (cohort, -1) cell
   }
 
+  test("q126: last touch wins, same-instant touch never credits itself, 1-day lookback binds") {
+    val dir = writeEvents(Seq(
+      (1L, ns(0), 1L, "view", 0.0, "{}"),
+      (2L, ns(100), 1L, "click", 0.0, "{}"),
+      (3L, ns(200), 1L, "purchase", 10.0, "{}"),   // click@100 is last → click, lag 100
+      (4L, ns(0), 2L, "click", 0.0, "{}"),
+      (5L, ns(50), 2L, "view", 0.0, "{}"),
+      (6L, ns(60), 2L, "purchase", 20.0, "{}"),    // view@50 beats click@0 → view, lag 10
+      (7L, ns(0), 3L, "view", 0.0, "{}"),
+      (8L, day(2), 3L, "purchase", 40.0, "{}"),    // view outside 1-day lookback → direct
+      (9L, ns(500), 4L, "click", 0.0, "{}"),
+      (10L, ns(500), 4L, "purchase", 80.0, "{}"))) // same-instant click: not strictly before → direct
+    val r = operators.ProductAnalytics.attribution(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("click") == ((1L, 10.0)))
+    assert(r("view") == ((1L, 20.0)))
+    assert(r("direct") == ((2L, 120.0)))
+    val lag = operators.ProductAnalytics.attribution(spark, dir).collect()
+      .map(x => x.getString(0) -> x.get(3)).toMap
+    assert(lag("click") == 100.0 && lag("view") == 10.0 && lag("direct") == null)
+  }
+
+  test("q127: Welch statistics recover hand-computed moments on planted arms") {
+    // user_id hash parity decides the arm; find two users in opposite arms
+    // and plant exact 2-dp purchase values: arm X = {10.00, 12.00},
+    // arm Y = {20.00} is too small for variance — use 3 values.
+    def armOf(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(h.substring(0, 15), 16) % 2 == 0) "A" else "B"
+    }
+    val uA = (1L to 50L).filter(armOf(_) == "A").take(1).head
+    val uB = (1L to 50L).filter(armOf(_) == "B").take(1).head
+    val dir = writeEvents(Seq(
+      (1L, ns(0), uA, "purchase", 10.0, "{}"),
+      (2L, ns(1), uA, "purchase", 12.0, "{}"),
+      (3L, ns(2), uA, "purchase", 14.0, "{}"),
+      (4L, ns(3), uB, "purchase", 20.0, "{}"),
+      (5L, ns(4), uB, "purchase", 26.0, "{}")))
+    val x = operators.ProductAnalytics.abWelch(spark, dir).collect().head
+    assert(x.getLong(0) == 3L && x.getDouble(1) == 12.0 && x.getDouble(2) == 4.0)
+    assert(x.getLong(3) == 2L && x.getDouble(4) == 23.0 && x.getDouble(5) == 18.0)
+    // t = (12-23)/sqrt(4/3 + 18/2) = -11/sqrt(10.3333...)
+    val t = -11.0 / math.sqrt(4.0 / 3 + 9.0)
+    assert(math.abs(x.getDouble(6) - t) < 1e-6)
+  }
+
   test("q123: a gap of exactly 30 minutes starts a new session") {
     val dir = writeEvents(Seq(
       (1L, ns(0), 1L, "view", 1.0, "{}"),
