@@ -292,6 +292,52 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"q117 lost the centroid broadcast:\n$p")
   }
 
+  test("q121/q123/q126: the event-analytics family costs exactly one user_id shuffle") {
+    // Funnel (three chained windows + groupBy), sessionization (lag +
+    // running sum + two aggregates), and attribution (two running-max
+    // windows + filter + aggregate) all ride ONE hashpartitioning(user_id)
+    // exchange; a second user_id exchange means a window/groupBy stopped
+    // sharing the partitioning. The textbook self-join forms these replace
+    // would show up here as SortMergeJoin.
+    Seq("q121_funnel_conversion", "q123_session_stats",
+        "q126_attribution_last_touch").foreach { name =>
+      val p = plan(name)
+      val userExchanges = p.linesIterator
+        .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).size
+      assert(userExchanges == 1, s"$name re-shuffles on user_id:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name plans a self-join:\n$p")
+    }
+  }
+
+  test("q122: cohort sizes join broadcast; activity/cohort join shares the user key") {
+    val p = plan("q122_retention_cohorts")
+    assert(p.contains("BroadcastHashJoin"), s"q122 lost the cohort-size broadcast:\n$p")
+  }
+
+  test("q124: the unigram LM joins as a broadcast — tokens never hash-shuffle on tok") {
+    // The per-token join against the vocab-sized LM must be map-side: a
+    // sort-merge here keys a corpus-sized shuffle on Zipf-skewed tokens
+    // (the hottest token's partition gets ~7% of the corpus).
+    val p = plan("q124_perplexity_buckets")
+    assert(p.contains("BroadcastHashJoin"), s"q124 lost the LM broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q124 shuffles on token:\n$p")
+  }
+
+  test("q125: chunking is scan → explode → sort, no join and no aggregation shuffle") {
+    val p = plan("q125_rag_chunks")
+    assert(!p.contains("Join"), s"q125 plans a join:\n$p")
+    assert(!p.linesIterator.exists(_.contains("hashpartitioning")),
+      s"q125 hash-shuffles:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 2, s"q125 re-reads documents:\n$p")
+  }
+
+  test("q127: the two-arm compare is a broadcast of one row against one row") {
+    val p = plan("q127_ab_welch")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q127 lost the single-row broadcast:\n$p")
+  }
+
   test("q119/q120: every PQ/IVFADC join (codebooks, LUTs, rerank probes) builds broadcast") {
     // codebooks and LUTs are k-sized by construction — if any of the
     // joins degrades to sort-merge, something corpus-sized leaked into a
