@@ -473,6 +473,44 @@ object Pipeline extends QueryModule {
   def ragChunks(spark: SparkSession, dir: String): DataFrame =
     ragChunks(docsTable(spark, dir))
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack & Clarke,
+    * SIGIR'09): fuse the lexical BM25 ranking (q116) with the dense
+    * embedding-cosine ranking (q44's brute-force truth, probe = vec 0,
+    * vec_id ≡ doc_id in the testdata) by rrf = Σ 1/(60 + rank) — the
+    * standard RAG hybrid-search combiner, chosen over score
+    * interpolation because it needs NO score normalization across
+    * incomparable scales.
+    *
+    * Cross-engine exactness: ranks are integers, each list contributes
+    * one identical double term, and the two-term sum is a fixed
+    * expression (not an agg) — no summation-order hazard.
+    *
+    * Scale: both inputs are top-`depth` lists — bounded by construction,
+    * so the fusion join costs nothing regardless of corpus size; the
+    * heavy lifting stays in the upstream queries, whose plans are pinned
+    * separately (q116 broadcasts its stats, q44 broadcasts its probes).
+    * Full-outer is required (a doc may appear in either list alone) and
+    * runs over 2·depth rows.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, depth: Int = 50,
+                k: Int = 20, rrfK: Int = 60): DataFrame = {
+    val bm = bm25TopK(docsTable(spark, dir), Bm25Terms, topN = depth)
+      .select(col("doc_id"), col("rnk").as("bm25_rank"))
+    val cos = Similarity.cosineTopK(Tables(spark, dir, "embeddings"),
+        col("vec_id") === 0, depth)
+      .select(col("vec_id").as("doc_id"), col("rn").as("cos_rank"))
+    bm.join(cos, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("cos_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("bm25_rank"), col("cos_rank"), col("rrf"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q68_split_hash" -> (hashSplit(_, _)),
     "q69_sample_stratified" -> (stratifiedSample(_, _)),
@@ -487,7 +525,8 @@ object Pipeline extends QueryModule {
     "q94_mixture_resample" -> (mixtureResample(_, _)),
     "q110_source_quota" -> (sourceQuota(_, _)),
     "q116_text_bm25" -> (bm25TopK(_, _)),
-    "q125_rag_chunks" -> (ragChunks(_, _))
+    "q125_rag_chunks" -> (ragChunks(_, _)),
+    "q128_hybrid_rrf" -> ((s, d) => hybridRrf(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -675,6 +714,59 @@ object Pipeline extends QueryModule {
         |       chunk[1] AS first_tok, chunk[-1] AS last_tok,
         |       CAST(list_sum(list_transform(chunk, x -> length(x))) AS BIGINT)
         |         AS n_chars
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q116's BM25 CTE chain at depth 50 fused with q44's cosine chain
+    // (probe vec 0) by reciprocal-rank; vec_id ≡ doc_id in the testdata
+    "q128_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         count(*) FILTER (WHERE tok = 'spark') AS tf_spark,
+        |         count(*) FILTER (WHERE tok = 'join') AS tf_join,
+        |         count(*) FILTER (WHERE tok = 'vector') AS tf_vector,
+        |         count(*) FILTER (WHERE tok = 'customer') AS tf_customer
+        |  FROM tok WHERE tok <> '' GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM perdoc),
+        |melted AS (
+        |  SELECT doc_id, dl, term, tf FROM (
+        |    SELECT doc_id, dl, 'spark' AS term, tf_spark AS tf FROM perdoc
+        |    UNION ALL SELECT doc_id, dl, 'join', tf_join FROM perdoc
+        |    UNION ALL SELECT doc_id, dl, 'vector', tf_vector FROM perdoc
+        |    UNION ALL SELECT doc_id, dl, 'customer', tf_customer FROM perdoc)
+        |  WHERE tf > 0),
+        |dfc AS (SELECT term, count(*) AS df FROM melted GROUP BY term),
+        |scored AS (
+        |  SELECT m.doc_id,
+        |         round(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |           * m.tf * 2.2
+        |           / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl))), 6) + 0.0 AS score
+        |  FROM melted m JOIN dfc d USING (term) CROSS JOIN stats s
+        |  GROUP BY m.doc_id),
+        |bmr AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |           AS INT) AS bm25_rank
+        |  FROM scored),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |      FROM embeddings),
+        |n2 AS (SELECT vec_id, emb,
+        |         sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+        |cj AS (SELECT c.vec_id AS doc_id,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> p.emb[i] * c.emb[i])) / (p.nrm * c.nrm) AS sim
+        |       FROM n2 p JOIN n2 c ON p.vec_id = 0 AND c.vec_id <> 0),
+        |cr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+        |         AS INT) AS cos_rank FROM cj),
+        |f AS (
+        |  SELECT doc_id, b.bm25_rank, c2.cos_rank,
+        |         round(coalesce(CAST(1 AS DOUBLE) / (60 + b.bm25_rank), 0) +
+        |               coalesce(CAST(1 AS DOUBLE) / (60 + c2.cos_rank), 0), 6) AS rrf
+        |  FROM (SELECT * FROM bmr WHERE bm25_rank <= 50) b
+        |  FULL OUTER JOIN (SELECT * FROM cr WHERE cos_rank <= 50) c2 USING (doc_id))
+        |SELECT "rank", doc_id, bm25_rank, cos_rank, rrf FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+        |           AS "rank", doc_id, bm25_rank, cos_rank, rrf
+        |  FROM f)
+        |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin
   )
 }

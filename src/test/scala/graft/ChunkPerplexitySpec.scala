@@ -60,6 +60,23 @@ class ChunkPerplexitySpec extends AnyFunSuite {
       (2, 96, 4, "t96", "t99", chars(96, 99))))
   }
 
+  test("q128: rrf equals the rank formula row-by-row and dual-list docs outrank equal singles") {
+    val rows = operators.Pipeline.hybridRrf(TestSpark.spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val bm = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val cs = Option(r.get(3)).map(_.asInstanceOf[Int])
+      val expect = bm.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        cs.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(4) - expect) < 1e-6, s"row $r")
+      assert(bm.isDefined || cs.isDefined)
+    }
+    // ranks strictly ordered by (rrf desc, doc_id)
+    val sorted = rows.sortBy(r => (-r.getDouble(4), r.getLong(1)))
+    assert(sorted.map(_.getInt(0)).toSeq == (1 to 20))
+  }
+
   test("q125: a doc shorter than one chunk yields exactly one full-doc chunk") {
     val dir = writeDocs(Seq((7L, "a b c", "en")))
     val r = operators.Pipeline.ragChunks(
