@@ -213,12 +213,91 @@ object ProductAnalytics extends QueryModule {
           4).as("welch_dof"))
   }
 
+  /** RFM customer segmentation: per-user Recency (days since last purchase
+    * at the corpus horizon), Frequency (purchase count), Monetary (exact
+    * integer cents), each scored into quintiles (5 = best), then mapped to
+    * the classic segment labels. Ties inside a quintile ordering break by
+    * user_id, so assignment is deterministic in both engines.
+    *
+    * Scale: the quintile windows run on the PER-USER AGGREGATE (≤ distinct
+    * users, already reduced by the only real shuffle), not on events —
+    * same class as q114's post-limit window. At extreme user cardinality
+    * the quintile boundaries would come from the q93 two-phase rank
+    * machinery or approx quantiles; the window form is the readable spec.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val horizon = e.agg(max(col("day")).as("max_day"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("m_cents"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("r_days", datediff(col("max_day"), col("last_day")).cast("long"))
+    val scored = perUser
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("r_days").desc, col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("n_purchases"), col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("m_cents"), col("user_id"))))
+    scored
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("m_score") === 5, "big_spender")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") === 1 && col("f_score") <= 2, "lost")
+          .otherwise("regular"))
+      .select(col("user_id"), col("r_days"), col("n_purchases"),
+        round(col("m_cents").cast("double") / 100, 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Robust daily-volume anomaly detection per event type: median/MAD
+    * (Iglewicz–Hoaglin modified z-score, |0.6745·(x−med)/MAD| > 3.5) over
+    * the per-(type, day) event counts — the monitoring query an ops team
+    * points at any event stream, and deliberately median-based so the
+    * anomalies themselves can't poison the baseline (the mean/stddev form
+    * masks exactly the spikes it should flag).
+    *
+    * Scale: counts reduce events to |types|×|days| rows before the exact
+    * medians run; both median passes and the join-backs are on that tiny
+    * aggregate (broadcast), so the only event-proportional work is the
+    * first count. The zero-MAD degenerate case (over half the days
+    * identical) falls back to flagging any c ≠ median.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val withMed = daily.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(c - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .withColumn("robust_z", when(col("mad") > 0,
+        round(lit(0.6745) * (col("c") - col("med")) / col("mad"), 4) + lit(0.0)))
+      .withColumn("is_anomaly", when(col("mad") > 0, abs(col("robust_z")) > 3.5)
+        .otherwise(col("c") =!= col("med")))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        round(col("med"), 4).as("median_n"), round(col("mad"), 4).as("mad_n"),
+        col("robust_z"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q121_funnel_conversion" -> funnel _,
     "q122_retention_cohorts" -> retention _,
     "q123_session_stats" -> sessionStats _,
     "q126_attribution_last_touch" -> attribution _,
-    "q127_ab_welch" -> abWelch _
+    "q127_ab_welch" -> abWelch _,
+    "q130_rfm_segments" -> rfmSegments _,
+    "q131_anomaly_mad" -> anomalyMad _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -333,6 +412,53 @@ object ProductAnalytics extends QueryModule {
         |       round(se2 * se2 / (
         |         (var_a / n_a) * (var_a / n_a) / (n_a - 1) +
         |         (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) AS welch_dof
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    "q130_rfm_segments" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(day) AS max_day FROM p),
+        |u AS (
+        |  SELECT user_id, max(day) AS last_day, count(*) AS n_purchases,
+        |         sum(cents) AS m_cents
+        |  FROM p GROUP BY 1),
+        |r AS (
+        |  SELECT u.user_id, CAST(h.max_day - u.last_day AS BIGINT) AS r_days,
+        |         u.n_purchases, u.m_cents,
+        |         ntile(5) OVER (ORDER BY h.max_day - u.last_day DESC, u.user_id) AS r_score,
+        |         ntile(5) OVER (ORDER BY u.n_purchases, u.user_id) AS f_score,
+        |         ntile(5) OVER (ORDER BY u.m_cents, u.user_id) AS m_score
+        |  FROM u CROSS JOIN h)
+        |SELECT user_id, r_days, n_purchases,
+        |       round(CAST(m_cents AS DOUBLE) / 100, 2) AS monetary,
+        |       r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |            WHEN f_score >= 4 THEN 'loyal'
+        |            WHEN m_score = 5 THEN 'big_spender'
+        |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |            WHEN r_score = 1 AND f_score <= 2 THEN 'lost'
+        |            ELSE 'regular' END AS segment
+        |FROM r ORDER BY user_id""".stripMargin,
+    "q131_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+        |        FROM daily GROUP BY 1),
+        |wm AS (SELECT d.event_type, d.day, d.c, m.med
+        |       FROM daily d JOIN med m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(abs(c - med), 0.5) AS mad
+        |       FROM wm GROUP BY 1)
+        |SELECT wm.event_type, wm.day, wm.c AS n_events,
+        |       round(wm.med, 4) AS median_n, round(md.mad, 4) AS mad_n,
+        |       CASE WHEN md.mad > 0
+        |            THEN round(0.6745 * (wm.c - wm.med) / md.mad, 4) + 0.0 END
+        |         AS robust_z,
+        |       CASE WHEN md.mad > 0
+        |            THEN abs(round(0.6745 * (wm.c - wm.med) / md.mad, 4) + 0.0) > 3.5
+        |            ELSE wm.c <> wm.med END AS is_anomaly
+        |FROM wm JOIN md USING (event_type)
+        |ORDER BY wm.event_type, wm.day""".stripMargin
   )
 }

@@ -262,6 +262,53 @@ object TextStats extends QueryModule {
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
     perplexityBuckets(docsTable(spark, dir))
 
+  /** Token-pair PMI (pointwise mutual information over document
+    * co-occurrence) — the distributional-semantics collocation score:
+    * pmi(a,b) = log2(c_ab·N / (c_a·c_b)) with document-presence counts.
+    *
+    * Scale: the classic failure mode is the pair explode on ultra-common
+    * tokens (stopwords pair with everything — Σ per-doc |V_doc|² work).
+    * The df-band filter [dfMin, dfMaxFrac·N] — standard PMI practice,
+    * since PMI is degenerate at both df extremes anyway — prunes tokens
+    * BEFORE pair generation, and the surviving vocabulary rides along as
+    * two broadcast joins; pairs are generated per-row from each doc's
+    * sorted pruned token array (no self-join — the SQL-textbook
+    * tok×tok-on-doc_id form shuffles the token table twice and re-pairs
+    * hot docs quadratically in the join). The c_ab ≥ minPairDocs filter
+    * sits on the pair aggregate, before the top-k sort.
+    */
+  def tokenPmi(docs: DataFrame, dfMin: Int = 5, dfMaxFrac: Double = 0.85,
+               minPairDocs: Int = 5, topK: Int = 30): DataFrame = {
+    val docToks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val tokDf = docToks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docToks.agg(count(lit(1)).as("n_docs"))
+    val banded = tokDf.crossJoin(broadcast(total))
+      .filter(col("df") >= dfMin && col("df") <= col("n_docs") * dfMaxFrac)
+      .select(col("tok"), col("df"))
+    val pruned = docToks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(banded.select(col("tok"))), "tok")
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("tok"))).as("toks"))
+    pruned.select(explode(expr(
+        "flatten(transform(toks, (x, i) -> transform(slice(toks, i + 2, size(toks)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairDocs)
+      .join(broadcast(banded.select(col("tok").as("a"), col("df").as("c_a"))), "a")
+      .join(broadcast(banded.select(col("tok").as("b"), col("df").as("c_b"))), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log2(col("c_ab").cast("double") * col("n_docs") /
+        (col("c_a") * col("c_b"))), 6))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
+  }
+
+  def tokenPmi(spark: SparkSession, dir: String): DataFrame =
+    tokenPmi(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
@@ -271,7 +318,8 @@ object TextStats extends QueryModule {
     "q89_text_repetition" -> (repetition(_, _)),
     "q112_filter_funnel" -> (filterFunnel(_, _)),
     "q114_bpe_merge_candidates" -> (bpeMergeCandidates(_, _)),
-    "q124_perplexity_buckets" -> (perplexityBuckets(_, _))
+    "q124_perplexity_buckets" -> (perplexityBuckets(_, _)),
+    "q129_token_pmi" -> (tokenPmi(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -401,6 +449,28 @@ object TextStats extends QueryModule {
         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, ppl_bits,
         |       CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |            ELSE 'tail' END AS bucket
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // the oracle takes the naive tok×tok self-join on doc_id; the Spark
+    // side generates pairs per-row from sorted pruned arrays (see scaladoc)
+    "q129_token_pmi" ->
+      """WITH dt AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |band AS (SELECT tok, df FROM dfc CROSS JOIN tot
+        |         WHERE df >= 5 AND df <= n_docs * 0.85),
+        |ft AS (SELECT doc_id, dt.tok FROM dt JOIN band USING (tok)),
+        |p AS (SELECT x.tok AS a, y.tok AS b FROM ft x JOIN ft y
+        |      ON x.doc_id = y.doc_id AND x.tok < y.tok),
+        |c AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2
+        |      HAVING count(*) >= 5),
+        |j AS (SELECT a, b, c_ab, da.df AS c_a, db.df AS c_b,
+        |        round(log2(CAST(c_ab AS DOUBLE) * n_docs / (da.df * db.df)), 6)
+        |          AS pmi
+        |      FROM c JOIN band da ON da.tok = c.a
+        |      JOIN band db ON db.tok = c.b CROSS JOIN tot)
+        |SELECT a, b, c_ab, c_a, c_b, pmi FROM j
+        |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
   )
 }

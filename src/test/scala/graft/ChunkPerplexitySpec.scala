@@ -77,6 +77,29 @@ class ChunkPerplexitySpec extends AnyFunSuite {
     assert(sorted.map(_.getInt(0)).toSeq == (1 to 20))
   }
 
+  test("q129: perfect co-occurrence scores pmi=1 bit, independence 0; band prunes df extremes") {
+    // 20 docs: x,y together in 1-10; z in 11-20; w in 6-15; c in ALL 20
+    // (df = N > 0.85N → pruned); q appears once (df < 5 → pruned).
+    val docs = (1L to 20L).map { i =>
+      val toks = Seq("c") ++
+        (if (i <= 10) Seq("x", "y") else Seq("z")) ++
+        (if (i >= 6 && i <= 15) Seq("w") else Nil) ++
+        (if (i == 1) Seq("q") else Nil)
+      (i, toks.mkString(" "), "en")
+    }
+    val dir = writeDocs(docs)
+    val r = operators.TextStats.tokenPmi(
+      TestSpark.spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(5))).toMap
+    assert(r(("x", "y")) == ((10L, 1.0)))          // log2(10·20/(10·10)) = 1
+    assert(r(("w", "x")) == ((5L, 0.0)))           // log2(5·20/(10·10)) = 0
+    assert(r(("w", "z")) == ((5L, 0.0)))
+    assert(!r.keySet.exists(p => p._1 == "c" || p._2 == "c"), "df=N token must be pruned")
+    assert(!r.keySet.exists(p => p._1 == "q" || p._2 == "q"), "df<5 token must be pruned")
+    assert(!r.contains(("x", "z")) && !r.contains(("y", "z")), "never-co-occurring pair")
+  }
+
   test("q125: a doc shorter than one chunk yields exactly one full-doc chunk") {
     val dir = writeDocs(Seq((7L, "a b c", "en")))
     val r = operators.Pipeline.ragChunks(

@@ -128,6 +128,56 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(x.getDouble(6) - t) < 1e-6)
   }
 
+  test("q130: five users spread across all quintiles get hand-computed scores and segments") {
+    // u1 best on all axes … u5 worst on all; 5 rows → ntile(5) is a
+    // permutation, so every score is forced.
+    val purchases = Seq(
+      (1L, Seq(25L, 26L, 27L, 28L, 29L), 1.0),
+      (2L, Seq(20L, 24L, 26L, 28L), 1.0),
+      (3L, Seq(10L, 15L, 20L), 1.0),
+      (4L, Seq(5L, 10L), 1.0),
+      (5L, Seq(0L), 1.0))
+    var eid = 0L
+    val rows = purchases.flatMap { case (u, days, v) =>
+      days.map { d => eid += 1; (eid, day(d), u, "purchase", v * u, "{}") }
+    }
+    val dir = writeEvents(rows)
+    val r = operators.ProductAnalytics.rfmSegments(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getInt(4), x.getInt(5), x.getInt(6), x.getString(7))).toMap
+    // monetary totals: u1 $5.00, u2 $8.00, u3 $9.00, u4 $8.00, u5 $5.00 —
+    // asc with user_id tiebreak: u1,u5,u2,u4,u3 → m_scores 1,2,3,4,5
+    assert(r(1L) == ((0L, 5L, 5, 5, 1, "champion")))
+    assert(r(2L) == ((1L, 4L, 4, 4, 3, "champion")))
+    assert(r(3L) == ((9L, 3L, 3, 3, 5, "big_spender")))
+    assert(r(4L) == ((19L, 2L, 2, 2, 4, "regular")))
+    assert(r(5L) == ((29L, 1L, 1, 1, 2, "lost")))
+  }
+
+  test("q131: a spiked day is flagged by the modified z-score; zero-MAD falls back") {
+    // type 'a': daily counts 8,9,10,11,12,13,50 → med 11, MAD 2, z(50)=13.15
+    // type 'b': counts 10,10,10,10,10,10,100 → MAD 0 → fallback flags c≠med
+    var eid = 0L
+    def burst(t: String, d: Long, n: Int) = (1 to n).map { i =>
+      eid += 1; (eid, day(d, i), 1L, t, 1.0, "{}")
+    }
+    val rows = Seq(8, 9, 10, 11, 12, 13, 50).zipWithIndex.flatMap { case (n, d) =>
+      burst("a", d.toLong, n)
+    } ++ (0 to 6).flatMap { d => burst("b", d.toLong, if (d == 6) 100 else 10) }
+    val dir = writeEvents(rows)
+    val r = operators.ProductAnalytics.anomalyMad(spark, dir).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4), x.get(5), x.getBoolean(6))).toMap
+    val spike = r(("a", "1970-01-07"))
+    assert(spike._1 == 50L && spike._2 == 11.0 && spike._3 == 2.0)
+    assert(math.abs(spike._4.asInstanceOf[Double] - 13.15275) < 2e-4 && spike._5)
+    assert(!r(("a", "1970-01-01"))._5)                 // z(8) ≈ -1.0118, not flagged
+    assert(math.abs(r(("a", "1970-01-01"))._4.asInstanceOf[Double] + 1.01175) < 2e-4)
+    val b7 = r(("b", "1970-01-07"))
+    assert(b7._3 == 0.0 && b7._4 == null && b7._5)     // zero-MAD fallback
+    assert(!r(("b", "1970-01-01"))._5)
+  }
+
   test("q123: a gap of exactly 30 minutes starts a new session") {
     val dir = writeEvents(Seq(
       (1L, ns(0), 1L, "view", 1.0, "{}"),
