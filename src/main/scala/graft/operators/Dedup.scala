@@ -188,6 +188,103 @@ object Dedup extends QueryModule {
   def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame =
     simhashHammingPairs(docsTable(spark, dir))
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD'95) —
+    * the record-linkage alternative to LSH banding (q42): sort the corpus
+    * by a similarity-preserving key, compare only records within a sliding
+    * window of w positions, verify survivors exactly. Two passes with
+    * independent keys (minhash components (mh0,mh1) then (mh2,mh3) — docs
+    * sharing a minimum sort adjacent with probability ≥ their Jaccard),
+    * the multi-pass recall remedy the paper itself prescribes.
+    *
+    * Distributed SNM, not the sequential textbook scan: each pass numbers
+    * the global sort with the q93 two-phase trick (per-bucket ranks from a
+    * monotone key prefix + broadcast prefix-sum offsets — no single-task
+    * sort), then turns the "within w positions" window into q91's bounded
+    * range join: positions bucket by ⌊pos/w⌋ and each left row probes its
+    * own and the next bucket — an equi-join whose per-key fan-in is ≤ 2w,
+    * regardless of corpus size. Exact-Jaccard verification touches only
+    * O(w·n) candidate pairs (vs LSH's collision-driven candidate count);
+    * the tradeoff, documented with the operator since SIGMOD'95, is that
+    * near-dups more than w apart in EVERY pass's order are missed.
+    */
+  def snmNearDupPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.5,
+                      topK: Int = 20): DataFrame = {
+    val sigs = signatures(docs)
+    def passPairs(kA: String, kB: String): DataFrame = {
+      val d = sigs.withColumn("bucket", floor(col(kA) / lit(1L << 24)))
+      val ranked = d.withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col(kA), col(kB), col("doc_id"))).cast("long"))
+      val offsets = d.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("off"))
+      val pos = ranked.join(broadcast(offsets), Seq("bucket"))
+        .select(col("doc_id"), (col("rn") + col("off")).as("pos"))
+      val lhs = pos.select(col("doc_id").as("a"), col("pos").as("pa"),
+        explode(array(floor(col("pos") / w), floor(col("pos") / w) + 1)).as("jb"))
+      val rhs = pos.select(col("doc_id").as("b"), col("pos").as("pb"),
+        floor(col("pos") / w).as("jb"))
+      lhs.join(rhs, Seq("jb"))
+        .filter(col("pb") > col("pa") && col("pb") - col("pa") <= w)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+    }
+    val cand = passPairs("mh0", "mh1").union(passPairs("mh2", "mh3")).distinct()
+    val sets = shingled(docs)
+      .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+      .withColumn("sz", size(col("shd")))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shd").as("sha"), col("sz").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shd").as("shb"), col("sz").as("sb")), "b")
+      .withColumn("ninter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("ninter").cast("double") /
+        (col("sa") + col("sb") - col("ninter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  def snmNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    snmNearDupPairs(docsTable(spark, dir))
+
+  /** Entity-resolution candidate matching over the `customer` dimension —
+    * the record-linkage blocking + edit-distance pattern (Fellegi–Sunter
+    * style pipeline, deterministic scoring stage): BLOCK on
+    * (nation, market segment) so comparison is an equi-join whose per-key
+    * fan-in is the block size, never corpus²; COMPARE with Levenshtein on
+    * the name (≤ 2 edits — both engines implement the identical DP edit
+    * distance, so the score is an exact integer) plus the account-balance
+    * gap in exact cents; RANK by (edits, gap). At production cardinality
+    * the block key gets finer (phone prefix, name trigram) or salted —
+    * the plan shape (equi-join on the block key, all scoring post-join,
+    * top-k via TakeOrdered) is unchanged.
+    */
+  def entityMatchPairs(customers: DataFrame, maxEdits: Int = 2,
+                       topK: Int = 30): DataFrame = {
+    val side = customers.select(col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"), col("c_custkey"), col("c_name"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    val l = side.select(col("nat"), col("seg"), col("c_custkey").as("a"),
+      col("c_name").as("name_a"), col("cents").as("cents_a"))
+    val r = side.select(col("nat"), col("seg"), col("c_custkey").as("b"),
+      col("c_name").as("name_b"), col("cents").as("cents_b"))
+    l.join(r, Seq("nat", "seg"))
+      .filter(col("a") < col("b"))
+      .withColumn("edits", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edits") <= maxEdits)
+      .withColumn("bal_gap_cents", abs(col("cents_a") - col("cents_b")))
+      .select(col("nat").as("nationkey"), col("seg").as("mktsegment"),
+        col("a"), col("b"), col("edits"), col("bal_gap_cents"))
+      .orderBy(col("edits"), col("bal_gap_cents"), col("a"), col("b"))
+      .limit(topK)
+  }
+
+  def entityMatchPairs(spark: SparkSession, dir: String): DataFrame =
+    entityMatchPairs(Tables(spark, dir, "customer"))
+
   /** N-gram Jaccard dedup via inverted-index posting lists — the
     * sketch-free sibling of [[lshNearDupPairs]]: instead of minhash
     * bands, candidates come from the shingle posting list itself (docs
@@ -574,6 +671,8 @@ object Dedup extends QueryModule {
       ((s: SparkSession, dir: String) => ngramJaccardPairsExact(docsTable(s, dir))),
     "q77_dedup_clusters" -> (dedupClusters(_, _)),
     "q79_dedup_incremental" -> (incrementalDedup(_, _)),
+    "q132_dedup_sorted_neighborhood" -> (snmNearDupPairs(_, _)),
+    "q133_entity_match" -> (entityMatchPairs(_, _)),
     "q92_dedup_dup_spans" -> (dupSpanCoverage(_, _)),
     "q95_dedup_span_cut" -> (dupSpanCut(_, _))
   )
@@ -737,6 +836,51 @@ object Dedup extends QueryModule {
          |         ELSE 'new' END AS status
          |  FROM documents n WHERE n.doc_id >= 400)
          |SELECT doc_id, status FROM status ORDER BY doc_id""".stripMargin,
+    "q133_entity_match" ->
+      """WITH s AS (
+        |  SELECT c_nationkey AS nat, c_mktsegment AS seg, c_custkey, c_name,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |p AS (
+        |  SELECT l.nat AS nationkey, l.seg AS mktsegment,
+        |         l.c_custkey AS a, r.c_custkey AS b,
+        |         levenshtein(l.c_name, r.c_name) AS edits,
+        |         abs(l.cents - r.cents) AS bal_gap_cents
+        |  FROM s l JOIN s r
+        |    ON l.nat = r.nat AND l.seg = r.seg AND l.c_custkey < r.c_custkey)
+        |SELECT nationkey, mktsegment, a, b, edits, bal_gap_cents
+        |FROM p WHERE edits <= 2
+        |ORDER BY edits, bal_gap_cents, a, b LIMIT 30""".stripMargin,
+    // single-window spec of the two-phase numbering + bounded range join
+    // (the shipped plan is pos-bucketed; see snmNearDupPairs scaladoc)
+    "q132_dedup_sorted_neighborhood" ->
+      s"""$shingleCte,
+         |m AS (SELECT doc_id,
+         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
+         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
+         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
+         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
+         |      FROM s),
+         |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY mh0, mh1, doc_id) AS pos FROM m),
+         |p1 AS (SELECT least(x.doc_id, y.doc_id) AS a, greatest(x.doc_id, y.doc_id) AS b
+         |       FROM r1 x JOIN r1 y ON y.pos > x.pos AND y.pos - x.pos <= 5),
+         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY mh2, mh3, doc_id) AS pos FROM m),
+         |p2 AS (SELECT least(x.doc_id, y.doc_id) AS a, greatest(x.doc_id, y.doc_id) AS b
+         |       FROM r2 x JOIN r2 y ON y.pos > x.pos AND y.pos - x.pos <= 5),
+         |cand AS (SELECT DISTINCT a, b FROM
+         |         (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |j AS (SELECT cand.a, cand.b,
+         |        len(list_intersect(sa.shd, sb.shd)) AS inter,
+         |        len(sa.shd) AS la, len(sb.shd) AS lb
+         |      FROM cand
+         |      JOIN sets sa ON sa.doc_id = cand.a
+         |      JOIN sets sb ON sb.doc_id = cand.b),
+         |v AS (SELECT a, b,
+         |        round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+         |      FROM j)
+         |SELECT a, b, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
     "q92_dedup_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id,

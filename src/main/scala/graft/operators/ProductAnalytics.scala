@@ -230,11 +230,15 @@ object ProductAnalytics extends QueryModule {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), to_date(col("ts")).as("day"),
         round(col("value") * 100, 0).cast("long").as("cents"))
-    val horizon = e.agg(max(col("day")).as("max_day"))
+    // horizon as an unbounded window over the aggregate — max over
+    // per-user last_day ≡ max over all purchase days, and the quintile
+    // ntiles below already force this single-partition window stage, so
+    // the horizon rides it for free instead of a second events scan
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val perUser = e.groupBy(col("user_id"))
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_purchases"),
         sum(col("cents")).as("m_cents"))
-      .crossJoin(broadcast(horizon))
+      .withColumn("max_day", max(col("last_day")).over(all))
       .withColumn("r_days", datediff(col("max_day"), col("last_day")).cast("long"))
     val scored = perUser
       .withColumn("r_score",
@@ -418,18 +422,18 @@ object ProductAnalytics extends QueryModule {
         |  SELECT user_id, CAST(ts AS DATE) AS day,
         |         CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events WHERE event_type = 'purchase'),
-        |h AS (SELECT max(day) AS max_day FROM p),
         |u AS (
         |  SELECT user_id, max(day) AS last_day, count(*) AS n_purchases,
         |         sum(cents) AS m_cents
         |  FROM p GROUP BY 1),
+        |u2 AS (SELECT *, max(last_day) OVER () AS max_day FROM u),
         |r AS (
-        |  SELECT u.user_id, CAST(h.max_day - u.last_day AS BIGINT) AS r_days,
-        |         u.n_purchases, u.m_cents,
-        |         ntile(5) OVER (ORDER BY h.max_day - u.last_day DESC, u.user_id) AS r_score,
-        |         ntile(5) OVER (ORDER BY u.n_purchases, u.user_id) AS f_score,
-        |         ntile(5) OVER (ORDER BY u.m_cents, u.user_id) AS m_score
-        |  FROM u CROSS JOIN h)
+        |  SELECT user_id, CAST(max_day - last_day AS BIGINT) AS r_days,
+        |         n_purchases, m_cents,
+        |         ntile(5) OVER (ORDER BY max_day - last_day DESC, user_id) AS r_score,
+        |         ntile(5) OVER (ORDER BY n_purchases, user_id) AS f_score,
+        |         ntile(5) OVER (ORDER BY m_cents, user_id) AS m_score
+        |  FROM u2)
         |SELECT user_id, r_days, n_purchases,
         |       round(CAST(m_cents AS DOUBLE) / 100, 2) AS monetary,
         |       r_score, f_score, m_score,

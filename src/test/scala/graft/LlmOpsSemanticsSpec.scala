@@ -77,6 +77,34 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       "unrelated doc must not pair (no shared shingle ⇒ no shared minhash)")
   }
 
+  test("sorted-neighborhood pairs find the planted dups; sub-threshold pairs are cut") {
+    // 4 docs all fall inside one w=5 window, so SNM candidates cover every
+    // pair and the verify stage alone decides: (0,1) exact, (0,2)/(1,2)
+    // high-but-<1, anything with doc 3 below threshold → dropped.
+    val pairs = operators.Dedup.snmNearDupPairs(spark, docsDir)
+      .collect().map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) == pairs((1L, 2L)) && pairs((0L, 2L)) > 0.7)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "zero-overlap doc must be cut by the jaccard threshold")
+    assert(pairs.size == 3)
+  }
+
+  test("entity matching: in-block near-names pair, cross-block twins don't (blocking contract)") {
+    import spark.implicits._
+    val customers = Seq(
+      (1L, "Customer#000000001", 1, 100.00, "AUTO"),  // pairs with 2 (1 edit)
+      (2L, "Customer#000000002", 1, 103.50, "AUTO"),
+      (3L, "Customer#000000001", 2, 100.00, "AUTO"),  // identical name, other block
+      (4L, "Cstmr#9999",         1, 100.00, "AUTO"),  // same block, > 2 edits
+      (5L, "Customer#000000012", 1, 90.00, "BUILDING")) // same nation, other segment
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = operators.Dedup.entityMatchPairs(customers).collect()
+      .map(x => (x.getLong(2), x.getLong(3)) -> (x.getInt(4), x.getLong(5))).toMap
+    assert(r == Map((1L, 2L) -> ((1, 350L))))
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val sh = operators.Dedup.simhash(spark, docsDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

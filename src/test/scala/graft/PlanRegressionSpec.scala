@@ -338,6 +338,31 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"q127 lost the single-row broadcast:\n$p")
   }
 
+  test("q129: PMI pairs come from per-row arrays — no token self-join, vocab broadcast") {
+    // The SQL-textbook tok×tok-on-doc_id form would appear as a
+    // SortMergeJoin of the token table with itself; the shipped form's
+    // only joins are broadcasts of the banded vocabulary and the scalar.
+    val p = plan("q129_token_pmi")
+    assert(!p.contains("SortMergeJoin"), s"q129 self-joins the token table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q129 lost the vocab broadcast:\n$p")
+  }
+
+  test("q130/q131: quintile windows and median joins run on the reduced aggregate") {
+    val p130 = plan("q130_rfm_segments")
+    assert(!p130.contains("SortMergeJoin"), s"q130 shuffles a join:\n$p130")
+    assert("Scan parquet".r.findAllIn(p130).size == 2, s"q130 re-reads events:\n$p130")
+    val p131 = plan("q131_anomaly_mad")
+    assert(!p131.contains("SortMergeJoin"), s"q131 lost the median broadcasts:\n$p131")
+    assert(p131.contains("BroadcastHashJoin"), p131)
+  }
+
+  test("q128: the rrf fusion join never degrades to a cartesian or NLJ") {
+    val p = plan("q128_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // upstream q116/q44 broadcasts must survive composition
+    assert(p.contains("BroadcastExchange"), s"q128 lost upstream broadcasts:\n$p")
+  }
+
   test("q119/q120: every PQ/IVFADC join (codebooks, LUTs, rerank probes) builds broadcast") {
     // codebooks and LUTs are k-sized by construction — if any of the
     // joins degrades to sort-merge, something corpus-sized leaked into a
