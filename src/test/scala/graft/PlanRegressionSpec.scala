@@ -363,6 +363,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"q128 lost upstream broadcasts:\n$p")
   }
 
+  test("q132/q133: SNM and blocking joins are equi-joins with broadcast offsets, never NLJ") {
+    // q132's neighbor window must be the pos-bucket equi-join (a theta
+    // join on |posA−posB| ≤ w would be NLJ); its offset tables broadcast.
+    // q133's comparison space must be keyed by the block — an NLJ here
+    // means the blocking key fell out of the join condition.
+    Seq("q132_dedup_sorted_neighborhood", "q133_entity_match").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name lost its equi-join:\n$p")
+    }
+    assert(plan("q132_dedup_sorted_neighborhood").contains("BroadcastHashJoin"))
+  }
+
   test("q119/q120: every PQ/IVFADC join (codebooks, LUTs, rerank probes) builds broadcast") {
     // codebooks and LUTs are k-sized by construction — if any of the
     // joins degrades to sort-merge, something corpus-sized leaked into a
