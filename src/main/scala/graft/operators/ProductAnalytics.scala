@@ -294,7 +294,120 @@ object ProductAnalytics extends QueryModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Item-item collaborative filtering on co-occurrence cosine — the
+    * classic Amazon-style recommender primitive: items (the `props.k`
+    * attribute) are similar when the same users touch both;
+    * sim(i,j) = c_ij / √(c_i·c_j) over distinct-user sets.
+    *
+    * Scale: same discipline as q129 — pairs are generated per-row from
+    * each user's sorted distinct-item array (never an item-table
+    * self-join), the per-item user counts ride as broadcasts, and the
+    * c_ij ≥ minUsers support filter runs on the pair aggregate before the
+    * top-k. At web scale the per-user array gets a frequent-item cap (the
+    * standard CF down-sampling of power users); the shape is unchanged.
+    */
+  def itemCooccurrence(spark: SparkSession, dir: String, minUsers: Int = 5,
+                       topK: Int = 30): DataFrame = {
+    val ui = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val itemUsers = ui.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = ui.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS i, y AS j))))")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c_ij"))
+      .filter(col("c_ij") >= minUsers)
+    pairs
+      .join(broadcast(itemUsers.select(col("item").as("i"), col("c").as("c_i"))), "i")
+      .join(broadcast(itemUsers.select(col("item").as("j"), col("c").as("c_j"))), "j")
+      .withColumn("cosine",
+        round(col("c_ij") / sqrt((col("c_i") * col("c_j")).cast("double")), 6))
+      .orderBy(col("cosine").desc, col("i"), col("j"))
+      .limit(topK)
+      .select(col("i"), col("j"), col("c_ij"), col("c_i"), col("c_j"), col("cosine"))
+  }
+
+  /** First-order Markov transition matrix over each user's event sequence
+    * (user-journey analysis): P(next | current) with exact integer counts
+    * and one shared user_id shuffle — the lag/lead machinery q26 exercises,
+    * aggregated into the journey graph a PM actually reads. The row-total
+    * window runs over the |types|² aggregate, not over events. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("cur"))))
+      .select(col("cur"), col("nxt"), col("n"), col("row_total"),
+        round(col("n") / col("row_total"), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  /** Kaplan–Meier survival curve for signup → first purchase, with
+    * right-censoring at the corpus horizon — the time-to-conversion
+    * analysis a growth team runs, and the one estimator here that is
+    * DEFINED by an ordered product. S(t) = Π_{s ≤ t} (1 − d_s/n_s) is
+    * computed as exp of the running sum of ln factors over the day-ordered
+    * aggregate: the cumulative window fixes the summation order, so both
+    * engines fold identical doubles in identical order. Risk sets and
+    * event counts are exact integers; the day table is ≤ horizon rows, so
+    * every window here runs on a constant-size aggregate (the only
+    * event-proportional work is the per-user min/min aggregation, one
+    * user_id shuffle).
+    */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("t0"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("pday"))
+      .join(cohort, "user_id")
+      .filter(col("pday") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("pday")).as("conv_day"))
+    val horizon = e.select(max(to_date(col("ts"))).as("hday"))
+    val durations = cohort
+      .join(conv, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("conv_day").isNotNull,
+          datediff(col("conv_day"), col("t0"))).otherwise(
+          datediff(col("hday"), col("t0"))).cast("long").as("dur"),
+        when(col("conv_day").isNotNull, lit(1L)).otherwise(lit(0L)).as("evt"))
+    val daily = durations.groupBy(col("dur"))
+      .agg(sum(col("evt")).as("d"), count(lit(1)).as("total_at"))
+    val byDay = Window.orderBy(col("dur"))
+    val all = byDay.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("n_risk", sum(col("total_at")).over(all) - coalesce(
+        sum(col("total_at")).over(byDay.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // a day where every remaining subject converts has factor 0 —
+      // ln is undefined (DuckDB errors, Spark nulls), so the zero is
+      // tracked separately and forces survival to 0 from that day on
+      .withColumn("lnf", when(col("d") < col("n_risk"),
+        log(lit(1.0) - col("d") / col("n_risk"))).otherwise(lit(0.0)))
+      .withColumn("zcum", sum(when(col("d") === col("n_risk"), lit(1L))
+        .otherwise(lit(0L)))
+        .over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("survival", when(col("zcum") > 0, lit(0.0))
+        .otherwise(round(exp(sum(col("lnf"))
+          .over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 6)))
+      .select(col("dur").as("day"), col("n_risk"), col("d").as("n_events"),
+        (col("total_at") - col("d")).as("n_censored"), col("survival"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q134_item_cooccurrence" -> ((s, d) => itemCooccurrence(s, d)),
+    "q135_event_transitions" -> eventTransitions _,
+    "q136_survival_km" -> survivalKm _,
     "q121_funnel_conversion" -> funnel _,
     "q122_retention_cohorts" -> retention _,
     "q123_session_stats" -> sessionStats _,
@@ -305,6 +418,68 @@ object ProductAnalytics extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle takes the naive item×item self-join; the Spark side
+    // generates pairs per-row from sorted per-user arrays (see scaladoc)
+    "q134_item_cooccurrence" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |iu AS (SELECT item, count(*) AS c FROM ui GROUP BY 1),
+        |p AS (SELECT x.item AS i, y.item AS j, count(*) AS c_ij
+        |      FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 5),
+        |s AS (SELECT i, j, c_ij, a.c AS c_i, b.c AS c_j,
+        |        round(c_ij / sqrt(CAST(a.c * b.c AS DOUBLE)), 6) AS cosine
+        |      FROM p JOIN iu a ON a.item = p.i JOIN iu b ON b.item = p.j)
+        |SELECT i, j, c_ij, c_i, c_j, cosine FROM s
+        |ORDER BY cosine DESC, i, j LIMIT 30""".stripMargin,
+    "q135_event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM t
+        |      WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |       sum(n) OVER (PARTITION BY cur) AS row_total,
+        |       round(n / sum(n) OVER (PARTITION BY cur), 6) AS p
+        |FROM c ORDER BY cur, nxt""".stripMargin,
+    "q136_survival_km" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS DATE)) AS conv_day
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= c.t0
+        |  GROUP BY 1),
+        |h AS (SELECT max(CAST(ts AS DATE)) AS hday FROM events),
+        |dur AS (
+        |  SELECT CASE WHEN v.conv_day IS NOT NULL
+        |              THEN CAST(v.conv_day - c.t0 AS BIGINT)
+        |              ELSE CAST(h.hday - c.t0 AS BIGINT) END AS dur,
+        |         CASE WHEN v.conv_day IS NOT NULL THEN 1 ELSE 0 END AS evt
+        |  FROM cohort c LEFT JOIN conv v ON c.user_id = v.user_id CROSS JOIN h),
+        |daily AS (
+        |  SELECT dur, CAST(sum(evt) AS BIGINT) AS d, count(*) AS total_at
+        |  FROM dur GROUP BY 1),
+        |km AS (
+        |  SELECT dur, d, total_at,
+        |         sum(total_at) OVER () - coalesce(sum(total_at)
+        |           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND 1 PRECEDING), 0) AS n_risk
+        |  FROM daily)
+        |SELECT dur AS day, n_risk, d AS n_events,
+        |       total_at - d AS n_censored,
+        |       CASE WHEN sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |              OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND CURRENT ROW) > 0 THEN 0.0
+        |            ELSE round(exp(sum(CASE WHEN d < n_risk
+        |                   THEN ln(1 - d / n_risk) ELSE 0.0 END)
+        |              OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND CURRENT ROW)), 6) END AS survival
+        |FROM km ORDER BY day""".stripMargin,
     "q121_funnel_conversion" ->
       """WITH pu AS (
         |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1

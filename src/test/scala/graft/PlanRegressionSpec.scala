@@ -300,7 +300,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     // sharing the partitioning. The textbook self-join forms these replace
     // would show up here as SortMergeJoin.
     Seq("q121_funnel_conversion", "q123_session_stats",
-        "q126_attribution_last_touch").foreach { name =>
+        "q126_attribution_last_touch", "q135_event_transitions").foreach { name =>
       val p = plan(name)
       val userExchanges = p.linesIterator
         .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).size
@@ -374,6 +374,15 @@ class PlanRegressionSpec extends AnyFunSuite {
         s"$name lost its equi-join:\n$p")
     }
     assert(plan("q132_dedup_sorted_neighborhood").contains("BroadcastHashJoin"))
+  }
+
+  test("q134/q136: CF pairs avoid the item self-join; KM windows run on the day aggregate") {
+    val p134 = plan("q134_item_cooccurrence")
+    assert(!p134.contains("SortMergeJoin"), s"q134 self-joins the item table:\n$p134")
+    assert(p134.contains("BroadcastHashJoin"), s"q134 lost the item-count broadcasts:\n$p134")
+    val p136 = plan("q136_survival_km")
+    assert(!p136.contains("CartesianProduct"), p136)
+    assert(p136.contains("BroadcastExchange"), s"q136 lost the horizon broadcast:\n$p136")
   }
 
   test("q119/q120: every PQ/IVFADC join (codebooks, LUTs, rerank probes) builds broadcast") {

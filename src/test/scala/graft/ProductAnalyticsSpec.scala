@@ -178,6 +178,61 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(!r(("b", "1970-01-01"))._5)
   }
 
+  test("q134: co-purchased items score cosine 1.0; support below minUsers is cut") {
+    // items live in props JSON; users 1-5 share items 1+2 (c_ij=5, cosine
+    // 1.0); item pair (3,4) co-occurs for only 4 users → support-filtered
+    val rows = (1L to 5L).flatMap { u =>
+      Seq((u * 10 + 1, ns(u * 100), u, "view", 1.0, """{"k": 1}"""),
+        (u * 10 + 2, ns(u * 100 + 1), u, "view", 1.0, """{"k": 2}"""),
+        (u * 10 + 3, ns(u * 100 + 2), u, "view", 1.0, """{"k": 3}""")) ++
+        (if (u <= 4) Seq((u * 10 + 4, ns(u * 100 + 3), u, "view", 1.0, """{"k": 4}"""))
+         else Nil)
+    }
+    val dir = writeEvents(rows)
+    val r = operators.ProductAnalytics.itemCooccurrence(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> (x.getLong(2), x.getDouble(5))).toMap
+    assert(r((1, 2)) == ((5L, 1.0)) && r((1, 3)) == ((5L, 1.0)) && r((2, 3)) == ((5L, 1.0)))
+    assert(!r.keySet.exists(p => p._1 == 4 || p._2 == 4), "support-4 pairs must be cut")
+  }
+
+  test("q135: transition probabilities are exact count ratios over the lag order") {
+    val dir = writeEvents(Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(10), 1L, "click", 1.0, "{}"),
+      (3L, ns(20), 1L, "view", 1.0, "{}"),
+      (4L, ns(30), 1L, "click", 1.0, "{}"),
+      (5L, ns(40), 1L, "purchase", 1.0, "{}"),
+      (6L, ns(0), 2L, "view", 1.0, "{}"),
+      (7L, ns(10), 2L, "view", 1.0, "{}")))
+    val r = operators.ProductAnalytics.eventTransitions(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(4))).toMap
+    assert(r(("view", "click")) == ((2L, 0.666667))) // view row: 2 of 3
+    assert(r(("view", "view")) == ((1L, 0.333333)))
+    assert(r(("click", "view")) == ((1L, 0.5)))
+    assert(r(("click", "purchase")) == ((1L, 0.5)))
+    assert(r.size == 4)
+  }
+
+  test("q136: Kaplan-Meier recovers the hand-computed curve with censoring") {
+    // 4 signups at day 0; conversions day 1 (x2) and day 3; one user
+    // censored at the day-5 horizon. S: 0.5 → 0.25 → 0.25.
+    val dir = writeEvents(Seq(
+      (1L, day(0), 1L, "signup", 1.0, "{}"),
+      (2L, day(0), 2L, "signup", 1.0, "{}"),
+      (3L, day(0), 3L, "signup", 1.0, "{}"),
+      (4L, day(0), 4L, "signup", 1.0, "{}"),
+      (5L, day(1), 1L, "purchase", 1.0, "{}"),
+      (6L, day(1), 2L, "purchase", 1.0, "{}"),
+      (7L, day(3), 3L, "purchase", 1.0, "{}"),
+      (8L, day(5), 1L, "view", 1.0, "{}")))   // sets the censoring horizon
+    val r = operators.ProductAnalytics.survivalKm(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      1L -> ((4L, 2L, 0L, 0.5)),
+      3L -> ((2L, 1L, 0L, 0.25)),
+      5L -> ((1L, 0L, 1L, 0.25))))
+  }
+
   test("q123: a gap of exactly 30 minutes starts a new session") {
     val dir = writeEvents(Seq(
       (1L, ns(0), 1L, "view", 1.0, "{}"),
