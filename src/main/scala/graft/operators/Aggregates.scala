@@ -186,7 +186,55 @@ object Aggregates extends QueryModule {
       .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42)).as("cms"))
       .orderBy(col("event_type"))
 
+  /** KMV distinct sketches with set-operation estimation — the sketch the
+    * built-in HLL family (q21/q64) cannot give you: HLL unions but never
+    * intersects; KMV supports both, because the k smallest hashes of A∪B
+    * are computable from the two sketches and the fraction of them lying in
+    * A∩B is an unbiased Jaccard estimate (Beyer et al., SIGMOD'07). Here:
+    * distinct CLICK users ∩ distinct PURCHASE users, estimated purely from
+    * two 64-long sketches, with the exact counts alongside as the in-row
+    * accuracy witness.
+    *
+    * The sketch is [[graft.functions.KmvAgg]] — a typed Aggregator with
+    * bounded O(k) state and associative merge, so Spark map-side-combines
+    * it like any sum (see its scaladoc for the 100 TB contract). Because
+    * the hashes are the deterministic md5-prefix family, the DuckDB oracle
+    * reproduces the estimate BIT-EXACTLY from a window `row_number ≤ k` —
+    * an oracle-checkable approximate operator, unlike the rows-only
+    * HLL/CMS entries. */
+  def kmvIntersection(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Column
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", conv(substring(
+        md5(concat(col("user_id").cast("string"), lit(":kmv"))), 1, 15), 16, 10)
+        .cast("long"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketch.kmv(k)(col("h")).as("sk"),
+        count(lit(1)).as("exact"))
+    val a = sk.filter(col("event_type") === "click")
+      .select(col("sk").as("sa"), col("exact").as("exact_a"))
+    val b = sk.filter(col("event_type") === "purchase")
+      .select(col("sk").as("sb"), col("exact").as("exact_b"))
+    val exactInter = e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .agg(count(lit(1)).as("exact_inter"))
+    def est(s: Column): Column = when(size(s) < k, size(s).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+        element_at(s, k))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(exactInter))
+      .withColumn("su", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .withColumn("n_common",
+        size(array_intersect(array_intersect(col("su"), col("sa")), col("sb"))))
+      .select(lit(k).as("k"), col("exact_a"), round(est(col("sa")), 4).as("est_a"),
+        col("exact_b"), round(est(col("sb")), 4).as("est_b"),
+        col("exact_inter"),
+        round(col("n_common").cast("double") * est(col("su")) / size(col("su")), 4).as("est_inter"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q137_kmv_intersection" -> ((s, d) => kmvIntersection(s, d)),
     "q66_agg_cms_frequency" -> cmsFrequency _,
     "q64_agg_hll_union" -> hllUnionRollup _,
     "q62_agg_approx_percentiles" -> approxPercentiles _,
@@ -202,6 +250,46 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // window row_number ≤ k reproduces the bounded-heap Aggregator's
+    // sketch exactly: a KMV estimate is a pure fn of the k smallest hashes
+    "q137_kmv_intersection" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |hh AS (SELECT event_type,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv'), 1, 15)
+        |           AS BIGINT) AS h
+        |       FROM du),
+        |rk AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |       FROM hh),
+        |sk AS (SELECT event_type, list(h ORDER BY h) AS s
+        |       FROM rk WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT event_type, count(*) AS exact FROM du GROUP BY 1),
+        |a AS (SELECT sk.s AS sa, ex.exact AS exact_a
+        |      FROM sk JOIN ex USING (event_type) WHERE event_type = 'click'),
+        |b AS (SELECT sk.s AS sb, ex.exact AS exact_b
+        |      FROM sk JOIN ex USING (event_type) WHERE event_type = 'purchase'),
+        |xi AS (SELECT count(*) AS exact_inter FROM
+        |       (SELECT user_id FROM du WHERE event_type = 'click'
+        |        INTERSECT
+        |        SELECT user_id FROM du WHERE event_type = 'purchase')),
+        |j AS (SELECT *, list_sort(list_distinct(sa || sb))[1:64] AS su
+        |      FROM a CROSS JOIN b CROSS JOIN xi)
+        |SELECT 64 AS k, exact_a,
+        |  round(CASE WHEN len(sa) < 64 THEN CAST(len(sa) AS DOUBLE)
+        |        ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / sa[64] END, 4)
+        |    AS est_a,
+        |  exact_b,
+        |  round(CASE WHEN len(sb) < 64 THEN CAST(len(sb) AS DOUBLE)
+        |        ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / sb[64] END, 4)
+        |    AS est_b,
+        |  exact_inter,
+        |  round(CAST(len(list_intersect(list_intersect(su, sa), sb)) AS DOUBLE) *
+        |    (CASE WHEN len(su) < 64 THEN CAST(len(su) AS DOUBLE)
+        |     ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / su[64] END) / len(su), 4)
+        |    AS est_inter
+        |FROM j""".stripMargin,
     "q56_agg_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

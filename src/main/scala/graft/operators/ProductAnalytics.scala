@@ -404,7 +404,31 @@ object ProductAnalytics extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** Top-k 3-step user journeys (sequential pattern counts) — q135's
+    * higher-order companion: the "top paths" view every product-analytics
+    * tool ships. Two `lead`s on the family's single user_id shuffle turn
+    * each event into the path it starts; exact counts, then a distributed
+    * TakeOrdered for the top-k — the path cardinality is |types|³ at most,
+    * so nothing row-proportional survives the aggregate. */
+  def journeyTrigrams(spark: SparkSession, dir: String, topK: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("path"))).cast("int"))
+      .select(col("rnk"), col("path"), col("n"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q138_journey_trigrams" -> ((s, d) => journeyTrigrams(s, d)),
     "q134_item_cooccurrence" -> ((s, d) => itemCooccurrence(s, d)),
     "q135_event_transitions" -> eventTransitions _,
     "q136_survival_km" -> survivalKm _,
@@ -418,6 +442,20 @@ object ProductAnalytics extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q138_journey_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS t1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS t2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS t3
+        |  FROM events),
+        |c AS (SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |      FROM t WHERE t3 IS NOT NULL GROUP BY 1
+        |      ORDER BY n DESC, path LIMIT 15)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rnk,
+        |       path, n
+        |FROM c ORDER BY rnk""".stripMargin,
     // the oracle takes the naive item×item self-join; the Spark side
     // generates pairs per-row from sorted per-user arrays (see scaladoc)
     "q134_item_cooccurrence" ->

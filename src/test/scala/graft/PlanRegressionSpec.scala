@@ -385,6 +385,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p136.contains("BroadcastExchange"), s"q136 lost the horizon broadcast:\n$p136")
   }
 
+  test("q137: the KMV aggregate runs partial (map-side combine) and joins broadcast") {
+    val p = plan("q137_kmv_intersection")
+    // the Aggregator must plan as a two-phase ObjectHashAggregate — a
+    // single-phase agg would shuffle raw hashes instead of ≤k-long sketches
+    assert(p.contains("ObjectHashAggregate"), s"q137 lost the partial sketch agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q119/q120: every PQ/IVFADC join (codebooks, LUTs, rerank probes) builds broadcast") {
     // codebooks and LUTs are k-sized by construction — if any of the
     // joins degrades to sort-merge, something corpus-sized leaked into a
