@@ -19,7 +19,8 @@ object SparkEntry {
     operators.TextStats,
     operators.Multimodal,
     operators.Pipeline,
-    operators.ProductAnalytics
+    operators.ProductAnalytics,
+    operators.WarehouseOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

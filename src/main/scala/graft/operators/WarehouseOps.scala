@@ -1,0 +1,457 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse / ELT operators over the event changelog (SURVEY.md §2.5 [ext]):
+  * the materialization queries a lakehouse team runs downstream of exactly
+  * the flattened sample stream the relay produces (remote_write.go:70-90) —
+  * latest-state compaction, SCD2 history, activity/stickiness rollups,
+  * drift + change detection, deterministic sampling, and the triangle
+  * census of the co-occurrence graph.
+  *
+  * Scale discipline shared by the family:
+  *   - compaction is `max_by` AGGREGATION (map-side partial, one shuffle),
+  *     never a window sort over the changelog;
+  *   - every window that isn't per-user runs on an already-reduced
+  *     aggregate (days, bins, histogram rows — constant-size inputs);
+  *   - the DAU/MAU grid joins the deduped (user, day) activity set against
+  *     a BROADCAST day list with a bounded 28-row expansion, instead of the
+  *     textbook per-day `COUNT(DISTINCT)` self-join over raw events;
+  *   - doubles that cross the oracle hash are derived from exact integer
+  *     moments and normalized with the `round(x, n) + 0.0` signed-zero
+  *     convention (VERDICT r09 #1).
+  */
+object WarehouseOps extends QueryModule {
+
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+
+  /** q139 — changelog compaction (latest state per key): the `MERGE
+    * latest-wins` materialization every CDC pipeline runs. One `max_by`
+    * aggregate keyed by user: Spark's partial aggregation compacts each
+    * map task's slice BEFORE the shuffle, so the exchange carries one row
+    * per (task, user) — at 100 TB this is the difference between shuffling
+    * the changelog (window/row_number formulation, full sort) and shuffling
+    * the state (aggregate formulation). Tie-break (us, event_id) is total,
+    * so the result is deterministic under any parallelism.
+    */
+  def changelogCompact(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("us"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("event_id"), col("event_type"), col("value"), col("us")),
+          struct(col("us"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"), col("last.value").as("last_value"),
+        col("last.us").as("last_us"), col("n_versions"))
+      .orderBy(col("user_id"))
+
+  /** q140 — SCD type-2 history: validity intervals of each user's `props.k`
+    * attribute. Change rows survive a lag() filter, then lead() closes each
+    * interval — two windows, identical (user_id, us, event_id) order, ONE
+    * hash exchange. The open interval (valid_to null) is the current row,
+    * exactly the dimension-table shape a warehouse MERGE maintains.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val attrs = eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("us"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+    attrs
+      .withColumn("prev", lag(col("item"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("item"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("version"), col("item"),
+        col("us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** q141 — DAU / WAU / MAU + stickiness per calendar day. The naive form
+    * re-scans events per day for a trailing `COUNT(DISTINCT)` (28 scans or
+    * a quadratic self-join); here events first dedupe to the (user, day)
+    * activity set — the only event-proportional work — and that set joins a
+    * BROADCAST day grid with a bounded 0..27-day expansion. The three
+    * distinct-counts share one aggregation (Catalyst expands ×3 over the
+    * already-reduced activity rows). At 1000 executors the activity set is
+    * user-partitioned and the grid is a replicated ≤|days| list: no
+    * shuffle grows with raw volume.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val grid = ud.select(col("day").as("grid_day")).distinct()
+    val off = datediff(col("grid_day"), col("day"))
+    ud.join(broadcast(grid), off.between(0, 27))
+      .groupBy(col("grid_day"))
+      .agg(
+        count_distinct(when(off === 0, col("user_id"))).as("dau"),
+        count_distinct(when(off <= 6, col("user_id"))).as("wau"),
+        count_distinct(col("user_id")).as("mau"))
+      .select(col("grid_day").as("day"), col("dau"), col("wau"), col("mau"),
+        (round(col("dau").cast("double") / col("mau"), 6) + lit(0.0)).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** q142 — power-user curve: distribution of active-day counts with the
+    * "users with ≥ n active days" cumulative share. Both windows run on the
+    * ≤|distinct active-day counts| histogram, never on users or events.
+    */
+  def powerUserCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+    val hist = perUser.groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+    val byDaysDesc = Window.orderBy(col("active_days").desc)
+    val all = byDaysDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("users_at_least", sum(col("n_users"))
+        .over(byDaysDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_users", sum(col("n_users")).over(all))
+      .select(col("active_days"), col("n_users"), col("users_at_least"),
+        (round(col("users_at_least").cast("double") / col("total_users"), 6) + lit(0.0))
+          .as("pct_at_least"))
+      .orderBy(col("active_days"))
+  }
+
+  /** q143 — PSI drift of the purchase-value distribution between the first
+    * and second half of the corpus (train/serve drift detection for a
+    * feature pipeline). Ten equal-width bins over exact integer cents with
+    * pure-integer bin assignment (`div`), Laplace-smoothed shares
+    * (n+1)/(N+10), per-bin PSI contribution and the running total via an
+    * ORDERED cumulative window (fixed fold order → bit-stable across
+    * engines). The only event-proportional work is the one purchase scan;
+    * bounds ride a broadcast single-row aggregate, and every window runs
+    * on the fixed 10-row bin table.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val bounds = p.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+      min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+    val binned = p.crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(datediff(col("day"), col("d0")) * 2 <= datediff(col("d1"), col("d0")), "A")
+          .otherwise("B"))
+      .withColumn("bin",
+        least(lit(9L), expr("(cents - cmin) * 10 div (cmax - cmin + 1)")).cast("int"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("period") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("period") === "B", 1L).otherwise(0L)).as("nb"))
+    val grid = spark.range(10).select(col("id").cast("int").as("bin"))
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(binned, Seq("bin"), "left_outer")
+      .na.fill(0L, Seq("na", "nb"))
+      .withColumn("ta", sum(col("na")).over(all))
+      .withColumn("tb", sum(col("nb")).over(all))
+      .withColumn("pa", (col("na") + 1).cast("double") / (col("ta") + 10))
+      .withColumn("pb", (col("nb") + 1).cast("double") / (col("tb") + 10))
+      .withColumn("contrib", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+      .select(col("bin"), col("na"), col("nb"),
+        (round(col("contrib"), 6) + lit(0.0)).as("psi_bin"),
+        (round(sum(col("contrib")).over(cum), 6) + lit(0.0)).as("psi_cum"))
+      .orderBy(col("bin"))
+  }
+
+  /** q144 — mean-shift change detection per event type: trailing 7-day mean
+    * vs the preceding 7-day mean over the daily-count series, standardized
+    * by the series' own stddev. CUSUM's recursive clamp isn't
+    * window-expressible (nor deterministic to fold distributed); the
+    * windowed two-sample shift is the non-recursive detector with the same
+    * alarm set for sustained level changes. Daily counts are the only
+    * event-proportional aggregate; the shift windows run per-type on
+    * ≤|days| rows, and the stddev comes from exact integer moments so both
+    * engines evaluate one identical double expression.
+    */
+  def changepointMeanShift(spark: SparkSession, dir: String, z: Double = 2.0): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("nd") >= 2)
+      .withColumn("sd", sqrt((col("scc") - col("sc").cast("double") * col("sc") / col("nd"))
+        / (col("nd") - 1)))
+      .select(col("event_type"), col("sd"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.join(broadcast(mom), "event_type")
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("s_after", sum(col("c")).over(byDay.rowsBetween(-6, 0)))
+      .withColumn("s_before", sum(col("c")).over(byDay.rowsBetween(-13, -7)))
+      .filter(col("rn") >= 14 && col("sd") > 0)
+      .withColumn("shift", (col("s_after") - col("s_before")).cast("double") / 7)
+      .withColumn("zscore", (round(col("shift") / col("sd"), 4) + lit(0.0)))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        col("s_after"), col("s_before"), col("zscore"),
+        (abs(col("zscore")) > z).as("is_shift"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q145 — seasonal baseline: the expected traffic profile per (event
+    * type, day-of-week, hour-of-day) cell with exact-integer mean/stddev
+    * over the observed hourly counts — the reference surface a seasonal
+    * anomaly detector (q131's calendar-aware sibling) scores against.
+    * Hour buckets use `unix_micros div 3600e6` (pure integer epoch math,
+    * identical in both engines); dow is days-since-epoch mod 7 (epoch day 0
+    * = Thursday = 4 in the ISO 1..7 convention used here), sidestepping the
+    * engines' incompatible dayofweek() numbering.
+    */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .select(col("event_type"), expr("us div 3600000000").as("hour_no"))
+      .groupBy(col("event_type"), col("hour_no"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", expr("(hour_no div 24 + 3) % 7 + 1"))
+      .withColumn("hod", expr("hour_no % 24"))
+    hourly.groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n_hours"),
+        (round(col("sc").cast("double") / col("n_hours"), 4) + lit(0.0)).as("mean_n"),
+        when(col("n_hours") >= 2,
+          round(sqrt((col("scc") - col("sc").cast("double") * col("sc") / col("n_hours"))
+            / (col("n_hours") - 1)), 4) + lit(0.0)).as("std_n"))
+      .orderBy(col("event_type"), col("dow"), col("hod"))
+  }
+
+  /** q146 — deterministic per-group k-sample (seeded "reservoir"): rank by
+    * the md5 content hash of the row key (the q68/q127 no-RNG convention)
+    * and keep the first k per event type — reproducible across engines,
+    * runs, and parallelism. The rank-≤-k filter compiles to Spark's
+    * WindowGroupLimit: each map task keeps only its local top-k BEFORE the
+    * exchange (plan-pinned), so the shuffle carries O(tasks × k) rows, not
+    * the corpus — the sort-based sibling of q139's max_by discipline.
+    */
+  def reservoirSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val rkey = md5(concat(col("event_id").cast("string"), lit(":rs")))
+    val w = Window.partitionBy(col("event_type")).orderBy(rkey, col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("user_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("event_type"), col("rk"), col("event_id"), col("user_id"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** q147 — triangle census of the item co-occurrence graph (q134's edge
+    * construction, support ≥ 5): the clustering signal behind community
+    * detection and graph-quality audits. Edges are canonically oriented
+    * (a < b), so each wedge join (e1.b = e2.a) enumerates every ordered
+    * wedge a<b<c exactly once and the closure membership join counts each
+    * triangle once — no post-hoc dedup. The closure side broadcasts (the
+    * support-filtered edge list is the graph's backbone, orders smaller
+    * than the wedge stream); at web scale the orientation flips to
+    * degree-ordering (lowest-degree vertex first), which bounds wedges by
+    * arboricity — same plan shape, different orientation key.
+    */
+  def graphTriangles(spark: SparkSession, dir: String, minUsers: Int = 5,
+                     topK: Int = 20): DataFrame = {
+    val ui = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val edges = ui.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minUsers)
+      .select(col("a"), col("b"))
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = wedges.join(
+      broadcast(edges.select(col("a").as("x"), col("b").as("z"))), Seq("x", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("item"))
+      .limit(topK)
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q139_changelog_compact" -> changelogCompact _,
+    "q140_scd2_history" -> scd2History _,
+    "q141_stickiness" -> stickiness _,
+    "q142_power_user_curve" -> powerUserCurve _,
+    "q143_psi_drift" -> psiDrift _,
+    "q144_changepoint_meanshift" -> ((s, d) => changepointMeanShift(s, d)),
+    "q145_seasonal_baseline" -> seasonalBaseline _,
+    "q146_reservoir_sample" -> ((s, d) => reservoirSample(s, d)),
+    "q147_graph_triangles" -> ((s, d) => graphTriangles(s, d))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the oracle takes the window/row_number formulation; the Spark side is
+    // the max_by aggregate (see scaladoc) — same rows, different plan class
+    "q139_changelog_compact" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY us DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM e)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       value AS last_value, us AS last_us, n_versions
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q140_scd2_history" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(props->>'k' AS INTEGER) AS item
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |ch AS (
+        |  SELECT *, lag(item) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) AS prev
+        |  FROM a),
+        |f AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> item)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |         ORDER BY us, event_id) AS INT) AS version,
+        |       item, us AS valid_from,
+        |       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+        |       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |         AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
+    "q141_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |grid AS (SELECT DISTINCT day AS grid_day FROM ud),
+        |j AS (
+        |  SELECT g.grid_day, ud.user_id, g.grid_day - ud.day AS off
+        |  FROM ud JOIN grid g ON g.grid_day - ud.day BETWEEN 0 AND 27)
+        |SELECT grid_day AS day,
+        |       count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+        |       count(DISTINCT CASE WHEN off <= 6 THEN user_id END) AS wau,
+        |       count(DISTINCT user_id) AS mau,
+        |       round(CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS DOUBLE)
+        |         / count(DISTINCT user_id), 6) + 0.0 AS stickiness
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q142_power_user_curve" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |pu AS (SELECT user_id, count(*) AS active_days FROM ud GROUP BY 1),
+        |h AS (SELECT active_days, count(*) AS n_users FROM pu GROUP BY 1)
+        |SELECT active_days, n_users,
+        |       sum(n_users) OVER (ORDER BY active_days DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS users_at_least,
+        |       round(CAST(sum(n_users) OVER (ORDER BY active_days DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / sum(n_users) OVER (), 6) + 0.0 AS pct_at_least
+        |FROM h ORDER BY active_days""".stripMargin,
+    "q143_psi_drift" ->
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1,
+        |             min(cents) AS cmin, max(cents) AS cmax FROM p),
+        |x AS (
+        |  SELECT CASE WHEN (p.day - b.d0) * 2 <= (b.d1 - b.d0)
+        |              THEN 'A' ELSE 'B' END AS period,
+        |         CAST(least(9, (p.cents - b.cmin) * 10 // (b.cmax - b.cmin + 1))
+        |           AS INTEGER) AS bin
+        |  FROM p CROSS JOIN b),
+        |c AS (
+        |  SELECT bin,
+        |         sum(CASE WHEN period = 'A' THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN period = 'B' THEN 1 ELSE 0 END) AS nb
+        |  FROM x GROUP BY 1),
+        |g AS (SELECT CAST(range AS INTEGER) AS bin FROM range(10)),
+        |f AS (
+        |  SELECT g.bin, coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb
+        |  FROM g LEFT JOIN c USING (bin)),
+        |s AS (
+        |  SELECT bin, na, nb,
+        |         CAST(na + 1 AS DOUBLE) / (sum(na) OVER () + 10) AS pa,
+        |         CAST(nb + 1 AS DOUBLE) / (sum(nb) OVER () + 10) AS pb
+        |  FROM f)
+        |SELECT bin, na, nb,
+        |       round((pa - pb) * ln(pa / pb), 6) + 0.0 AS psi_bin,
+        |       round(sum((pa - pb) * ln(pa / pb)) OVER (ORDER BY bin
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS psi_cum
+        |FROM s ORDER BY bin""".stripMargin,
+    "q144_changepoint_meanshift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT event_type,
+        |         sqrt((sum(c * c) - CAST(sum(c) AS DOUBLE) * sum(c) / count(*))
+        |           / (count(*) - 1)) AS sd
+        |  FROM daily GROUP BY 1 HAVING count(*) >= 2),
+        |w AS (
+        |  SELECT d.event_type, d.day, d.c, m.sd,
+        |         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn,
+        |         sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s_after,
+        |         sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |           ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS s_before
+        |  FROM daily d JOIN mom m USING (event_type))
+        |SELECT event_type, day, c AS n_events, s_after, s_before,
+        |       round(CAST(s_after - s_before AS DOUBLE) / 7 / sd, 4) + 0.0 AS zscore,
+        |       abs(round(CAST(s_after - s_before AS DOUBLE) / 7 / sd, 4) + 0.0) > 2.0
+        |         AS is_shift
+        |FROM w WHERE rn >= 14 AND sd > 0
+        |ORDER BY event_type, day""".stripMargin,
+    "q145_seasonal_baseline" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_no, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT event_type,
+        |         (hour_no // 24 + 3) % 7 + 1 AS dow,
+        |         hour_no % 24 AS hod,
+        |         count(*) AS n_hours, sum(c) AS sc, sum(c * c) AS scc
+        |  FROM hourly GROUP BY 1, 2, 3)
+        |SELECT event_type, dow, hod, n_hours,
+        |       round(CAST(sc AS DOUBLE) / n_hours, 4) + 0.0 AS mean_n,
+        |       CASE WHEN n_hours >= 2
+        |            THEN round(sqrt((scc - CAST(sc AS DOUBLE) * sc / n_hours)
+        |                   / (n_hours - 1)), 4) + 0.0 END AS std_n
+        |FROM cells ORDER BY event_type, dow, hod""".stripMargin,
+    "q146_reservoir_sample" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, user_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY md5(CAST(event_id AS VARCHAR) || ':rs'), event_id) AS rk
+        |  FROM events)
+        |SELECT event_type, CAST(rk AS INT) AS rk, event_id, user_id
+        |FROM r WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
+    // oracle enumerates wedges via the naive edge self-joins; the Spark
+    // side broadcasts the closure probe (see scaladoc)
+    "q147_graph_triangles" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |e AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (
+        |  SELECT x AS item FROM tri UNION ALL
+        |  SELECT y FROM tri UNION ALL
+        |  SELECT z FROM tri)
+        |SELECT item, count(*) AS n_tri FROM n GROUP BY 1
+        |ORDER BY n_tri DESC, item LIMIT 20""".stripMargin
+  )
+}

@@ -405,4 +405,53 @@ class PlanRegressionSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("q139: compaction is a two-phase aggregate — no window sort over the changelog") {
+    // The window/row_number formulation sorts the full changelog inside
+    // each user partition; the shipped max_by aggregate must keep the
+    // map-side partial (shuffle carries state, not changelog).
+    val p = plan("q139_changelog_compact")
+    assert(!p.contains("Window"), s"q139 regressed to the window form:\n$p")
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).size
+    assert(userExchanges == 1, s"q139 re-shuffles on user_id:\n$p")
+  }
+
+  test("q140: SCD2's two windows share one user_id exchange, no join") {
+    val p = plan("q140_scd2_history")
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).size
+    assert(userExchanges == 1, s"q140 re-shuffles on user_id:\n$p")
+    assert(!p.contains("Join"), s"q140 plans a join:\n$p")
+  }
+
+  test("q141: the day grid joins as a broadcast against the DEDUPED activity set") {
+    // The textbook per-day COUNT(DISTINCT) re-scan appears here as either
+    // a corpus-sized shuffle join or 28 scans; the shipped plan reads
+    // events once, dedupes, and range-joins a replicated ≤|days| grid.
+    val p = plan("q141_stickiness")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"q141 lost the grid broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q141 shuffles the grid join:\n$p")
+  }
+
+  test("q143/q144: drift + changepoint windows run on bin/moment aggregates") {
+    val p143 = plan("q143_psi_drift")
+    assert(!p143.contains("SortMergeJoin"), s"q143 shuffles the bounds join:\n$p143")
+    assert(p143.contains("BroadcastExchange"), s"q143 lost the bounds broadcast:\n$p143")
+    val p144 = plan("q144_changepoint_meanshift")
+    assert(p144.contains("BroadcastHashJoin"), s"q144 lost the moment broadcast:\n$p144")
+    assert(!p144.contains("SortMergeJoin"), p144)
+  }
+
+  test("q146: the rank-k filter compiles to WindowGroupLimit (per-task top-k before shuffle)") {
+    val p = plan("q146_reservoir_sample")
+    assert(p.contains("WindowGroupLimit"), s"q146 sorts whole groups:\n$p")
+  }
+
+  test("q147: the triangle closure probes a broadcast edge list, never a cartesian") {
+    val p = plan("q147_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q147 lost its equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q147 lost the closure broadcast:\n$p")
+  }
 }

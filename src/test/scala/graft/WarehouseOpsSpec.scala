@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the warehouse/ELT family (q139–q147) on planted
+  * event timelines — the semantics the oracle hash can't pin down: the
+  * compaction tie-break, SCD2 interval chaining, the 28-day MAU horizon,
+  * PSI bin edges, the mean-shift alarm, sample determinism under
+  * repartitioning, and exactly-once triangle counting.
+  */
+class WarehouseOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ns(sec: Long) = sec * 1000000000L
+  private def day(d: Long, sec: Long = 0) = ns(d * 86400 + sec)
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q139: latest state wins by (ts, event_id); every version counts") {
+    // u1: two versions, same-ts tie broken by event_id; u2: single row
+    val dir = writeEvents(Seq(
+      (1L, ns(10), 1L, "view", 1.0, "{}"),
+      (3L, ns(20), 1L, "click", 2.0, "{}"),
+      (2L, ns(20), 1L, "purchase", 3.0, "{}"), // same ts as event 3, lower id
+      (4L, ns(5), 2L, "signup", 9.0, "{}")))
+    val r = operators.WarehouseOps.changelogCompact(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2), x.getLong(5)))).toMap
+    assert(r(1L) == ((3L, "click", 3L))) // event 3 beats event 2 at the tie
+    assert(r(2L) == ((4L, "signup", 1L)))
+  }
+
+  test("q140: SCD2 opens a version only on change; intervals chain gaplessly") {
+    val dir = writeEvents(Seq(
+      (1L, ns(0), 1L, "view", 1.0, """{"k": 7}"""),
+      (2L, ns(10), 1L, "view", 1.0, """{"k": 7}"""),  // unchanged — no new version
+      (3L, ns(20), 1L, "view", 1.0, """{"k": 9}"""),  // change
+      (4L, ns(30), 1L, "view", 1.0, """{"k": 7}"""),  // change back — THIRD version
+      (5L, ns(0), 2L, "view", 1.0, "{}")))            // no attribute → absent
+    val r = operators.WarehouseOps.scd2History(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getInt(2), x.getLong(3), Option(x.get(4)).map(_.asInstanceOf[Long]), x.getBoolean(5))))
+      .toMap
+    assert(r.size == 3 && !r.keys.exists(_._1 == 2L))
+    assert(r((1L, 1)) == ((7, 0L, Some(20000000L), false)))
+    assert(r((1L, 2)) == ((9, 20000000L, Some(30000000L), false)))
+    assert(r((1L, 3)) == ((7, 30000000L, None, true)))
+  }
+
+  test("q141: MAU carries a user for 28 days; DAU only the active day") {
+    // u1 active day 0 only; u2 active day 10; grid days are 0, 10, 27, 28
+    val dir = writeEvents(Seq(
+      (1L, day(0), 1L, "view", 1.0, "{}"),
+      (2L, day(10), 2L, "view", 1.0, "{}"),
+      (3L, day(27), 3L, "view", 1.0, "{}"),
+      (4L, day(28), 4L, "view", 1.0, "{}")))
+    val r = operators.WarehouseOps.stickiness(spark, dir).collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("1970-01-01") == ((1L, 1L, 1L)))
+    assert(r("1970-01-11") == ((1L, 1L, 2L)))  // u1 still inside the 28-day horizon
+    assert(r("1970-01-28") == ((1L, 1L, 3L)))  // day 27: u1 at offset 27 still counts
+    assert(r("1970-01-29") == ((1L, 2L, 3L)))  // day 28: u1 aged out; u3 (off 1) in WAU
+  }
+
+  test("q143: bin edges — min lands in bin 0, max in bin 9, halves split by date") {
+    // period A: days 0..5 (boundary = d0 + (d1-d0)/2); period B: days 6..10
+    val dir = writeEvents(Seq(
+      (1L, day(0), 1L, "purchase", 0.00, "{}"),   // cmin → bin 0, period A
+      (2L, day(5), 1L, "purchase", 100.00, "{}"), // cmax → bin 9, period A
+      (3L, day(6), 1L, "purchase", 100.00, "{}"), // cmax → bin 9, period B
+      (4L, day(10), 1L, "purchase", 50.00, "{}"))) // mid → bin 4, period B
+    val r = operators.WarehouseOps.psiDrift(spark, dir).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.size == 10)
+    assert(r(0) == ((1L, 0L)) && r(9) == ((1L, 1L)) && r(4) == ((0L, 1L)))
+    assert((0 to 9).map(b => r(b)._1 + r(b)._2).sum == 4L)
+  }
+
+  test("q144: a sustained level shift alarms; flat series stays quiet") {
+    // 'shift': 21 days at 2/day then 7 days at 30/day. (A 50/50 split would
+    // NOT alarm: the shift itself inflates the full-series sd so z tops out
+    // at ~1.96 for any magnitude — the detector is tuned for shifts shorter
+    // than half the history, which is what a changepoint is.) 'flat':
+    // constant 5/day — zero variance, excluded by the sd > 0 guard.
+    val rows = (0 until 28).flatMap { d =>
+      val n = if (d < 21) 2 else 30
+      (0 until n).map(i => (d.toLong * 1000 + i, day(d, i * 60), 1L, "shift", 1.0, "{}"))
+    } ++ (0 until 28).flatMap { d =>
+      (0 until 5).map(i => (100000L + d * 1000 + i, day(d, i * 60), 2L, "flat", 1.0, "{}"))
+    }
+    val dir = writeEvents(rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)))
+    val r = operators.WarehouseOps.changepointMeanShift(spark, dir).collect()
+    val shifts = r.filter(x => x.getString(0) == "shift" && x.getBoolean(6))
+    assert(shifts.nonEmpty, "planted level shift not flagged")
+    assert(!r.exists(_.getString(0) == "flat"), "flat series should be sd-filtered")
+    // the strongest alarm is where the trailing window is all-after and
+    // the preceding window all-before: day 20 (rows 15..21 vs 8..14)
+    val strongest = r.filter(_.getString(0) == "shift").maxBy(x => math.abs(x.getDouble(5)))
+    assert(strongest.getLong(3) == 7L * 30 && strongest.getLong(4) == 7L * 2)
+  }
+
+  test("q145: hour cells aggregate by (dow, hod) with exact mean; dow matches Thursday epoch") {
+    // two Thursdays (day 0 and day 7) at hour 3 with 2 and 4 events → mean 3
+    val rows = (0 until 2).map(i => (1L + i, day(0, 3 * 3600 + i), 1L, "view", 1.0, "{}")) ++
+      (0 until 4).map(i => (10L + i, day(7, 3 * 3600 + i), 1L, "view", 1.0, "{}"))
+    val dir = writeEvents(rows)
+    val r = operators.WarehouseOps.seasonalBaseline(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 4L && row.getLong(2) == 3L) // dow=4 (Thu), hod=3
+    assert(row.getLong(3) == 2L && row.getDouble(4) == 3.0)
+  }
+
+  test("q146: sample is identical under different input partitioning") {
+    val rows = (1L to 500L).map(i =>
+      (i, ns(i), i % 50, if (i % 3 == 0) "view" else "click", 1.0, "{}"))
+    val dir = writeEvents(rows)
+    val a = operators.WarehouseOps.reservoirSample(spark, dir).collect().toSeq
+    val b = {
+      // same data, different physical layout: 7-way repartition rewrite
+      import spark.implicits._
+      val d2 = java.nio.file.Files.createTempDirectory("graft-wh2").toString
+      spark.read.parquet(s"$dir/events.parquet").repartition(7)
+        .write.mode("overwrite").parquet(s"$d2/events.parquet")
+      operators.WarehouseOps.reservoirSample(spark, d2).collect().toSeq
+    }
+    assert(a == b, "reservoir sample depends on physical layout")
+    assert(a.count(_.getString(0) == "view") == 10 &&
+      a.count(_.getString(0) == "click") == 10)
+  }
+
+  test("q147: planted triangle counts once per node; dangling edge adds none") {
+    // items 1-2-3 pairwise co-touched by ≥5 users (triangle); item 4 shares
+    // an edge with 1 only (dangling). Each user u touches a clique subset.
+    def touch(u: Long, items: Seq[Int], base: Long): Seq[(Long, Long, Long, String, Double, String)] =
+      items.zipWithIndex.map { case (k, i) =>
+        (base + i, ns(base + i), u, "view", 1.0, s"""{"k": $k}""")
+      }
+    val rows = (1 to 6).flatMap(u => touch(u.toLong, Seq(1, 2, 3), u * 100L)) ++
+      (7 to 12).flatMap(u => touch(u.toLong, Seq(1, 4), u * 100L))
+    val dir = writeEvents(rows)
+    val r = operators.WarehouseOps.graphTriangles(spark, dir).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), s"unexpected census: $r")
+  }
+}
