@@ -259,13 +259,15 @@ object WarehouseOps extends QueryModule {
     * degree-ordering (lowest-degree vertex first), which bounds wedges by
     * arboricity — same plan shape, different orientation key.
     */
-  def graphTriangles(spark: SparkSession, dir: String, minUsers: Int = 5,
-                     topK: Int = 20): DataFrame = {
+  /** Canonically-oriented (a < b) co-occurrence edges with support ≥
+    * `minUsers` — q134's per-row pair generation (no item self-join),
+    * shared by the triangle census (q147) and the k-hop BFS (q148). */
+  private def coEdges(spark: SparkSession, dir: String, minUsers: Int): DataFrame = {
     val ui = Tables(spark, dir, "events")
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("int").as("item"))
       .filter(col("item").isNotNull).distinct()
-    val edges = ui.groupBy(col("user_id"))
+    ui.groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("item"))).as("items"))
       .select(explode(expr(
         "flatten(transform(items, (x, i) -> transform(slice(items, i + 2, size(items)), " +
@@ -274,6 +276,13 @@ object WarehouseOps extends QueryModule {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minUsers)
       .select(col("a"), col("b"))
+  }
+
+  def graphTriangles(spark: SparkSession, dir: String, minUsers: Int = 5,
+                     topK: Int = 20): DataFrame = {
+    // three plan references (both wedge sides + the closure probe): cache
+    // the support-filtered backbone instead of re-deriving pairs 3x
+    val edges = coEdges(spark, dir, minUsers).persist()
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
@@ -285,6 +294,123 @@ object WarehouseOps extends QueryModule {
       .limit(topK)
   }
 
+  /** q148 — k-hop BFS distances over the co-occurrence graph from its
+    * highest-degree node (tie-break: smallest item): the "everything within
+    * N hops of X" reachability query behind related-item expansion and
+    * blast-radius analysis. Spark has no recursive CTE; the Spark-first
+    * form is the textbook iterative frontier expansion — `maxHops` rounds
+    * of (frontier ⋈ edges) \ visited, each round one equi-join of the
+    * CURRENT FRONTIER (not the whole graph) against the cached edge list.
+    * Per-round work is |frontier| × avg-degree — the distributed BFS shape
+    * Pregel systems run; hop count is a query constant, so the unrolled
+    * plan is bounded. The persisted edge/visited sets are per-run only
+    * (Verify clears the cache after every query).
+    */
+  def graphKhop(spark: SparkSession, dir: String, minUsers: Int = 5,
+                maxHops: Int = 4): DataFrame = {
+    // cache the backbone (the union below references it twice) AND the
+    // undirected view (one reference per hop plus the seed aggregate)
+    val edges = coEdges(spark, dir, minUsers).persist()
+    val und = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    val seed = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("a")).limit(1)
+      .select(col("a").as("item"), lit(0).as("dist"))
+    // localCheckpoint (the q77 iterative-loop discipline) truncates each
+    // level's lineage: without it every level re-plans the whole chain and
+    // the loop cost is planning, not data
+    var dist = seed.localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      // frontier and visited-set are ≤|nodes| — broadcast both so the
+      // cached edge list streams map-side and never re-shuffles per hop
+      val next = broadcast(dist.filter(col("dist") === h - 1))
+        .join(und, col("item") === col("a"))
+        .select(col("b").as("item")).distinct()
+        .join(broadcast(dist.select(col("item"))), Seq("item"), "left_anti")
+        .withColumn("dist", lit(h))
+      dist = dist.union(next).localCheckpoint(true)
+    }
+    dist.orderBy(col("dist"), col("item"))
+  }
+
+  /** q149 — seasonal-naive forecast backtest: predict each (type, day)
+    * count by the SAME WEEKDAY one week earlier, score with WMAPE
+    * (Σ|err| / Σactual) and RMSE. WMAPE instead of per-day MAPE is
+    * deliberate twice over: it's the industry norm for intermittent
+    * series, and it makes the metric a ratio of two INTEGER sums — no
+    * unordered floating-point accumulation for the oracle hash to trip
+    * on. The calendar join (day = day−7) runs on the daily aggregate with
+    * the week-back side broadcast.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val pred = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("c").as("pred"))
+    daily.join(broadcast(pred), Seq("event_type", "day"))
+      .withColumn("abs_err", abs(col("c") - col("pred")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("abs_err")).as("sum_abs_err"),
+        sum(col("c")).as("sum_actual"),
+        sum(col("abs_err") * col("abs_err")).as("ssq"))
+      .select(col("event_type"), col("n_days"), col("sum_abs_err"), col("sum_actual"),
+        (round(col("sum_abs_err").cast("double") / col("sum_actual"), 6) + lit(0.0))
+          .as("wmape"),
+        (round(sqrt(col("ssq").cast("double") / col("n_days")), 4) + lit(0.0)).as("rmse"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q150 — declarative data-quality constraint suite (the Deequ/
+    * great-expectations pattern): uniqueness, completeness, domain,
+    * range, and cross-table referential integrity, evaluated engine-side
+    * and emitted as one (check, table, violations, ratio, passed) report.
+    * All four events checks share ONE scan (conditional aggregation);
+    * the two TPC-H checks are a scan-aggregate and a broadcast anti-join
+    * count — nothing materializes row-level violations, so the report
+    * costs one pass per table at any scale.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val eventChecks = e.agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("event_id")).as("n_ids"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+        sum(when(col("event_type").isin("view", "click", "purchase", "signup"), 0L)
+          .otherwise(1L)).as("bad_type"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"))
+      .select(explode(array(
+        struct(lit("event_id_unique").as("check"), lit("events").as("table"),
+          (col("n") - col("n_ids")).as("violations"), col("n").as("n_rows")),
+        struct(lit("user_id_complete").as("check"), lit("events").as("table"),
+          col("null_user").as("violations"), col("n").as("n_rows")),
+        struct(lit("event_type_domain").as("check"), lit("events").as("table"),
+          col("bad_type").as("violations"), col("n").as("n_rows")),
+        struct(lit("value_non_negative").as("check"), lit("events").as("table"),
+          col("neg_value").as("violations"), col("n").as("n_rows")))).as("r"))
+      .select(col("r.*"))
+    val li = Tables(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("v"))
+      .select(lit("quantity_in_1_50").as("check"), lit("lineitem").as("table"),
+        col("v").as("violations"), col("n").as("n_rows"))
+    val orders = Tables(spark, dir, "orders")
+    val orphans = orders.join(
+        broadcast(Tables(spark, dir, "customer").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(broadcast(orders.agg(count(lit(1)).as("n"))))
+      .select(lit("custkey_refs_customer").as("check"), lit("orders").as("table"),
+        col("v").as("violations"), col("n").as("n_rows"))
+    eventChecks.unionAll(li).unionAll(orphans)
+      .select(col("check"), col("table"), col("violations"), col("n_rows"),
+        (round(lit(1.0) - col("violations").cast("double") / col("n_rows"), 6) + lit(0.0))
+          .as("pass_ratio"),
+        (col("violations") === 0).as("passed"))
+      .orderBy(col("table"), col("check"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q139_changelog_compact" -> changelogCompact _,
     "q140_scd2_history" -> scd2History _,
@@ -294,7 +420,10 @@ object WarehouseOps extends QueryModule {
     "q144_changepoint_meanshift" -> ((s, d) => changepointMeanShift(s, d)),
     "q145_seasonal_baseline" -> seasonalBaseline _,
     "q146_reservoir_sample" -> ((s, d) => reservoirSample(s, d)),
-    "q147_graph_triangles" -> ((s, d) => graphTriangles(s, d))
+    "q147_graph_triangles" -> ((s, d) => graphTriangles(s, d)),
+    "q148_graph_khop" -> ((s, d) => graphKhop(s, d)),
+    "q149_forecast_backtest" -> forecastBacktest _,
+    "q150_dq_checks" -> dqChecks _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -452,6 +581,68 @@ object WarehouseOps extends QueryModule {
         |  SELECT y FROM tri UNION ALL
         |  SELECT z FROM tri)
         |SELECT item, count(*) AS n_tri FROM n GROUP BY 1
-        |ORDER BY n_tri DESC, item LIMIT 20""".stripMargin
+        |ORDER BY n_tri DESC, item LIMIT 20""".stripMargin,
+    // the oracle explores ALL ≤4-hop paths recursively and takes min(dist);
+    // the Spark side is frontier BFS, which computes min-dist directly
+    "q148_graph_khop" ->
+      """WITH RECURSIVE ui AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |e AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |seed AS (SELECT a AS item FROM und GROUP BY 1
+        |         ORDER BY count(*) DESC, a LIMIT 1),
+        |bfs(item, dist) AS (
+        |  SELECT item, 0 FROM seed
+        |  UNION ALL
+        |  SELECT u.b, bfs.dist + 1 FROM bfs JOIN und u ON u.a = bfs.item
+        |  WHERE bfs.dist < 4)
+        |SELECT item, CAST(min(dist) AS INT) AS dist
+        |FROM bfs GROUP BY 1 ORDER BY dist, item""".stripMargin,
+    "q149_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type, d.c, abs(d.c - p.c) AS abs_err
+        |  FROM daily d JOIN daily p
+        |    ON p.event_type = d.event_type AND p.day = d.day - 7)
+        |SELECT event_type, count(*) AS n_days, sum(abs_err) AS sum_abs_err,
+        |       sum(c) AS sum_actual,
+        |       round(CAST(sum(abs_err) AS DOUBLE) / sum(c), 6) + 0.0 AS wmape,
+        |       round(sqrt(CAST(sum(abs_err * abs_err) AS DOUBLE) / count(*)), 4)
+        |         + 0.0 AS rmse
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q150_dq_checks" ->
+      """WITH e AS (
+        |  SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
+        |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+        |         sum(CASE WHEN event_type IN ('view','click','purchase','signup')
+        |                  THEN 0 ELSE 1 END) AS bad_type,
+        |         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS neg_value
+        |  FROM events),
+        |checks AS (
+        |  SELECT 'event_id_unique' AS "check", 'events' AS "table",
+        |         CAST(n - n_ids AS BIGINT) AS violations, n AS n_rows FROM e
+        |  UNION ALL SELECT 'user_id_complete', 'events',
+        |    CAST(null_user AS BIGINT), n FROM e
+        |  UNION ALL SELECT 'event_type_domain', 'events',
+        |    CAST(bad_type AS BIGINT), n FROM e
+        |  UNION ALL SELECT 'value_non_negative', 'events',
+        |    CAST(neg_value AS BIGINT), n FROM e
+        |  UNION ALL SELECT 'quantity_in_1_50', 'lineitem',
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |             THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
+        |  UNION ALL SELECT 'custkey_refs_customer', 'orders',
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT count(*) FROM orders))
+        |SELECT "check", "table", violations, n_rows,
+        |       round(1.0 - CAST(violations AS DOUBLE) / n_rows, 6) + 0.0 AS pass_ratio,
+        |       violations = 0 AS passed
+        |FROM checks ORDER BY "table", "check"""".stripMargin
   )
 }

@@ -448,6 +448,27 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"q146 sorts whole groups:\n$p")
   }
 
+  test("q148: BFS levels are lineage-truncated (q77's iterative-loop discipline)") {
+    // Each hop ends in an eager localCheckpoint, so the FINAL plan must be
+    // a scan of the checkpointed RDD + sort — a deep union/join chain here
+    // means the truncation was dropped and loop cost reverts to re-planning
+    // the whole history every level (measured 3x slower at sf0.1).
+    val p = plan("q148_graph_khop")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"q148 lost its checkpoint truncation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q148's final plan should be scan+sort only:\n$p")
+  }
+
+  test("q149/q150: backtest and DQ joins broadcast their aggregate/dimension sides") {
+    val p149 = plan("q149_forecast_backtest")
+    assert(p149.contains("BroadcastHashJoin"), s"q149 lost the week-back broadcast:\n$p149")
+    assert(!p149.contains("SortMergeJoin"), p149)
+    val p150 = plan("q150_dq_checks")
+    assert(p150.contains("BroadcastHashJoin"), s"q150 lost the RI broadcast anti-join:\n$p150")
+    assert(!p150.contains("SortMergeJoin"), p150)
+  }
+
   test("q147: the triangle closure probes a broadcast edge list, never a cartesian") {
     val p = plan("q147_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

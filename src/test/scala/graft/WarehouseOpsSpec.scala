@@ -134,6 +134,65 @@ class WarehouseOpsSpec extends AnyFunSuite {
       a.count(_.getString(0) == "click") == 10)
   }
 
+  test("q148: BFS distances from the hub; hop bound excludes the far tail") {
+    // path graph 1—2—3—4—5—6—7 plus extra edges at node 2 making it the
+    // hub (degree 3): 2—8. Seed = 2; dist(7) = 5 > 4 hops → absent.
+    def touch(u: Long, items: Seq[Int], base: Long) =
+      items.zipWithIndex.map { case (k, i) =>
+        (base + i, ns(base + i), u, "view", 1.0, s"""{"k": $k}""")
+      }
+    val pathEdges = Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4), Seq(4, 5), Seq(5, 6),
+      Seq(6, 7), Seq(2, 8))
+    val rows = pathEdges.zipWithIndex.flatMap { case (pair, ei) =>
+      (1 to 5).flatMap(u => touch(ei * 10L + u, pair, (ei * 10L + u) * 1000))
+    }
+    val dir = writeEvents(rows)
+    val r = operators.WarehouseOps.graphKhop(spark, dir).collect()
+      .map(x => x.getInt(0) -> x.getInt(1)).toMap
+    assert(r == Map(2 -> 0, 1 -> 1, 3 -> 1, 8 -> 1, 4 -> 2, 5 -> 3, 6 -> 4),
+      s"unexpected BFS frontier: $r")
+  }
+
+  test("q149: perfect weekly seasonality scores wmape 0; a broken week scores > 0") {
+    // 'steady': identical counts every same-weekday → wmape 0.
+    // 'spiky': week 2 doubles → wmape > 0.
+    val rows = (0 until 21).flatMap { d =>
+      (0 until 3).map(i => (d.toLong * 100 + i, day(d, i * 60), 1L, "steady", 1.0, "{}"))
+    } ++ (0 until 21).flatMap { d =>
+      val n = if (d < 7) 2 else if (d < 14) 4 else 2
+      (0 until n).map(i => (10000L + d * 100 + i, day(d, i * 60), 2L, "spiky", 1.0, "{}"))
+    }
+    val dir = writeEvents(rows)
+    val r = operators.WarehouseOps.forecastBacktest(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(4)))).toMap
+    assert(r("steady") == ((14L, 0.0)))
+    assert(r("spiky")._1 == 14L && r("spiky")._2 > 0.0)
+  }
+
+  test("q150: planted violations fail exactly their checks") {
+    import spark.implicits._
+    val dir = writeEvents(Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (1L, ns(1), 2L, "click", 2.0, "{}"),     // duplicate event_id
+      (3L, ns(2), 3L, "teleport", 3.0, "{}"),  // outside the type domain
+      (4L, ns(3), 4L, "purchase", -5.0, "{}"))) // negative value
+    Seq((1.0, 1L)).toDF("l_quantity", "l_orderkey")
+      .union(Seq((99.0, 2L)).toDF("l_quantity", "l_orderkey")) // out of range
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, 100L), (11L, 999L)).toDF("o_orderkey", "o_custkey") // 999 is orphan
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(100L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = operators.WarehouseOps.dqChecks(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(2), x.getBoolean(5)))).toMap
+    assert(r("event_id_unique") == ((1L, false)))
+    assert(r("user_id_complete") == ((0L, true)))
+    assert(r("event_type_domain") == ((1L, false)))
+    assert(r("value_non_negative") == ((1L, false)))
+    assert(r("quantity_in_1_50") == ((1L, false)))
+    assert(r("custkey_refs_customer") == ((1L, false)))
+  }
+
   test("q147: planted triangle counts once per node; dangling edge adds none") {
     // items 1-2-3 pairwise co-touched by ≥5 users (triangle); item 4 shares
     // an edge with 1 only (dangling). Each user u touches a clique subset.
