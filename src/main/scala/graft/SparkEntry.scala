@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Multimodal,
     operators.Pipeline,
     operators.ProductAnalytics,
-    operators.WarehouseOps
+    operators.WarehouseOps,
+    operators.Experiments
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Experimentation / causal-readout operators (SURVEY.md §2.5 [ext]) —
+  * the statistical layer a growth team runs on top of the q121–q138
+  * product-analytics family: resampled uncertainty for the A/B readout and
+  * position-based multi-touch credit.
+  *
+  * Scale discipline: q151 is the POISSON bootstrap (Chamandy et al.,
+  * "Estimating Uncertainty for Massive Data Streams", Google 2012) — the
+  * resampling scheme built for data that cannot be materialized B times:
+  * each row draws its per-replicate multiplicity from a hash (one pass,
+  * map-side combinable, B×|arms| running sums), instead of the textbook
+  * bootstrap's B shuffled copies. q154's credit windows ride the family's
+  * single user_id exchange like q126.
+  */
+object Experiments extends QueryModule {
+
+  /** Cumulative Poisson(1) CDF thresholds, spelled as identical literals in
+    * both engines (runtime exp() would differ in the last ulp). */
+  private val poissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** q151 — A/B uncertainty via the Poisson bootstrap: B=100 replicates,
+    * each row's replicate-b multiplicity drawn from Poisson(1) through the
+    * md5 content hash (no RNG — reproducible across engines, runs, and
+    * partitionings). Per (arm, replicate) the weighted sums stay INTEGER
+    * (weights × cents), so every replicate mean is one exact division and
+    * the replicate diffs are bit-identical across engines. The CI is
+    * ORDER-STATISTIC (3rd / 98th of 100 sorted diffs — percentile_disc,
+    * not interpolation), sidestepping cross-engine interpolation
+    * arithmetic. One scan → 100× row expansion of the purchase slice →
+    * 200-group aggregate; nothing is ever materialized B times.
+    */
+  def abBootstrap(spark: SparkSession, dir: String, reps: Int = 100): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val armOf = when(
+      conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 15), 16, 10)
+        .cast("long") % 2 === 0, lit("A")).otherwise(lit("B"))
+    val p = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), cents.as("cents"))
+      .withColumn("arm", armOf)
+    val u = conv(substring(md5(concat(col("event_id").cast("string"), lit(":bs"),
+      col("b").cast("string"))), 1, 15), 16, 10).cast("long").cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val w = poissonCdf.zipWithIndex.foldRight(lit(poissonCdf.length): org.apache.spark.sql.Column) {
+      case ((t, k), rest) => when(col("u") < t, k).otherwise(rest)
+    }
+    val perRep = p
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("u", u)
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("arm") === "A", col("w")).otherwise(0L)).as("wa"),
+        sum(when(col("arm") === "A", col("w") * col("cents")).otherwise(0L)).as("wca"),
+        sum(when(col("arm") === "B", col("w")).otherwise(0L)).as("wb"),
+        sum(when(col("arm") === "B", col("w") * col("cents")).otherwise(0L)).as("wcb"))
+      .withColumn("diff", col("wca").cast("double") / col("wa") / 100
+        - col("wcb").cast("double") / col("wb") / 100)
+    val byDiff = Window.orderBy(col("diff"), col("b"))
+    val ci = perRep.withColumn("rn", row_number().over(byDiff))
+      .agg(min(when(col("rn") === 3, col("diff"))).as("ci_lo_raw"),
+        min(when(col("rn") === 98, col("diff"))).as("ci_hi_raw"),
+        count(lit(1)).as("n_reps"))
+    val obs = p.agg(
+        sum(when(col("arm") === "A", col("cents")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === "B", col("cents")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+      .select((col("sa").cast("double") / col("na") / 100
+        - col("sb").cast("double") / col("nb") / 100).as("diff_obs_raw"))
+    obs.crossJoin(broadcast(ci))
+      .select(col("n_reps"),
+        (round(col("diff_obs_raw"), 6) + lit(0.0)).as("diff_obs"),
+        (round(col("ci_lo_raw"), 6) + lit(0.0)).as("ci_lo"),
+        (round(col("ci_hi_raw"), 6) + lit(0.0)).as("ci_hi"),
+        (col("ci_lo_raw") > 0 || col("ci_hi_raw") < 0).as("significant"))
+  }
+
+  /** q154 — position-based (U-shaped) multi-touch attribution: each
+    * purchase credits 40% to the FIRST and 40% to the LAST qualifying
+    * touch in the 1-day lookback and 20% to the middle pool (100% to a
+    * sole touch, 50/50 with exactly two, `direct` when none) — q126's
+    * last-touch generalized to
+    * the industry-standard position model. The first/last picks are
+    * struct-min/max over a RANGE frame ending strictly before the
+    * purchase (one user_id exchange, no as-of self-join); credit is
+    * accumulated in integer cents×10 so cross-engine sums are exact.
+    */
+  def attributionPosition(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-dayUs, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    val touched = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("first_t",
+        min(when(isTouch, struct(col("us"), col("event_id"), col("event_type")))).over(w))
+      .withColumn("last_t",
+        max(when(isTouch, struct(col("us"), col("event_id"), col("event_type")))).over(w))
+      .withColumn("n_t", count(when(isTouch, lit(1))).over(w))
+      .filter(col("event_type") === "purchase")
+    // credit rows: (bucket, cents*credit*10) — integers end to end.
+    // 0 touches: direct 100%; 1: sole touch 100%; 2: first/last 50/50;
+    // ≥3: first 40, last 40, middle pool 20 (the U shape)
+    val credits = touched.select(explode(array(
+        struct(
+          when(col("n_t") === 0, lit("direct"))
+            .otherwise(col("first_t.event_type")).as("bucket"),
+          when(col("n_t") <= 1, col("cents") * 10)
+            .when(col("n_t") === 2, col("cents") * 5)
+            .otherwise(col("cents") * 4).as("dcents")),
+        struct(when(col("n_t") >= 2, col("last_t.event_type")).as("bucket"),
+          when(col("n_t") === 2, col("cents") * 5)
+            .otherwise(col("cents") * 4).as("dcents")),
+        struct(when(col("n_t") >= 3, lit("middle")).as("bucket"),
+          (col("cents") * 2).as("dcents")))).as("c"))
+      .select(col("c.bucket").as("bucket"), col("c.dcents").as("dcents"))
+      .filter(col("bucket").isNotNull)
+    credits.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("dcents")).as("sum_dcents"))
+      .select(col("bucket"), col("n_credits"),
+        round(col("sum_dcents").cast("double") / 1000, 2).as("credited_value"))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q151_ab_bootstrap" -> ((s, d) => abBootstrap(s, d)),
+    "q154_attribution_position" -> attributionPosition _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q151_ab_bootstrap" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)
+        |                   AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |x AS (
+        |  SELECT p.*, CAST(r.range AS INTEGER) AS b,
+        |         CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':bs'
+        |           || CAST(r.range AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+        |           / 1152921504606846976.0 AS u
+        |  FROM p CROSS JOIN range(100) r),
+        |wgt AS (
+        |  SELECT *, CAST(CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238462 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    WHEN u < 0.9999167588507119 THEN 6
+        |    ELSE 7 END AS BIGINT) AS w
+        |  FROM x),
+        |reps AS (
+        |  SELECT b,
+        |         CAST(sum(CASE WHEN arm = 'A' THEN w ELSE 0 END) AS BIGINT) AS wa,
+        |         CAST(sum(CASE WHEN arm = 'A' THEN w * cents ELSE 0 END) AS BIGINT) AS wca,
+        |         CAST(sum(CASE WHEN arm = 'B' THEN w ELSE 0 END) AS BIGINT) AS wb,
+        |         CAST(sum(CASE WHEN arm = 'B' THEN w * cents ELSE 0 END) AS BIGINT) AS wcb
+        |  FROM wgt GROUP BY 1),
+        |diffs AS (
+        |  SELECT b, CAST(wca AS DOUBLE) / wa / 100
+        |            - CAST(wcb AS DOUBLE) / wb / 100 AS diff
+        |  FROM reps),
+        |ranked AS (
+        |  SELECT diff, row_number() OVER (ORDER BY diff, b) AS rn FROM diffs),
+        |ci AS (
+        |  SELECT min(CASE WHEN rn = 3 THEN diff END) AS ci_lo_raw,
+        |         min(CASE WHEN rn = 98 THEN diff END) AS ci_hi_raw,
+        |         count(*) AS n_reps
+        |  FROM ranked),
+        |obs AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS DOUBLE)
+        |           / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) / 100
+        |       - CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS DOUBLE)
+        |           / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) / 100 AS diff_obs_raw
+        |  FROM p)
+        |SELECT n_reps,
+        |       round(diff_obs_raw, 6) + 0.0 AS diff_obs,
+        |       round(ci_lo_raw, 6) + 0.0 AS ci_lo,
+        |       round(ci_hi_raw, 6) + 0.0 AS ci_hi,
+        |       ci_lo_raw > 0 OR ci_hi_raw < 0 AS significant
+        |FROM obs CROSS JOIN ci""".stripMargin,
+    // the oracle picks first/last via correlated min-subqueries; the Spark
+    // side is struct-min/max over one RANGE-framed window (see scaladoc)
+    "q154_attribution_position" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (
+        |  SELECT e.*,
+        |    (SELECT t.event_type FROM e t
+        |     WHERE t.user_id = e.user_id AND t.event_type IN ('view', 'click')
+        |       AND t.us BETWEEN e.us - 86400000000 AND e.us - 1
+        |     ORDER BY t.us, t.event_id LIMIT 1) AS first_type,
+        |    (SELECT t.event_type FROM e t
+        |     WHERE t.user_id = e.user_id AND t.event_type IN ('view', 'click')
+        |       AND t.us BETWEEN e.us - 86400000000 AND e.us - 1
+        |     ORDER BY t.us DESC, t.event_id DESC LIMIT 1) AS last_type,
+        |    (SELECT count(*) FROM e t
+        |     WHERE t.user_id = e.user_id AND t.event_type IN ('view', 'click')
+        |       AND t.us BETWEEN e.us - 86400000000 AND e.us - 1) AS n_t
+        |  FROM e WHERE e.event_type = 'purchase'),
+        |credits AS (
+        |  SELECT CASE WHEN n_t = 0 THEN 'direct' ELSE first_type END AS bucket,
+        |         CASE WHEN n_t <= 1 THEN cents * 10
+        |              WHEN n_t = 2 THEN cents * 5 ELSE cents * 4 END AS dcents
+        |  FROM p
+        |  UNION ALL
+        |  SELECT last_type, CASE WHEN n_t = 2 THEN cents * 5 ELSE cents * 4 END
+        |  FROM p WHERE n_t >= 2
+        |  UNION ALL
+        |  SELECT 'middle', cents * 2 FROM p WHERE n_t >= 3)
+        |SELECT bucket, count(*) AS n_credits,
+        |       round(CAST(sum(dcents) AS DOUBLE) / 1000, 2) AS credited_value
+        |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -262,12 +262,18 @@ object WarehouseOps extends QueryModule {
   /** Canonically-oriented (a < b) co-occurrence edges with support ≥
     * `minUsers` — q134's per-row pair generation (no item self-join),
     * shared by the triangle census (q147) and the k-hop BFS (q148). */
-  private def coEdges(spark: SparkSession, dir: String, minUsers: Int): DataFrame = {
-    val ui = Tables(spark, dir, "events")
+  /** Distinct (user, item) touches — the base relation of the graph and
+    * rule queries. */
+  private def userItems(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("int").as("item"))
       .filter(col("item").isNotNull).distinct()
-    ui.groupBy(col("user_id"))
+
+  /** Canonically-oriented (a < b) co-occurrence pairs with their distinct-
+    * user support count, from per-row pair generation (no item self-join). */
+  private def coEdgesCounted(spark: SparkSession, dir: String, minUsers: Int): DataFrame =
+    userItems(spark, dir).groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("item"))).as("items"))
       .select(explode(expr(
         "flatten(transform(items, (x, i) -> transform(slice(items, i + 2, size(items)), " +
@@ -275,8 +281,9 @@ object WarehouseOps extends QueryModule {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minUsers)
-      .select(col("a"), col("b"))
-  }
+
+  private def coEdges(spark: SparkSession, dir: String, minUsers: Int): DataFrame =
+    coEdgesCounted(spark, dir, minUsers).select(col("a"), col("b"))
 
   def graphTriangles(spark: SparkSession, dir: String, minUsers: Int = 5,
                      topK: Int = 20): DataFrame = {
@@ -411,7 +418,72 @@ object WarehouseOps extends QueryModule {
       .orderBy(col("table"), col("check"))
   }
 
+  /** q152 — association rules (support / confidence / lift) over the
+    * co-occurrence pairs: each undirected pair with support ≥ `minUsers`
+    * yields both directed rules i→j and j→i, scored with
+    * confidence = c_ij/c_i and lift = confidence / (c_j/N). Same no-self-
+    * join pair generation as q134; the per-item counts and the scalar N
+    * ride as broadcasts; ratios are integer-derived so the oracle hash is
+    * exact. The classic Agrawal–Srikant output on the one-pass distributed
+    * shape (pair counts, not candidate generation — itemsets of size 2,
+    * which is what recommenders actually deploy).
+    */
+  def assocRules(spark: SparkSession, dir: String, minUsers: Int = 5,
+                 topK: Int = 40): DataFrame = {
+    val ui = userItems(spark, dir)
+    val itemUsers = ui.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val nUsers = ui.select(col("user_id")).distinct().agg(count(lit(1)).as("n"))
+    val pairs = coEdgesCounted(spark, dir, minUsers)
+    val directed = pairs.select(col("a").as("i"), col("b").as("j"), col("c"))
+      .unionAll(pairs.select(col("b").as("i"), col("a").as("j"), col("c")))
+    directed
+      .join(broadcast(itemUsers.select(col("item").as("i"), col("cnt").as("c_i"))), "i")
+      .join(broadcast(itemUsers.select(col("item").as("j"), col("cnt").as("c_j"))), "j")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("support", round(col("c").cast("double") / col("n"), 6))
+      .withColumn("confidence", round(col("c").cast("double") / col("c_i"), 6))
+      .withColumn("lift", round(col("c").cast("double") * col("n")
+        / (col("c_i").cast("double") * col("c_j")), 6))
+      .orderBy(col("lift").desc, col("i"), col("j"))
+      .limit(topK)
+      .select(col("i"), col("j"), col("c").as("c_ij"), col("c_i"), col("c_j"),
+        col("support"), col("confidence"), col("lift"))
+  }
+
+  /** q153 — community detection by synchronous label propagation (Raghavan
+    * et al. 2007), 4 rounds, deterministic: every node starts as its own
+    * label and adopts its neighbors' MOST FREQUENT label each round,
+    * ties to the smallest label — no RNG, no asynchrony, so both engines
+    * run the identical fixed-point prefix. Per round: one equi-join of the
+    * cached undirected edges against the current labels, a (node, label)
+    * count, and a max_by pick — the same Pregel-shaped iteration as
+    * q118/q148, lineage-truncated per round.
+    */
+  def graphLabelProp(spark: SparkSession, dir: String, minUsers: Int = 5,
+                     rounds: Int = 4): DataFrame = {
+    val edges = coEdgesCounted(spark, dir, minUsers).select(col("a"), col("b")).persist()
+    val und = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = und.select(col("a").as("item")).distinct()
+      .withColumn("lbl", col("item")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(broadcast(labels.select(col("item"), col("lbl"))),
+          col("b") === col("item"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a"))
+        .agg(max_by(col("lbl"), struct(col("cnt"), (-col("lbl")).as("neg"))).as("lbl"))
+        .select(col("a").as("item"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"),
+        min(col("item")).as("min_item"))
+      .select(col("lbl").as("community"), col("size"), col("min_item"))
+      .orderBy(col("size").desc, col("community"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q152_assoc_rules" -> ((s, d) => assocRules(s, d)),
+    "q153_graph_labelprop" -> ((s, d) => graphLabelProp(s, d)),
     "q139_changelog_compact" -> changelogCompact _,
     "q140_scd2_history" -> scd2History _,
     "q141_stickiness" -> stickiness _,
@@ -427,6 +499,61 @@ object WarehouseOps extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q152_assoc_rules" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |iu AS (SELECT item, count(*) AS cnt FROM ui GROUP BY 1),
+        |nn AS (SELECT count(DISTINCT user_id) AS n FROM ui),
+        |p AS (
+        |  SELECT x.item AS a, y.item AS b, count(*) AS c
+        |  FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |d AS (SELECT a AS i, b AS j, c FROM p
+        |      UNION ALL SELECT b, a, c FROM p),
+        |s AS (
+        |  SELECT d.i, d.j, d.c, ci.cnt AS c_i, cj.cnt AS c_j, nn.n
+        |  FROM d JOIN iu ci ON ci.item = d.i
+        |         JOIN iu cj ON cj.item = d.j CROSS JOIN nn)
+        |SELECT i, j, c AS c_ij, c_i, c_j,
+        |       round(CAST(c AS DOUBLE) / n, 6) AS support,
+        |       round(CAST(c AS DOUBLE) / c_i, 6) AS confidence,
+        |       round(CAST(c AS DOUBLE) * n / (CAST(c_i AS DOUBLE) * c_j), 6) AS lift
+        |FROM s ORDER BY lift DESC, i, j LIMIT 40""".stripMargin,
+    // 4 synchronous rounds unrolled as CTEs; Spark runs the same rounds as
+    // a lineage-truncated loop — identical deterministic fixed-point prefix
+    "q153_graph_labelprop" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |p AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |und AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |l0 AS (SELECT DISTINCT a AS item, a AS lbl FROM und),
+        |r1 AS (SELECT u.a, l.lbl, count(*) AS cnt
+        |       FROM und u JOIN l0 l ON l.item = u.b GROUP BY 1, 2),
+        |l1 AS (SELECT a AS item, lbl FROM (
+        |         SELECT a, lbl, row_number() OVER (PARTITION BY a
+        |           ORDER BY cnt DESC, lbl) AS rn FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT u.a, l.lbl, count(*) AS cnt
+        |       FROM und u JOIN l1 l ON l.item = u.b GROUP BY 1, 2),
+        |l2 AS (SELECT a AS item, lbl FROM (
+        |         SELECT a, lbl, row_number() OVER (PARTITION BY a
+        |           ORDER BY cnt DESC, lbl) AS rn FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT u.a, l.lbl, count(*) AS cnt
+        |       FROM und u JOIN l2 l ON l.item = u.b GROUP BY 1, 2),
+        |l3 AS (SELECT a AS item, lbl FROM (
+        |         SELECT a, lbl, row_number() OVER (PARTITION BY a
+        |           ORDER BY cnt DESC, lbl) AS rn FROM r3) WHERE rn = 1),
+        |r4 AS (SELECT u.a, l.lbl, count(*) AS cnt
+        |       FROM und u JOIN l3 l ON l.item = u.b GROUP BY 1, 2),
+        |l4 AS (SELECT a AS item, lbl FROM (
+        |         SELECT a, lbl, row_number() OVER (PARTITION BY a
+        |           ORDER BY cnt DESC, lbl) AS rn FROM r4) WHERE rn = 1)
+        |SELECT lbl AS community, count(*) AS size, min(item) AS min_item
+        |FROM l4 GROUP BY 1 ORDER BY size DESC, community""".stripMargin,
     // the oracle takes the window/row_number formulation; the Spark side is
     // the max_by aggregate (see scaladoc) — same rows, different plan class
     "q139_changelog_compact" ->

@@ -469,6 +469,35 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p150.contains("SortMergeJoin"), p150)
   }
 
+  test("q151: the bootstrap is scan → explode → aggregate; CI and obs join broadcast") {
+    // The textbook bootstrap materializes B resampled copies (a B-way
+    // shuffle); the Poisson form must stay a single expansion with no
+    // sort-merge join anywhere.
+    val p = plan("q151_ab_bootstrap")
+    assert(!p.contains("SortMergeJoin"), s"q151 shuffles a join:\n$p")
+    assert(p.contains("Generate"), s"q151 lost the replicate explode:\n$p")
+  }
+
+  test("q152: rule metrics join broadcast item counts — no item self-join") {
+    val p = plan("q152_assoc_rules")
+    assert(!p.contains("SortMergeJoin"), s"q152 self-joins the item table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q152 lost the count broadcasts:\n$p")
+  }
+
+  test("q153: label-prop rounds are lineage-truncated like q148") {
+    val p = plan("q153_graph_labelprop")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"q153 lost its checkpoint truncation:\n$p")
+  }
+
+  test("q154: position attribution costs one user_id exchange, no join") {
+    val p = plan("q154_attribution_position")
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).size
+    assert(userExchanges == 1, s"q154 re-shuffles on user_id:\n$p")
+    assert(!p.contains("Join"), s"q154 plans an as-of self-join:\n$p")
+  }
+
   test("q147: the triangle closure probes a broadcast edge list, never a cartesian") {
     val p = plan("q147_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
