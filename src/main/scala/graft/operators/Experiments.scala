@@ -134,9 +134,118 @@ object Experiments extends QueryModule {
       .orderBy(col("bucket"))
   }
 
+  /** q155 — funnel step latencies: for users who progressed, the
+    * view→click and click→purchase transition times, summarized per step
+    * pair (n, min, exact p50/p90, max, in whole seconds). Rides
+    * [[ProductAnalytics.funnelPerUser]]'s single user_id shuffle; the
+    * percentile pass runs on the two-row-per-user latency table. The
+    * "where does the funnel stall" readout that turns q121's conversion
+    * counts into an actionable queue model.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = ProductAnalytics.funnelPerUser(
+      Tables(spark, dir, "events"))
+    val lat = perUser.select(explode(array(
+        struct(lit("1_view_to_click").as("step_pair"),
+          when(col("t2").isNotNull,
+            floor((unix_micros(col("t2")) - unix_micros(col("t1"))) / 1000000L))
+            .as("lat_sec")),
+        struct(lit("2_click_to_purchase").as("step_pair"),
+          when(col("t3").isNotNull,
+            floor((unix_micros(col("t3")) - unix_micros(col("t2"))) / 1000000L))
+            .as("lat_sec")))).as("s"))
+      .select(col("s.step_pair").as("step_pair"), col("s.lat_sec").as("lat_sec"))
+      .filter(col("lat_sec").isNotNull)
+    lat.groupBy(col("step_pair"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("lat_sec")).as("min_sec"),
+        expr("percentile(lat_sec, 0.5)").as("p50_raw"),
+        expr("percentile(lat_sec, 0.9)").as("p90_raw"),
+        max(col("lat_sec")).as("max_sec"))
+      .select(col("step_pair"), col("n_users"), col("min_sec"),
+        (round(col("p50_raw"), 4) + lit(0.0)).as("p50_sec"),
+        (round(col("p90_raw"), 4) + lit(0.0)).as("p90_sec"),
+        col("max_sec"))
+      .orderBy(col("step_pair"))
+  }
+
+  /** q156 — retention drivers: for each event type, the 2×2 contingency of
+    * "did it in the first week after signup" × "still active 14+ days
+    * after signup", scored with the Haldane-smoothed odds ratio and
+    * retention lift. All cells are exact integer counts off ONE user-level
+    * aggregate (three conditional flags per user), so the heavy work is a
+    * single user_id shuffle; the per-type table is |types| rows. The
+    * "which behaviors predict retention" query every growth team runs —
+    * correlational by construction, and labeled as such.
+    */
+  def retentionDrivers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("t0"))
+    val flags = e.join(cohort, "user_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("t0")).as("t0"),
+        max(when(datediff(col("day"), col("t0")) >= 14, 1L).otherwise(0L)).as("retained"),
+        collect_set(when(datediff(col("day"), col("t0")).between(0, 6),
+          col("event_type"))).as("week1_types"))
+    val types = Seq("view", "click", "purchase").toDF("etype")
+    flags.crossJoin(broadcast(types))
+      .withColumn("exposed", array_contains(col("week1_types"), col("etype")))
+      .groupBy(col("etype"))
+      .agg(
+        sum(when(col("exposed") && col("retained") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("exposed") && col("retained") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(!col("exposed") && col("retained") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(!col("exposed") && col("retained") === 0, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .select(col("etype"), col("a").as("exp_ret"), col("b").as("exp_churn"),
+        col("c").as("unexp_ret"), col("d").as("unexp_churn"),
+        (round((col("a") + 0.5) * (col("d") + 0.5)
+          / ((col("b") + 0.5) * (col("c") + 0.5)), 6) + lit(0.0)).as("odds_ratio"),
+        (when(col("a") + col("b") > 0,
+          round((col("a").cast("double") / (col("a") + col("b")))
+            / ((col("a") + col("c")).cast("double") / col("n")), 6) + lit(0.0)))
+          .as("retention_lift"))
+      .orderBy(col("etype"))
+  }
+
+  /** q157 — per-user journey entropy: Shannon entropy of each user's
+    * transition distribution (q135's per-user refinement) — the
+    * exploration-vs-habit signal behind engagement scoring. The entropy
+    * fold runs over the SORTED per-user pair array via a higher-order
+    * `aggregate` (the q106 ordered-fold discipline: both engines fold
+    * identical doubles in identical order — DuckDB mirrors it with an
+    * ORDER BY inside the sum aggregate), so raw doubles hash-match.
+    */
+  def pathEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("user_id"), col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+    pairs.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_transitions"),
+        count(lit(1)).as("n_pairs"),
+        expr("array_sort(collect_list(struct(cur, nxt, c)))").as("ps"))
+      .withColumn("entropy_raw", expr(
+        "aggregate(ps, cast(0.0 as double), (acc, s) -> " +
+          "acc - (cast(s.c as double) / n_transitions) * " +
+          "ln(cast(s.c as double) / n_transitions))"))
+      .select(col("user_id"), col("n_transitions"), col("n_pairs"),
+        (round(col("entropy_raw"), 6) + lit(0.0)).as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q151_ab_bootstrap" -> ((s, d) => abBootstrap(s, d)),
-    "q154_attribution_position" -> attributionPosition _
+    "q154_attribution_position" -> attributionPosition _,
+    "q155_funnel_latency" -> funnelLatency _,
+    "q156_retention_drivers" -> retentionDrivers _,
+    "q157_path_entropy" -> pathEntropy _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -227,6 +336,97 @@ object Experiments extends QueryModule {
         |  SELECT 'middle', cents * 2 FROM p WHERE n_t >= 3)
         |SELECT bucket, count(*) AS n_credits,
         |       round(CAST(sum(dcents) AS DOUBLE) / 1000, 2) AS credited_value
-        |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-user step times replicate the q121 funnel CTEs exactly
+    "q155_funnel_latency" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+        |  FROM events GROUP BY 1),
+        |p2 AS (
+        |  SELECT e.user_id, pu.t1, min(e.ts) AS t2
+        |  FROM events e JOIN pu ON e.user_id = pu.user_id
+        |  WHERE e.event_type = 'click' AND pu.t1 IS NOT NULL AND e.ts > pu.t1
+        |  GROUP BY 1, 2),
+        |p3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN p2 ON e.user_id = p2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > p2.t2
+        |    AND e.ts <= p2.t1 + INTERVAL 7 DAY
+        |  GROUP BY 1),
+        |lat AS (
+        |  SELECT '1_view_to_click' AS step_pair,
+        |         CAST(floor((epoch_us(t2) - epoch_us(t1)) / 1000000) AS BIGINT)
+        |           AS lat_sec
+        |  FROM p2
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase',
+        |         CAST(floor((epoch_us(p3.t3) - epoch_us(p2.t2)) / 1000000) AS BIGINT)
+        |  FROM p3 JOIN p2 USING (user_id))
+        |SELECT step_pair, count(*) AS n_users, min(lat_sec) AS min_sec,
+        |       round(quantile_cont(lat_sec, 0.5), 4) + 0.0 AS p50_sec,
+        |       round(quantile_cont(lat_sec, 0.9), 4) + 0.0 AS p90_sec,
+        |       max(lat_sec) AS max_sec
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q156_retention_drivers" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |flags AS (
+        |  SELECT e.user_id,
+        |         max(CASE WHEN e.day - c.t0 >= 14 THEN 1 ELSE 0 END) AS retained,
+        |         max(CASE WHEN e.event_type = 'view'
+        |                   AND e.day - c.t0 BETWEEN 0 AND 6 THEN 1 ELSE 0 END) AS w_view,
+        |         max(CASE WHEN e.event_type = 'click'
+        |                   AND e.day - c.t0 BETWEEN 0 AND 6 THEN 1 ELSE 0 END) AS w_click,
+        |         max(CASE WHEN e.event_type = 'purchase'
+        |                   AND e.day - c.t0 BETWEEN 0 AND 6 THEN 1 ELSE 0 END) AS w_purchase
+        |  FROM e JOIN cohort c USING (user_id) GROUP BY 1),
+        |x AS (
+        |  SELECT 'view' AS etype, w_view AS exposed, retained FROM flags
+        |  UNION ALL SELECT 'click', w_click, retained FROM flags
+        |  UNION ALL SELECT 'purchase', w_purchase, retained FROM flags),
+        |ct AS (
+        |  SELECT etype,
+        |         CAST(sum(CASE WHEN exposed = 1 AND retained = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN exposed = 1 AND retained = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN exposed = 0 AND retained = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN exposed = 0 AND retained = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM x GROUP BY 1)
+        |SELECT etype, a AS exp_ret, b AS exp_churn, c AS unexp_ret, d AS unexp_churn,
+        |       round((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 6) + 0.0
+        |         AS odds_ratio,
+        |       CASE WHEN a + b > 0 THEN
+        |         round((CAST(a AS DOUBLE) / (a + b))
+        |           / (CAST(a + c AS DOUBLE) / (a + b + c + d)), 6) + 0.0 END
+        |         AS retention_lift
+        |FROM ct ORDER BY etype""".stripMargin,
+    // the cumulative window fixes the fold order (the q136 discipline);
+    // IEEE acc−x ≡ acc+(−x), so it matches Spark's aggregate() fold
+    "q157_path_entropy" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |p AS (SELECT user_id, cur, nxt, count(*) AS c FROM t
+        |      WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+        |p2 AS (
+        |  SELECT user_id, cur, nxt, c,
+        |         sum(c) OVER (PARTITION BY user_id) AS n_transitions,
+        |         count(*) OVER (PARTITION BY user_id) AS n_pairs
+        |  FROM p),
+        |ent AS (
+        |  SELECT user_id, n_transitions, n_pairs,
+        |         sum(-(CAST(c AS DOUBLE) / n_transitions)
+        |             * ln(CAST(c AS DOUBLE) / n_transitions))
+        |           OVER (PARTITION BY user_id ORDER BY cur, nxt
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY cur, nxt) AS rn
+        |  FROM p2)
+        |SELECT user_id, CAST(n_transitions AS BIGINT) AS n_transitions,
+        |       n_pairs, round(e, 6) + 0.0 AS entropy
+        |FROM ent WHERE rn = n_pairs ORDER BY user_id""".stripMargin
   )
 }

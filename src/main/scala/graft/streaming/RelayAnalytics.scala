@@ -85,6 +85,35 @@ object RelayAnalytics {
       .as[CounterSample]
   }
 
+  /** Canonical records → [[ChangeRow]] rows for [[StreamingCompact]]:
+    * the series id is the entity key, the metric name the state label, and
+    * the sample time serves as both version coordinate and tie-break
+    * (relay samples carry no sequence number) — "current value per
+    * series", the materialized instant-vector view. */
+  def changeRows(records: DataFrame): Dataset[ChangeRow] = {
+    import records.sparkSession.implicits._
+    records.filter(col("value").isNotNull)
+      .select(seriesId(col("labels")).as("user_id"),
+        (col("time") * lit(1000L)).as("event_id"),
+        col("name").as("event_type"),
+        col("value"),
+        (col("time") * lit(1000L)).as("tsUs"))
+      .as[ChangeRow]
+  }
+
+  /** Canonical records → [[ActivityRow]] rows for [[StreamingActiveUsers]]:
+    * each sample marks its SERIES active at its timestamp, so the day
+    * panes estimate daily/weekly/monthly ACTIVE SERIES — the cardinality
+    * monitoring every Prometheus operator eventually needs, at O(k) state
+    * per day no matter how many series churn. */
+  def seriesActivity(records: DataFrame): Dataset[ActivityRow] = {
+    import records.sparkSession.implicits._
+    records.filter(col("time").isNotNull)
+      .select(seriesId(col("labels")).as("user_id"),
+        (col("time") * lit(1000L)).as("tsUs"))
+      .as[ActivityRow]
+  }
+
   /** Canonical records → [[TokenEvent]] rows for
     * [[StreamingHeavyHitters]]: group = metric name, token = the canonical
     * series string — "which label sets dominate this metric", the

@@ -11,6 +11,7 @@ class ExperimentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def ns(sec: Long) = sec * 1000000000L
+  private def day(d: Long, sec: Long = 0) = ns(d * 86400 + sec)
 
   private def writeEvents(rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
     import spark.implicits._
@@ -87,6 +88,56 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(total == 6L, s"all 6 nodes must be labeled: $r")
     assert(r.length == 2, s"expected exactly two communities: ${r.toSeq}")
     assert(r.map(_._2._1).toSet == Set(3L), s"3+3 split expected: ${r.toSeq}")
+  }
+
+  test("q155: step latencies floor to seconds; p50 interpolates between users") {
+    // u1: view@0 click@10 purchase@30 → lats 10, 20
+    // u2: view@0 click@40 (no purchase) → lat 40
+    val dir = writeEvents(Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(10), 1L, "click", 1.0, "{}"),
+      (3L, ns(30), 1L, "purchase", 1.0, "{}"),
+      (4L, ns(0), 2L, "view", 1.0, "{}"),
+      (5L, ns(40), 2L, "click", 1.0, "{}")))
+    val r = operators.Experiments.funnelLatency(spark, dir).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(5)))).toMap
+    assert(r("1_view_to_click") == ((2L, 10L, 25.0, 40L))) // p50 of {10,40}
+    assert(r("2_click_to_purchase") == ((1L, 20L, 20.0, 20L)))
+  }
+
+  test("q156: clickers retain, non-clickers churn — the click row shows the signal") {
+    // 4 signup users: u1,u2 click in week 1 AND come back day 20;
+    // u3,u4 don't click and never return. Everyone views on day 0.
+    val rows = (1L to 4L).flatMap { u =>
+      Seq((u * 10, day(0, u), u, "signup", 1.0, "{}"),
+        (u * 10 + 1, day(0, u + 10), u, "view", 1.0, "{}")) ++
+        (if (u <= 2) Seq((u * 10 + 2, day(1, u), u, "click", 1.0, "{}"),
+          (u * 10 + 3, day(20, u), u, "view", 1.0, "{}"))
+        else Seq.empty)
+    }
+    val dir = writeEvents(rows)
+    val r = operators.Experiments.retentionDrivers(spark, dir).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(r("click") == ((2L, 0L, 0L, 2L, 25.0))) // (2.5*2.5)/(0.5*0.5)
+    assert(r("view")._1 == 2L && r("view")._4 == 0L) // all exposed; 2 retained
+    assert(r("purchase")._1 == 0L && r("purchase")._3 == 2L)
+  }
+
+  test("q157: hand-computed entropy for a planted journey") {
+    // u1: a b a b a c → transitions ab,ba,ab,ba,ac (counts 2,2,1; n=5)
+    // entropy = -2*(0.4 ln 0.4) - 0.2 ln 0.2 = 1.054920
+    val seq1 = Seq("view", "click", "view", "click", "view", "purchase")
+    val rows = seq1.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, ns(i * 10), 1L, t, 1.0, "{}")
+    } ++ Seq((100L, ns(0), 2L, "view", 1.0, "{}")) // no transitions → absent
+    val dir = writeEvents(rows)
+    val r = operators.Experiments.pathEntropy(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 5L && row.getLong(2) == 3L)
+    assert(row.getDouble(3) == 1.05492)
   }
 
   test("q154: credit splits 100 / 50-50 / 40-40-20 by touch count") {

@@ -498,6 +498,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q154 plans an as-of self-join:\n$p")
   }
 
+  test("q155/q157: funnel latency and entropy ride the single user_id event shuffle") {
+    val p155 = plan("q155_funnel_latency")
+    val userExchanges = p155.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id")
+        && !l.contains("cur")).size
+    assert(userExchanges == 1, s"q155 re-shuffles events on user_id:\n$p155")
+    assert(!p155.contains("Join"), s"q155 plans a funnel self-join:\n$p155")
+    val p157 = plan("q157_path_entropy")
+    assert(!p157.contains("Join"), s"q157 plans a join:\n$p157")
+  }
+
+  test("q156: the type grid broadcasts; the cohort join keys on user_id") {
+    val p = plan("q156_retention_drivers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q156 lost the type-grid broadcast:\n$p")
+  }
+
   test("q147: the triangle closure probes a broadcast edge list, never a cartesian") {
     val p = plan("q147_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

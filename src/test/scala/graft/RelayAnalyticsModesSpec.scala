@@ -326,6 +326,65 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → compact analytic JSON: latest value per series, restart keeps versions") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-cpt-in-").toString
+      val outDir = Files.createTempDirectory("ra-cpt-out-").toString + "/analytics-compact"
+      val ckpt = Files.createTempDirectory("ra-cpt-ckpt-").toString
+      val schema = StructType.fromDDL(
+        "user_id BIGINT, last_event_id BIGINT, last_type STRING, " +
+          "last_value DOUBLE, last_us BIGINT, n_versions BIGINT")
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "temp", "host" -> "a"),
+            Seq(Sample(20.0, 1000L), Sample(21.5, 2000L))))) == 200)
+        runOnce(inDir, "compact", outDir, ckpt)
+        val first = spark.read.schema(schema).json(outDir).collect()
+        assert(first.length == 1)
+        assert(first.head.getAs[Double]("last_value") == 21.5)
+        assert(first.head.getAs[Long]("n_versions") == 2L)
+
+        // an OLDER sample arrives after the restart: version counted,
+        // value NOT overwritten (max_by is order-insensitive)
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "temp", "host" -> "a"),
+            Seq(Sample(19.0, 1500L))))) == 200)
+        runOnce(inDir, "compact", outDir, ckpt)
+        val last = spark.read.schema(schema).json(outDir).collect()
+          .maxBy(_.getAs[Long]("n_versions"))
+        assert(last.getAs[Long]("n_versions") == 3L)
+        assert(last.getAs[Double]("last_value") == 21.5)
+        assert(last.getAs[Long]("last_us") == 2000000L)
+      } finally f.stop()
+    }
+  }
+
+  test("POST → cardinality analytic JSON: day panes count distinct active series") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-card-in-").toString
+      val outDir = Files.createTempDirectory("ra-card-out-").toString + "/analytics-cardinality"
+      val ckpt = Files.createTempDirectory("ra-card-ckpt-").toString
+      val schema = StructType.fromDDL("day BIGINT, n_hashes INT")
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        // three distinct series on epoch day 0, one of them re-reporting —
+        // the pane must count 3 distinct, not 4 samples
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "m", "host" -> "a"), Seq(Sample(1.0, 1000L))),
+          TimeSeries(Map("__name__" -> "m", "host" -> "b"), Seq(Sample(1.0, 2000L))),
+          TimeSeries(Map("__name__" -> "m", "host" -> "a"), Seq(Sample(2.0, 3000L))),
+          TimeSeries(Map("__name__" -> "n", "host" -> "a"), Seq(Sample(1.0, 4000L))))) == 200)
+        runOnce(inDir, "cardinality", outDir, ckpt)
+        val rows = spark.read.schema(schema).json(outDir).collect()
+        assert(rows.length == 1 && rows.head.getAs[Long]("day") == 0L)
+        assert(rows.head.getAs[Int]("n_hashes") == 3)
+      } finally f.stop()
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
