@@ -324,7 +324,47 @@ object Joins extends QueryModule {
          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
+  /** q160 — the executive revenue report: quarterly revenue per
+    * (region, nation) off the full star join, with QoQ growth and
+    * nation-within-region share — the BI composite that exercises the
+    * engine's bread and butter in one statement: a big-big fact⋈customer
+    * shuffle join, two broadcast dimension hops, exact integer-cents
+    * aggregation, and lag/share windows on the ≤|nations|×|quarters|
+    * aggregate. Revenue sums in BIGINT cents so cross-engine totals are
+    * exact; growth/share are single divisions of those integers.
+    */
+  def revenueReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        to_date(date_trunc("quarter", col("o_orderdate"))).as("quarter"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val cust = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables(spark, dir, "region").select(col("r_regionkey"), col("r_name"))
+    val agg = orders
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"), col("quarter"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val byQ = Window.partitionBy(col("region"), col("nation")).orderBy(col("quarter"))
+    val inRq = Window.partitionBy(col("region"), col("quarter"))
+    agg
+      .withColumn("prev", lag(col("rev_cents"), 1).over(byQ))
+      .withColumn("region_cents", sum(col("rev_cents")).over(inRq))
+      .select(col("region"), col("nation"), col("quarter"), col("n_orders"),
+        round(col("rev_cents").cast("double") / 100, 2).as("revenue"),
+        (when(col("prev").isNotNull,
+          round((col("rev_cents") - col("prev")).cast("double") / col("prev"), 6)
+            + lit(0.0))).as("qoq_growth"),
+        (round(col("rev_cents").cast("double") / col("region_cents"), 6) + lit(0.0))
+          .as("region_share"))
+      .orderBy(col("region"), col("nation"), col("quarter"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q160_revenue_report" -> revenueReport _,
     "q80_join_full_outer" -> fullOuterJoin _,
     "q81_sql_correlated_exists" -> sqlCorrelatedExists _,
     "q86_sql_lateral_join" -> sqlLateralJoin _,
@@ -357,6 +397,32 @@ object Joins extends QueryModule {
       |ORDER BY purchase_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q160_revenue_report" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |agg AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation, o.quarter,
+        |         count(*) AS n_orders, CAST(sum(o.cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+        |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |         JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT *,
+        |         lag(rev_cents) OVER (PARTITION BY region, nation
+        |           ORDER BY quarter) AS prev,
+        |         sum(rev_cents) OVER (PARTITION BY region, quarter) AS region_cents
+        |  FROM agg)
+        |SELECT region, nation, quarter, n_orders,
+        |       round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
+        |       CASE WHEN prev IS NOT NULL THEN
+        |         round(CAST(rev_cents - prev AS DOUBLE) / prev, 6) + 0.0 END
+        |         AS qoq_growth,
+        |       round(CAST(rev_cents AS DOUBLE) / region_cents, 6) + 0.0
+        |         AS region_share
+        |FROM w ORDER BY region, nation, quarter""".stripMargin,
     "q80_join_full_outer" ->
       """WITH o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
         |           FROM orders WHERE o_totalprice > 150000 GROUP BY 1)

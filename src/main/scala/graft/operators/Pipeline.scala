@@ -511,7 +511,40 @@ object Pipeline extends QueryModule {
       .orderBy(col("rank"))
   }
 
+  /** q158 — corpus mixture audit against a target distribution: per-lang
+    * whitespace-token shares vs the uniform target, with per-lang
+    * surplus/deficit tokens and the running KL(p‖q) divergence — the
+    * "is the training mix still what the recipe says" report run before
+    * every mixture-resample (q94's measurement half). Token counts are
+    * exact integers; the KL fold is an ORDERED cumulative window over the
+    * ≤|langs| aggregate, so the doubles hash-match by construction.
+    */
+  def klMixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = docsTable(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+    val all = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perLang
+      .withColumn("total", sum(col("tokens")).over(all))
+      .withColumn("n_langs", count(lit(1)).over(all))
+      .withColumn("p", col("tokens").cast("double") / col("total"))
+      .withColumn("q", lit(1.0) / col("n_langs"))
+      .withColumn("contrib", col("p") * log(col("p") / col("q")))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        (round(col("p"), 6) + lit(0.0)).as("share"),
+        (round(col("q"), 6) + lit(0.0)).as("target"),
+        expr("tokens - total div n_langs").as("surplus_tokens"),
+        (round(sum(col("contrib")).over(cum), 6) + lit(0.0)).as("kl_cum"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q158_kl_mixture" -> (klMixtureReport _),
     "q68_split_hash" -> (hashSplit(_, _)),
     "q69_sample_stratified" -> (stratifiedSample(_, _)),
     "q70_text_scrub" -> (scrub(_, _)),
@@ -530,6 +563,23 @@ object Pipeline extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q158_kl_mixture" ->
+      """WITH pl AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT *, sum(tokens) OVER () AS total, count(*) OVER () AS n_langs,
+        |         CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS p,
+        |         1.0 / count(*) OVER () AS q
+        |  FROM pl)
+        |SELECT lang, n_docs, tokens,
+        |       round(p, 6) + 0.0 AS share,
+        |       round(q, 6) + 0.0 AS target,
+        |       CAST(tokens - total // n_langs AS BIGINT) AS surplus_tokens,
+        |       round(sum(p * ln(p / q)) OVER (ORDER BY lang
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS kl_cum
+        |FROM t ORDER BY lang""".stripMargin,
     "q68_split_hash" ->
       """WITH b AS (
         |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15) AS BIGINT) % 100 AS bucket

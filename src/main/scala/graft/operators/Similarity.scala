@@ -675,7 +675,39 @@ object Similarity extends QueryModule {
   def ivfAdc(spark: SparkSession, dir: String): DataFrame =
     ivfAdc(embTable(spark, dir), col("vec_id") < 10)
 
+  /** q159 — embedding dimension health report: per-dimension n/mean/std
+    * over the whole corpus plus each dimension's rank by variance — the
+    * collapsed-dimension / dead-unit audit run before ANN index builds
+    * (a near-zero-variance dimension carries no retrieval signal and
+    * wastes a PQ subspace). Floats quantize to exact integer micro-units
+    * BEFORE aggregation (the q127 moments discipline), so the per-dim
+    * sums are order-independent BIGINTs and both engines derive identical
+    * doubles. One posexplode scan → |dims| aggregate rows; the variance
+    * rank runs on that constant-size table.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val cells = embTable(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("mu"))
+    val mom = cells.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("mu")).as("s"),
+        sum(col("mu") * col("mu")).as("ss"))
+      .withColumn("var_raw",
+        (col("ss") - col("s").cast("double") * col("s") / col("n"))
+          / (col("n") - 1) / 1e12)
+    mom
+      .withColumn("var_rank", row_number().over(
+        Window.orderBy(col("var_raw").desc, col("dim"))).cast("int"))
+      .select(col("dim"), col("n"),
+        (round(col("s").cast("double") / col("n") / 1e6, 6) + lit(0.0)).as("mean"),
+        (round(sqrt(col("var_raw")), 6) + lit(0.0)).as("std"),
+        col("var_rank"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q159_sim_dim_stats" -> (dimStats(_, _)),
     "q117_sim_kmeans" -> (kmeansTrain(_, _)),
     "q118_graph_pagerank" -> (simPagerank(_, _)),
     "q119_sim_pq_adc" -> (pqAdc(_, _)),
@@ -729,6 +761,23 @@ object Similarity extends QueryModule {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q159_sim_dim_stats" ->
+      """WITH cells AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS mu
+        |  FROM embeddings),
+        |mom AS (
+        |  SELECT dim, count(*) AS n, CAST(sum(mu) AS BIGINT) AS s,
+        |         CAST(sum(mu * mu) AS BIGINT) AS ss
+        |  FROM cells GROUP BY 1),
+        |v AS (
+        |  SELECT *, (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) / 1e12 AS var_raw
+        |  FROM mom)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        |       round(CAST(s AS DOUBLE) / n / 1e6, 6) + 0.0 AS mean,
+        |       round(sqrt(var_raw), 6) + 0.0 AS std,
+        |       CAST(row_number() OVER (ORDER BY var_raw DESC, dim) AS INT) AS var_rank
+        |FROM v ORDER BY dim""".stripMargin,
     "q120_sim_ivfadc" ->
       s"""$normedCte,
          |cinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,

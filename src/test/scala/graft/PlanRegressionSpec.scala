@@ -516,6 +516,28 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"q156 lost the type-grid broadcast:\n$p")
   }
 
+  test("q158/q159: report queries are one scan + windows on constant-size aggregates") {
+    // formatted plans print each scan twice (tree node + detail block):
+    // 2 occurrences == ONE physical scan (same count convention as q125)
+    val p158 = plan("q158_kl_mixture")
+    assert(!p158.contains("Join"), s"q158 plans a join:\n$p158")
+    assert("Scan parquet".r.findAllIn(p158).size == 2, s"q158 re-reads documents:\n$p158")
+    val p159 = plan("q159_sim_dim_stats")
+    assert(!p159.contains("Join"), s"q159 plans a join:\n$p159")
+    assert("Scan parquet".r.findAllIn(p159).size == 2, s"q159 re-reads embeddings:\n$p159")
+  }
+
+  test("q160: every star-report join is hash-keyed; dims broadcast") {
+    // At sf0.001 even customer fits the broadcast threshold, so the
+    // static plan may broadcast ALL sides (the orders⋈customer SMJ only
+    // appears once customer outgrows the threshold — the planner's call,
+    // not ours to force). The invariants that must hold at any size:
+    // equi-joins only, dims broadcast, no cartesian/NLJ anywhere.
+    val p = plan("q160_revenue_report")
+    assert(p.contains("BroadcastHashJoin"), s"q160 lost the dimension broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q147: the triangle closure probes a broadcast edge list, never a cartesian") {
     val p = plan("q147_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
