@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash60", "simhash60(text) - 60-bit simhash of a space-separated string"),
       (es: Seq[Expression]) => SimHash64(es.head, 60)))
     ext.injectFunction((
+      FunctionIdentifier("md5_hash60"),
+      info("md5_hash60", "md5_hash60(s) - first 60 md5 bits as bigint; ≡ conv(substring(md5(s),1,15),16,10)"),
+      (es: Seq[Expression]) => Md5Hash60(es.head)))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))))

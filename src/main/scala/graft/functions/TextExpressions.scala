@@ -152,6 +152,17 @@ object TextExpressions {
   def shingleHashes(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
 
+  /** Static worker: first 60 md5 bits of a string's UTF-8 bytes — VALUE-
+    * identical to the SQL idiom `conv(substring(md5(s), 1, 15), 16, 10)`
+    * the deterministic-hash family is built on (splits, samples, arms,
+    * bootstrap replicates), as one codegen call instead of hex-string
+    * materialization + substring + base conversion per row. Oracles keep
+    * the SQL idiom; values match bit-for-bit (property-tested). */
+  def md5Hash60(s: UTF8String): Long = md5Bits60(s.getBytes)
+
+  def md5Hash60Col(c: Column): Column =
+    ColumnBridge.column(Md5Hash60(ColumnBridge.expression(c)))
+
   /** Static worker: nBits-bit SimHash of a space-separated string in ONE
     * pass — per token the first 60 md5 bits, ±1 per bit position, bit set
     * where the count is positive. Replaces the explode → 60-counter
@@ -256,5 +267,23 @@ case class SimHash64(child: Expression, nBits: Int) extends UnaryExpression {
       ${ev.value} = graft.functions.TextExpressions.simhash($c, $nBits);""")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** First 60 md5 bits of a string as one codegen'd expression — the native
+  * form of the repo-wide deterministic-hash idiom
+  * `conv(substring(md5(s), 1, 15), 16, 10)` (value-identical, so DuckDB
+  * oracles keep the SQL spelling). string → long in [0, 2⁶⁰). */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.md5Hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextExpressions.md5Hash60($c);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
     copy(child = newChild)
 }

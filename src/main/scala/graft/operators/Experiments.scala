@@ -40,16 +40,20 @@ object Experiments extends QueryModule {
     */
   def abBootstrap(spark: SparkSession, dir: String, reps: Int = 100): DataFrame = {
     val cents = round(col("value") * 100, 0).cast("long")
+    // md5Hash60Col ≡ conv(substring(md5(s),1,15),16,10) — same VALUE, one
+    // codegen call instead of hex materialization + substring + base
+    // conversion per (row × replicate); oracle keeps the SQL idiom
     val armOf = when(
-      conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 15), 16, 10)
-        .cast("long") % 2 === 0, lit("A")).otherwise(lit("B"))
+      graft.functions.TextExpressions.md5Hash60Col(
+        concat(col("user_id").cast("string"), lit(":ab"))) % 2 === 0,
+      lit("A")).otherwise(lit("B"))
     val p = Tables(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), cents.as("cents"))
       .withColumn("arm", armOf)
-    val u = conv(substring(md5(concat(col("event_id").cast("string"), lit(":bs"),
-      col("b").cast("string"))), 1, 15), 16, 10).cast("long").cast("double") /
-      lit(1152921504606846976.0) // 2^60
+    val u = graft.functions.TextExpressions.md5Hash60Col(
+      concat(col("event_id").cast("string"), lit(":bs"), col("b").cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
     val w = poissonCdf.zipWithIndex.foldRight(lit(poissonCdf.length): org.apache.spark.sql.Column) {
       case ((t, k), rest) => when(col("u") < t, k).otherwise(rest)
     }

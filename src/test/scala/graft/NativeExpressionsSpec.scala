@@ -145,4 +145,30 @@ class NativeExpressionsSpec extends AnyFunSuite {
       .select(VectorExpressions.scaleRound(col("a"), lit(2.0)).as("q")).collect()
     assert(nulls(0).isNullAt(0))
   }
+
+  test("Md5Hash60 == conv(substring(md5(s),1,15),16,10) incl. unicode and empties") {
+    import spark.implicits._
+    val extra = Seq("", " ", "héllo wörld", "日本語テキスト", "a" * 500,
+      "1:ab", "123:bs42", "\u0000nul byte")
+    val strs = (corpus ++ extra).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "s")
+    val rows = strs
+      .withColumn("fast", graft.functions.TextExpressions.md5Hash60Col(col("s")))
+      .withColumn("slow",
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+      .select(col("fast"), col("slow")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("md5_hash60's registered builder evaluates the same value as the SQL idiom") {
+    // TestSpark carries no extensions (session is shared); exercise the
+    // injected builder directly, like RelayExpressionsSpec's wiring test
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val built = graft.functions.Md5Hash60(Literal("1:ab"))
+    val want = spark.sql(
+      "SELECT cast(conv(substring(md5('1:ab'), 1, 15), 16, 10) as bigint) AS ref")
+      .collect().head.getLong(0)
+    assert(built.eval(null) == want)
+  }
 }

@@ -77,6 +77,11 @@ if [ $rc -ne 0 ]; then
   rc=$?
   if [ $rc -ne 0 ]; then
     echo "gate: FAIL — regression survives a warm best-of-3; fix before snapshot"
+    echo "gate: if no code touched these queries, adjudicate snapshot drift with"
+    echo "gate:   tools/witness.sh <prev-snapshot-commit> $flagged"
+    echo "gate:   python3 tools/bench_diff.py $PREV bench_out.json --witness bench/witness_same_code.json"
+    echo "gate: (round-12 incident: three flags survived warm re-measure yet the"
+    echo "gate:  UNCHANGED prior commit measured identically slow — box drift)"
     exit 1
   fi
   echo "gate: flagged queries pass warm — cold-run noise, not a regression"
