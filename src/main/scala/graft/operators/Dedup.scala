@@ -357,6 +357,44 @@ object Dedup extends QueryModule {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(docsTable(spark, dir))
 
+  /** q161 — asymmetric CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|)
+    * over the same df-capped shingle postings as q60. Jaccard's symmetric
+    * denominator dilutes a short document fully embedded in a long one
+    * (abstract-in-page, quote-in-article: J = |A|/|B| ≈ 0 while the short
+    * doc is 100% duplicated); containment scores that pair 1.0. Identical
+    * plan class to q60 — one text pass, one shingle-hash shuffle, one pair
+    * shuffle — with both ratios emitted so the dilution is visible
+    * per pair.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
+                       maxDf: Int = MaxDf): DataFrame = {
+    val sets = docs
+      .withColumn("shh", graft.functions.TextExpressions.shingleHashes(col("text"), 3))
+      .filter(size(col("shh")) > 0)
+    val post = sets.select(
+      struct(col("doc_id"), size(col("shh")).as("sz")).as("d"),
+      explode(col("shh")).as("sh"))
+    post.groupBy(col("sh"))
+      .agg(collect_list(col("d")).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da.doc_id") < col("db.doc_id"))
+      .groupBy(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
+        col("da.sz").as("sa"), col("db.sz").as("sb"))
+      .agg(count(lit(1)).as("ninter"))
+      .withColumn("containment", round(col("ninter").cast("double") /
+        least(col("sa"), col("sb")), 6))
+      .filter(col("containment") >= threshold)
+      .withColumn("jaccard", round(col("ninter").cast("double") /
+        (col("sa") + col("sb") - col("ninter")), 6))
+      .select(col("a"), col("b"), col("containment"), col("jaccard"))
+      .orderBy(col("containment").desc, col("a"), col("b"))
+  }
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(docsTable(spark, dir))
+
   /** EXACT n-gram Jaccard pairs via PPJoin prefix filtering (Xiao et al.,
     * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08) —
     * the unconditionally-correct sibling of [[ngramJaccardPairs]]'s
@@ -667,6 +705,8 @@ object Dedup extends QueryModule {
     "q43_dedup_simhash" -> simhash _,
     "q52_dedup_simhash_pairs" -> simhashHammingPairs _,
     "q60_dedup_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
+    "q161_dedup_containment" -> ((s: SparkSession, dir: String) =>
+      containmentPairs(s, dir)),
     "q88_dedup_ngram_exact" ->
       ((s: SparkSession, dir: String) => ngramJaccardPairsExact(docsTable(s, dir))),
     "q77_dedup_clusters" -> (dedupClusters(_, _)),
@@ -779,6 +819,26 @@ object Dedup extends QueryModule {
          |      JOIN sizes sb ON sb.doc_id = b)
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY jaccard DESC, a, b""".stripMargin,
+    "q161_dedup_containment" ->
+      s"""$shingleCte,
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |post AS (SELECT doc_id, unnest(shd) AS sh FROM sets),
+         |df AS (SELECT sh, count(*) AS df FROM post GROUP BY 1),
+         |postf AS (SELECT p.doc_id, p.sh FROM post p JOIN df ON df.sh = p.sh
+         |          WHERE df.df <= $MaxDf),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ninter
+         |          FROM postf l JOIN postf r
+         |            ON l.sh = r.sh AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shd) AS sz FROM sets),
+         |j AS (SELECT a, b,
+         |        round(CAST(ninter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
+         |        round(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jaccard
+         |      FROM inter
+         |      JOIN sizes sa ON sa.doc_id = a
+         |      JOIN sizes sb ON sb.doc_id = b)
+         |SELECT a, b, containment, jaccard FROM j WHERE containment >= 0.9
+         |ORDER BY containment DESC, a, b""".stripMargin,
     // the exact variant: same query WITHOUT the df cap — the oracle for the
     // prefix-filtered engine plan is plain uncapped Jaccard
     "q88_dedup_ngram_exact" ->
