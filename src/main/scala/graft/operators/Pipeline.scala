@@ -35,8 +35,10 @@ object Pipeline extends QueryModule {
     * engine-portable deterministic hash (see graft oracle rules: 15 hex
     * digits = 60 bits fits a signed long in both engines). */
   private def hashBucket(id: org.apache.spark.sql.Column, salt: String, mod: Int) =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
-      .cast("long"), lit(mod))
+    // native md5_hash60 ≡ conv(substring(md5(s),1,15),16,10) (property-
+    // pinned); oracles keep the SQL idiom, values are bit-identical
+    pmod(graft.functions.TextExpressions.md5Hash60Col(
+      concat(id.cast("string"), lit(salt))), lit(mod))
 
   /** Deterministic train/val/test split (80/10/10) by salted content hash.
     * One narrow projection + one tiny aggregate; at 100 TB the per-split

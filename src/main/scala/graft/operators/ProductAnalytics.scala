@@ -186,8 +186,9 @@ object ProductAnalytics extends QueryModule {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), cents.as("cents"))
       .withColumn("arm", when(
-        conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 15), 16, 10)
-          .cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
+        graft.functions.TextExpressions.md5Hash60Col(
+          concat(col("user_id").cast("string"), lit(":ab"))) % 2 === 0,
+        lit("A")).otherwise(lit("B")))
       .groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
         sum(col("cents") * col("cents")).as("sxx"))
