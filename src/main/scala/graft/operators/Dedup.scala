@@ -494,7 +494,17 @@ object Dedup extends QueryModule {
     * anti-join emptiness probe — no data collect). The oracle's
     * recursive-CTE transitive closure is test-scale only (closure
     * materializes O(n²) paths; contraction never does). */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    componentLabels(pairs, maxIters)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("label").as("cluster_id"), col("n_members"))
+      .orderBy(col("n_members").desc, col("cluster_id"))
+
+  /** The contraction's per-node view: (node, label) with label = the
+    * component's minimum id — shared by the cluster census (q77/q90) and
+    * the c-TF-IDF cluster labeling (q162). */
+  def componentLabels(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // canonical undirected edges (lo < hi). The node set comes from the
     // pairs BEFORE the self-loop filter: a node whose only pair is (x, x)
     // still names a document and must surface as a 1-member cluster, not
@@ -549,16 +559,47 @@ object Dedup extends QueryModule {
         "raise maxIters")
     // star forest: every non-root appears as hi exactly once, its lo is the
     // component min; roots label themselves
-    val labels = nodes.join(edges, col("node") === col("hi"), "left_outer")
+    nodes.join(edges, col("node") === col("hi"), "left_outer")
       .select(col("node"), coalesce(col("lo"), col("node")).as("label"))
-    labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_members"))
-      .select(col("label").as("cluster_id"), col("n_members"))
-      .orderBy(col("n_members").desc, col("cluster_id"))
   }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(simhashHammingPairs(docsTable(spark, dir)).select(col("a"), col("b")))
+
+  /** q162 — c-TF-IDF cluster labeling (the BERTopic class-based TF-IDF,
+    * Grootendorst 2022): label each q77 near-dup cluster by its most
+    * distinguishing terms, score(t, c) = (tf_{t,c} / |c|_tok) ·
+    * ln(1 + A / f_t) with A the mean cluster token count — turning opaque
+    * cluster ids into something a curator reads. All inputs are exact
+    * integer counts off the clustered docs (one token explode, vocab-sized
+    * aggregates, broadcast corpus frequencies + the scalar A); scores
+    * round before the per-cluster rank (the q74 round-before-rank rule).
+    */
+  def clusterTopTerms(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = docsTable(spark, dir)
+    val labels = componentLabels(
+      simhashHammingPairs(docs).select(col("a"), col("b")))
+    val toks = docs.join(labels, col("doc_id") === col("node"))
+      .select(col("label").as("cluster_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("cluster_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val ct = tf.groupBy(col("cluster_id")).agg(sum(col("tf")).as("ctot"))
+    val cf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("f"))
+    val amean = ct.agg((sum(col("ctot")).cast("double") / count(lit(1))).as("abig"))
+    val scored = tf
+      .join(broadcast(ct), "cluster_id")
+      .join(broadcast(cf), "tok")
+      .crossJoin(broadcast(amean))
+      .withColumn("score", round((col("tf").cast("double") / col("ctot"))
+        * log(lit(1.0) + col("abig") / col("f")), 6) + lit(0.0))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("score").desc, col("tok"))).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("cluster_id"), col("rnk"), col("tok"), col("tf"), col("score"))
+      .orderBy(col("cluster_id"), col("rnk"))
+  }
 
   /** Incremental ingest dedup — the daily-batch shape: classify each NEW
     * doc against the EXISTING corpus as `exact_dup` (same text), `near_dup`
@@ -710,6 +751,8 @@ object Dedup extends QueryModule {
     "q88_dedup_ngram_exact" ->
       ((s: SparkSession, dir: String) => ngramJaccardPairsExact(docsTable(s, dir))),
     "q77_dedup_clusters" -> (dedupClusters(_, _)),
+    "q162_cluster_labels" -> ((s: SparkSession, dir: String) =>
+      clusterTopTerms(s, dir)),
     "q79_dedup_incremental" -> (incrementalDedup(_, _)),
     "q132_dedup_sorted_neighborhood" -> (snmNearDupPairs(_, _)),
     "q133_entity_match" -> (entityMatchPairs(_, _)),
@@ -875,6 +918,36 @@ object Dedup extends QueryModule {
          |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY label
          |ORDER BY n_members DESC, cluster_id""".stripMargin,
+    // q77's label CTEs + the class-based TF-IDF scoring over clustered docs
+    "q162_cluster_labels" ->
+      s"""${simhashCte.replaceFirst("WITH tok", "WITH RECURSIVE tok")},
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM shv a JOIN shv b
+         |    ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+         |edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |lab AS (SELECT s AS node, least(s, min(d)) AS label FROM reach GROUP BY s),
+         |tk AS (SELECT l.label AS cluster_id, unnest(string_split(d.text, ' ')) AS tok
+         |       FROM lab l JOIN documents d ON d.doc_id = l.node),
+         |tf AS (SELECT cluster_id, tok, count(*) AS tf FROM tk
+         |       WHERE tok <> '' GROUP BY 1, 2),
+         |ct AS (SELECT cluster_id, CAST(sum(tf) AS BIGINT) AS ctot FROM tf GROUP BY 1),
+         |cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
+         |aa AS (SELECT CAST(sum(ctot) AS DOUBLE) / count(*) AS abig FROM ct),
+         |sc AS (SELECT t.cluster_id, t.tok, CAST(t.tf AS BIGINT) AS tf,
+         |         round((CAST(t.tf AS DOUBLE) / ct.ctot)
+         |           * ln(1.0 + aa.abig / cf.f), 6) + 0.0 AS score
+         |       FROM tf t JOIN ct USING (cluster_id) JOIN cf USING (tok)
+         |       CROSS JOIN aa),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY score DESC, tok) AS rnk FROM sc)
+         |SELECT cluster_id, CAST(rnk AS INT) AS rnk, tok, tf, score
+         |FROM r WHERE rnk <= 3 ORDER BY cluster_id, rnk""".stripMargin,
     "q79_dedup_incremental" ->
       s"""$shingleCte,
          |m AS (SELECT doc_id,

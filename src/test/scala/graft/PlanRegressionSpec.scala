@@ -538,6 +538,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q162: cluster-labeling stats join broadcast onto the tf table") {
+    val p = plan("q162_cluster_labels")
+    assert(p.contains("BroadcastHashJoin"), s"q162 lost its stats broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q147: the triangle closure probes a broadcast edge list, never a cartesian") {
     val p = plan("q147_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
