@@ -304,8 +304,12 @@ object WarehouseOps extends QueryModule {
   /** q148 — k-hop BFS distances over the co-occurrence graph from its
     * highest-degree node (tie-break: smallest item): the "everything within
     * N hops of X" reachability query behind related-item expansion and
-    * blast-radius analysis. Spark has no recursive CTE; the Spark-first
-    * form is the textbook iterative frontier expansion — `maxHops` rounds
+    * blast-radius analysis. Spark 4 does have a recursive CTE (UnionLoop;
+    * q163 uses it), but on a GRAPH the recursive `UNION ALL` form
+    * enumerates every PATH, not every node — 97M paths vs 100 reachable
+    * nodes at sf0.1 (measured in DuckDB on this very query) — so the
+    * Spark-first form here is the textbook iterative frontier expansion
+    * with per-level dedup — `maxHops` rounds
     * of (frontier ⋈ edges) \ visited, each round one equi-join of the
     * CURRENT FRONTIER (not the whole graph) against the cached edge list.
     * Per-round work is |frontier| × avg-degree — the distributed BFS shape
@@ -337,6 +341,41 @@ object WarehouseOps extends QueryModule {
       dist = dist.union(next).localCheckpoint(true)
     }
     dist.orderBy(col("dist"), col("item"))
+  }
+
+  /** q163 — hierarchy flattening via Spark's NATIVE recursive CTE
+    * (`WITH RECURSIVE` → `UnionLoop`, new in Spark 4.x): walk each
+    * customer's management chain (mgr = custkey div 10 — a synthetic but
+    * fully deterministic org chart over the real customer table, the
+    * BOM-explosion / org-rollup shape) to its root, then roll up member
+    * count, chain depth and balance per root org. This is the LINEAR
+    * recursion shape — every node has exactly one parent, so `UNION ALL`
+    * produces N×depth rows total and the loop terminates by predicate
+    * (`cur >= 10`), never by the level cap. Contrast q148: on a graph the
+    * same recursive form enumerates every path (97M paths for 100 nodes
+    * at sf0.1 — measured), which is why BFS stays iterative there and
+    * only the one-parent traversal uses the native recursion.
+    *
+    * Scale notes: depth grows as log10(N) — 11 levels at 15B customers —
+    * far under `spark.sql.cteRecursionLevelLimit` (100). The default
+    * `spark.sql.cteRecursionRowLimit` (1M accumulated rows) is the knob a
+    * 100 TB deployment raises (or sets to -1); at sf0.1 the chain is
+    * ~75k rows. Balance is summed in exact integer cents — no unordered
+    * FP accumulation for the oracle hash to trip on. */
+  def recursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val cv = s"customer_q163_$tag"
+    Tables(spark, dir, "customer").createOrReplaceTempView(cv)
+    spark.sql(
+      s"""WITH RECURSIVE chain(emp, cur, depth) AS (
+         |  SELECT c_custkey, c_custkey, 0 FROM $cv
+         |  UNION ALL
+         |  SELECT emp, cur div 10, depth + 1 FROM chain WHERE cur >= 10),
+         |rooted AS (SELECT emp, cur AS root, depth FROM chain WHERE cur < 10)
+         |SELECT r.root, count(*) AS n_members, max(r.depth) AS max_depth,
+         |       sum(cast(round(c.c_acctbal * 100) AS bigint)) AS acctbal_cents
+         |FROM rooted r JOIN $cv c ON c.c_custkey = r.emp
+         |GROUP BY r.root ORDER BY r.root""".stripMargin)
   }
 
   /** q149 — seasonal-naive forecast backtest: predict each (type, day)
@@ -495,7 +534,8 @@ object WarehouseOps extends QueryModule {
     "q147_graph_triangles" -> ((s, d) => graphTriangles(s, d)),
     "q148_graph_khop" -> ((s, d) => graphKhop(s, d)),
     "q149_forecast_backtest" -> forecastBacktest _,
-    "q150_dq_checks" -> dqChecks _
+    "q150_dq_checks" -> dqChecks _,
+    "q163_recursive_hierarchy" -> recursiveHierarchy _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -770,6 +810,17 @@ object WarehouseOps extends QueryModule {
         |SELECT "check", "table", violations, n_rows,
         |       round(1.0 - CAST(violations AS DOUBLE) / n_rows, 6) + 0.0 AS pass_ratio,
         |       violations = 0 AS passed
-        |FROM checks ORDER BY "table", "check"""".stripMargin
+        |FROM checks ORDER BY "table", "check"""".stripMargin,
+    // same recursion, DuckDB dialect (`//` = integer division = Spark `div`)
+    "q163_recursive_hierarchy" ->
+      """WITH RECURSIVE chain(emp, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT emp, cur // 10, depth + 1 FROM chain WHERE cur >= 10),
+        |rooted AS (SELECT emp, cur AS root, depth FROM chain WHERE cur < 10)
+        |SELECT r.root, count(*) AS n_members, max(r.depth) AS max_depth,
+        |       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |FROM rooted r JOIN customer c ON c.c_custkey = r.emp
+        |GROUP BY r.root ORDER BY r.root""".stripMargin
   )
 }

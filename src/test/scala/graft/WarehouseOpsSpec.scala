@@ -207,4 +207,21 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .map(x => x.getInt(0) -> x.getLong(1)).toMap
     assert(r == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), s"unexpected census: $r")
   }
+
+  test("q163: recursive chain walks div-10 parents to the root; depth and cents exact") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    // org 3: 3 ← 37 ← 371 ← 3712 (depths 0..3); org 5: singleton
+    Seq(
+      (3L, "a", 1, 10.00, "M"), (37L, "b", 1, 0.25, "M"),
+      (371L, "c", 1, -1.50, "M"), (3712L, "d", 1, 2.00, "M"),
+      (5L, "e", 1, 100.10, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val r = operators.WarehouseOps.recursiveHierarchy(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      3L -> ((4L, 3, 1075L)),   // 1000 + 25 - 150 + 200 cents
+      5L -> ((1L, 0, 10010L))), s"unexpected rollup: $r")
+  }
 }
