@@ -363,7 +363,40 @@ object Joins extends QueryModule {
       .orderBy(col("region"), col("nation"), col("quarter"))
   }
 
+  /** q164 — statically SALTED shuffle join, the query-rewrite dual of the
+    * AQE skew split (`SkewJoinAqeSpec`) and of q54's salted aggregation:
+    * when the fact side has hot keys and the dim side is too big to
+    * broadcast, a plain shuffle join puts every hot-key row in ONE reducer.
+    * The rewrite spreads each fact row across `salts` shuffle partitions
+    * with a DETERMINISTIC per-row salt (md5 of the row id — never rand(),
+    * which would break retry-idempotence AND the oracle), and replicates
+    * the dim side once per salt value, joining on (key, salt). Result is
+    * row-identical to the unsalted join — the oracle IS the plain join.
+    * The shuffle_hash hint pins the salted join to a real shuffle (at
+    * sf0.1 the replicated dim would otherwise auto-broadcast and the demo
+    * would silently degenerate); at 100 TB the hint is unnecessary — the
+    * dim being over the broadcast threshold is the operator's premise.
+    * Dim-side replication cost is |dim|×salts rows — choose salts ≈
+    * hot-key-rows / healthy-partition-rows, not "big". */
+  def joinSaltedSkew(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val fact = Tables(spark, dir, "events").select(
+      col("user_id"), col("value"),
+      pmod(graft.functions.TextExpressions.md5Hash60Col(
+        concat(col("event_id").cast("string"), lit(":skewsalt"))), lit(salts.toLong))
+        .as("salt"))
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("value_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q164_join_salted_skew" -> ((s, d) => joinSaltedSkew(s, d)),
     "q160_revenue_report" -> revenueReport _,
     "q80_join_full_outer" -> fullOuterJoin _,
     "q81_sql_correlated_exists" -> sqlCorrelatedExists _,
@@ -397,6 +430,12 @@ object Joins extends QueryModule {
       |ORDER BY purchase_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle is the UNSALTED join — salting must be result-invisible
+    "q164_join_salted_skew" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |       sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q160_revenue_report" ->
       """WITH o AS (
         |  SELECT o_custkey, CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,

@@ -51,4 +51,40 @@ class SkewJoinAqeSpec extends AnyFunSuite {
       assert(executed.contains("skew=true"), executed)
     }
   }
+
+  test("q164: salted join matches the plain join and spreads the hot key") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-salt-").toString
+    // 90% of events hit user 7 — the hot key the salt must spread
+    (1 to 20000).map { i =>
+      val u = if (i % 10 == 0) (i % 5) + 1L else 7L
+      (i.toLong, i.toLong * 1000, u, "view", (i % 100) / 10.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    (1L to 10L).map(k => (k, s"c$k", 1, 0.0, s"SEG${k % 3}"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val salted = operators.Joins.joinSaltedSkew(spark, dir, salts = 8)
+    val plain = graft.Tables(spark, dir, "events")
+      .join(graft.Tables(spark, dir, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("value_cents"))
+      .orderBy(col("c_mktsegment"))
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+    // the join itself must be a real shuffle, not a broadcast of the
+    // replicated dim — otherwise the salting demo silently degenerates
+    val executed = salted.queryExecution.executedPlan.toString
+    assert(executed.contains("ShuffledHashJoin"), executed)
+    // the hot key's rows land in all 8 salt buckets
+    val spread = graft.Tables(spark, dir, "events")
+      .filter(col("user_id") === 7L)
+      .select(org.apache.spark.sql.functions.pmod(
+        graft.functions.TextExpressions.md5Hash60Col(
+          concat(col("event_id").cast("string"), lit(":skewsalt"))), lit(8L)))
+      .distinct().count()
+    assert(spread == 8L, s"hot key only reached $spread of 8 salt buckets")
+  }
 }
