@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis battery for LLM data pipelines over `documents`
@@ -309,6 +310,65 @@ object TextStats extends QueryModule {
   def tokenPmi(spark: SparkSession, dir: String): DataFrame =
     tokenPmi(docsTable(spark, dir))
 
+  /** q166 — TRAINED language classifier (multinomial naive Bayes with
+    * add-one smoothing), the supervised counterpart of q47's fixed-profile
+    * language ID: fit per-(lang, token) log-likelihoods on the hash-split
+    * training docs (doc_id % 5 ≠ 0), score the held-out fifth, report the
+    * per-language accuracy — the fastText-style quality/language scoring
+    * stage of a training-data pipeline, expressed as two token-keyed
+    * aggregations and one token-keyed join. Log-likelihoods are QUANTIZED
+    * to fixed-point micro-nats (×1e6, bigint) at model-build time: the
+    * per-document score is then an INTEGER sum — order-independent, so
+    * the argmax is bit-stable across engines and partitionings (an FP sum
+    * would depend on reduction order; the one FP op left, round(ln·1e6),
+    * is per-MODEL-ROW, the q74 "round before ranking" discipline).
+    * Scale: model size = vocab × langs (shuffle-join side, vocab-keyed —
+    * uniform); the per-lang scalars (priors, defaults, vocab) broadcast;
+    * test tokens replicate ×|langs| (a constant), then reduce per doc. */
+  def nbLangClassifier(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val train = tok.filter(col("doc_id") % 5 =!= 0)
+    val test = tok.filter(col("doc_id") % 5 === 0)
+
+    val cnt = train.groupBy(col("lang").as("model_lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tot = train.groupBy(col("lang").as("model_lang"))
+      .agg(count(lit(1)).as("tot"))
+    val vocab = train.agg(countDistinct(col("tok")).as("v"))
+    val dTrain = docs.filter(col("doc_id") % 5 =!= 0)
+    val prior = dTrain.groupBy(col("lang").as("model_lang")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(dTrain.agg(count(lit(1)).as("ndall"))))
+    val stats = tot.join(prior, "model_lang").crossJoin(broadcast(vocab))
+      .select(col("model_lang"),
+        expr("cast(round(ln(1.0 / (tot + v)) * 1000000) as bigint)").as("dflt_q"),
+        expr("cast(round(ln(cast(nd as double) / ndall) * 1000000) as bigint)").as("prior_q"))
+    val model = cnt.join(tot, "model_lang").crossJoin(broadcast(vocab))
+      .select(col("model_lang"), col("tok"),
+        expr("cast(round(ln((c + 1.0) / (tot + v)) * 1000000) as bigint)").as("ll_q"))
+
+    val sums = test
+      .crossJoin(broadcast(stats.select(col("model_lang"), col("dflt_q"))))
+      .join(model, Seq("model_lang", "tok"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("model_lang"))
+      .agg(sum(coalesce(col("ll_q"), col("dflt_q"))).as("tok_q"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tok_q") + col("prior_q")).desc, col("model_lang"))
+    sums.join(broadcast(stats.select(col("model_lang"), col("prior_q"))), "model_lang")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("model_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_docs"), 4) + lit(0.0))
+      .orderBy(col("lang"))
+  }
+
+  def nbLangClassifier(spark: SparkSession, dir: String): DataFrame =
+    nbLangClassifier(docsTable(spark, dir))
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
@@ -319,7 +379,8 @@ object TextStats extends QueryModule {
     "q112_filter_funnel" -> (filterFunnel(_, _)),
     "q114_bpe_merge_candidates" -> (bpeMergeCandidates(_, _)),
     "q124_perplexity_buckets" -> (perplexityBuckets(_, _)),
-    "q129_token_pmi" -> (tokenPmi(_, _))
+    "q129_token_pmi" -> (tokenPmi(_, _)),
+    "q166_nb_classifier" -> (nbLangClassifier(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -471,6 +532,48 @@ object TextStats extends QueryModule {
         |      FROM c JOIN band da ON da.tok = c.a
         |      JOIN band db ON db.tok = c.b CROSS JOIN tot)
         |SELECT a, b, c_ab, c_a, c_b, pmi FROM j
-        |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
+        |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin,
+    // same fixed-point NB model: integer micro-nat scores make the argmax
+    // order-independent, so both engines agree bit-for-bit
+    "q166_nb_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE tok <> ''),
+        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
+        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
+        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
+        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
+        |stats AS (
+        |  SELECT t.model_lang,
+        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
+        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
+        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
+        |  CROSS JOIN vocab CROSS JOIN dall),
+        |model AS (
+        |  SELECT c.model_lang, c.tok,
+        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
+        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
+        |sums AS (
+        |  SELECT te.doc_id, te.lang, s.model_lang,
+        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
+        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
+        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, lang, model_lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY su.tok_q + st.prior_q DESC, model_lang) AS rn
+        |  FROM sums su JOIN stats st USING (model_lang))
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN model_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_correct,
+        |       round(CAST(sum(CASE WHEN model_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 4) + 0.0 AS accuracy
+        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

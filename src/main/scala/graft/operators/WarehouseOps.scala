@@ -378,6 +378,49 @@ object WarehouseOps extends QueryModule {
          |GROUP BY r.root ORDER BY r.root""".stripMargin)
   }
 
+  /** q165 — Z-ORDER (Morton) layout audit: the multi-dimensional
+    * clustering that makes parquet min/max stats prune on TWO columns at
+    * once — the Delta/Iceberg `OPTIMIZE ZORDER BY` primitive, and at
+    * 100 TB the difference between a point query scanning 1/√F of the
+    * data per dimension and scanning everything on the second column.
+    * Each dim is min-max scaled to 16 bits (pure integer arithmetic —
+    * exact in both engines), bit-interleaved into a 32-bit Morton code
+    * with the classic magic-mask spread, and rows are tiled by the code's
+    * top `tileBits` bits — equal-WIDTH z-ranges, which stay deterministic
+    * for the oracle (a production writer would `repartitionByRange(z)`
+    * instead: sampled boundaries balance row counts but are run-dependent).
+    * The audit emits per-tile row counts and per-dimension min/max — the
+    * footer stats a reader would prune on; the spec asserts both spans
+    * stay bounded where a linear sort leaves the second dimension's span
+    * at full width. One scan, one broadcast scalar subquery (the min/max),
+    * one shuffle (the tile groupBy) — no global sort anywhere. */
+  def zorderLayout(spark: SparkSession, dir: String, tileBits: Int = 6): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val lv = s"lineitem_q165_$tag"
+    Tables(spark, dir, "lineitem").createOrReplaceTempView(lv)
+    val tileDiv = 1L << (32 - tileBits)
+    spark.sql(
+      s"""WITH mm AS (SELECT min(l_orderkey) AS xmin, max(l_orderkey) AS xmax,
+         |                  min(l_partkey) AS ymin, max(l_partkey) AS ymax FROM $lv),
+         |s AS (SELECT l.l_orderkey AS x, l.l_partkey AS y,
+         |        ((l.l_orderkey - mm.xmin) * 65536) div (mm.xmax - mm.xmin + 1) AS xs,
+         |        ((l.l_partkey  - mm.ymin) * 65536) div (mm.ymax - mm.ymin + 1) AS ys
+         |      FROM $lv l CROSS JOIN mm),
+         |b1 AS (SELECT x, y, (xs | shiftleft(xs, 8)) & 16711935 AS xs,
+         |              (ys | shiftleft(ys, 8)) & 16711935 AS ys FROM s),
+         |b2 AS (SELECT x, y, (xs | shiftleft(xs, 4)) & 252645135 AS xs,
+         |              (ys | shiftleft(ys, 4)) & 252645135 AS ys FROM b1),
+         |b3 AS (SELECT x, y, (xs | shiftleft(xs, 2)) & 858993459 AS xs,
+         |              (ys | shiftleft(ys, 2)) & 858993459 AS ys FROM b2),
+         |b4 AS (SELECT x, y, (xs | shiftleft(xs, 1)) & 1431655765 AS xs,
+         |              (ys | shiftleft(ys, 1)) & 1431655765 AS ys FROM b3),
+         |z AS (SELECT x, y, (xs | shiftleft(ys, 1)) AS z FROM b4)
+         |SELECT z div $tileDiv AS file_id, count(*) AS n_rows,
+         |       min(x) AS x_min, max(x) AS x_max,
+         |       min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** q149 — seasonal-naive forecast backtest: predict each (type, day)
     * count by the SAME WEEKDAY one week earlier, score with WMAPE
     * (Σ|err| / Σactual) and RMSE. WMAPE instead of per-day MAPE is
@@ -535,7 +578,8 @@ object WarehouseOps extends QueryModule {
     "q148_graph_khop" -> ((s, d) => graphKhop(s, d)),
     "q149_forecast_backtest" -> forecastBacktest _,
     "q150_dq_checks" -> dqChecks _,
-    "q163_recursive_hierarchy" -> recursiveHierarchy _
+    "q163_recursive_hierarchy" -> recursiveHierarchy _,
+    "q165_zorder_layout" -> ((s, d) => zorderLayout(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -821,6 +865,27 @@ object WarehouseOps extends QueryModule {
         |SELECT r.root, count(*) AS n_members, max(r.depth) AS max_depth,
         |       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
         |FROM rooted r JOIN customer c ON c.c_custkey = r.emp
-        |GROUP BY r.root ORDER BY r.root""".stripMargin
+        |GROUP BY r.root ORDER BY r.root""".stripMargin,
+    // same Morton arithmetic, DuckDB dialect (`//` + `<<` for div/shiftleft)
+    "q165_zorder_layout" ->
+      """WITH mm AS (SELECT min(l_orderkey) AS xmin, max(l_orderkey) AS xmax,
+        |                  min(l_partkey) AS ymin, max(l_partkey) AS ymax FROM lineitem),
+        |s AS (SELECT l.l_orderkey AS x, l.l_partkey AS y,
+        |        ((l.l_orderkey - mm.xmin) * 65536) // (mm.xmax - mm.xmin + 1) AS xs,
+        |        ((l.l_partkey  - mm.ymin) * 65536) // (mm.ymax - mm.ymin + 1) AS ys
+        |      FROM lineitem l CROSS JOIN mm),
+        |b1 AS (SELECT x, y, (xs | (xs << 8)) & 16711935 AS xs,
+        |              (ys | (ys << 8)) & 16711935 AS ys FROM s),
+        |b2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs,
+        |              (ys | (ys << 4)) & 252645135 AS ys FROM b1),
+        |b3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs,
+        |              (ys | (ys << 2)) & 858993459 AS ys FROM b2),
+        |b4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs,
+        |              (ys | (ys << 1)) & 1431655765 AS ys FROM b3),
+        |z AS (SELECT x, y, (xs | (ys << 1)) AS z FROM b4)
+        |SELECT z // 67108864 AS file_id, count(*) AS n_rows,
+        |       min(x) AS x_min, max(x) AS x_max,
+        |       min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

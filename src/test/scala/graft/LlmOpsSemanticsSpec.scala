@@ -406,4 +406,25 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     assert(pruned.length == 1 && pruned.head.getLong(1) == 2L,
       s"in-list neighbor not found: ${pruned.mkString}")
   }
+
+  test("q166: NB classifier learns disjoint vocabularies; unseen tokens don't flip a doc") {
+    import spark.implicits._
+    // two langs with disjoint vocab; doc_ids 0/5/10 are the held-out fifth.
+    // test doc 10 ('fr') carries one unseen token — smoothing must not flip it.
+    def doc(id: Long, text: String, lang: String) =
+      (id, text, lang, "s", text.length.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    (Seq(
+      doc(0L, "bonjour le monde", "fr"),
+      doc(5L, "hello the world", "en"),
+      doc(10L, "bonjour le monde UNSEEN", "fr")) ++
+      (1L to 4L).map(i => doc(i, "bonjour le monde oui", "fr")) ++
+      (6L to 9L).map(i => doc(i, "hello the world yes", "en")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextStats.nbLangClassifier(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r == Map("fr" -> ((2L, 2L, 1.0)), "en" -> ((1L, 1L, 1.0))),
+      s"unexpected classification: $r")
+  }
 }

@@ -550,4 +550,33 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"q147 lost its equi-joins:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"q147 lost the closure broadcast:\n$p")
   }
+
+  test("q163: the hierarchy walk plans Spark's native recursion, not an unrolled union") {
+    val p = plan("q163_recursive_hierarchy")
+    assert(p.contains("UnionLoop"), s"q163 lost the recursive-CTE plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q164: the salted join stays a real shuffle join (broadcast would void the demo)") {
+    val p = plan("q164_join_salted_skew")
+    assert(p.contains("ShuffledHashJoin"), s"q164's salted join degenerated:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q165: z-order audit is one scan + one aggregate shuffle; min/max broadcast") {
+    val p = plan("q165_zorder_layout")
+    // the single-row min/max CTE may ride a broadcast NLJ — that's the
+    // scalar cross join, not candidate generation; what must NOT appear is
+    // a second hash exchange (the morton math is all map-side)
+    assert(!p.contains("CartesianProduct"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"q165 grew extra shuffles ($hashEx):\n$p")
+  }
+
+  test("q166: the NB model joins on the token key; per-lang scalars broadcast") {
+    val p = plan("q166_nb_classifier")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q166 lost its scalar broadcasts:\n$p")
+  }
 }

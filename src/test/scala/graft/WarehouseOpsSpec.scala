@@ -224,4 +224,25 @@ class WarehouseOpsSpec extends AnyFunSuite {
       3L -> ((4L, 3, 1075L)),   // 1000 + 25 - 150 + 200 cents
       5L -> ((1L, 0, 10010L))), s"unexpected rollup: $r")
   }
+
+  test("q165: z-order tiles bound BOTH dims where a linear sort leaves one at full width") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    // full 16x16 grid; 64 top-bit tiles => each tile is one 2x2 block
+    val grid = for (x <- 0 to 15; y <- 0 to 15) yield (x.toLong, y.toLong, 1)
+    grid.toDF("l_orderkey", "l_partkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = operators.WarehouseOps.zorderLayout(spark, d).collect()
+    assert(r.length == 64, s"expected 64 tiles, got ${r.length}")
+    r.foreach { t =>
+      val (n, xs, ys) = (t.getLong(1),
+        t.getLong(3) - t.getLong(2), t.getLong(5) - t.getLong(4))
+      assert(n == 4L && xs == 1L && ys == 1L,
+        s"tile ${t.getLong(0)}: n=$n x-span=$xs y-span=$ys (want 4/1/1)")
+    }
+    // the layout q165 beats: same 64 files off a linear (x, y) sort leave
+    // y at full width — every file spans y 0..15 within a quarter-column
+    val linearYSpan = 15L
+    assert(r.map(t => t.getLong(5) - t.getLong(4)).max < linearYSpan)
+  }
 }
