@@ -76,20 +76,49 @@ if [ $rc -ne 0 ]; then
   python3 tools/bench_diff.py "$PREV" /tmp/bench_flagged.json $WITNESS_ARG
   rc=$?
   if [ $rc -ne 0 ]; then
-    echo "gate: FAIL — regression survives a warm best-of-3; fix before snapshot"
-    echo "gate: if no code touched these queries, adjudicate snapshot drift with"
-    echo "gate:   tools/witness.sh <prev-snapshot-commit> $flagged"
-    echo "gate:   python3 tools/bench_diff.py $PREV bench_out.json --witness bench/witness_same_code.json"
-    echo "gate: (round-12 incident: three flags survived warm re-measure yet the"
-    echo "gate:  UNCHANGED prior commit measured identically slow — box drift)"
-    exit 1
+    # Self-witnessing (round-12 incident, automated end-to-end): flags that
+    # survive the warm re-measure are either real regressions or box drift.
+    # If the previous snapshot recorded the commit it was built from
+    # (bench/bench_r<N>.commit, written at archive time below), re-measure
+    # that UNCHANGED code under current box conditions and let bench_diff
+    # adjudicate — no manual step left in the drift protocol.
+    flagged2=$(python3 tools/bench_diff.py "$PREV" /tmp/bench_flagged.json \
+      $WITNESS_ARG | sed -n 's/^REGRESSED: //p')
+    prev_commit_file="${PREV%.json}.commit"
+    # a "-dirty" marker means the snapshot's exact tree was never committed
+    # — nothing checkout-able to witness, fall through to the manual path
+    if [ -f "$prev_commit_file" ] && ! grep -q dirty "$prev_commit_file"; then
+      prev_commit=$(cat "$prev_commit_file")
+      echo "== gate: auto-witness — re-measuring UNCHANGED $prev_commit for [$flagged2] =="
+      if tools/witness.sh "$prev_commit" "$flagged2" /tmp/witness_auto.json && \
+         python3 tools/bench_diff.py "$PREV" /tmp/bench_flagged.json \
+           --witness /tmp/witness_auto.json; then
+        echo "gate: surviving flags adjudicated as snapshot drift (same code, same speed now)"
+      else
+        echo "gate: FAIL — regression survives the same-code witness; fix before snapshot"
+        exit 1
+      fi
+    else
+      echo "gate: FAIL — regression survives a warm best-of-3; fix before snapshot"
+      echo "gate: no $prev_commit_file to auto-witness; adjudicate manually with"
+      echo "gate:   tools/witness.sh <prev-snapshot-commit> $flagged2"
+      echo "gate:   python3 tools/bench_diff.py $PREV bench_out.json --witness bench/witness_same_code.json"
+      exit 1
+    fi
+  else
+    echo "gate: flagged queries pass warm — cold-run noise, not a regression"
   fi
-  echo "gate: flagged queries pass warm — cold-run noise, not a regression"
 fi
 if [ -n "${ROUND:-}" ]; then
   mkdir -p bench
   cp bench_out.json "bench/bench_r${ROUND}.json"
+  # Record the commit the snapshot measured, so a FUTURE gate can
+  # re-measure this exact code when its diff flags survive (self-witness
+  # above). HEAD is only honest for a clean tree — flag dirty ones.
+  head_commit=$(git rev-parse HEAD)
+  [ -n "$(git status --porcelain)" ] && head_commit="$head_commit-dirty"
+  echo "$head_commit" > "bench/bench_r${ROUND}.commit"
   echo "gate: archived full snapshot -> bench/bench_r${ROUND}.json ($(python3 -c \
-    "import json;print(len(json.load(open('bench_out.json'))['queries']))")q)"
+    "import json;print(len(json.load(open('bench_out.json'))['queries']))")q) @ $head_commit"
 fi
 echo "gate: PASS"
