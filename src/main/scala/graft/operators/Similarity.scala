@@ -706,7 +706,55 @@ object Similarity extends QueryModule {
       .orderBy(col("dim"))
   }
 
+  /** q167 — top PRINCIPAL COMPONENT of the embedding corpus by power
+    * iteration (the whitening/centering precursor every ANN/PQ build runs;
+    * on 100 TB this is how the PCA rotation is actually fit — k passes of
+    * (XᵀX)·v as map-side dot products, never a materialized d×d Gram).
+    * Each iteration is two shuffles on tiny keys: s_r = ⟨x_r, v⟩ per
+    * vector (vec_id), then t_d = Σ_r s_r·x_rd per dimension (d rows);
+    * the 64-long v round-trips the driver between iterations (the q148
+    * loop discipline — constant-size state, not data).
+    *
+    * Determinism discipline (the q159/q127 integer-moments rule, extended
+    * to an ITERATIVE kernel): embeddings quantize to centi-units and v to
+    * micro-units, so s and s·x are exact BIGINTs and t is an exact
+    * DECIMAL(38,0) sum — order-independent at any parallelism. The only
+    * FP per iteration is the normalization (one cast + sqrt + round on
+    * 64 exact integers); a last-ulp wobble there is ~1e-10 of the 0.5
+    * rounding threshold, the same residual class q74 accepts on ln().
+    * The iterate is INTEGER micro-units — bit-equal iterates in, bit-equal
+    * iterates out, so divergence cannot compound across iterations. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cells = embTable(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("x").cast("double") * 100, 0).cast("long").as("xq"))
+      .persist()
+    val d = cells.agg(max(col("dim"))).head.getInt(0)
+    var v: Seq[(Int, Long)] =
+      (1 to d).map(_ -> math.round(1e6 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) {
+      val vdf = broadcast(v.toDF("dim", "vq"))
+      val s = cells.join(vdf, "dim")
+        .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("sq"))
+      val t = cells.join(s, "vec_id")
+        .groupBy(col("dim"))
+        .agg(sum((col("sq") * col("xq")).cast("decimal(38,0)")).as("t"))
+      val norm2 = t.agg(sum(pow(col("t").cast("double"), 2)).as("n2"))
+      v = t.crossJoin(broadcast(norm2))
+        .select(col("dim"), expr(
+          "cast(round(cast(t as double) * 1e6 / sqrt(n2)) as bigint)").as("vq"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    }
+    v.toDF("dim", "vq")
+      .select(col("dim"), col("vq"),
+        (round(col("vq").cast("double") / 1e6, 6) + lit(0.0)).as("loading"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q167_pca_power" -> ((s, dd) => pcaPower(s, dd)),
     "q159_sim_dim_stats" -> (dimStats(_, _)),
     "q117_sim_kmeans" -> (kmeansTrain(_, _)),
     "q118_graph_pagerank" -> (simPagerank(_, _)),
@@ -761,6 +809,29 @@ object Similarity extends QueryModule {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // same 3 power iterations, unrolled relationally (no arrays needed):
+    // the iterate v_i is a 64-row (dim, integer micro-unit) relation
+    "q167_pca_power" -> {
+      val iterBlocks = (1 to 3).map { i =>
+        s"""s$i AS (SELECT x.vec_id, sum(x.xq * v${i - 1}.vq) AS sq
+           |      FROM x JOIN v${i - 1} USING (dim) GROUP BY 1),
+           |t$i AS (SELECT x.dim, sum(CAST(s$i.sq * x.xq AS DECIMAL(38,0))) AS t
+           |      FROM x JOIN s$i USING (vec_id) GROUP BY 1),
+           |n$i AS (SELECT sum(pow(CAST(t AS DOUBLE), 2)) AS n2 FROM t$i),
+           |v$i AS (SELECT dim, CAST(round(CAST(t AS DOUBLE) * 1e6 / sqrt(n2)) AS BIGINT) AS vq
+           |      FROM t$i CROSS JOIN n$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 100) AS BIGINT) AS xq
+         |  FROM embeddings),
+         |v0 AS (SELECT DISTINCT dim,
+         |         CAST(round(1e6 / sqrt((SELECT max(dim) FROM x))) AS BIGINT) AS vq
+         |       FROM x),
+         |$iterBlocks
+         |SELECT dim, vq, round(CAST(vq AS DOUBLE) / 1e6, 6) + 0.0 AS loading
+         |FROM v3 ORDER BY dim""".stripMargin
+    },
     "q159_sim_dim_stats" ->
       """WITH cells AS (
         |  SELECT generate_subscripts(embedding, 1) AS dim,

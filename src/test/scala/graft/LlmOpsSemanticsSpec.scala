@@ -407,6 +407,23 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       s"in-list neighbor not found: ${pruned.mkString}")
   }
 
+  test("q167: power iteration recovers a planted single-axis component exactly") {
+    import spark.implicits._
+    // all mass on axis 3 (0-based idx 2), mixed signs: X^T X is rank-1, so
+    // one iteration lands on e_3 with positive sign and stays there
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    (0L until 20L).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i, (0 until 8).map(d2 => if (d2 == 2) s * (1.0f + (i % 3)) else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = operators.Similarity.pcaPower(spark, dir).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r.size == 8)
+    assert(r(3) == ((1000000L, 1.0)), s"axis component wrong: ${r(3)}")
+    (r - 3).values.foreach { case (vq, l) => assert(vq == 0L && l == 0.0, r) }
+  }
+
   test("q166: NB classifier learns disjoint vocabularies; unseen tokens don't flip a doc") {
     import spark.implicits._
     // two langs with disjoint vocab; doc_ids 0/5/10 are the held-out fifth.

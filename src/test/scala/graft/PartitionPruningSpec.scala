@@ -35,4 +35,50 @@ class PartitionPruningSpec extends AnyFunSuite {
       .filter(col("event_type") === "purchase").count()
     assert(q.agg(sum(col("n"))).collect()(0).getLong(0) == expected)
   }
+
+  test("q165's layout in practice: z-ordered files are stats-skippable on BOTH dims") {
+    import org.apache.spark.sql.Column
+    import spark.implicits._
+    // the file-level proof behind q165's audit: write the SAME 64x64 grid
+    // as 16 files z-ordered and 16 files linearly sorted, then check which
+    // files a y-only box predicate could skip on footer min/max alone —
+    // the pruning a parquet reader does per row group at 100 TB.
+    def spread(c: Column): Column =
+      Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+        .foldLeft(c.bitwiseAND(lit(65535L))) { case (s, (sh, m)) =>
+          s.bitwiseOR(shiftleft(s, sh)).bitwiseAND(lit(m))
+        }
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      // scale 6-bit coords to 16 bits (x << 10), as q165 does via min-max
+      .withColumn("z", spread(shiftleft(col("x"), 10))
+        .bitwiseOR(shiftleft(spread(shiftleft(col("y"), 10)), 1)))
+    val (zdir, ldir) = (Files.createTempDirectory("graft-z-").toString,
+      Files.createTempDirectory("graft-lin-").toString)
+    grid.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .select("x", "y").write.mode("overwrite").parquet(zdir)
+    grid.repartitionByRange(16, col("x"), col("y")).sortWithinPartitions("x", "y")
+      .select("x", "y").write.mode("overwrite").parquet(ldir)
+
+    def skippable(dir: String): Int = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length == 16, s"expected 16 files in $dir")
+      files.count { f =>
+        val r = spark.read.parquet(f).agg(min(col("y")), max(col("y"))).head()
+        r.getLong(1) < 8L || r.getLong(0) > 15L // disjoint from y IN [8, 15]
+      }
+    }
+    val (zSkip, lSkip) = (skippable(zdir), skippable(ldir))
+    assert(zSkip >= 8, s"z-order skipped only $zSkip/16 files on the y box")
+    assert(lSkip == 0, s"linear layout unexpectedly skippable ($lSkip) — bad control")
+
+    // both layouts answer the box query identically, and the y predicate is
+    // pushed to the scan (so real readers get the row-group skip for free)
+    val q = spark.read.parquet(zdir).filter(col("y") >= 8 && col("y") <= 15)
+    assert(q.queryExecution.explainString(FormattedMode).contains(
+      "PushedFilters: [IsNotNull(y), GreaterThanOrEqual(y,8), LessThanOrEqual(y,15)]"))
+    assert(q.count() == 64L * 8 &&
+      spark.read.parquet(ldir).filter(col("y").between(8, 15)).count() == 64L * 8)
+  }
 }
