@@ -325,13 +325,15 @@ object TextStats extends QueryModule {
     * Scale: model size = vocab × langs (shuffle-join side, vocab-keyed —
     * uniform); the per-lang scalars (priors, defaults, vocab) broadcast;
     * test tokens replicate ×|langs| (a constant), then reduce per doc. */
-  def nbLangClassifier(docs: DataFrame): DataFrame = {
-    val tok = docs
+  /** The fitted NB model as two frames: per-(lang, token) quantized
+    * log-likelihoods, and per-lang scalars (unseen-token default + prior).
+    * Shared by batch q166 and [[graft.streaming.StreamingClassifier]],
+    * whose parity spec holds exactly because both serve THIS model. */
+  private[graft] def nbModelFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val train = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val train = tok.filter(col("doc_id") % 5 =!= 0)
-    val test = tok.filter(col("doc_id") % 5 === 0)
-
+      .filter(col("doc_id") % 5 =!= 0)
     val cnt = train.groupBy(col("lang").as("model_lang"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val tot = train.groupBy(col("lang").as("model_lang"))
@@ -347,7 +349,16 @@ object TextStats extends QueryModule {
     val model = cnt.join(tot, "model_lang").crossJoin(broadcast(vocab))
       .select(col("model_lang"), col("tok"),
         expr("cast(round(ln((c + 1.0) / (tot + v)) * 1000000) as bigint)").as("ll_q"))
+    (model, stats)
+  }
 
+  /** Per-held-out-doc prediction: (doc_id, lang, model_lang). */
+  private[graft] def nbPredictions(docs: DataFrame): DataFrame = {
+    val (model, stats) = nbModelFrames(docs)
+    val test = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .filter(col("doc_id") % 5 === 0)
     val sums = test
       .crossJoin(broadcast(stats.select(col("model_lang"), col("dflt_q"))))
       .join(model, Seq("model_lang", "tok"), "left")
@@ -358,6 +369,11 @@ object TextStats extends QueryModule {
     sums.join(broadcast(stats.select(col("model_lang"), col("prior_q"))), "model_lang")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("model_lang"))
+  }
+
+  def nbLangClassifier(docs: DataFrame): DataFrame = {
+    nbPredictions(docs)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("model_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))

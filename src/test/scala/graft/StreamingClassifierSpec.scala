@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.streaming.StreamingClassifier]] — q166's model served map-side
+  * over a document stream. The contract is exact parity: the broadcast
+  * integer-quantized model must predict, per document, EXACTLY what the
+  * batch scorer predicts (same quantization, same tie-break), so batch
+  * evaluation numbers transfer 1:1 to the serving path. */
+class StreamingClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stream predictions match batch q166 per-doc predictions on real testdata") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+    val expected = operators.TextStats.nbPredictions(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(expected.nonEmpty, "no held-out docs in the fixture corpus")
+
+    val model = spark.sparkContext.broadcast(
+      graft.streaming.StreamingClassifier.fit(docs))
+    val stream = MemoryStream[(Long, String)]
+    val preds = graft.streaming.StreamingClassifier.predictions(
+      stream.toDS().toDF("doc_id", "text"), model)
+    val q = preds.writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    try {
+      val test = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      stream.addData(test.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("clf_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == expected.size)
+    val diff = expected.collect { case (id, l) if got(id) != l => (id, l, got(id)) }
+    assert(diff.isEmpty, s"stream/batch prediction drift: ${diff.take(5)}")
+  }
+
+  test("stateless serving: the prediction stream plans no state store and no exchange") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val model = spark.sparkContext.broadcast(
+      graft.streaming.StreamingClassifier.fit(docs))
+    val stream = MemoryStream[(Long, String)]
+    val preds = graft.streaming.StreamingClassifier.predictions(
+      stream.toDS().toDF("doc_id", "text"), model)
+    val q = preds.writeStream.format("memory").queryName("clf_plan_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((0L, "alpha beta"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"serving must be stateless: ${q.lastProgress.prettyJson}")
+    } finally q.stop()
+  }
+}
