@@ -78,6 +78,32 @@ object Pipeline extends QueryModule {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(docsTable(spark, dir))
 
+  /** q168 — WEIGHTED sample without replacement (Efraimidis–Spirakis
+    * exponential keys), the quality-weighted corpus-sampling primitive the
+    * uniform q69/q93/q146 family can't express: each doc draws priority
+    * key ln(u)/w with u hash-uniform in (0,1] and w = its weight
+    * (n_chars here; a quality score in production), and the global top-k
+    * by key IS a weight-proportional sample — one distributed
+    * TakeOrdered, no per-group state, no RNG (the repo's no-rand()
+    * discipline: u comes from the salted md5 idiom, so the sample is
+    * identical across runs, partitionings, and engines). At 100 TB the
+    * top-k is the same per-partition-heap + driver-merge every
+    * `ORDER BY … LIMIT k` compiles to — no global sort. The key is
+    * rounded before ranking (q74 discipline; doc_id breaks residual
+    * ties) so both engines rank identically. */
+  def weightedSample(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .withColumn("u", (graft.functions.TextExpressions.md5Hash60Col(
+          concat(col("doc_id").cast("string"), lit(":aes"))) + 1L).cast("double")
+        / lit(1.152921504606846976e18))
+      .withColumn("key", round(log(col("u")) / col("n_chars"), 12) + lit(0.0))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars").as("w"), col("key"))
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(docsTable(spark, dir))
+
   /** Boilerplate/stopword scrub: drop noise tokens, collapse whitespace,
     * emit a content signature + removed-char count per doc. The regex is
     * ASCII word-boundary only, so Java and RE2 agree; on a real corpus the
@@ -561,10 +587,21 @@ object Pipeline extends QueryModule {
     "q110_source_quota" -> (sourceQuota(_, _)),
     "q116_text_bm25" -> (bm25TopK(_, _)),
     "q125_rag_chunks" -> (ragChunks(_, _)),
-    "q128_hybrid_rrf" -> ((s, d) => hybridRrf(s, d))
+    "q128_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "q168_sample_weighted" -> (weightedSample(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Efraimidis-Spirakis keys off the same md5 idiom; `+ 0.0` kills the
+    // q97 signed-zero class on near-zero rounded keys
+    "q168_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars AS w,
+        |         round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':aes'), 1, 15) AS BIGINT) + 1)
+        |                  / 1152921504606846976.0) / n_chars, 12) + 0.0 AS key
+        |  FROM documents)
+        |SELECT doc_id, w, key FROM keyed
+        |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
     "q158_kl_mixture" ->
       """WITH pl AS (
         |  SELECT lang, count(*) AS n_docs,

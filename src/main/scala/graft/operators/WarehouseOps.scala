@@ -421,6 +421,40 @@ object WarehouseOps extends QueryModule {
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** q169 — INCREMENTAL aggregate maintenance: refresh a materialized
+    * daily rollup from yesterday's partials plus today's delta, never
+    * rescanning history — the nightly-ELT pattern that makes a 100 TB
+    * fact table maintainable (the base aggregate is a stored table there;
+    * here both sides are computed so the query PROVES merge ≡ recompute:
+    * the oracle is the full recompute over all days). The mergeable state
+    * is (count, integer-cent sum) — avg is derived AFTER the merge, the
+    * classic "avg doesn't merge, its moments do" discipline (same rule
+    * the q62/q64 sketches and q127's Welch moments follow). Partial
+    * re-aggregation is associative, so the merge is one map-side-combined
+    * shuffle over already-reduced partials — |types|×|days| rows, not
+    * events. (The day split here filters on a runtime scalar — the cutoff
+    * comes from the data — so it is a post-scan filter; the production
+    * form reads the stored base table and a day-partitioned delta, where
+    * the split is partition pruning and this query's scan never happens.) */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val cutoff = ev.agg(max(col("day")).as("cut"))
+    def partials(df: DataFrame) = df
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val base = partials(ev.crossJoin(broadcast(cutoff)).filter(col("day") < col("cut")))
+    val delta = partials(ev.crossJoin(broadcast(cutoff)).filter(col("day") === col("cut")))
+    base.union(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .select(col("event_type"), col("day"), col("n"), col("sum_cents"),
+        (round(col("sum_cents").cast("double") / col("n") / 100, 6) + lit(0.0))
+          .as("avg_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** q149 — seasonal-naive forecast backtest: predict each (type, day)
     * count by the SAME WEEKDAY one week earlier, score with WMAPE
     * (Σ|err| / Σactual) and RMSE. WMAPE instead of per-day MAPE is
@@ -579,7 +613,8 @@ object WarehouseOps extends QueryModule {
     "q149_forecast_backtest" -> forecastBacktest _,
     "q150_dq_checks" -> dqChecks _,
     "q163_recursive_hierarchy" -> recursiveHierarchy _,
-    "q165_zorder_layout" -> ((s, d) => zorderLayout(s, d))
+    "q165_zorder_layout" -> ((s, d) => zorderLayout(s, d)),
+    "q169_incremental_agg" -> incrementalAgg _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -886,6 +921,15 @@ object WarehouseOps extends QueryModule {
         |SELECT z // 67108864 AS file_id, count(*) AS n_rows,
         |       min(x) AS x_min, max(x) AS x_max,
         |       min(y) AS y_min, max(y) AS y_max
-        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle is the FULL recompute — base-partials + delta must merge
+    // to exactly it
+    "q169_incremental_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |             / count(*) / 100, 6) + 0.0 AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -215,4 +215,22 @@ class PipelineSemanticsSpec extends AnyFunSuite {
     val s1 = r6(idfSpark * 1 * 2.2 / (1 + 1.2))
     assert(out.toSeq == Seq((1, 0L, 2, s0), (2, 1L, 1, s1))) // doc 2 absent
   }
+
+  test("q168: weighted sampling always takes the dominant-weight doc first; deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-aes").toString
+    // one doc outweighs the rest a millionfold: its key ln(u)/w is the
+    // closest to zero, so E-S selection ranks it first with near certainty
+    ((0L until 100L).map(i => (i, s"doc $i", "en", "s", 50L + i)) :+
+      (100L, "whale", "en", "s", 50000000000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = Tables(spark, dir, "documents")
+    val top = operators.Pipeline.weightedSample(docs, k = 10).collect()
+    assert(top.head.getLong(0) == 100L, s"whale not first: ${top.head}")
+    // no RNG anywhere: the sample is identical under a different partitioning
+    val again = operators.Pipeline.weightedSample(docs.repartition(7), k = 10)
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
 }

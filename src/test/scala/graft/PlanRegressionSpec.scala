@@ -573,6 +573,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"q165 grew extra shuffles ($hashEx):\n$p")
   }
 
+  test("q168: the weighted sample is a distributed TakeOrdered, never a global sort") {
+    val p = plan("q168_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), s"q168 lost its top-k plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q169: the partial merge re-aggregates reduced partials; cutoff broadcasts") {
+    val p = plan("q169_incremental_agg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q169 lost the cutoff broadcast:\n$p")
+  }
+
   test("q166: the NB model joins on the token key; per-lang scalars broadcast") {
     val p = plan("q166_nb_classifier")
     assert(!p.contains("CartesianProduct"), p)

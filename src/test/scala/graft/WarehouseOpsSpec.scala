@@ -245,4 +245,23 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val linearYSpan = 15L
     assert(r.map(t => t.getLong(5) - t.getLong(4)).max < linearYSpan)
   }
+
+  test("q169: base partials + delta merge to exactly the full recompute") {
+    // three days, last day is the delta; u2's day-2 rows exist ONLY in the
+    // delta, u1 spans both sides — the merge must stitch them seamlessly
+    val dir = writeEvents(Seq(
+      (1L, day(0), 1L, "view", 1.00, "{}"),
+      (2L, day(1), 1L, "view", 2.00, "{}"),
+      (3L, day(2, 10), 1L, "view", 4.00, "{}"),
+      (4L, day(2, 20), 1L, "view", 5.00, "{}"),
+      (5L, day(2, 30), 2L, "click", 0.10, "{}")))
+    val r = operators.WarehouseOps.incrementalAgg(spark, dir).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r == Map(
+      ("view", "1970-01-01") -> ((1L, 100L, 1.0)),
+      ("view", "1970-01-02") -> ((1L, 200L, 2.0)),
+      ("view", "1970-01-03") -> ((2L, 900L, 4.5)),   // merged delta day
+      ("click", "1970-01-03") -> ((1L, 10L, 0.1))), s"bad merge: $r")
+  }
 }
