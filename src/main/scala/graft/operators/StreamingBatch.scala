@@ -46,6 +46,30 @@ object StreamingBatch extends QueryModule {
         col("sw.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** q170 — OHLC downsampling: per (event_type, 6 h bucket) keep
+    * open/high/low/close/count — the long-term-retention compaction every
+    * metrics store (Thanos/M3-style) runs on aged raw samples, and the
+    * natural batch floor under the relay's sample stream. open/close are
+    * `min_by`/`max_by` on the (ts, event_id) struct — ORDER-INSENSITIVE
+    * aggregates with a total tie-break, so the result is partitioning-
+    * independent (the q139 compaction rule applied at bucket granularity);
+    * all five outputs are raw input values or counts — nothing computed,
+    * nothing for an engine hash to wobble on. One map-side-combined
+    * shuffle keyed (bucket, type): the downsample's output cardinality,
+    * not the raw stream's. */
+  def downsampleOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy(col("bucket_start"), col("event_type"))
+
   /** dropDuplicates — duplicates manufactured via self-union so the dedup
     * provably removes rows (source rows are unique). */
   def dropDups(spark: SparkSession, dir: String): DataFrame = {
@@ -71,6 +95,7 @@ object StreamingBatch extends QueryModule {
 
   val queries: Map[String, QueryFn] = Map(
     "q30_stream_tumbling" -> tumbling _,
+    "q170_downsample_ohlc" -> downsampleOhlc _,
     "q31_stream_sliding" -> sliding _,
     "q32_stream_sessions" -> sessions _,
     "q33_stream_dedup" -> dropDups _,
@@ -78,6 +103,24 @@ object StreamingBatch extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // open/close via rank-1 rows under the same (ts, event_id) total order
+    "q170_downsample_ohlc" ->
+      """WITH b AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bs,
+        |         event_type, value, ts, event_id
+        |  FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY bs, event_type
+        |          ORDER BY ts, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY bs, event_type
+        |          ORDER BY ts DESC, event_id DESC) AS rn_d
+        |      FROM b)
+        |SELECT bs AS bucket_start, event_type,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q30_stream_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -101,6 +101,23 @@ object RelayAnalytics {
       .as[ChangeRow]
   }
 
+  /** Canonical records → [[BucketSample]] rows for [[StreamingDownsample]]:
+    * each sample routes to its metric's 6 h retention bucket; the sample
+    * time doubles as the event id (relay samples carry no sequence
+    * number), so the open/close total order is (time, time) — plain
+    * event-time order with a stable tie. */
+  def bucketSamples(records: DataFrame): Dataset[BucketSample] = {
+    import records.sparkSession.implicits._
+    records.filter(col("value").isNotNull && col("time").isNotNull)
+      .select(col("name").as("event_type"),
+        ((col("time") * lit(1000L)) - pmod(col("time") * lit(1000L),
+          lit(21600000000L))).as("bucketUs"),
+        (col("time") * lit(1000L)).as("event_id"),
+        (col("time") * lit(1000L)).as("tsUs"),
+        col("value"))
+      .as[BucketSample]
+  }
+
   /** Canonical records → [[ActivityRow]] rows for [[StreamingActiveUsers]]:
     * each sample marks its SERIES active at its timestamp, so the day
     * panes estimate daily/weekly/monthly ACTIVE SERIES — the cardinality

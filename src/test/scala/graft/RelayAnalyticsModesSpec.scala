@@ -361,6 +361,39 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → downsample analytic JSON: per-bucket OHLC, out-of-order open kept") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-ds-in-").toString
+      val outDir = Files.createTempDirectory("ra-ds-out-").toString + "/analytics-downsample"
+      val ckpt = Files.createTempDirectory("ra-ds-ckpt-").toString
+      val schema = StructType.fromDDL(
+        "event_type STRING, bucket_us BIGINT, open DOUBLE, high DOUBLE, " +
+          "low DOUBLE, close DOUBLE, n BIGINT")
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "temp", "host" -> "a"),
+            Seq(Sample(20.0, 5000L), Sample(25.0, 9000L))))) == 200)
+        runOnce(inDir, "downsample", outDir, ckpt)
+        // an EARLIER sample arrives across a restart: becomes the open
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "temp", "host" -> "a"),
+            Seq(Sample(1.0, 2000L))))) == 200)
+        runOnce(inDir, "downsample", outDir, ckpt)
+        val last = spark.read.schema(schema).json(outDir).collect()
+          .maxBy(_.getAs[Long]("n"))
+        assert(last.getAs[String]("event_type") == "temp")
+        assert(last.getAs[Long]("bucket_us") == 0L)
+        assert(last.getAs[Double]("open") == 1.0)   // late-but-earlier sample
+        assert(last.getAs[Double]("high") == 25.0)
+        assert(last.getAs[Double]("low") == 1.0)
+        assert(last.getAs[Double]("close") == 25.0)
+        assert(last.getAs[Long]("n") == 3L)
+      } finally f.stop()
+    }
+  }
+
   test("POST → cardinality analytic JSON: day panes count distinct active series") {
     withRocksDb {
       val inDir = Files.createTempDirectory("ra-card-in-").toString
