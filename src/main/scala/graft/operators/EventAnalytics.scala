@@ -146,6 +146,70 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("name"), col("hour"))
       .limit(200)
 
+  /** q171 — gap-fill + LINEAR INTERPOLATION onto an aligned 1 h grid per
+    * metric: the resampling that turns irregular samples into the regular
+    * frame ML feature pipelines join on, and the interpolating dual of the
+    * PromQL lookback (which is last-value-only, q96). The Spark-first
+    * shape is the UNION trick: inject grid points as null-valued rows,
+    * sort ONCE per series, and carry the bracketing samples with
+    * last/first(ignoreNulls) over the preceding/following frames of the
+    * SAME window order — O(n log n) per series, where the naive
+    * grid⋈samples as-of pair expansion is |grid|·|samples|. The grid is
+    * clamped inside each series' sample span, so every point is bracketed
+    * and no extrapolation is invented. Order ties are totalized
+    * ((tus, is_grid, value) — a same-timestamp sample sorts before its
+    * grid point, making on-sample grid values exact); the lerp is one
+    * rounded emission (q74 discipline, signed-zero guarded). */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val step = 3600000000L
+    val s = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("name"), unix_micros(col("ts")).as("tus"),
+        col("value"))
+    val grid = s.groupBy(col("name"))
+      .agg(min(col("tus")).as("mn"), max(col("tus")).as("mx"))
+      .select(col("name"),
+        expr(s"((mn + ${step - 1}L) div ${step}L) * ${step}L").as("gmin"),
+        expr(s"(mx div ${step}L) * ${step}L").as("gmax"))
+      .filter(col("gmin") <= col("gmax"))
+      .select(col("name"), explode(expr(s"sequence(gmin, gmax, ${step}L)")).as("tus"))
+    val u = s.select(col("name"), col("tus"), col("value"), lit(0).as("is_grid"))
+      .unionAll(grid.select(col("name"), col("tus"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid")))
+    // Both bracket lookups are RUNNING frames (unbounded-preceding →
+    // current): the next-side uses the REVERSED order rather than a
+    // [current, unbounded-following] frame, which Spark's WindowExec
+    // executes as a per-row re-scan — O(n²) per series (measured: 200 s at
+    // sf0.1; this form is 0.5 s). The reversed preceding-set equals the
+    // forward following-set row-for-row (grid rows sort after same-ts
+    // samples forward, before them reversed — exactly the strict-next
+    // semantics the pt = tus guard expects), so the oracle keeps the
+    // forward following-frame form and hashes identically.
+    val wp = Window.partitionBy(col("name"))
+      .orderBy(col("tus").asc, col("is_grid").asc, col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy(col("name"))
+      .orderBy(col("tus").desc, col("is_grid").desc, col("value").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("pv", last(col("value"), ignoreNulls = true).over(wp))
+      .withColumn("pt",
+        last(when(col("is_grid") === 0, col("tus")), ignoreNulls = true).over(wp))
+      .withColumn("nv", last(col("value"), ignoreNulls = true).over(wn))
+      .withColumn("nt",
+        last(when(col("is_grid") === 0, col("tus")), ignoreNulls = true).over(wn))
+      .filter(col("is_grid") === 1)
+      // pt = tus ⇔ a sample sits ON the grid point (it sorts before the
+      // grid row, so pv already carries it — and the next-side window may
+      // legitimately see nothing when that sample ends the series)
+      .select(col("name"), timestamp_micros(col("tus")).as("grid_ts"),
+        (round(when(col("pt") === col("tus"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("tus") - col("pt")).cast("double")
+              / (col("nt") - col("pt")).cast("double"))), 6) + lit(0.0)).as("value"))
+      .orderBy(col("name"), col("grid_ts"))
+  }
+
   /** PromQL instant-vector family — `irate`, `idelta`, `delta`: the
     * last-two-samples operators (prometheus `functions.go` instantValue:
     * irate/idelta read ONLY the final two points in range; delta is
@@ -762,6 +826,7 @@ object EventAnalytics extends QueryModule {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "q171_gap_fill" -> gapFill _,
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
     "q82_prom_rate" -> promRate _,
@@ -826,6 +891,41 @@ object EventAnalytics extends QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same union-and-carry shape; IGNORE NULLS windows, identical total order
+    "q171_gap_fill" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT name, min(tus) AS mn, max(tus) AS mx FROM s GROUP BY 1),
+        |g AS (
+        |  SELECT name,
+        |         unnest(generate_series(((mn + 3599999999) // 3600000000) * 3600000000,
+        |                                (mx // 3600000000) * 3600000000,
+        |                                3600000000)) AS tus
+        |  FROM mm
+        |  WHERE ((mn + 3599999999) // 3600000000) * 3600000000
+        |        <= (mx // 3600000000) * 3600000000),
+        |u AS (
+        |  SELECT name, tus, value, 0 AS is_grid FROM s
+        |  UNION ALL
+        |  SELECT name, tus, NULL, 1 FROM g),
+        |f AS (
+        |  SELECT *,
+        |    last_value(value IGNORE NULLS) OVER w AS pv,
+        |    last_value(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS) OVER w AS pt,
+        |    first_value(value IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS) OVER wn AS nt
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY name ORDER BY tus, is_grid, value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY name ORDER BY tus, is_grid, value
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT name, make_timestamp(tus) AS grid_ts,
+        |       round(CASE WHEN pt = tus THEN pv
+        |                  ELSE pv + (nv - pv) *
+        |                       (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END, 6)
+        |         + 0.0 AS value
+        |FROM f WHERE is_grid = 1 ORDER BY name, grid_ts""".stripMargin,
     "q84_prom_over_time" ->
       """WITH s AS (
         |  SELECT event_type AS name, user_id,

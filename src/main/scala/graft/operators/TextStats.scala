@@ -352,8 +352,9 @@ object TextStats extends QueryModule {
     (model, stats)
   }
 
-  /** Per-held-out-doc prediction: (doc_id, lang, model_lang). */
-  private[graft] def nbPredictions(docs: DataFrame): DataFrame = {
+  /** Per-held-out-doc per-language score: (doc_id, lang, model_lang,
+    * score_q) — exact integer micro-nats. */
+  private[graft] def nbScores(docs: DataFrame): DataFrame = {
     val (model, stats) = nbModelFrames(docs)
     val test = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
@@ -364,13 +365,47 @@ object TextStats extends QueryModule {
       .join(model, Seq("model_lang", "tok"), "left")
       .groupBy(col("doc_id"), col("lang"), col("model_lang"))
       .agg(sum(coalesce(col("ll_q"), col("dflt_q"))).as("tok_q"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy((col("tok_q") + col("prior_q")).desc, col("model_lang"))
     sums.join(broadcast(stats.select(col("model_lang"), col("prior_q"))), "model_lang")
+      .select(col("doc_id"), col("lang"), col("model_lang"),
+        (col("tok_q") + col("prior_q")).as("score_q"))
+  }
+
+  /** Per-held-out-doc prediction: (doc_id, lang, model_lang). */
+  private[graft] def nbPredictions(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("model_lang"))
+    nbScores(docs)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("model_lang"))
   }
+
+  /** q172 — AUC of the q166 classifier's `posLang` score on the held-out
+    * fifth, by the Mann–Whitney rank-sum identity: AUC = (Σ ranks of
+    * positives − P(P+1)/2) / (P·N), with midrank tie handling carried as
+    * the INTEGER 2·rank + |tie| − 1 (twice the average rank), so the whole
+    * statistic is exact integer arithmetic until one final division — the
+    * q166/q167 fixed-point discipline applied to model EVALUATION. The
+    * global rank runs over the held-out docs only (an eval set is orders
+    * smaller than the corpus; at larger eval sizes the same identity
+    * distributes by partition-ranked prefix sums). */
+  def classifierAuc(docs: DataFrame, posLang: String = "en"): DataFrame = {
+    val s = nbScores(docs).filter(col("model_lang") === posLang)
+      .select((col("lang") === posLang).cast("long").as("y"), col("score_q"))
+    val r2 = s
+      .withColumn("rnk", rank().over(Window.orderBy(col("score_q"))))
+      .withColumn("tied", count(lit(1)).over(Window.partitionBy(col("score_q"))))
+      .withColumn("r2", lit(2L) * col("rnk") + col("tied") - 1L)
+    r2.agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"),
+        sum(when(col("y") === 1L, col("r2")).otherwise(0L)).as("r2s"))
+      .select(col("n_pos"), col("n_neg"),
+        (round((col("r2s").cast("double") / 2
+            - col("n_pos").cast("double") * (col("n_pos") + 1) / 2)
+          / (col("n_pos") * col("n_neg")), 6) + lit(0.0)).as("auc"))
+  }
+
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame =
+    classifierAuc(docsTable(spark, dir))
 
   def nbLangClassifier(docs: DataFrame): DataFrame = {
     nbPredictions(docs)
@@ -396,7 +431,8 @@ object TextStats extends QueryModule {
     "q114_bpe_merge_candidates" -> (bpeMergeCandidates(_, _)),
     "q124_perplexity_buckets" -> (perplexityBuckets(_, _)),
     "q129_token_pmi" -> (tokenPmi(_, _)),
-    "q166_nb_classifier" -> (nbLangClassifier(_, _))
+    "q166_nb_classifier" -> (nbLangClassifier(_, _)),
+    "q172_classifier_auc" -> (classifierAuc(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -590,6 +626,52 @@ object TextStats extends QueryModule {
         |         AS n_correct,
         |       round(CAST(sum(CASE WHEN model_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
         |             / count(*), 4) + 0.0 AS accuracy
-        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q166's model chain, then Mann-Whitney with integer midranks
+    // (2*rank + |tie| - 1); one final double division
+    "q172_classifier_auc" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE tok <> ''),
+        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
+        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
+        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
+        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
+        |stats AS (
+        |  SELECT t.model_lang,
+        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
+        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
+        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
+        |  CROSS JOIN vocab CROSS JOIN dall),
+        |model AS (
+        |  SELECT c.model_lang, c.tok,
+        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
+        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
+        |sums AS (
+        |  SELECT te.doc_id, te.lang, s.model_lang,
+        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
+        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
+        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT CASE WHEN su.lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         su.tok_q + st.prior_q AS score
+        |  FROM sums su JOIN stats st USING (model_lang)
+        |  WHERE model_lang = 'en'),
+        |rk AS (
+        |  SELECT y, 2 * rank() OVER (ORDER BY score)
+        |            + count(*) OVER (PARTITION BY score) - 1 AS r2
+        |  FROM sc)
+        |SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+        |       CAST(sum(1 - y) AS BIGINT) AS n_neg,
+        |       round((CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS DOUBLE) / 2
+        |              - CAST(sum(y) AS DOUBLE) * (sum(y) + 1) / 2)
+        |             / (sum(y) * sum(1 - y)), 6) + 0.0 AS auc
+        |FROM rk""".stripMargin
   )
 }

@@ -407,6 +407,43 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       s"in-list neighbor not found: ${pruned.mkString}")
   }
 
+  test("q172: AUC is 1.0 on separable classes; midrank ties score 0.75 by hand") {
+    import spark.implicits._
+    def doc(id: Long, text: String, lang: String) =
+      (id, text, lang, "s", text.length.toLong)
+    // train: disjoint vocab. held-out: doc 0 (en) and doc 5 (fr) share the
+    // SAME text — identical 'en' scores, a genuine midrank tie; doc 10 is
+    // pure fr vocab, scoring lowest. Ascending ranks: doc10=1, tie at 2/3
+    // (avg 2.5). AUC = (2.5 - 1)/(1*2) = 0.75.
+    val dir = java.nio.file.Files.createTempDirectory("graft-auc").toString
+    (Seq(
+      doc(0L, "hello the world", "en"),
+      doc(5L, "hello the world", "fr"),
+      doc(10L, "bonjour le monde", "fr")) ++
+      (1L to 4L).map(i => doc(i, "hello the world yes", "en")) ++
+      (6L to 9L).map(i => doc(i, "bonjour le monde oui", "fr")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextStats.classifierAuc(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((1L, 2L, 0.75)),
+      s"unexpected AUC row: $r")
+
+    // separable control: drop the mislabeled twin → the en doc outranks
+    // both fr docs and AUC is exactly 1.0
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-auc2").toString
+    (Seq(
+      doc(0L, "hello the world", "en"),
+      doc(5L, "bonjour le monde", "fr"),
+      doc(10L, "bonjour le monde", "fr")) ++
+      (1L to 4L).map(i => doc(i, "hello the world yes", "en")) ++
+      (6L to 9L).map(i => doc(i, "bonjour le monde oui", "fr")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r2 = operators.TextStats.classifierAuc(spark, dir2).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2)) == ((1L, 2L, 1.0)),
+      s"unexpected separable AUC: $r2")
+  }
+
   test("q167: power iteration recovers a planted single-axis component exactly") {
     import spark.implicits._
     // all mass on axis 3 (0-based idx 2), mixed signs: X^T X is rank-1, so

@@ -371,4 +371,25 @@ class PromBatchFnsSpec extends AnyFunSuite {
       .map(_.getString(0))
     assert(order.toSeq == Seq("lin", "ctr")) // sort_desc by deriv
   }
+
+  test("q171: grid points interpolate linearly between brackets; on-sample points are exact") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    // 'ramp': value = t/60 at t = 30 m and 150 m → hourly grid at 60 m and
+    // 120 m must lerp to 60 and 120; 'flat': samples AT grid instants
+    val rows = Seq(
+      (1L, ns(1800), 1L, "ramp", 30.0, "{}"),
+      (2L, ns(9000), 1L, "ramp", 150.0, "{}"),
+      (3L, ns(3600), 2L, "flat", 7.0, "{}"),
+      (4L, ns(7200), 2L, "flat", 9.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-gap").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = operators.EventAnalytics.gapFill(spark, d).collect()
+      .map(x => (x.getString(0), x.getTimestamp(1).getTime / 1000) -> x.getDouble(2))
+      .toMap
+    assert(r == Map(
+      ("ramp", 3600L) -> 60.0, ("ramp", 7200L) -> 120.0,
+      ("flat", 3600L) -> 7.0, ("flat", 7200L) -> 9.0), s"unexpected fill: $r")
+  }
 }
