@@ -114,9 +114,13 @@ if [ -n "${ROUND:-}" ]; then
   cp bench_out.json "bench/bench_r${ROUND}.json"
   # Record the commit the snapshot measured, so a FUTURE gate can
   # re-measure this exact code when its diff flags survive (self-witness
-  # above). HEAD is only honest for a clean tree — flag dirty ones.
+  # above). HEAD is only honest when the MEASURED CODE is clean — scope
+  # the dirtiness check to code paths (the gate's own outputs —
+  # GATE_r*.txt, bench_out.json — are always mid-write here and must not
+  # poison the marker).
   head_commit=$(git rev-parse HEAD)
-  [ -n "$(git status --porcelain)" ] && head_commit="$head_commit-dirty"
+  [ -n "$(git status --porcelain -- src build.sbt project tools)" ] && \
+    head_commit="$head_commit-dirty"
   echo "$head_commit" > "bench/bench_r${ROUND}.commit"
   echo "gate: archived full snapshot -> bench/bench_r${ROUND}.json ($(python3 -c \
     "import json;print(len(json.load(open('bench_out.json'))['queries']))")q) @ $head_commit"
