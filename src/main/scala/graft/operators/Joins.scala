@@ -395,7 +395,52 @@ object Joins extends QueryModule {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q173 — POINT-IN-TIME feature-frame assembly, the feature-store /
+    * training-set operator: for every label event (purchase), attach
+    * features computed ONLY from data at-or-before the label's timestamp
+    * — the leakage rule every offline training join must enforce. Two
+    * feature families at different shapes: (1) last click value at-or-
+    * before the label — the NATIVE as-of operator (q63's plan: one
+    * shuffle per side, merge pass, zero pair expansion), re-attached
+    * LEFT-outer so label rows without history keep a null (the honest
+    * encoding — a fabricated default would leak "no history" into the
+    * feature scale); (2) 7-day trailing view count — a user-keyed range
+    * join (the q16 shape: per-user expansion bounded by per-user
+    * activity, never a global product) reduced before re-attachment.
+    * Both features key back on the label id — broadcast-sized relative
+    * to the fact stream after their reductions at any scale where labels
+    * ≪ events. Micros arithmetic end-to-end; outputs are raw values and
+    * integer counts — nothing for an engine hash to wobble on. */
+  def pitFeatureJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val labels = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_id"), col("ts").as("lts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"), col("value").as("click_value"))
+    val f1 = graft.plans.AsOf.join(
+        labels.select(col("user_id").as("l_user"), col("label_id"), col("lts")),
+        clicks, "l_user", "user_id", "lts", "cts", "click_id")
+      .select(col("label_id"), col("click_value").as("last_click_value"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vus"))
+    val f2 = labels
+      .join(views,
+        views("user_id") === labels("user_id") &&
+          col("vus") >= unix_micros(col("lts")) - lit(604800000000L) &&
+          col("vus") < unix_micros(col("lts")))
+      .groupBy(col("label_id")).agg(count(lit(1)).as("views_7d"))
+    labels
+      .join(f1, Seq("label_id"), "left")
+      .join(f2, Seq("label_id"), "left")
+      .select(col("label_id"), col("user_id"), col("lts").as("label_ts"),
+        col("last_click_value"),
+        coalesce(col("views_7d"), lit(0L)).as("views_7d"))
+      .orderBy(col("label_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q173_pit_features" -> pitFeatureJoin _,
     "q164_join_salted_skew" -> ((s, d) => joinSaltedSkew(s, d)),
     "q160_revenue_report" -> revenueReport _,
     "q80_join_full_outer" -> fullOuterJoin _,
@@ -430,6 +475,34 @@ object Joins extends QueryModule {
       |ORDER BY purchase_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // leakage rule spelled relationally: rank-1 at-or-before click,
+    // 7-day trailing count, both left-joined back to every label
+    "q173_pit_features" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id AS label_id, ts AS lts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS cts, event_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |f1 AS (
+        |  SELECT label_id, value AS last_click_value FROM (
+        |    SELECT l.label_id, c.value,
+        |           row_number() OVER (PARTITION BY l.label_id
+        |             ORDER BY c.cts DESC, c.event_id DESC) AS rn
+        |    FROM l JOIN c ON c.user_id = l.user_id AND c.cts <= l.lts)
+        |  WHERE rn = 1),
+        |f2 AS (
+        |  SELECT l.label_id, count(*) AS views_7d
+        |  FROM l JOIN events v ON v.user_id = l.user_id
+        |    AND v.event_type = 'view'
+        |    AND epoch_us(v.ts) >= epoch_us(l.lts) - 604800000000
+        |    AND epoch_us(v.ts) < epoch_us(l.lts)
+        |  GROUP BY 1)
+        |SELECT l.label_id, l.user_id, l.lts AS label_ts,
+        |       f1.last_click_value,
+        |       coalesce(f2.views_7d, 0) AS views_7d
+        |FROM l LEFT JOIN f1 USING (label_id) LEFT JOIN f2 USING (label_id)
+        |ORDER BY l.label_id""".stripMargin,
     // the oracle is the UNSALTED join — salting must be result-invisible
     "q164_join_salted_skew" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,

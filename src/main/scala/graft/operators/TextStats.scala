@@ -407,6 +407,56 @@ object TextStats extends QueryModule {
   def classifierAuc(spark: SparkSession, dir: String): DataFrame =
     classifierAuc(docsTable(spark, dir))
 
+  /** q174 — χ² FEATURE SELECTION over the q166 training split: for each
+    * (lang, token), the 2×2 contingency of doc-level token presence vs
+    * class membership, ranked per lang — the vocabulary-pruning step that
+    * turns a web-scale token table into a model-sized feature set before
+    * any training run. All four cells derive from INTEGER counts (a from
+    * one (lang, tok) aggregate over per-doc-deduped tokens — map-side
+    * `array_distinct` so the token shuffle carries presence, not
+    * frequency; t from a vocabulary-keyed rollup of a; L and N broadcast
+    * scalars), so the only FP is the final χ² ratio — rounded BEFORE
+    * ranking (q74 discipline). Two shuffles total: the (lang, tok)
+    * presence count and its tok rollup; the rank runs per lang on the
+    * already-selected candidates. */
+  def chiSquareFeatures(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val pres = train
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+    val a = pres.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("a"))
+    val t = a.groupBy(col("tok")).agg(sum(col("a")).as("t"))
+    val langs = train.groupBy(col("lang")).agg(count(lit(1)).as("ldocs"))
+    val n = train.agg(count(lit(1)).as("n"))
+    val cells = a.join(t, "tok")
+      .join(broadcast(langs), "lang")
+      .crossJoin(broadcast(n))
+      .withColumn("b", col("ldocs") - col("a"))
+      .withColumn("c", col("t") - col("a"))
+      .withColumn("d", col("n") - col("ldocs") - col("c"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("chi2").desc, col("tok"))
+    cells
+      // a zero margin (token in every doc, or a single-class corpus) has
+      // no discriminative signal — define chi2 = 0 instead of dividing by it
+      .withColumn("chi2",
+        when((col("b") + col("d")) === 0 || (col("c") + col("d")) === 0, lit(0.0))
+          .otherwise(round(
+            col("n").cast("double")
+              * pow(col("a") * col("d") - col("b") * col("c"), 2)
+              / (col("ldocs").cast("double") * (col("c") + col("d"))
+                * (col("a") + col("c")) * (col("b") + col("d"))), 4) + lit(0.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("lang"), col("tok"), col("a").as("docs_with"), col("chi2"),
+        col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  def chiSquareFeatures(spark: SparkSession, dir: String): DataFrame =
+    chiSquareFeatures(docsTable(spark, dir))
+
   def nbLangClassifier(docs: DataFrame): DataFrame = {
     nbPredictions(docs)
       .groupBy(col("lang"))
@@ -432,7 +482,8 @@ object TextStats extends QueryModule {
     "q124_perplexity_buckets" -> (perplexityBuckets(_, _)),
     "q129_token_pmi" -> (tokenPmi(_, _)),
     "q166_nb_classifier" -> (nbLangClassifier(_, _)),
-    "q172_classifier_auc" -> (classifierAuc(_, _))
+    "q172_classifier_auc" -> (classifierAuc(_, _)),
+    "q174_chi2_features" -> (chiSquareFeatures(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -672,6 +723,34 @@ object TextStats extends QueryModule {
         |       round((CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS DOUBLE) / 2
         |              - CAST(sum(y) AS DOUBLE) * (sum(y) + 1) / 2)
         |             / (sum(y) * sum(1 - y)), 6) + 0.0 AS auc
-        |FROM rk""".stripMargin
+        |FROM rk""".stripMargin,
+    // identical 2x2 integer cells; chi-square mirrors the Spark
+    // expression's operation order exactly (one rounding per IEEE op)
+    "q174_chi2_features" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |a AS (SELECT lang, tok, count(*) AS a FROM pres
+        |      WHERE tok <> '' GROUP BY 1, 2),
+        |t AS (SELECT tok, sum(a) AS t FROM a GROUP BY 1),
+        |langs AS (SELECT lang, count(*) AS ldocs FROM documents
+        |          WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 5 <> 0),
+        |cells AS (
+        |  SELECT a.lang, a.tok, a.a, langs.ldocs - a.a AS b, t.t - a.a AS c,
+        |         n.n - langs.ldocs - (t.t - a.a) AS d, langs.ldocs, n.n
+        |  FROM a JOIN t USING (tok) JOIN langs USING (lang) CROSS JOIN n),
+        |scored AS (
+        |  SELECT lang, tok, a AS docs_with,
+        |         CASE WHEN (b + d) = 0 OR (c + d) = 0 THEN 0.0
+        |              ELSE round(CAST(n AS DOUBLE) * pow(a * d - b * c, 2)
+        |                   / (CAST(ldocs AS DOUBLE) * (c + d) * (a + c) * (b + d)), 4)
+        |                   + 0.0 END AS chi2
+        |  FROM cells),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY chi2 DESC, tok) AS INT) AS rnk FROM scored)
+        |SELECT lang, tok, docs_with, chi2, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
   )
 }

@@ -444,6 +444,28 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       s"unexpected separable AUC: $r2")
   }
 
+  test("q174: class-exclusive tokens score the hand-computed chi2; shared tokens score 0") {
+    import spark.implicits._
+    def doc(id: Long, text: String, lang: String) =
+      (id, text, lang, "s", text.length.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-chi").toString
+    // 2 en + 2 fr train docs; 'bonjour' is fr-exclusive (a=2 b=0 c=0 d=2,
+    // N=4, L=2): chi2 = 4*(2*2-0)^2/(2*2*2*2) = 4.0. 'the' is in all four
+    // docs: ad = bc → chi2 = 0.
+    Seq(
+      doc(1L, "the hello world", "en"), doc(2L, "the hello there", "en"),
+      doc(3L, "the bonjour monde", "fr"), doc(4L, "the bonjour oui", "fr"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextStats.chiSquareFeatures(spark, dir)
+      .collect().map(x => (x.getString(0), x.getInt(4)) ->
+        ((x.getString(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(("fr", 1)) == (("bonjour", 2L, 4.0)), s"fr top feature: ${r(("fr", 1))}")
+    assert(r(("en", 1))._3 == 4.0) // en's exclusive tokens mirror it
+    val theRow = r.values.find(_._1 == "the")
+    assert(theRow.forall(_._3 == 0.0), s"shared token must score 0: $theRow")
+  }
+
   test("q167: power iteration recovers a planted single-axis component exactly") {
     import spark.implicits._
     // all mass on axis 3 (0-based idx 2), mixed signs: X^T X is rank-1, so

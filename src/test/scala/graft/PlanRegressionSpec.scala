@@ -573,6 +573,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"q165 grew extra shuffles ($hashEx):\n$p")
   }
 
+  test("q173: the PIT frame rides the native as-of operator; no cartesian anywhere") {
+    val p = plan("q173_pit_features")
+    assert(p.contains("AsOfJoin"), s"q173 lost the native as-of plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q168: the weighted sample is a distributed TakeOrdered, never a global sort") {
     val p = plan("q168_sample_weighted")
     assert(p.contains("TakeOrderedAndProject"), s"q168 lost its top-k plan:\n$p")

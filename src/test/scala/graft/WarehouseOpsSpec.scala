@@ -246,6 +246,29 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r.map(t => t.getLong(5) - t.getLong(4)).max < linearYSpan)
   }
 
+  test("q173: features never read past the label; missing history is null/0, not fabricated") {
+    val sevenDays = 7L * 86400
+    val dir = writeEvents(Seq(
+      // u1: click before the label (feature), click AFTER (must not leak),
+      // one view inside the 7d window, one exactly 7d earlier (excluded:
+      // window is half-open [lts-7d, lts))... the boundary view at
+      // lts-7d IS included (>=); the view AT lts is excluded (<).
+      (1L, day(0), 1L, "view", 1.0, "{}"),                 // lts-7d exactly → in
+      (2L, day(5), 1L, "click", 42.0, "{}"),               // before label → feature
+      (3L, day(7), 1L, "view", 1.0, "{}"),                 // at lts → out
+      (4L, day(7), 1L, "purchase", 9.0, "{}"),             // the label
+      (5L, day(8), 1L, "click", 99.0, "{}"),               // AFTER label → leak if seen
+      // u2: label with no clicks and no views at all
+      (6L, day(3), 2L, "purchase", 5.0, "{}")))
+    val r = operators.Joins.pitFeatureJoin(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        ((Option(x.get(3)).map(_.asInstanceOf[Double]), x.getLong(4)))).toMap
+    assert(r == Map(
+      4L -> ((Some(42.0), 1L)),   // last click 42, one in-window view
+      6L -> ((None, 0L))), s"feature frame leaked or fabricated: $r")
+    assert(sevenDays == 604800L) // the micros constant in the query, in seconds
+  }
+
   test("q169: base partials + delta merge to exactly the full recompute") {
     // three days, last day is the delta; u2's day-2 rows exist ONLY in the
     // delta, u1 spans both sides — the merge must stitch them seamlessly
