@@ -160,23 +160,42 @@ object EventAnalytics extends QueryModule {
     * ((tus, is_grid, value) — a same-timestamp sample sorts before its
     * grid point, making on-sample grid values exact); the lerp is one
     * rounded emission (q74 discipline, signed-zero guarded). */
-  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillCore(
+      Tables(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("name"), unix_micros(col("ts")).as("tus"),
+          col("value")),
+      keys = Seq("name"), step = 3600000000L)
+
+  /** q175 — the SAME gap-fill at per-(metric, user) series granularity on
+    * a daily grid: q171's 5-metric corpus caps its window parallelism at
+    * 5 partitions; this variant runs the identical plan over ~150× the
+    * key cardinality, which is the regime the operator actually ships in
+    * (one series per entity). Nothing else changes — same core, same
+    * oracle shape — the point is that per-series cost is the SORT of that
+    * series' rows, so throughput scales with series count × executor
+    * slots, not with any global structure. */
+  def gapFillPerUser(spark: SparkSession, dir: String): DataFrame =
+    gapFillCore(
+      Tables(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("name"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("value")),
+      keys = Seq("name", "user_id"), step = 86400000000L)
+
+  private def gapFillCore(s: DataFrame, keys: Seq[String], step: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val step = 3600000000L
-    val s = Tables(spark, dir, "events")
-      .filter(col("value").isNotNull)
-      .select(col("event_type").as("name"), unix_micros(col("ts")).as("tus"),
-        col("value"))
-    val grid = s.groupBy(col("name"))
+    val kc = keys.map(col)
+    val grid = s.groupBy(kc: _*)
       .agg(min(col("tus")).as("mn"), max(col("tus")).as("mx"))
-      .select(col("name"),
-        expr(s"((mn + ${step - 1}L) div ${step}L) * ${step}L").as("gmin"),
-        expr(s"(mx div ${step}L) * ${step}L").as("gmax"))
+      .withColumn("gmin", expr(s"((mn + ${step - 1}L) div ${step}L) * ${step}L"))
+      .withColumn("gmax", expr(s"(mx div ${step}L) * ${step}L"))
       .filter(col("gmin") <= col("gmax"))
-      .select(col("name"), explode(expr(s"sequence(gmin, gmax, ${step}L)")).as("tus"))
-    val u = s.select(col("name"), col("tus"), col("value"), lit(0).as("is_grid"))
-      .unionAll(grid.select(col("name"), col("tus"),
-        lit(null).cast("double").as("value"), lit(1).as("is_grid")))
+      .select(kc :+ explode(expr(s"sequence(gmin, gmax, ${step}L)")).as("tus"): _*)
+    val u = s.select(kc ++ Seq(col("tus"), col("value"), lit(0).as("is_grid")): _*)
+      .unionAll(grid.select(kc ++ Seq(col("tus"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid")): _*))
     // Both bracket lookups are RUNNING frames (unbounded-preceding →
     // current): the next-side uses the REVERSED order rather than a
     // [current, unbounded-following] frame, which Spark's WindowExec
@@ -186,10 +205,10 @@ object EventAnalytics extends QueryModule {
     // samples forward, before them reversed — exactly the strict-next
     // semantics the pt = tus guard expects), so the oracle keeps the
     // forward following-frame form and hashes identically.
-    val wp = Window.partitionBy(col("name"))
+    val wp = Window.partitionBy(kc: _*)
       .orderBy(col("tus").asc, col("is_grid").asc, col("value").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wn = Window.partitionBy(col("name"))
+    val wn = Window.partitionBy(kc: _*)
       .orderBy(col("tus").desc, col("is_grid").desc, col("value").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     u.withColumn("pv", last(col("value"), ignoreNulls = true).over(wp))
@@ -202,12 +221,12 @@ object EventAnalytics extends QueryModule {
       // pt = tus ⇔ a sample sits ON the grid point (it sorts before the
       // grid row, so pv already carries it — and the next-side window may
       // legitimately see nothing when that sample ends the series)
-      .select(col("name"), timestamp_micros(col("tus")).as("grid_ts"),
+      .select(kc ++ Seq(timestamp_micros(col("tus")).as("grid_ts"),
         (round(when(col("pt") === col("tus"), col("pv"))
           .otherwise(col("pv") + (col("nv") - col("pv")) *
             ((col("tus") - col("pt")).cast("double")
-              / (col("nt") - col("pt")).cast("double"))), 6) + lit(0.0)).as("value"))
-      .orderBy(col("name"), col("grid_ts"))
+              / (col("nt") - col("pt")).cast("double"))), 6) + lit(0.0)).as("value")): _*)
+      .orderBy(kc :+ col("grid_ts"): _*)
   }
 
   /** PromQL instant-vector family — `irate`, `idelta`, `delta`: the
@@ -827,6 +846,7 @@ object EventAnalytics extends QueryModule {
 
   val queries: Map[String, QueryFn] = Map(
     "q171_gap_fill" -> gapFill _,
+    "q175_gap_fill_series" -> gapFillPerUser _,
     "q00_flagship_hourly" -> hourlyRollup _,
     "q01_filter_project" -> filterProject _,
     "q82_prom_rate" -> promRate _,
@@ -926,6 +946,42 @@ object EventAnalytics extends QueryModule {
         |                       (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END, 6)
         |         + 0.0 AS value
         |FROM f WHERE is_grid = 1 ORDER BY name, grid_ts""".stripMargin,
+    // q171's shape at (name, user_id) granularity, daily step
+    "q175_gap_fill_series" ->
+      """WITH s AS (
+        |  SELECT event_type AS name, user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT name, user_id, min(tus) AS mn, max(tus) AS mx
+        |       FROM s GROUP BY 1, 2),
+        |g AS (
+        |  SELECT name, user_id,
+        |         unnest(generate_series(((mn + 86399999999) // 86400000000) * 86400000000,
+        |                                (mx // 86400000000) * 86400000000,
+        |                                86400000000)) AS tus
+        |  FROM mm
+        |  WHERE ((mn + 86399999999) // 86400000000) * 86400000000
+        |        <= (mx // 86400000000) * 86400000000),
+        |u AS (
+        |  SELECT name, user_id, tus, value, 0 AS is_grid FROM s
+        |  UNION ALL
+        |  SELECT name, user_id, tus, NULL, 1 FROM g),
+        |f AS (
+        |  SELECT *,
+        |    last_value(value IGNORE NULLS) OVER w AS pv,
+        |    last_value(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS) OVER w AS pt,
+        |    first_value(value IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS) OVER wn AS nt
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY name, user_id ORDER BY tus, is_grid, value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY name, user_id ORDER BY tus, is_grid, value
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT name, user_id, make_timestamp(tus) AS grid_ts,
+        |       round(CASE WHEN pt = tus THEN pv
+        |                  ELSE pv + (nv - pv) *
+        |                       (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END, 6)
+        |         + 0.0 AS value
+        |FROM f WHERE is_grid = 1 ORDER BY name, user_id, grid_ts""".stripMargin,
     "q84_prom_over_time" ->
       """WITH s AS (
         |  SELECT event_type AS name, user_id,
