@@ -184,7 +184,7 @@ object EventAnalytics extends QueryModule {
           unix_micros(col("ts")).as("tus"), col("value")),
       keys = Seq("name", "user_id"), step = 86400000000L)
 
-  private def gapFillCore(s: DataFrame, keys: Seq[String], step: Long): DataFrame = {
+  private[graft] def gapFillCore(s: DataFrame, keys: Seq[String], step: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val kc = keys.map(col)
     val grid = s.groupBy(kc: _*)
