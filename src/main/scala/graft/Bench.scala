@@ -54,13 +54,43 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     ordered.foreach { case (_, fn) => run(fn) }
-    val results = ordered.map { case (name, fn) =>
-      val runs = (1 to reps).map(_ => run(fn))
-      val (secs, err) = runs.minBy { case (s, e) => (e.isDefined, s) }
-      if (reps > 1)
-        System.err.println(s"[bench] $name reps: " + runs.map(r => f"${r._1}%.3f").mkString(" "))
-      (name, secs, err)
-    }
+    // SPARK_GRAFT_BENCH_CONCURRENCY=N (opt-in, default 1 = the serial path
+    // every gate and driver snapshot uses) times the suite with N queries
+    // IN FLIGHT on the shared scheduler — the multi-tenant regime a real
+    // cluster runs, where the figure of merit is WALL throughput, not
+    // per-query latency (contended per-query numbers are recorded but not
+    // comparable to serial ones; "value" becomes wall seconds). reps is
+    // forced to 1: min-of-N is a latency denoiser and has no meaning when
+    // queries contend. Note clearCache() is global — concurrent runs can
+    // evict each other's query-internal caches; correctness is unaffected
+    // (recompute), and the eviction pressure is part of the regime being
+    // measured.
+    val conc = sys.env.get("SPARK_GRAFT_BENCH_CONCURRENCY").map(_.toInt).getOrElse(1)
+    val (results, wallOverride) =
+      if (conc <= 1) {
+        val rs = ordered.map { case (name, fn) =>
+          val runs = (1 to reps).map(_ => run(fn))
+          val (secs, err) = runs.minBy { case (s, e) => (e.isDefined, s) }
+          if (reps > 1)
+            System.err.println(s"[bench] $name reps: " + runs.map(r => f"${r._1}%.3f").mkString(" "))
+          (name, secs, err)
+        }
+        (rs, None)
+      } else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val t0 = System.nanoTime()
+        val futs = ordered.map { case (name, fn) =>
+          Future { val (secs, err) = run(fn); (name, secs, err) }
+        }
+        val rs = futs.map(Await.result(_, Duration.Inf))
+        val wall = (System.nanoTime() - t0) / 1e9
+        pool.shutdown()
+        System.err.println(f"[bench] concurrency=$conc wall: $wall%.3f s")
+        (rs, Some(wall))
+      }
     results.foreach { case (name, _, err) =>
       err.foreach(e => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"))
     }
@@ -69,9 +99,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = wallOverride.getOrElse(results.collect { case (_, v, None) => v }.sum)
+    val mode = if (conc <= 1) "" else s""","concurrency":$conc"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$mode,"sf":"$sfDir"}"""
     // SPARK_GRAFT_BENCH_OUT redirects filtered/spot runs to a scratch file
     // so the committed full-suite baseline in bench_out.json survives A/B
     // measurements (round-7 ADVICE: a single-query run overwrote it).
