@@ -753,7 +753,34 @@ object Similarity extends QueryModule {
       .orderBy(col("dim"))
   }
 
+  /** q176 — per-dimension DECILE BOUNDARIES of the embedding corpus: the
+    * lookup table quantile normalization (rank-transforming each dim to a
+    * common distribution) materializes before ANN/PQ builds, and the
+    * per-dim complement of q159's moments. Boundaries are chosen by
+    * INTEGER rank — pos(k) = (n−1)·k div 10 + 1 on the (x, vec_id) total
+    * order — so the emitted values are raw input floats at exact
+    * positions: nothing computed, nothing to round, bit-stable at any
+    * parallelism. One posexplode scan → one per-dim window (uniform
+    * 64-way key) → an 11-row-per-dim join against the broadcast position
+    * table. */
+  def dimDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val cells = embTable(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("x"),
+        col("vec_id"))
+    val ranked = cells.withColumn("rn", row_number().over(
+      Window.partitionBy(col("dim")).orderBy(col("x"), col("vec_id"))))
+    val positions = cells.groupBy(col("dim")).agg(count(lit(1)).as("n"))
+      .select(col("dim"), explode(expr("sequence(0, 10)")).as("decile"), col("n"))
+      .select(col("dim"), col("decile"),
+        (expr("(n - 1) * decile div 10") + 1).as("rn"))
+    ranked.join(broadcast(positions), Seq("dim", "rn"))
+      .select(col("dim"), col("decile"), col("x").as("boundary"))
+      .orderBy(col("dim"), col("decile"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q176_sim_dim_deciles" -> (dimDeciles(_, _)),
     "q167_pca_power" -> ((s, dd) => pcaPower(s, dd)),
     "q159_sim_dim_stats" -> (dimStats(_, _)),
     "q117_sim_kmeans" -> (kmeansTrain(_, _)),
@@ -809,6 +836,23 @@ object Similarity extends QueryModule {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // integer-rank boundaries on the identical (x, vec_id) total order
+    "q176_sim_dim_deciles" ->
+      """WITH cells AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x, vec_id
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT dim, x,
+        |         row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rn
+        |  FROM cells),
+        |pos AS (
+        |  SELECT dim, unnest(generate_series(0, 10)) AS decile, n
+        |  FROM (SELECT dim, count(*) AS n FROM cells GROUP BY 1)),
+        |want AS (SELECT dim, decile, (n - 1) * decile // 10 + 1 AS rn FROM pos)
+        |SELECT r.dim, w.decile, r.x AS boundary
+        |FROM ranked r JOIN want w USING (dim, rn)
+        |ORDER BY r.dim, w.decile""".stripMargin,
     // same 3 power iterations, unrolled relationally (no arrays needed):
     // the iterate v_i is a 64-row (dim, integer micro-unit) relation
     "q167_pca_power" -> {

@@ -483,6 +483,23 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     (r - 3).values.foreach { case (vq, l) => assert(vq == 0L && l == 0.0, r) }
   }
 
+  test("q176: decile boundaries land on exact integer ranks of the planted values") {
+    import spark.implicits._
+    // 11 vectors, dim-1 values 0..10: pos(k) = (10k div 10)+1 = k+1, so
+    // decile k's boundary is exactly k; dim 2 is constant 5
+    val dir = java.nio.file.Files.createTempDirectory("graft-dec").toString
+    (0L to 10L).map(i => (i, Seq(i.toFloat, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = operators.Similarity.dimDeciles(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r.size == 22)
+    (0 to 10).foreach { k =>
+      assert(r((1, k)) == k.toDouble, s"dim1 decile $k: ${r((1, k))}")
+      assert(r((2, k)) == 5.0)
+    }
+  }
+
   test("q166: NB classifier learns disjoint vocabularies; unseen tokens don't flip a doc") {
     import spark.implicits._
     // two langs with disjoint vocab; doc_ids 0/5/10 are the held-out fifth.
