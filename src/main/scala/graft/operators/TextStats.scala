@@ -457,6 +457,55 @@ object TextStats extends QueryModule {
   def chiSquareFeatures(spark: SparkSession, dir: String): DataFrame =
     chiSquareFeatures(docsTable(spark, dir))
 
+  /** q177 — TRAINED bigram language model scoring: fit add-one-smoothed
+    * transition probabilities P(w₂|w₁) on the q166 train split, score the
+    * held-out fifth, report per-language negative log-likelihood per
+    * bigram — the sequence-aware upgrade of q124's unigram perplexity
+    * (the CCNet quality-filter family: low NLL = fluent, high = noise).
+    * Bigrams are generated per-row from the token array (one pass, no
+    * token self-join — the q129 anti-pattern note applies doubly to
+    * adjacency); the bigram key is the space-joined pair (tokens are
+    * space-split, so the key is collision-free). Unseen transitions back
+    * off through the same formula via coalesce-to-0 counts — ln(1/V) at
+    * the floor. Per-bigram log-likelihoods quantize to integer micro-nats
+    * (q166 discipline), so the per-language aggregate is two exact
+    * integer sums and ONE final division. Shuffles: the bigram/context
+    * count aggregates and their token-keyed score joins — uniform keys;
+    * the vocab scalar broadcasts. */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', element_at(w, i + 2)))"))
+        .as("bg"))
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+    val train = bg.filter(col("doc_id") % 5 =!= 0)
+    val test = bg.filter(col("doc_id") % 5 === 0)
+    val c2 = train.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = train
+      .select(col("w1")).union(train.select(split_part(col("bg"), lit(" "), lit(2))))
+      .agg(countDistinct(col("w1")).as("v"))
+    test
+      .join(c2, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"), expr(
+        "cast(round(ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + v)) * 1000000) as bigint)")
+        .as("ll_q"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"), sum(col("ll_q")).as("s"))
+      .select(col("lang"), col("n_docs"), col("n_bigrams"),
+        (round(-col("s").cast("double") / 1e6 / col("n_bigrams"), 6) + lit(0.0))
+          .as("avg_nll"))
+      .orderBy(col("lang"))
+  }
+
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLm(docsTable(spark, dir))
+
   def nbLangClassifier(docs: DataFrame): DataFrame = {
     nbPredictions(docs)
       .groupBy(col("lang"))
@@ -483,7 +532,8 @@ object TextStats extends QueryModule {
     "q129_token_pmi" -> (tokenPmi(_, _)),
     "q166_nb_classifier" -> (nbLangClassifier(_, _)),
     "q172_classifier_auc" -> (classifierAuc(_, _)),
-    "q174_chi2_features" -> (chiSquareFeatures(_, _))
+    "q174_chi2_features" -> (chiSquareFeatures(_, _)),
+    "q177_bigram_lm" -> (bigramLm(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -751,6 +801,35 @@ object TextStats extends QueryModule {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY chi2 DESC, tok) AS INT) AS rnk FROM scored)
         |SELECT lang, tok, docs_with, chi2, rnk FROM ranked
-        |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    // same smoothed transitions; micro-nat sums stay integer until the
+    // one final division
+    "q177_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |bgl AS (
+        |  SELECT doc_id, lang,
+        |         unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        |  FROM t WHERE len(w) >= 2),
+        |bgw AS (SELECT doc_id, lang, bg, split_part(bg, ' ', 1) AS w1 FROM bgl),
+        |train AS (SELECT * FROM bgw WHERE doc_id % 5 <> 0),
+        |test  AS (SELECT * FROM bgw WHERE doc_id % 5 = 0),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM train GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM (
+        |  SELECT w1 AS tok FROM train
+        |  UNION ALL SELECT split_part(bg, ' ', 2) FROM train)),
+        |sc AS (
+        |  SELECT te.doc_id, te.lang,
+        |         CAST(round(ln((coalesce(c2.c2, 0) + 1.0)
+        |                       / (coalesce(c1.c1, 0) + vocab.v)) * 1000000) AS BIGINT)
+        |           AS ll_q
+        |  FROM test te LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN vocab)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       count(*) AS n_bigrams,
+        |       round(-CAST(sum(ll_q) AS DOUBLE) / 1000000 / count(*), 6) + 0.0
+        |         AS avg_nll
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -483,6 +483,24 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     (r - 3).values.foreach { case (vq, l) => assert(vq == 0L && l == 0.0, r) }
   }
 
+  test("q177: seen transitions score ln(3/4); unseen back off to the ln(1/3) floor") {
+    import spark.implicits._
+    def doc(id: Long, text: String, lang: String) =
+      (id, text, lang, "s", text.length.toLong)
+    // train "a b a b": c2(a b)=2, c2(b a)=1, c1(a)=2, c1(b)=1, V=2.
+    // test 'x' doc "a b": ll = ln((2+1)/(2+2)) → avg_nll 0.287682
+    // test 'y' doc "b b": unseen pair → ln((0+1)/(1+2)) → 1.098612
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    Seq(doc(1L, "a b a b", "x"), doc(0L, "a b", "x"), doc(5L, "b b", "y"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextStats.bigramLm(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r == Map(
+      "x" -> ((1L, 1L, 0.287682)),
+      "y" -> ((1L, 1L, 1.098612))), s"unexpected NLL: $r")
+  }
+
   test("q176: decile boundaries land on exact integer ranks of the planted values") {
     import spark.implicits._
     // 11 vectors, dim-1 values 0..10: pos(k) = (10k div 10)+1 = k+1, so
