@@ -50,7 +50,14 @@ object Bench {
     // per-round snapshot — reports min-of-3 warm.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS") match {
+      case None => 3
+      case Some(s) => s.toIntOption.filter(_ >= 1).getOrElse {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_REPS='$s' is not a positive int")
+        sys.exit(2)
+      }
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     ordered.foreach { case (_, fn) => run(fn) }
@@ -65,7 +72,16 @@ object Bench {
     // evict each other's query-internal caches; correctness is unaffected
     // (recompute), and the eviction pressure is part of the regime being
     // measured.
-    val conc = sys.env.get("SPARK_GRAFT_BENCH_CONCURRENCY").map(_.toInt).getOrElse(1)
+    // Validated, not bare .toInt (ADVICE r12): a typo'd value must produce
+    // an actionable message, not a NumberFormatException stack.
+    val conc = sys.env.get("SPARK_GRAFT_BENCH_CONCURRENCY") match {
+      case None => 1
+      case Some(s) => s.toIntOption.filter(_ >= 1).getOrElse {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_CONCURRENCY='$s' is not a positive int")
+        sys.exit(2)
+      }
+    }
     val (results, wallOverride) =
       if (conc <= 1) {
         val rs = ordered.map { case (name, fn) =>
@@ -81,15 +97,16 @@ object Bench {
         import scala.concurrent.duration.Duration
         val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val t0 = System.nanoTime()
-        val futs = ordered.map { case (name, fn) =>
-          Future { val (secs, err) = run(fn); (name, secs, err) }
-        }
-        val rs = futs.map(Await.result(_, Duration.Inf))
-        val wall = (System.nanoTime() - t0) / 1e9
-        pool.shutdown()
-        System.err.println(f"[bench] concurrency=$conc wall: $wall%.3f s")
-        (rs, Some(wall))
+        try {
+          val t0 = System.nanoTime()
+          val futs = ordered.map { case (name, fn) =>
+            Future { val (secs, err) = run(fn); (name, secs, err) }
+          }
+          val rs = futs.map(Await.result(_, Duration.Inf))
+          val wall = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] concurrency=$conc wall: $wall%.3f s")
+          (rs, Some(wall))
+        } finally pool.shutdown()
       }
     results.foreach { case (name, _, err) =>
       err.foreach(e => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"))

@@ -250,31 +250,82 @@ object Dedup extends QueryModule {
   def snmNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     snmNearDupPairs(docsTable(spark, dir))
 
-  /** Entity-resolution candidate matching over the `customer` dimension —
-    * the record-linkage blocking + edit-distance pattern (Fellegi–Sunter
-    * style pipeline, deterministic scoring stage): BLOCK on
-    * (nation, market segment) so comparison is an equi-join whose per-key
-    * fan-in is the block size, never corpus²; COMPARE with Levenshtein on
-    * the name (≤ 2 edits — both engines implement the identical DP edit
-    * distance, so the score is an exact integer) plus the account-balance
-    * gap in exact cents; RANK by (edits, gap). At production cardinality
-    * the block key gets finer (phone prefix, name trigram) or salted —
-    * the plan shape (equi-join on the block key, all scoring post-join,
-    * top-k via TakeOrdered) is unchanged.
-    */
-  def entityMatchPairs(customers: DataFrame, maxEdits: Int = 2,
-                       topK: Int = 30): DataFrame = {
-    val side = customers.select(col("c_nationkey").as("nat"),
-      col("c_mktsegment").as("seg"), col("c_custkey"), col("c_name"),
-      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
-    val l = side.select(col("nat"), col("seg"), col("c_custkey").as("a"),
-      col("c_name").as("name_a"), col("cents").as("cents_a"))
-    val r = side.select(col("nat"), col("seg"), col("c_custkey").as("b"),
-      col("c_name").as("name_b"), col("cents").as("cents_b"))
-    l.join(r, Seq("nat", "seg"))
+  /** Edit distance bound shared by [[entityMatchCandidates]]'s ≤2-deletion
+    * signatures and [[entityMatchPairs]]'s verify — one constant so the
+    * blocking's recall guarantee and the final filter cannot drift apart
+    * (the same single-constant rule as q165's [[WarehouseOps.ZorderTileBits]]). */
+  private[graft] val EntityMatchMaxEdits = 2
+
+  /** Candidate pairs for [[entityMatchPairs]] via DELETION-NEIGHBORHOOD
+    * signatures (FastSS, Bocek et al. 2007 — the index behind the SymSpell
+    * spell checker): two strings within edit distance k must agree after
+    * deleting ≤ k characters from EACH side (every edit op touches at most
+    * one position per side), so blocking on (nation, segment, variant) —
+    * variant ranging over all ≤2-deletion results of the name — has EXACT
+    * recall by pigeonhole; precision is restored by the caller's
+    * levenshtein verify (deletion-equal only bounds the distance by 2k).
+    * This replaces the r12 (nation, segment)-only blocking whose per-block
+    * comparison was quadratic in block size (VERDICT r12 #4): cost is now
+    * Σ_v |block_v|² with v a near-full-length string — selective even
+    * under a CONSTANT name prefix, where trigram or PassJoin-segment keys
+    * degenerate into one giant block (the template-name case: every name
+    * shares "Customer#"; only the digit tail discriminates, and deletion
+    * variants keep that tail). Signature inflation is 1 + L + C(L,2) rows
+    * per name (172 at L=18) — the method's documented cost, right for
+    * short keys (names, phones, SKUs); for long strings flip to
+    * segment-based signatures (PASS-JOIN, Li et al., VLDB 2012), whose
+    * inflation is k+1 instead. One shuffle on the signature key, one
+    * distinct on the pair — no cartesian, no per-(nation,segment)
+    * all-pairs anywhere. */
+  def entityMatchCandidates(customers: DataFrame): DataFrame = {
+    val sigs = customers
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        col("c_custkey"), col("c_name"), length(col("c_name")).as("len"))
+      // (j, i) with j < i; 0 = no deletion in that slot: (0,0) keeps the
+      // name, (0,i) deletes position i, (j,i) deletes positions j and i —
+      // 1 + L + L(L-1)/2 variants, each emitted once.
+      .select(col("nat"), col("seg"), col("c_custkey"), col("c_name"),
+        col("len"), explode(expr("sequence(0, len)")).as("i"))
+      .select(col("nat"), col("seg"), col("c_custkey"), col("c_name"),
+        col("len"), col("i"),
+        explode(expr("if(i = 0, array(0), sequence(0, i - 1))")).as("j"))
+      .select(col("nat"), col("seg"), col("c_custkey"), expr(
+        """concat(
+          |  if(j >= 1, substring(c_name, 1, j - 1), ''),
+          |  if(j >= 1, substring(c_name, j + 1, i - j - 1),
+          |             if(i >= 1, substring(c_name, 1, i - 1), c_name)),
+          |  if(i >= 1, substring(c_name, i + 1, len - i), ''))""".stripMargin)
+        .as("variant"))
+    val l = sigs.select(col("nat"), col("seg"), col("variant"),
+      col("c_custkey").as("a"))
+    val r = sigs.select(col("nat"), col("seg"), col("variant"),
+      col("c_custkey").as("b"))
+    l.join(r, Seq("nat", "seg", "variant"))
       .filter(col("a") < col("b"))
+      .select(col("nat"), col("seg"), col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Entity-resolution matching over the `customer` dimension — the
+    * record-linkage blocking + edit-distance pattern (Fellegi–Sunter
+    * style pipeline, deterministic scoring stage): BLOCK via the
+    * deletion-signature equi-join of [[entityMatchCandidates]] (exact
+    * recall for ≤ [[EntityMatchMaxEdits]] edits); COMPARE with Levenshtein
+    * on the name (both engines implement the identical DP edit distance,
+    * so the score is an exact integer) plus the account-balance gap in
+    * exact cents; RANK by (edits, gap). The oracle is the plain
+    * (nation, segment) all-pairs + filter — blocking must be
+    * result-invisible, exactly like q164's salting. */
+  def entityMatchPairs(customers: DataFrame, topK: Int = 30): DataFrame = {
+    val side = customers.select(col("c_custkey"), col("c_name"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    entityMatchCandidates(customers)
+      .join(side.select(col("c_custkey").as("a"), col("c_name").as("name_a"),
+        col("cents").as("cents_a")), "a")
+      .join(side.select(col("c_custkey").as("b"), col("c_name").as("name_b"),
+        col("cents").as("cents_b")), "b")
       .withColumn("edits", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edits") <= maxEdits)
+      .filter(col("edits") <= EntityMatchMaxEdits)
       .withColumn("bal_gap_cents", abs(col("cents_a") - col("cents_b")))
       .select(col("nat").as("nationkey"), col("seg").as("mktsegment"),
         col("a"), col("b"), col("edits"), col("bal_gap_cents"))
@@ -572,7 +623,10 @@ object Dedup extends QueryModule {
     * ln(1 + A / f_t) with A the mean cluster token count — turning opaque
     * cluster ids into something a curator reads. All inputs are exact
     * integer counts off the clustered docs (one token explode, vocab-sized
-    * aggregates, broadcast corpus frequencies + the scalar A); scores
+    * aggregates; the corpus-frequency join is keyed on tok with NO
+    * broadcast hint — AQE broadcasts while the vocabulary fits and falls
+    * back to shuffle-hash at corpus scale, VERDICT r12 #4 — plus the
+    * scalar A); scores
     * round before the per-cluster rank (the q74 round-before-rank rule).
     */
   def clusterTopTerms(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
@@ -587,9 +641,13 @@ object Dedup extends QueryModule {
     val ct = tf.groupBy(col("cluster_id")).agg(sum(col("tf")).as("ctot"))
     val cf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("f"))
     val amean = ct.agg((sum(col("ctot")).cast("double") / count(lit(1))).as("abig"))
+    // cf is vocabulary-sized — fine to broadcast at test SF, NOT at 100 TB
+    // (VERDICT r12 #4): no hint, the join stays keyed on tok and AQE picks
+    // broadcast while cf fits, shuffle-hash once it doesn't. ct (one row
+    // per cluster of a labeled subcorpus) and the 1-row amean stay hinted.
     val scored = tf
       .join(broadcast(ct), "cluster_id")
-      .join(broadcast(cf), "tok")
+      .join(cf, "tok")
       .crossJoin(broadcast(amean))
       .withColumn("score", round((col("tf").cast("double") / col("ctot"))
         * log(lit(1.0) + col("abig") / col("f")), 6) + lit(0.0))
@@ -981,7 +1039,8 @@ object Dedup extends QueryModule {
         |         abs(l.cents - r.cents) AS bal_gap_cents
         |  FROM s l JOIN s r
         |    ON l.nat = r.nat AND l.seg = r.seg AND l.c_custkey < r.c_custkey)
-        |SELECT nationkey, mktsegment, a, b, edits, bal_gap_cents
+        |SELECT nationkey, mktsegment, a, b, CAST(edits AS INT) AS edits,
+        |       bal_gap_cents
         |FROM p WHERE edits <= 2
         |ORDER BY edits, bal_gap_cents, a, b LIMIT 30""".stripMargin,
     // single-window spec of the two-phase numbering + bounded range join

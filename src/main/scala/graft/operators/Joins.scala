@@ -506,7 +506,8 @@ object Joins extends QueryModule {
     // the oracle is the UNSALTED join — salting must be result-invisible
     "q164_join_salted_skew" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,
-        |       sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q160_revenue_report" ->

@@ -481,7 +481,7 @@ object ProductAnalytics extends QueryModule {
         |c AS (SELECT cur, nxt, count(*) AS n FROM t
         |      WHERE nxt IS NOT NULL GROUP BY 1, 2)
         |SELECT cur, nxt, n,
-        |       sum(n) OVER (PARTITION BY cur) AS row_total,
+        |       CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS row_total,
         |       round(n / sum(n) OVER (PARTITION BY cur), 6) AS p
         |FROM c ORDER BY cur, nxt""".stripMargin,
     "q136_survival_km" ->
@@ -509,7 +509,7 @@ object ProductAnalytics extends QueryModule {
         |           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
         |                 AND 1 PRECEDING), 0) AS n_risk
         |  FROM daily)
-        |SELECT dur AS day, n_risk, d AS n_events,
+        |SELECT dur AS day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
         |       total_at - d AS n_censored,
         |       CASE WHEN sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
         |              OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
@@ -574,7 +574,8 @@ object ProductAnalytics extends QueryModule {
         |         CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS span_sec,
         |         sum(value) AS value_sum
         |  FROM s GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
         |       round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_events,
         |       max(span_sec) AS max_span_sec,
         |       round(sum(value_sum), 2) AS sum_value
@@ -650,7 +651,8 @@ object ProductAnalytics extends QueryModule {
         |  FROM u2)
         |SELECT user_id, r_days, n_purchases,
         |       round(CAST(m_cents AS DOUBLE) / 100, 2) AS monetary,
-        |       r_score, f_score, m_score,
+        |       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |       CAST(m_score AS INT) AS m_score,
         |       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
         |            WHEN f_score >= 4 THEN 'loyal'
         |            WHEN m_score = 5 THEN 'big_spender'

@@ -731,22 +731,30 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), (col("pos") + 1).as("dim"),
         round(col("x").cast("double") * 100, 0).cast("long").as("xq"))
       .persist()
-    val d = cells.agg(max(col("dim"))).head.getInt(0)
-    var v: Seq[(Int, Long)] =
-      (1 to d).map(_ -> math.round(1e6 / math.sqrt(d.toDouble)))
-    for (_ <- 1 to iters) {
-      val vdf = broadcast(v.toDF("dim", "vq"))
-      val s = cells.join(vdf, "dim")
-        .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("sq"))
-      val t = cells.join(s, "vec_id")
-        .groupBy(col("dim"))
-        .agg(sum((col("sq") * col("xq")).cast("decimal(38,0)")).as("t"))
-      val norm2 = t.agg(sum(pow(col("t").cast("double"), 2)).as("n2"))
-      v = t.crossJoin(broadcast(norm2))
-        .select(col("dim"), expr(
-          "cast(round(cast(t as double) * 1e6 / sqrt(n2)) as bigint)").as("vq"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    }
+    // unpersist before returning (ADVICE r12): the returned plan no longer
+    // references `cells`, and a leaked cache entry would shadow executor
+    // memory for every later query run on the same session (bench runs the
+    // whole suite on one session).
+    val v: Seq[(Int, Long)] =
+      try {
+        val d = cells.agg(max(col("dim"))).head.getInt(0)
+        var vi: Seq[(Int, Long)] =
+          (1 to d).map(_ -> math.round(1e6 / math.sqrt(d.toDouble)))
+        for (_ <- 1 to iters) {
+          val vdf = broadcast(vi.toDF("dim", "vq"))
+          val s = cells.join(vdf, "dim")
+            .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("sq"))
+          val t = cells.join(s, "vec_id")
+            .groupBy(col("dim"))
+            .agg(sum((col("sq") * col("xq")).cast("decimal(38,0)")).as("t"))
+          val norm2 = t.agg(sum(pow(col("t").cast("double"), 2)).as("n2"))
+          vi = t.crossJoin(broadcast(norm2))
+            .select(col("dim"), expr(
+              "cast(round(cast(t as double) * 1e6 / sqrt(n2)) as bigint)").as("vq"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        }
+        vi
+      } finally cells.unpersist()
     v.toDF("dim", "vq")
       .select(col("dim"), col("vq"),
         (round(col("vq").cast("double") / 1e6, 6) + lit(0.0)).as("loading"))
@@ -850,7 +858,8 @@ object Similarity extends QueryModule {
         |  SELECT dim, unnest(generate_series(0, 10)) AS decile, n
         |  FROM (SELECT dim, count(*) AS n FROM cells GROUP BY 1)),
         |want AS (SELECT dim, decile, (n - 1) * decile // 10 + 1 AS rn FROM pos)
-        |SELECT r.dim, w.decile, r.x AS boundary
+        |SELECT CAST(r.dim AS INT) AS dim, CAST(w.decile AS INT) AS decile,
+        |       r.x AS boundary
         |FROM ranked r JOIN want w USING (dim, rn)
         |ORDER BY r.dim, w.decile""".stripMargin,
     // same 3 power iterations, unrolled relationally (no arrays needed):
@@ -873,7 +882,8 @@ object Similarity extends QueryModule {
          |         CAST(round(1e6 / sqrt((SELECT max(dim) FROM x))) AS BIGINT) AS vq
          |       FROM x),
          |$iterBlocks
-         |SELECT dim, vq, round(CAST(vq AS DOUBLE) / 1e6, 6) + 0.0 AS loading
+         |SELECT CAST(dim AS INT) AS dim, vq,
+         |       round(CAST(vq AS DOUBLE) / 1e6, 6) + 0.0 AS loading
          |FROM v3 ORDER BY dim""".stripMargin
     },
     "q159_sim_dim_stats" ->
@@ -961,7 +971,8 @@ object Similarity extends QueryModule {
          |          i -> p.emb[i] * c.emb[i])) / (p.nrm * c.nrm) AS sim
          |       FROM short sh JOIN n c ON sh.vec_id = c.vec_id
          |       JOIN n p ON sh.probe_id = p.vec_id)
-         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim, rn FROM (
+         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim,
+         |       CAST(rn AS INT) AS rn FROM (
          |  SELECT probe_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY probe_id
          |           ORDER BY sim DESC, vec_id) AS rn FROM rr)
@@ -1004,7 +1015,8 @@ object Similarity extends QueryModule {
          |          i -> p.emb[i] * c.emb[i])) / (p.nrm * c.nrm) AS sim
          |       FROM short sh JOIN n c ON sh.vec_id = c.vec_id
          |       JOIN n p ON sh.probe_id = p.vec_id)
-         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim, rn FROM (
+         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim,
+         |       CAST(rn AS INT) AS rn FROM (
          |  SELECT probe_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY probe_id
          |           ORDER BY sim DESC, vec_id) AS rn FROM rr)
@@ -1081,7 +1093,8 @@ object Similarity extends QueryModule {
          |        row_number() OVER (PARTITION BY probe_id
          |                           ORDER BY sim DESC, vec_id) AS rn
          |      FROM j)
-         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim, rn
+         |SELECT probe_id, vec_id, round(sim, 6) AS cos_sim,
+         |       CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "q45_sim_ann_lsh" -> {
       val bucketExpr = (0 until 4).map { p =>

@@ -394,11 +394,16 @@ object WarehouseOps extends QueryModule {
     * stay bounded where a linear sort leaves the second dimension's span
     * at full width. One scan, one broadcast scalar subquery (the min/max),
     * one shuffle (the tile groupBy) — no global sort anywhere. */
-  def zorderLayout(spark: SparkSession, dir: String, tileBits: Int = 6): DataFrame = {
+  /** Tile width shared by q165's Spark query and its DuckDB oracle —
+    * a single constant so the two sides cannot drift (ADVICE r12). */
+  private[graft] val ZorderTileBits = 6
+  private[graft] val ZorderTileDiv = 1L << (32 - ZorderTileBits)
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val lv = s"lineitem_q165_$tag"
     Tables(spark, dir, "lineitem").createOrReplaceTempView(lv)
-    val tileDiv = 1L << (32 - tileBits)
+    val tileDiv = ZorderTileDiv
     spark.sql(
       s"""WITH mm AS (SELECT min(l_orderkey) AS xmin, max(l_orderkey) AS xmax,
          |                  min(l_partkey) AS ymin, max(l_partkey) AS ymax FROM $lv),
@@ -723,8 +728,9 @@ object WarehouseOps extends QueryModule {
         |pu AS (SELECT user_id, count(*) AS active_days FROM ud GROUP BY 1),
         |h AS (SELECT active_days, count(*) AS n_users FROM pu GROUP BY 1)
         |SELECT active_days, n_users,
-        |       sum(n_users) OVER (ORDER BY active_days DESC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS users_at_least,
+        |       CAST(sum(n_users) OVER (ORDER BY active_days DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS users_at_least,
         |       round(CAST(sum(n_users) OVER (ORDER BY active_days DESC
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         / sum(n_users) OVER (), 6) + 0.0 AS pct_at_least
@@ -756,7 +762,7 @@ object WarehouseOps extends QueryModule {
         |         CAST(na + 1 AS DOUBLE) / (sum(na) OVER () + 10) AS pa,
         |         CAST(nb + 1 AS DOUBLE) / (sum(nb) OVER () + 10) AS pb
         |  FROM f)
-        |SELECT bin, na, nb,
+        |SELECT bin, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
         |       round((pa - pb) * ln(pa / pb), 6) + 0.0 AS psi_bin,
         |       round(sum((pa - pb) * ln(pa / pb)) OVER (ORDER BY bin
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS psi_cum
@@ -778,7 +784,9 @@ object WarehouseOps extends QueryModule {
         |         sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day
         |           ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS s_before
         |  FROM daily d JOIN mom m USING (event_type))
-        |SELECT event_type, day, c AS n_events, s_after, s_before,
+        |SELECT event_type, day, c AS n_events,
+        |       CAST(s_after AS BIGINT) AS s_after,
+        |       CAST(s_before AS BIGINT) AS s_before,
         |       round(CAST(s_after - s_before AS DOUBLE) / 7 / sd, 4) + 0.0 AS zscore,
         |       abs(round(CAST(s_after - s_before AS DOUBLE) / 7 / sd, 4) + 0.0) > 2.0
         |         AS is_shift
@@ -856,8 +864,9 @@ object WarehouseOps extends QueryModule {
         |  SELECT d.event_type, d.c, abs(d.c - p.c) AS abs_err
         |  FROM daily d JOIN daily p
         |    ON p.event_type = d.event_type AND p.day = d.day - 7)
-        |SELECT event_type, count(*) AS n_days, sum(abs_err) AS sum_abs_err,
-        |       sum(c) AS sum_actual,
+        |SELECT event_type, count(*) AS n_days,
+        |       CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+        |       CAST(sum(c) AS BIGINT) AS sum_actual,
         |       round(CAST(sum(abs_err) AS DOUBLE) / sum(c), 6) + 0.0 AS wmape,
         |       round(sqrt(CAST(sum(abs_err * abs_err) AS DOUBLE) / count(*)), 4)
         |         + 0.0 AS rmse
@@ -898,12 +907,13 @@ object WarehouseOps extends QueryModule {
         |  SELECT emp, cur // 10, depth + 1 FROM chain WHERE cur >= 10),
         |rooted AS (SELECT emp, cur AS root, depth FROM chain WHERE cur < 10)
         |SELECT r.root, count(*) AS n_members, max(r.depth) AS max_depth,
-        |       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS acctbal_cents
         |FROM rooted r JOIN customer c ON c.c_custkey = r.emp
         |GROUP BY r.root ORDER BY r.root""".stripMargin,
     // same Morton arithmetic, DuckDB dialect (`//` + `<<` for div/shiftleft)
     "q165_zorder_layout" ->
-      """WITH mm AS (SELECT min(l_orderkey) AS xmin, max(l_orderkey) AS xmax,
+      s"""WITH mm AS (SELECT min(l_orderkey) AS xmin, max(l_orderkey) AS xmax,
         |                  min(l_partkey) AS ymin, max(l_partkey) AS ymax FROM lineitem),
         |s AS (SELECT l.l_orderkey AS x, l.l_partkey AS y,
         |        ((l.l_orderkey - mm.xmin) * 65536) // (mm.xmax - mm.xmin + 1) AS xs,
@@ -918,7 +928,7 @@ object WarehouseOps extends QueryModule {
         |b4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs,
         |              (ys | (ys << 1)) & 1431655765 AS ys FROM b3),
         |z AS (SELECT x, y, (xs | (ys << 1)) AS z FROM b4)
-        |SELECT z // 67108864 AS file_id, count(*) AS n_rows,
+        |SELECT z // $ZorderTileDiv AS file_id, count(*) AS n_rows,
         |       min(x) AS x_min, max(x) AS x_max,
         |       min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -102,7 +102,8 @@ object Windows extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q25_window_topk_per_group" ->
-      """SELECT nationkey, custkey, acctbal, rn, rnk, drnk FROM (
+      """SELECT nationkey, custkey, acctbal, CAST(rn AS INT) AS rn,
+        |       CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk FROM (
         |  SELECT c_nationkey AS nationkey, c_custkey AS custkey,
         |         round(c_acctbal, 2) AS acctbal,
         |         row_number() OVER w AS rn, rank() OVER w AS rnk,
@@ -127,7 +128,7 @@ object Windows extends QueryModule {
         |ORDER BY user_id, event_id""".stripMargin,
     "q55_window_extras" ->
       """SELECT user_id, event_id,
-        |       ntile(4) OVER w AS quartile,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
         |       round(percent_rank() OVER w, 6) AS pct_rank,
         |       round(cume_dist() OVER w, 6) AS cume,
         |       round(first_value(value) OVER wf, 4) AS min_val,

@@ -105,6 +105,40 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     assert(r == Map((1L, 2L) -> ((1, 350L))))
   }
 
+  test("entity matching: deletion signatures bound candidates under a skewed block " +
+      "and keep exact recall for shifted/substituted twins") {
+    import spark.implicits._
+    // One (nation, segment) block of 200 mutually-dissimilar names — the
+    // r12 blocking's worst case: all 200 land in one block, 19 900
+    // comparisons. Pseudo-random 10-digit tails keep any two names > 4
+    // edits apart (they'd need a shared ≤2-deletion variant to become
+    // candidates), so the signature join must leave the block's quadratic
+    // on the floor. Planted on top: a 1-substitution twin and a 2-edit
+    // SHIFTED twin (insert+delete — the case a positional/Hamming blocker
+    // misses but deletion signatures provably keep).
+    val noise = (0 until 200).map { i =>
+      val tail = "%010d".format((i * 2654435761L + 1013904223L) % 10000000000L)
+      (100L + i, s"Customer#$tail", 1, 100.0 + i, "AUTO")
+    }
+    val planted = Seq(
+      (900L, "Customer#1234567890", 1, 10.00, "AUTO"),
+      (901L, "Customer#1234567990", 1, 20.00, "AUTO"),  // 1 substitution
+      (902L, "Customer#0123456789", 1, 30.00, "AUTO"))  // shift (ins+del): ed=2
+    val customers = (noise ++ planted)
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val cand = operators.Dedup.entityMatchCandidates(customers)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(cand.contains((900L, 901L)) && cand.contains((900L, 902L)),
+      s"planted twins missing from candidates: $cand")
+    val allPairs = 203L * 202 / 2
+    assert(cand.size < allPairs / 100,
+      s"candidate set not bounded: ${cand.size} of $allPairs possible")
+    val matched = operators.Dedup.entityMatchPairs(customers).collect()
+      .map(x => (x.getLong(2), x.getLong(3)) -> x.getInt(4)).toMap
+    assert(matched((900L, 901L)) == 1 && matched((900L, 902L)) == 2)
+    assert(!matched.contains((901L, 902L)), "901 vs 902 is 3 edits, must verify away")
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val sh = operators.Dedup.simhash(spark, docsDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

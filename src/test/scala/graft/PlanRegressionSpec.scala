@@ -598,4 +598,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"q166 lost its scalar broadcasts:\n$p")
   }
+
+  test("q133: candidates come from an equi-join keyed on the deletion variant") {
+    // The r13 rewrite's whole point (VERDICT r12 #5): the pair source must
+    // be the signature equi-join — (nation, segment, variant) in the join
+    // keys — not a coarse (nation, segment) block whose per-key fan-out is
+    // quadratic in block size.
+    val p = plan("q133_entity_match")
+    assert(p.contains("variant"), s"q133 lost the deletion-signature key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q162: the corpus-frequency join is UNHINTED — keyed on tok, AQE-sized") {
+    // VERDICT r12 #4: at 100 TB the clustered-corpus vocabulary is not
+    // broadcast-sized; the cf join must not carry a broadcast hint. The
+    // logical plan should show exactly the two intended hints (ct, amean).
+    val lp = SparkEntry.queries("q162_cluster_labels")(TestSpark.spark, dir)
+      .queryExecution.analyzed.toString
+    val hints = "(?i)ResolvedHint".r.findAllIn(lp).length
+    assert(hints == 2, s"q162 expected 2 broadcast hints (ct, amean), saw $hints:\n$lp")
+  }
 }

@@ -47,7 +47,13 @@ echo "== gate: correctness (Verify @ $SF_VERIFY vs DuckDB oracle, CPUS=32) =="
 # CPUS=32 for driver parity (VERDICT r09 #4): an order-sensitive float bug
 # that only manifests at the driver's local[32] must fail HERE, not there.
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" || exit 1
-python3 tools/check.py "$SF_VERIFY" /tmp/verify_out || exit 1
+# --self-test: the r12 incident (HUGEINT vs BIGINT invisible to a
+# width-blind fetchall() compare) ships a canary — widen one BIGINT
+# column of a real result to HUGEINT and require the type check to catch
+# it, so a future checker edit can't silently lose driver parity. The
+# check's full output (type audit included) lands in GATE_r*.txt via the
+# gate's tee, per the r12 judge's archival ask.
+python3 tools/check.py "$SF_VERIFY" /tmp/verify_out --self-test || exit 1
 
 echo "== gate: bench (@ $SF_BENCH, local[32], reps=${BENCH_REPS:-3}) =="
 # min-of-3 by default (matching Bench's own default): the gate's bench
