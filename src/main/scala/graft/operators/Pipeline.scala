@@ -70,7 +70,8 @@ object Pipeline extends QueryModule {
   def stratifiedSample(docs: DataFrame, k: Int = 10): DataFrame =
     docs
       .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
-        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":sample"))), col("doc_id"))))
+        .orderBy(graft.functions.TextExpressions.md5Hash60Col(
+          concat(col("doc_id").cast("string"), lit(":sample"))), col("doc_id"))))
       .filter(col("rn") <= k)
       .select(col("lang"), col("doc_id"), col("rn"))
       .orderBy(col("lang"), col("rn"))
@@ -296,8 +297,9 @@ object Pipeline extends QueryModule {
     * same plan. Writers then `repartitionByRange(pos)` into epoch shards. */
   def seededShuffle(docs: DataFrame, seed: String = "42"): DataFrame = {
     val d = docs.select(col("doc_id"),
-        md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("bucket", substring(col("h"), 1, 2))
+        graft.functions.TextExpressions.md5Hash60Col(
+          concat(lit(seed + ":"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", shiftright(col("h"), 52).cast("int"))
     val ranked = d.withColumn("rn", row_number()
       .over(Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id")))
       .cast("long"))
@@ -343,8 +345,9 @@ object Pipeline extends QueryModule {
           .when(col("lang") === "es", 1600L)
           .when(col("lang") === "fr", 1200L)
           .otherwise(800L))
-      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":mix"))))
-      .withColumn("bucket", substring(col("h"), 1, 2))
+      .withColumn("h", graft.functions.TextExpressions.md5Hash60Col(
+        concat(col("doc_id").cast("string"), lit(":mix"))))
+      .withColumn("bucket", shiftright(col("h"), 52).cast("int"))
     val inBucket = Window.partitionBy(col("lang"), col("bucket"))
       .orderBy(col("h"), col("doc_id"))
     val local = t
@@ -632,7 +635,8 @@ object Pipeline extends QueryModule {
       """WITH r AS (
         |  SELECT lang, doc_id,
         |         CAST(row_number() OVER (PARTITION BY lang
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sample'), doc_id) AS INT) AS rn
+        |           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)
+        |             AS BIGINT), doc_id) AS INT) AS rn
         |  FROM documents)
         |SELECT lang, doc_id, rn FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
     "q70_text_scrub" ->
@@ -718,7 +722,9 @@ object Pipeline extends QueryModule {
     // The oracle computes the SAME permutation with one global window —
     // the readable spec the two-phase bucket form must reproduce exactly.
     "q93_shuffle_seeded" ->
-      """WITH d AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+      """WITH d AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
         |SELECT doc_id,
         |       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM d ORDER BY pos""".stripMargin,
@@ -728,7 +734,8 @@ object Pipeline extends QueryModule {
       """WITH t AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
         |             CASE lang WHEN 'en' THEN 2800 WHEN 'de' THEN 1600 WHEN 'es' THEN 1600
         |                       WHEN 'fr' THEN 1200 ELSE 800 END AS target_tok,
-        |             md5(CAST(doc_id AS VARCHAR) || ':mix') AS h
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15)
+        |               AS BIGINT) AS h
         |      FROM documents),
         |r AS (SELECT lang, doc_id, n_tok, target_tok,
         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk,

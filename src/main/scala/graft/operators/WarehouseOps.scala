@@ -238,7 +238,8 @@ object WarehouseOps extends QueryModule {
     * the corpus — the sort-based sibling of q139's max_by discipline.
     */
   def reservoirSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val rkey = md5(concat(col("event_id").cast("string"), lit(":rs")))
+    val rkey = graft.functions.TextExpressions.md5Hash60Col(
+      concat(col("event_id").cast("string"), lit(":rs")))
     val w = Window.partitionBy(col("event_type")).orderBy(rkey, col("event_id"))
     Tables(spark, dir, "events")
       .select(col("event_type"), col("event_id"), col("user_id"))
@@ -812,7 +813,8 @@ object WarehouseOps extends QueryModule {
       """WITH r AS (
         |  SELECT event_type, event_id, user_id,
         |         row_number() OVER (PARTITION BY event_type
-        |           ORDER BY md5(CAST(event_id AS VARCHAR) || ':rs'), event_id) AS rk
+        |           ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':rs'), 1, 15)
+        |             AS BIGINT), event_id) AS rk
         |  FROM events)
         |SELECT event_type, CAST(rk AS INT) AS rk, event_id, user_id
         |FROM r WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,

@@ -102,8 +102,9 @@ class PipelineSemanticsSpec extends AnyFunSuite {
     assert(got.map(_._2).sorted.toSeq == (1L to 500L).toSeq)
     // the two-phase bucketed form must reproduce the naive global ranking
     val expect = docs
-      .select(col("doc_id"), md5(concat(lit("42:"), col("doc_id").cast("string"))).as("h"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .select(col("doc_id"), graft.functions.TextExpressions.md5Hash60Col(
+        concat(lit("42:"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy { case (id, h) => (h, id) }
       .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
     assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)

@@ -418,6 +418,67 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("two modes run CONCURRENTLY in one process with isolated checkpoints " +
+      "(the comma-list deployment), and both restart from their own state") {
+    // RelayMain --analytics compact,downsample starts one query per mode,
+    // each with its own reader, offsets, and state store over the SAME
+    // body directory — like two consumer groups. This pins the isolation a
+    // deployer actually relies on: both queries IN FLIGHT at once in one
+    // SparkSession, neither stealing the other's offsets or state, and a
+    // second wave continuing BOTH states across a restart.
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-multi-in-").toString
+      val outRoot = Files.createTempDirectory("ra-multi-out-").toString
+      val modes = Seq("compact", "downsample")
+      def runBoth(): Unit = {
+        val qs = modes.map { mode =>
+          RelayMain.startAnalytics(spark,
+            RemoteWrite.bodyDsv2Stream(spark, inDir), mode,
+            outDir = s"$outRoot/analytics-$mode",
+            checkpointDir = s"$outRoot/_analytics_checkpoint-$mode",
+            trigger = Trigger.AvailableNow())
+        }
+        try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+      }
+      val compactSchema = StructType.fromDDL(
+        "user_id BIGINT, last_event_id BIGINT, last_type STRING, " +
+          "last_value DOUBLE, last_us BIGINT, n_versions BIGINT")
+      val dsSchema = StructType.fromDDL(
+        "event_type STRING, bucket_us BIGINT, open DOUBLE, high DOUBLE, " +
+          "low DOUBLE, close DOUBLE, n BIGINT")
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "temp", "host" -> "a"),
+            Seq(Sample(20.0, 1000L), Sample(25.0, 2000L))))) == 200)
+        runBoth()
+        val c1 = spark.read.schema(compactSchema).json(s"$outRoot/analytics-compact").collect()
+        assert(c1.length == 1 && c1.head.getAs[Long]("n_versions") == 2L)
+        assert(c1.head.getAs[Double]("last_value") == 25.0)
+        val d1 = spark.read.schema(dsSchema).json(s"$outRoot/analytics-downsample").collect()
+        assert(d1.length == 1 && d1.head.getAs[Long]("n") == 2L)
+        assert(d1.head.getAs[Double]("open") == 20.0 && d1.head.getAs[Double]("close") == 25.0)
+
+        // second wave across a restart of BOTH queries: an older sample —
+        // compact must keep 25.0 as latest, downsample must adopt 15.0 as
+        // the bucket's new low, and both must NOT re-read body 0.
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "temp", "host" -> "a"),
+            Seq(Sample(15.0, 1500L))))) == 200)
+        runBoth()
+        val c2 = spark.read.schema(compactSchema).json(s"$outRoot/analytics-compact")
+          .collect().maxBy(_.getAs[Long]("n_versions"))
+        assert(c2.getAs[Long]("n_versions") == 3L)
+        assert(c2.getAs[Double]("last_value") == 25.0)
+        val d2 = spark.read.schema(dsSchema).json(s"$outRoot/analytics-downsample")
+          .collect().maxBy(_.getAs[Long]("n"))
+        assert(d2.getAs[Long]("n") == 3L)
+        assert(d2.getAs[Double]("low") == 15.0 && d2.getAs[Double]("close") == 25.0)
+      } finally f.stop()
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
