@@ -139,6 +139,43 @@ object Pipeline extends QueryModule {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHitters(docsTable(spark, dir))
 
+  /** q180 — PHRASE SEARCH over a positional inverted index: find documents
+    * containing the EXACT token sequence `phrase`, with match count and
+    * first position — the proximity primitive (quoted-query search,
+    * boilerplate-phrase detection, n-gram provenance lookup) that the
+    * bag-of-words ops (q71/q74/q116) cannot express because they discard
+    * positions. The classic IR plan, Spark-shaped: the postings build is
+    * ONE tokenize+explode emitting (token, doc, position) — the inverted
+    * index every search engine materializes (at corpus scale it is written
+    * once, partitioned by token, and probed by many queries) — and a
+    * k-token phrase is (k−1) EQUI-joins on (doc_id, start) where each
+    * term's postings are rebased by its phrase offset (pos − i), turning
+    * positional adjacency into plain key equality that hash-joins and
+    * co-partitions. The `tok IN phrase` prune sits directly on the
+    * tokenizer output (plan-pinned), so only the phrase terms' postings
+    * ever reach a shuffle — the posting-list-intersection cost model; on a
+    * MATERIALIZED token-partitioned index the same predicate becomes
+    * partition pruning and the corpus scan disappears entirely. Counts are
+    * exact; positions 1-based like the oracle's `generate_subscripts`. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val post = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    parts.reduce((l, r) => l.join(r, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("start")) + 1).cast("int").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(docsTable(spark, dir), Seq("table", "hash"))
+
   /** Bloom-pruned fact-dimension join: build a bloom filter over the
     * filtered dimension's keys (one scalar-subquery aggregate → a few KB),
     * prune the fact scan with `might_contain` BEFORE the join shuffle, then
@@ -591,10 +628,24 @@ object Pipeline extends QueryModule {
     "q116_text_bm25" -> (bm25TopK(_, _)),
     "q125_rag_chunks" -> (ragChunks(_, _)),
     "q128_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
-    "q168_sample_weighted" -> (weightedSample(_, _))
+    "q168_sample_weighted" -> (weightedSample(_, _)),
+    "q180_phrase_search" -> (phraseSearch(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // positions via generate_subscripts (1-based, like Spark's pos+1);
+    // adjacency as rebased-position equality, same as the engine plan
+    "q180_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, pos AS start FROM t WHERE tok = 'table'),
+        |p1 AS (SELECT doc_id, pos - 1 AS start FROM t WHERE tok = 'hash')
+        |SELECT doc_id, count(*) AS n_matches,
+        |       CAST(min(start) AS INT) AS first_pos
+        |FROM p0 JOIN p1 USING (doc_id, start)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Efraimidis-Spirakis keys off the same md5 idiom; `+ 0.0` kills the
     // q97 signed-zero class on near-zero rounded keys
     "q168_sample_weighted" ->

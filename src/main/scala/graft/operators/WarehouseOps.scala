@@ -344,6 +344,81 @@ object WarehouseOps extends QueryModule {
     dist.orderBy(col("dist"), col("item"))
   }
 
+  /** q182 — K-CORE decomposition of the co-occurrence graph (fixed-round
+    * peel): repeatedly remove nodes of degree < k until the remainder is
+    * the k-core — the standard "dense backbone" extraction (community
+    * cores, spam-graph trimming, feature for fraud models) that completes
+    * the graph family's census (triangles q147, BFS q148, label-prop
+    * q153, PageRank q118). Like q153, rounds are FIXED (6) so the oracle
+    * unrolls the identical computation — peeling is monotone (nodes only
+    * leave), so extra rounds past the fixpoint are no-ops and the
+    * fixed-round result EQUALS the fixpoint whenever convergence happens
+    * within the budget (spec-checked on the fixture; production reruns
+    * until a round removes nothing, typically O(log n) rounds on
+    * power-law graphs — Montresor et al. 2013 measure ~10-100 on web
+    * graphs). Per round: one degree aggregate + two semi-join filters
+    * against the BROADCAST survivor set (item-catalog-sized, the q153
+    * justification), lineage truncated per round; the edge list itself
+    * never re-shuffles. */
+  def graphKcore(spark: SparkSession, dir: String, k: Int = 3,
+                 rounds: Int = 6, minUsers: Int = 5): DataFrame = {
+    val edges = coEdges(spark, dir, minUsers)
+    var und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val alive = und.groupBy(col("a")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("a"))
+      und = und
+        .join(broadcast(alive), Seq("a"))
+        .join(broadcast(alive.select(col("a").as("b"))), Seq("b"))
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    und.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+      .select(col("a").as("item"), col("degree"))
+      .orderBy(col("item"))
+  }
+
+  /** q181 — JOIN-KEY SKEW PROFILE: the planning probe you run BEFORE
+    * choosing a salt factor, an AQE skew threshold, or a bucketing
+    * layout — per candidate join key: row/key cardinalities, the exact
+    * p50/p90/p99 of the per-key row counts, the hottest key's magnitude,
+    * the share held by the top-10 keys, and a suggested salt
+    * (⌈max/mean⌉ — how many average keys the hottest one weighs). This is
+    * the observability twin of q164's salted join: q164 FIXES skew, this
+    * MEASURES it. The profile is aggregation all the way down: one
+    * groupBy per key column (map-side combined), percentiles read
+    * EXACTLY off the counts-of-counts histogram (distinct count VALUES —
+    * a reduced aggregate, so its cumulative window is histogram-sized,
+    * per the family discipline), and the top-10 is a distributed
+    * TakeOrdered. No row-level data survives the first aggregate. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, tbl: String, keyCol: String): DataFrame = {
+      val cnt = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+      val hist = cnt.groupBy(col("c")).agg(count(lit(1)).as("freq"))
+      val cum = hist.withColumn("cum", sum(col("freq")).over(
+        Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = cnt.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_cnt"))
+      // smallest count c with cum ≥ ⌈p·n_keys⌉ — integer form: cum·100 ≥ p·n
+      def pct(p: Int) = min(when(col("cum") * 100 >= col("n_keys") * p, col("c")))
+      val perc = cum.crossJoin(broadcast(tot))
+        .agg(pct(50).as("p50_cnt"), pct(90).as("p90_cnt"), pct(99).as("p99_cnt"))
+      val top = cnt.orderBy(col("c").desc, col("k")).limit(10)
+        .agg(sum(col("c")).as("top10"))
+      tot.crossJoin(broadcast(perc)).crossJoin(broadcast(top))
+        .select(lit(tbl).as("table"), lit(keyCol).as("key_col"),
+          col("n_rows"), col("n_keys"), col("max_cnt"),
+          col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+          (round(col("top10").cast("double") / col("n_rows"), 6) + lit(0.0))
+            .as("top10_share"),
+          expr("(max_cnt * n_keys + n_rows - 1) div n_rows").as("suggested_salt"))
+    }
+    profile(Tables(spark, dir, "events"), "events", "user_id")
+      .unionAll(profile(Tables(spark, dir, "lineitem"), "lineitem", "l_suppkey"))
+      .orderBy(col("table"))
+  }
+
   /** q163 — hierarchy flattening via Spark's NATIVE recursive CTE
     * (`WITH RECURSIVE` → `UnionLoop`, new in Spark 4.x): walk each
     * customer's management chain (mgr = custkey div 10 — a synthetic but
@@ -490,6 +565,103 @@ object WarehouseOps extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** q178 — per-series LINEAR TREND by ordinary least squares over the
+    * daily activity counts: slope, intercept, R², and the next-day
+    * extrapolation per event type — the metric-trend primitive behind
+    * "is this KPI growing?" dashboards and alert burn-down projections
+    * (the regression form of q149's seasonal-naive baseline). OLS here is
+    * pure MOMENTS: the per-type aggregate collects (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) as exact integers — x is the day index RE-BASED to the corpus'
+    * first day (one broadcast scalar), which keeps every product inside
+    * BIGINT at any horizon (un-rebased epoch-day squares would not) and
+    * leaves the slope invariant. One map-side-combined shuffle carries six
+    * longs per (task, type) — the same "shuffle the state, not the data"
+    * discipline as q139/q127; every emitted double is ONE division (or one
+    * double product ratio for R²) on order-independent integer moments,
+    * rounded with the signed-zero convention, so the result is bit-stable
+    * at any parallelism. Degenerate series (one day, or zero x-variance)
+    * are filtered; zero y-variance yields NULL R² in both engines. */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val base = daily.agg(min(col("day")).as("day0"))
+    val m = daily.crossJoin(broadcast(base))
+      .select(col("event_type"), datediff(col("day"), col("day0")).cast("long").as("x"),
+        col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), max(col("x")).as("xmax"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n") >= 2 && col("den") > 0)
+    m.select(col("event_type"), col("n").as("n_days"),
+        (round(col("num").cast("double") / col("den"), 6) + lit(0.0)).as("slope"),
+        (round((col("sy") * col("den") - col("num") * col("sx")).cast("double")
+          / (col("n") * col("den")), 6) + lit(0.0)).as("intercept"),
+        (when(col("vy") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") * col("num").cast("double")
+            / (col("den").cast("double") * col("vy").cast("double")), 6) + lit(0.0)))
+          .as("r2"),
+        (round((col("sy") * col("den") - col("num") * col("sx")
+          + col("n") * col("num") * (col("xmax") + 1)).cast("double")
+          / (col("n") * col("den")), 4) + lit(0.0)).as("forecast_next"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q179 — SNAPSHOT DIFF (table reconciliation): what changed in the
+    * per-user latest-state table between time T₁ (one week before the
+    * corpus horizon) and now — keys added, keys changed (with the exact
+    * COLUMN list that moved), keys untouched. This is the validation op
+    * behind every migration/backfill sign-off and the change-feed a
+    * downstream consumer diffs against.
+    *
+    * Because both snapshots are time-travel views of the SAME append-only
+    * changelog, the diff needs NO self-join: one scan computes the T₁ and
+    * T₂ states together as conditional aggregates per user (max_by with a
+    * null-keyed order column ignores post-cutoff rows for the old side),
+    * so the whole query is one map-side-combined shuffle on user_id —
+    * against the textbook two-scan full-outer-join reconciliation, that
+    * is half the I/O and removes the join entirely. The join form remains
+    * the fallback when the two snapshots are INDEPENDENT tables (vendor
+    * export vs warehouse); `removed` cannot occur under append-only
+    * semantics and is documented out of the domain. Money diffs in exact
+    * integer cents; the tie-break (us, event_id) is total, so both the
+    * states and the changed-column list are deterministic under any
+    * parallelism. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cut = Tables(spark, dir, "events")
+      .agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
+    val st = eventsUs(spark, dir)
+      .crossJoin(broadcast(cut))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("pre", to_date(col("ts")) <= col("cutoff"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("pre"), 1)).as("n_old"), count(lit(1)).as("n_new"),
+        max_by(col("event_type"),
+          when(col("pre"), struct(col("us"), col("event_id")))).as("last_type_old"),
+        max_by(col("event_type"), struct(col("us"), col("event_id"))).as("last_type_new"),
+        coalesce(sum(when(col("pre"), col("cents"))), lit(0L)).as("sum_cents_old"),
+        sum(col("cents")).as("sum_cents_new"))
+    st.withColumn("change_type",
+        when(col("n_old") === 0, lit("added"))
+          .when(col("n_old") === col("n_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .withColumn("changed_cols", when(col("change_type") === "changed",
+        concat_ws(",",
+          when(col("n_old") =!= col("n_new"), lit("n_events")),
+          when(!(col("last_type_old") <=> col("last_type_new")), lit("last_type")),
+          when(col("sum_cents_old") =!= col("sum_cents_new"), lit("sum_cents"))))
+        .otherwise(lit("")))
+      .select(col("user_id"), col("change_type"), col("changed_cols"),
+        col("n_old"), col("n_new"), col("last_type_old"), col("last_type_new"),
+        col("sum_cents_old"), col("sum_cents_new"))
+      .orderBy(col("user_id"))
+  }
+
   /** q150 — declarative data-quality constraint suite (the Deequ/
     * great-expectations pattern): uniqueness, completeness, domain,
     * range, and cross-table referential integrity, evaluated engine-side
@@ -620,10 +792,152 @@ object WarehouseOps extends QueryModule {
     "q150_dq_checks" -> dqChecks _,
     "q163_recursive_hierarchy" -> recursiveHierarchy _,
     "q165_zorder_layout" -> ((s, d) => zorderLayout(s, d)),
-    "q169_incremental_agg" -> incrementalAgg _
+    "q169_incremental_agg" -> incrementalAgg _,
+    "q178_ols_trend" -> olsTrend _,
+    "q179_snapshot_diff" -> snapshotDiff _,
+    "q181_key_skew_profile" -> keySkewProfile _,
+    "q182_graph_kcore" -> ((s, d) => graphKcore(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // 6 unrolled peel rounds — fixed-round parity with the Spark loop
+    // (monotone peeling: extra rounds past the fixpoint are no-ops)
+    "q182_graph_kcore" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |e AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |u0 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |al1 AS (SELECT a FROM u0 GROUP BY a HAVING count(*) >= 3),
+        |u1 AS (SELECT u.a, u.b FROM u0 u
+        |         JOIN al1 x ON u.a = x.a JOIN al1 y ON u.b = y.a),
+        |al2 AS (SELECT a FROM u1 GROUP BY a HAVING count(*) >= 3),
+        |u2 AS (SELECT u.a, u.b FROM u1 u
+        |         JOIN al2 x ON u.a = x.a JOIN al2 y ON u.b = y.a),
+        |al3 AS (SELECT a FROM u2 GROUP BY a HAVING count(*) >= 3),
+        |u3 AS (SELECT u.a, u.b FROM u2 u
+        |         JOIN al3 x ON u.a = x.a JOIN al3 y ON u.b = y.a),
+        |al4 AS (SELECT a FROM u3 GROUP BY a HAVING count(*) >= 3),
+        |u4 AS (SELECT u.a, u.b FROM u3 u
+        |         JOIN al4 x ON u.a = x.a JOIN al4 y ON u.b = y.a),
+        |al5 AS (SELECT a FROM u4 GROUP BY a HAVING count(*) >= 3),
+        |u5 AS (SELECT u.a, u.b FROM u4 u
+        |         JOIN al5 x ON u.a = x.a JOIN al5 y ON u.b = y.a),
+        |al6 AS (SELECT a FROM u5 GROUP BY a HAVING count(*) >= 3),
+        |u6 AS (SELECT u.a, u.b FROM u5 u
+        |         JOIN al6 x ON u.a = x.a JOIN al6 y ON u.b = y.a)
+        |SELECT a AS item, count(*) AS degree
+        |FROM u6 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q181_key_skew_profile" ->
+      """WITH c1 AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |h1 AS (SELECT c, count(*) AS freq FROM c1 GROUP BY 1),
+        |cu1 AS (SELECT c, CAST(sum(freq) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM h1),
+        |t1 AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |              max(c) AS max_cnt FROM c1),
+        |p1 AS (SELECT min(CASE WHEN cum * 100 >= n_keys * 50 THEN c END) AS p50_cnt,
+        |              min(CASE WHEN cum * 100 >= n_keys * 90 THEN c END) AS p90_cnt,
+        |              min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS p99_cnt
+        |       FROM cu1 CROSS JOIN t1),
+        |tp1 AS (SELECT CAST(sum(c) AS BIGINT) AS top10
+        |        FROM (SELECT c FROM c1 ORDER BY c DESC, k LIMIT 10)),
+        |c2 AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |h2 AS (SELECT c, count(*) AS freq FROM c2 GROUP BY 1),
+        |cu2 AS (SELECT c, CAST(sum(freq) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM h2),
+        |t2 AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |              max(c) AS max_cnt FROM c2),
+        |p2 AS (SELECT min(CASE WHEN cum * 100 >= n_keys * 50 THEN c END) AS p50_cnt,
+        |              min(CASE WHEN cum * 100 >= n_keys * 90 THEN c END) AS p90_cnt,
+        |              min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS p99_cnt
+        |       FROM cu2 CROSS JOIN t2),
+        |tp2 AS (SELECT CAST(sum(c) AS BIGINT) AS top10
+        |        FROM (SELECT c FROM c2 ORDER BY c DESC, k LIMIT 10))
+        |SELECT * FROM (
+        |  SELECT 'events' AS "table", 'user_id' AS key_col, n_rows, n_keys,
+        |         max_cnt, p50_cnt, p90_cnt, p99_cnt,
+        |         round(CAST(top10 AS DOUBLE) / n_rows, 6) + 0.0 AS top10_share,
+        |         (max_cnt * n_keys + n_rows - 1) // n_rows AS suggested_salt
+        |  FROM t1 CROSS JOIN p1 CROSS JOIN tp1
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_suppkey', n_rows, n_keys,
+        |         max_cnt, p50_cnt, p90_cnt, p99_cnt,
+        |         round(CAST(top10 AS DOUBLE) / n_rows, 6) + 0.0,
+        |         (max_cnt * n_keys + n_rows - 1) // n_rows
+        |  FROM t2 CROSS JOIN p2 CROSS JOIN tp2)
+        |ORDER BY "table"""".stripMargin,
+    "q178_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT min(day) AS day0 FROM daily),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy, max(x) AS xmax
+        |  FROM (SELECT event_type, CAST(d.day - b.day0 AS BIGINT) AS x, y
+        |        FROM daily d CROSS JOIN base b)
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |         n * syy - sy * sy AS vy
+        |  FROM m WHERE n >= 2)
+        |SELECT event_type, n AS n_days,
+        |       round(CAST(num AS DOUBLE) / den, 6) + 0.0 AS slope,
+        |       round(CAST(sy * den - num * sx AS DOUBLE) / (n * den), 6) + 0.0
+        |         AS intercept,
+        |       CASE WHEN vy = 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |              / (CAST(den AS DOUBLE) * CAST(vy AS DOUBLE)), 6) + 0.0
+        |       END AS r2,
+        |       round(CAST(sy * den - num * sx + n * num * (xmax + 1) AS DOUBLE)
+        |         / (n * den), 4) + 0.0 AS forecast_next
+        |FROM c WHERE den > 0 ORDER BY event_type""".stripMargin,
+    "q179_snapshot_diff" ->
+      """WITH cut AS (SELECT max(CAST(ts AS DATE)) - 7 AS cutoff FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST(ts AS DATE) <= c.cutoff AS pre
+        |  FROM events CROSS JOIN cut c),
+        |lt_new AS (
+        |  SELECT user_id, event_type AS last_type_new FROM (
+        |    SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+        |lt_old AS (
+        |  SELECT user_id, event_type AS last_type_old FROM (
+        |    SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn FROM e WHERE pre) WHERE rn = 1),
+        |agg AS (
+        |  SELECT user_id,
+        |         count(*) FILTER (WHERE pre) AS n_old, count(*) AS n_new,
+        |         CAST(coalesce(sum(cents) FILTER (WHERE pre), 0) AS BIGINT)
+        |           AS sum_cents_old,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents_new
+        |  FROM e GROUP BY 1)
+        |SELECT a.user_id,
+        |       CASE WHEN n_old = 0 THEN 'added'
+        |            WHEN n_old = n_new THEN 'unchanged'
+        |            ELSE 'changed' END AS change_type,
+        |       CASE WHEN n_old > 0 AND n_old <> n_new THEN
+        |         concat_ws(',',
+        |           CASE WHEN n_old <> n_new THEN 'n_events' END,
+        |           CASE WHEN last_type_old IS DISTINCT FROM last_type_new
+        |                THEN 'last_type' END,
+        |           CASE WHEN sum_cents_old <> sum_cents_new THEN 'sum_cents' END)
+        |       ELSE '' END AS changed_cols,
+        |       n_old, n_new, lo.last_type_old, ln.last_type_new,
+        |       sum_cents_old, sum_cents_new
+        |FROM agg a LEFT JOIN lt_old lo USING (user_id)
+        |           LEFT JOIN lt_new ln USING (user_id)
+        |ORDER BY a.user_id""".stripMargin,
     "q152_assoc_rules" ->
       """WITH ui AS (
         |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item

@@ -234,4 +234,24 @@ class PipelineSemanticsSpec extends AnyFunSuite {
       .collect()
     assert(top.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
+
+  test("phrase search: adjacency only — reversed and gapped occurrences never match") {
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta", "en", "s", 27L), // matches at 1 and 4
+      (1L, "alpha gamma beta", "en", "s", 16L),            // gapped — no match
+      (2L, "beta alpha", "en", "s", 10L),                  // reversed — no match
+      (3L, "zeta eta", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bi = Pipeline.phraseSearch(docs, Seq("alpha", "beta")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(bi == Map(0L -> ((2L, 1))), s"bigram: $bi")
+    // the 3-chain: only the LEADING occurrence extends to the trigram
+    val tri = Pipeline.phraseSearch(docs, Seq("alpha", "beta", "gamma")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(tri == Map(0L -> ((1L, 1))), s"trigram: $tri")
+    // degenerate single-token phrase = plain postings lookup
+    val uni = Pipeline.phraseSearch(docs, Seq("beta")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(uni == Map(0L -> ((2L, 2)), 1L -> ((1L, 3)), 2L -> ((1L, 1))), s"unigram: $uni")
+  }
 }

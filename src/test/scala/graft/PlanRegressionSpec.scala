@@ -599,6 +599,20 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"q166 lost its scalar broadcasts:\n$p")
   }
 
+  test("q178: OLS moments ride ONE map-side-combined aggregate; the base is broadcast") {
+    val p = plan("q178_ols_trend")
+    assert(p.contains("partial_sum"), s"q178 lost its partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q180: phrase adjacency is an equi-join on the rebased position; " +
+      "the postings prune to phrase terms BEFORE any shuffle") {
+    val p = plan("q180_phrase_search")
+    assert(p.contains("start"), s"q180 lost the rebased-position join key:\n$p")
+    assert(p.contains("IN (table,hash)"), s"q180 lost the phrase-term prune:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q133: candidates come from an equi-join keyed on the deletion variant") {
     // The r13 rewrite's whole point (VERDICT r12 #5): the pair source must
     // be the signature equi-join — (nation, segment, variant) in the join

@@ -287,4 +287,85 @@ class WarehouseOpsSpec extends AnyFunSuite {
       ("view", "1970-01-03") -> ((2L, 900L, 4.5)),   // merged delta day
       ("click", "1970-01-03") -> ((1L, 10L, 0.1))), s"bad merge: $r")
   }
+
+  test("q178: a planted linear series recovers its exact slope/intercept/R²; " +
+      "a flat series gets slope 0 and NULL R²") {
+    // 'lin': y = 10 + 2d on days 0..4 (perfect fit); 'flat': y = 5 every day.
+    val rows = (0 to 4).flatMap { d =>
+      val linN = 10 + 2 * d
+      (0 until linN).map(i => (d * 100L + i, day(d.toLong, i), 1L, "lin", 1.0, "{}")) ++
+        (0 until 5).map(i => (d * 100L + 50 + i, day(d.toLong, 50 + i), 2L, "flat", 1.0, "{}"))
+    }
+    val dir = writeEvents(rows.map { case (id, ts, u, t, v, p) => (id, ts, u, t, v, p) })
+    val r = operators.WarehouseOps.olsTrend(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3), Option(x.get(4)).map(_.asInstanceOf[Double]),
+        x.getDouble(5)))).toMap
+    assert(r("lin") == ((5L, 2.0, 10.0, Some(1.0), 20.0)), s"lin: ${r("lin")}")
+    assert(r("flat") == ((5L, 0.0, 5.0, None, 5.0)), s"flat: ${r("flat")}")
+  }
+
+  test("q179: snapshot diff classifies added/changed/unchanged with exact column lists") {
+    // horizon day 10 → cutoff day 3. u1 all-pre (unchanged); u2 changes
+    // count, last type AND money; u4 changes count only (zero-value event,
+    // same type); u3 appears only after the cutoff (added).
+    val dir = writeEvents(Seq(
+      (1L, day(0), 1L, "view", 1.00, "{}"),
+      (2L, day(1), 1L, "click", 2.00, "{}"),
+      (3L, day(0), 2L, "view", 1.00, "{}"),
+      (4L, day(10), 2L, "click", 2.00, "{}"),
+      (5L, day(9), 3L, "signup", 0.50, "{}"),
+      (6L, day(0), 4L, "view", 1.00, "{}"),
+      (7L, day(10), 4L, "view", 0.00, "{}")))
+    val r = operators.WarehouseOps.snapshotDiff(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getString(2),
+        x.getLong(3), x.getLong(4), Option(x.getString(5)), x.getString(6),
+        x.getLong(7), x.getLong(8)))).toMap
+    assert(r(1L) == (("unchanged", "", 2L, 2L, Some("click"), "click", 300L, 300L)))
+    assert(r(2L) == (("changed", "n_events,last_type,sum_cents",
+      1L, 2L, Some("view"), "click", 100L, 300L)))
+    assert(r(3L) == (("added", "", 0L, 1L, None, "signup", 0L, 50L)))
+    assert(r(4L) == (("changed", "n_events", 1L, 2L, Some("view"), "view", 100L, 100L)))
+  }
+
+  test("q181: skew profile reports exact count percentiles and the ⌈max/mean⌉ salt") {
+    import spark.implicits._
+    // events: u1×6, u2×3, u3..u5×1 → n_keys 5, n_rows 12, max 6,
+    // hist {1:3, 3:1, 6:1} → p50 = 1 (cum 3 ≥ ⌈2.5⌉), p90 = p99 = 6,
+    // top10 covers everything (share 1.0), salt = ⌈6·5/12⌉ = 3.
+    val rows = (1 to 6).map(i => (i.toLong, ns(i), 1L, "view", 1.0, "{}")) ++
+      (7 to 9).map(i => (i.toLong, ns(i), 2L, "view", 1.0, "{}")) ++
+      Seq((10L, ns(10), 3L, "view", 1.0, "{}"), (11L, ns(11), 4L, "view", 1.0, "{}"),
+        (12L, ns(12), 5L, "view", 1.0, "{}"))
+    val dir = writeEvents(rows)
+    // lineitem: two suppliers × 4 rows → uniform: salt must stay 1
+    Seq.tabulate(8)(i => (i.toLong, (i % 2 + 1).toLong))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = operators.WarehouseOps.keySkewProfile(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getLong(6), x.getLong(7), x.getDouble(8), x.getLong(9)))).toMap
+    assert(r("events") == ((12L, 5L, 6L, 1L, 6L, 6L, 1.0, 3L)), s"events: ${r("events")}")
+    assert(r("lineitem") == ((8L, 2L, 4L, 4L, 4L, 4L, 1.0, 1L)), s"lineitem: ${r("lineitem")}")
+  }
+
+  test("q182: k-core peels the pendant chain by CASCADE and keeps the K4 intact") {
+    // Co-occurrence graph: K4 on items 1-4 (degree 3 each — the 3-core),
+    // a pendant 5 hanging off 1, and 9 hanging off 5. Round 1 peels 9
+    // (deg 1); that DROPS 5 to degree 1, so round 2 peels 5 — the cascade
+    // a single degree filter misses. Each edge gets 5 dedicated users
+    // (the support threshold), each holding exactly that edge's two items.
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (5, 9))
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), ei) =>
+      (0 until 5).flatMap { u =>
+        val uid = 100L + ei * 10 + u
+        Seq((uid * 10, ns(uid * 2), uid, "view", 1.0, s"""{"k": $a}"""),
+          (uid * 10 + 1, ns(uid * 2 + 1), uid, "view", 1.0, s"""{"k": $b}"""))
+      }
+    }
+    val dir = writeEvents(rows)
+    val r = operators.WarehouseOps.graphKcore(spark, dir).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L), s"core: $r")
+  }
 }
