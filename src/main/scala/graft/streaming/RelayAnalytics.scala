@@ -131,6 +131,17 @@ object RelayAnalytics {
       .as[ActivityRow]
   }
 
+  /** Canonical records → [[GroupTick]] rows for the day-granular change
+    * monitors ([[StreamingTrend]]): group = metric name — "is this
+    * metric's daily volume trending?", the per-metric twin of batch
+    * q178's per-event-type fit. */
+  def groupTicks(records: DataFrame): Dataset[GroupTick] = {
+    import records.sparkSession.implicits._
+    records.filter(col("time").isNotNull)
+      .select(col("name").as("group"), (col("time") * lit(1000L)).as("tsUs"))
+      .as[GroupTick]
+  }
+
   /** Canonical records → [[TokenEvent]] rows for
     * [[StreamingHeavyHitters]]: group = metric name, token = the canonical
     * series string — "which label sets dominate this metric", the

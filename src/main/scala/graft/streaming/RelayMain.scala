@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    batch=<id>/partition/chunk layout
   *                                    ([[ExactlyOnceFileSink]]): replays
   *                                    overwrite, never duplicate
-  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict|ratio|range-eval|holt-winters|compact|cardinality|downsample[,...]]
+  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict|ratio|range-eval|holt-winters|compact|cardinality|downsample|trend[,...]]
   *     [--ratio-num error] [--ratio-den click]
   *                                    ratio mode: numerator/denominator
   *                                    metric names (matching key = the
@@ -86,7 +86,8 @@ object RelayMain {
 
   val Modes: Seq[String] =
     Seq("rate", "range-rate", "topk", "topk-rate", "staleness", "histogram", "predict",
-      "ratio", "range-eval", "holt-winters", "compact", "cardinality", "downsample")
+      "ratio", "range-eval", "holt-winters", "compact", "cardinality", "downsample",
+      "trend")
 
   /** The chosen analytic over canonical records, as an untyped frame — one
     * switch shared by [[main]] and the end-to-end spec. Every mode rides
@@ -133,6 +134,8 @@ object RelayMain {
     case "downsample" =>
       StreamingDownsample.downsample(RelayAnalytics.bucketSamples(records),
         rateTtl).toDF()
+    case "trend" =>
+      StreamingTrend.trendUpdates(RelayAnalytics.groupTicks(records), rateTtl).toDF()
     case other =>
       sys.error(s"--analytics $other: expected one of ${Modes.mkString("|")}")
   }

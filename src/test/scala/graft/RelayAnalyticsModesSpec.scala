@@ -479,6 +479,53 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → trend analytic JSON: a planted line fits exactly, and a restart " +
+      "resumes BOTH the moments and the open day's count") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-tr-in-").toString
+      val outDir = Files.createTempDirectory("ra-tr-out-").toString + "/analytics-trend"
+      val ckpt = Files.createTempDirectory("ra-tr-ckpt-").toString
+      val schema = StructType.fromDDL(
+        "group STRING, day BIGINT, n_days BIGINT, slope DOUBLE, " +
+          "intercept DOUBLE, r2 DOUBLE, forecast_next DOUBLE")
+      def dayMs(d: Long, i: Long = 0) = d * 86400000L + i
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        // daily sample VOLUME on the line y = 2 + 2d: d0:2, d1:4, d2:6,
+        // plus one day-3 sample that opens (but does not seal) day 3
+        val wave1 = (0 until 2).map(i => Sample(1.0, dayMs(0, i))) ++
+          (0 until 4).map(i => Sample(1.0, dayMs(1, i))) ++
+          (0 until 6).map(i => Sample(1.0, dayMs(2, i))) :+ Sample(1.0, dayMs(3))
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "reqs"), wave1))) == 200)
+        runOnce(inDir, "trend", outDir, ckpt)
+        val first = spark.read.schema(schema).json(outDir).collect()
+          .map(r => r.getAs[Long]("day") ->
+            ((r.getAs[Long]("n_days"), r.getAs[Double]("slope"),
+              r.getAs[Double]("intercept"), r.getAs[Double]("r2"),
+              r.getAs[Double]("forecast_next")))).toMap
+        assert(first == Map(
+          1L -> ((2L, 2.0, 2.0, 1.0, 6.0)),
+          2L -> ((3L, 2.0, 2.0, 1.0, 8.0))), s"wave1: $first")
+
+        // restart: 7 more day-3 samples (8 total — still on the line) and
+        // a day-4 sealer; the moments AND day 3's open count must resume
+        val wave2 = (1 until 8).map(i => Sample(1.0, dayMs(3, i))) :+ Sample(1.0, dayMs(4))
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "reqs"), wave2))) == 200)
+        runOnce(inDir, "trend", outDir, ckpt)
+        val d3 = spark.read.schema(schema).json(outDir).collect()
+          .filter(_.getAs[Long]("day") == 3L)
+        assert(d3.length == 1)
+        val r = d3.head
+        assert(r.getAs[Long]("n_days") == 4L && r.getAs[Double]("slope") == 2.0
+          && r.getAs[Double]("intercept") == 2.0 && r.getAs[Double]("r2") == 1.0
+          && r.getAs[Double]("forecast_next") == 10.0, s"day3: $r")
+      } finally f.stop()
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
