@@ -152,6 +152,50 @@ object TextExpressions {
   def shingleHashes(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
 
+  /** Static worker: FNV-1a hashes of every ≤2-deletion variant of the
+    * string, deduplicated (deleting any char of a repeated run yields the
+    * same variant, so template names with digit runs collapse well below
+    * the 1 + L + L(L−1)/2 ceiling). One char-skipping pass per variant —
+    * no substring is ever materialized. Used by the q133 FastSS blocking:
+    * two strings within edit distance 2 share ≥1 variant, hence ≥1 hash
+    * (equal strings hash equal); a cross-string collision only ADDS a
+    * candidate the levenshtein verify discards, so the hash width is a
+    * performance choice, not a correctness one. */
+  def deletionHashes(s: UTF8String, maxLen: Int): GenericArrayData = {
+    val str = s.toString
+    val len = math.min(str.length, maxLen)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // deletion slots (j, i), 1-based, j < i, 0 = unused — the SQL form's
+    // enumeration exactly
+    var i = 0
+    while (i <= len) {
+      val jMax = if (i == 0) 0 else i - 1
+      var j = 0
+      while (j <= jMax) {
+        var h = 0xcbf29ce484222325L
+        var p = 1
+        while (p <= len) {
+          if (p != i && p != j) {
+            h ^= str.charAt(p - 1)
+            h *= 0x100000001b3L
+          }
+          p += 1
+        }
+        seen.add(h)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  def deletionHashes(c: Column): Column =
+    ColumnBridge.column(DeletionHashes(ColumnBridge.expression(c)))
+
   /** Static worker: first 60 md5 bits of a string's UTF-8 bytes — VALUE-
     * identical to the SQL idiom `conv(substring(md5(s), 1, 15), 16, 10)`
     * the deterministic-hash family is built on (splits, samples, arms,
@@ -267,6 +311,26 @@ case class SimHash64(child: Expression, nBits: Int) extends UnaryExpression {
       ${ev.value} = graft.functions.TextExpressions.simhash($c, $nBits);""")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** All ≤2-deletion variant hashes of a string as one codegen'd
+  * expression: string → array<long>, deduped — the FastSS blocking key
+  * builder (see [[TextExpressions.deletionHashes]]). Strings are clamped
+  * to 128 chars: FastSS is for SHORT keys (names, phones, SKUs), and the
+  * clamp bounds the O(L³) per-row work; candidates from clamped strings
+  * remain a superset within the clamp window. */
+case class DeletionHashes(child: Expression, maxLen: Int = 128) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.deletionHashes(input.asInstanceOf[UTF8String], maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextExpressions.deletionHashes($c, $maxLen);""")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionHashes =
     copy(child = newChild)
 }
 

@@ -278,24 +278,18 @@ object Dedup extends QueryModule {
     * distinct on the pair — no cartesian, no per-(nation,segment)
     * all-pairs anywhere. */
   def entityMatchCandidates(customers: DataFrame): DataFrame = {
+    // Variants ride the codegen'd [[graft.functions.DeletionHashes]]
+    // expression: one char-skipping pass per variant emits the DEDUPED
+    // 64-bit hash set (deleting any char of a repeated run yields the same
+    // variant — template names with digit runs collapse well below the
+    // 1 + L + C(L,2) ceiling), so the join key is 8 bytes and no variant
+    // string is ever materialized. A hash collision can only ADD a
+    // candidate the levenshtein verify then discards — recall untouched.
     val sigs = customers
       .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
-        col("c_custkey"), col("c_name"), length(col("c_name")).as("len"))
-      // (j, i) with j < i; 0 = no deletion in that slot: (0,0) keeps the
-      // name, (0,i) deletes position i, (j,i) deletes positions j and i —
-      // 1 + L + L(L-1)/2 variants, each emitted once.
-      .select(col("nat"), col("seg"), col("c_custkey"), col("c_name"),
-        col("len"), explode(expr("sequence(0, len)")).as("i"))
-      .select(col("nat"), col("seg"), col("c_custkey"), col("c_name"),
-        col("len"), col("i"),
-        explode(expr("if(i = 0, array(0), sequence(0, i - 1))")).as("j"))
-      .select(col("nat"), col("seg"), col("c_custkey"), expr(
-        """concat(
-          |  if(j >= 1, substring(c_name, 1, j - 1), ''),
-          |  if(j >= 1, substring(c_name, j + 1, i - j - 1),
-          |             if(i >= 1, substring(c_name, 1, i - 1), c_name)),
-          |  if(i >= 1, substring(c_name, i + 1, len - i), ''))""".stripMargin)
-        .as("variant"))
+        col("c_custkey"),
+        explode(graft.functions.TextExpressions.deletionHashes(col("c_name")))
+          .as("variant"))
     val l = sigs.select(col("nat"), col("seg"), col("variant"),
       col("c_custkey").as("a"))
     val r = sigs.select(col("nat"), col("seg"), col("variant"),

@@ -161,6 +161,35 @@ class NativeExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
   }
 
+  test("DeletionHashes == the deduped ≤2-deletion variant set, by count and equality") {
+    // Scala reference: materialize all ≤2-deletion STRINGS, dedupe, count —
+    // the hash set must be exactly one hash per distinct variant, and two
+    // strings share a hash iff they share a variant (no observed collision
+    // on the fixture — collisions would only ADD q133 candidates anyway).
+    def variants(s: String): Set[String] = {
+      val dels1 = (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1))
+      (Seq(s) ++ dels1 ++ dels1.flatMap(d =>
+        (0 until d.length).map(i => d.substring(0, i) + d.substring(i + 1)))).toSet
+    }
+    def hashes(s: String): Set[Long] =
+      TextExpressions.deletionHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 128)
+        .toLongArray().toSet
+    val fixtures = Seq("Customer#000000123", "Customer#000001230", "abc", "a", "",
+      "aaaaaa", "Customer#111111111")
+    fixtures.foreach { s =>
+      assert(hashes(s).size == variants(s).size,
+        s"'$s': ${hashes(s).size} hashes vs ${variants(s).size} variants")
+    }
+    // shared-variant ⟺ shared-hash on an edit-distance-2 pair and a far pair
+    val (a, b) = ("Customer#000000123", "Customer#000001230") // shift: ed 2
+    assert((hashes(a) intersect hashes(b)).nonEmpty)
+    assert(variants(a).intersect(variants(b)).nonEmpty)
+    val far = "Customer#999888777"
+    assert((hashes(a) intersect hashes(far)).isEmpty)
+    assert(variants(a).intersect(variants(far)).isEmpty)
+  }
+
   test("md5_hash60's registered builder evaluates the same value as the SQL idiom") {
     // TestSpark carries no extensions (session is shared); exercise the
     // injected builder directly, like RelayExpressionsSpec's wiring test
