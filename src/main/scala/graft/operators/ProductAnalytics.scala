@@ -98,6 +98,44 @@ object ProductAnalytics extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** q184 — COHORT LTV CURVE: cumulative purchase revenue per signup
+    * cohort by day offset — the money twin of q122's retention matrix
+    * (retention answers "do they come back?", this answers "what are
+    * they worth by day N?" — the payback-period curve growth teams
+    * steer spend by). Same plan skeleton as q122 deliberately: per-user
+    * cohort day (one signup aggregate), revenue joined on the SHARED
+    * user_id key, offset ≥ 0, then integer-cent sums per (cohort,
+    * offset) and a running cumulative window over the per-cohort offset
+    * rows (≤ horizon — a reduced aggregate, per the family rule). The
+    * per-user average divides by the BROADCAST cohort size at the end;
+    * every emitted double is one division on exact integer cents. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") >= 0)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_purchases"))
+    val cum = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("ltv_cents", sum(col("rev_cents")).over(cum))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_purchases"),
+        col("rev_cents"), col("ltv_cents"), col("cohort_users"),
+        (round(col("ltv_cents").cast("double") / col("cohort_users") / 100, 4)
+          + lit(0.0)).as("ltv_per_user"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Gaps-and-islands sessionization (30-minute inactivity gap) with
     * per-user session statistics — the lag + running-sum formulation that
     * complements q32's built-in `session_window` (which emits the sessions
@@ -128,6 +166,42 @@ object ProductAnalytics extends QueryModule {
       .select(col("user_id"), col("n_sessions"), col("n_events"),
         col("avg_events"), col("max_span_sec"), col("sum_value"))
       .orderBy(col("user_id"))
+  }
+
+  /** q183 — CONCURRENT SESSIONS per hour + daily peak: how many q123
+    * sessions were simultaneously open in each hour — the capacity-planning
+    * curve (connection pools, autoscaling floors, peak-hour staffing)
+    * that per-event counts cannot give because a session occupies its
+    * whole span, not just its event instants. No sweep-line global sort:
+    * each session EXPLODES into the hours it overlaps (`sequence` on the
+    * hour numbers — bounded by session length, ≤ a handful under a 30-min
+    * gap rule), then one count per hour; the daily peak is a window over
+    * the per-day hour rows (≤24 — a reduced aggregate, per the family
+    * discipline). Everything shuffles on (user), then (hour) — both
+    * uniform keys; the interval semantics cost one bounded explode, the
+    * same shape as q141's 28-day MAU expansion. */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val marked = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s", when(col("us") - lag(col("us"), 1).over(byTs) <
+        lit(30L * 60 * 1000000), lit(0L)).otherwise(lit(1L)))
+      .withColumn("sid", sum(col("new_s")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = marked.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val hourly = sessions
+      .select(explode(expr(
+        "sequence(s_us div 3600000000, e_us div 3600000000)")).as("hour_no"))
+      .groupBy(col("hour_no")).agg(count(lit(1)).as("n_concurrent"))
+      .withColumn("day", expr("hour_no div 24"))
+      .withColumn("hod", expr("cast(hour_no % 24 as int)"))
+    hourly
+      .withColumn("day_peak",
+        max(col("n_concurrent")).over(Window.partitionBy(col("day"))))
+      .select(col("day"), col("hod"), col("n_concurrent"), col("day_peak"),
+        (col("n_concurrent") === col("day_peak")).as("is_peak"))
+      .orderBy(col("day"), col("hod"))
   }
 
   /** Last-touch marketing attribution: each `purchase` is credited to the
@@ -436,6 +510,8 @@ object ProductAnalytics extends QueryModule {
     "q121_funnel_conversion" -> funnel _,
     "q122_retention_cohorts" -> retention _,
     "q123_session_stats" -> sessionStats _,
+    "q183_concurrent_sessions" -> concurrentSessions _,
+    "q184_cohort_ltv" -> cohortLtv _,
     "q126_attribution_last_touch" -> attribution _,
     "q127_ab_welch" -> abWelch _,
     "q130_rfm_segments" -> rfmSegments _,
@@ -557,6 +633,57 @@ object ProductAnalytics extends QueryModule {
         |SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_users,
         |       round(CAST(r.n_active AS DOUBLE) / s.cohort_users, 4) AS retention
         |FROM r JOIN sizes s USING (cohort_day) ORDER BY 1, 2""".stripMargin,
+    "q184_cohort_ltv" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_users
+        |          FROM cohort GROUP BY 1),
+        |rev AS (
+        |  SELECT c.cohort_day,
+        |         CAST(CAST(e.ts AS DATE) - c.cohort_day AS BIGINT) AS day_offset,
+        |         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |         count(*) AS n_purchases
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= c.cohort_day
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+        |              ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND CURRENT ROW) AS BIGINT) AS ltv_cents
+        |  FROM rev)
+        |SELECT m.cohort_day, m.day_offset, m.n_purchases, m.rev_cents,
+        |       m.ltv_cents, s.cohort_users,
+        |       round(CAST(m.ltv_cents AS DOUBLE) / s.cohort_users / 100, 4) + 0.0
+        |         AS ltv_per_user
+        |FROM cum m JOIN sizes s USING (cohort_day)
+        |ORDER BY m.cohort_day, m.day_offset""".stripMargin,
+    "q183_concurrent_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id) < 1800000000
+        |                 THEN 0 ELSE 1 END AS new_s
+        |  FROM o),
+        |m AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid, us
+        |  FROM s),
+        |iv AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+        |       FROM m GROUP BY 1, 2),
+        |h AS (
+        |  SELECT unnest(generate_series(s_us // 3600000000,
+        |                                e_us // 3600000000)) AS hour_no
+        |  FROM iv),
+        |c AS (SELECT hour_no, count(*) AS n_concurrent FROM h GROUP BY 1),
+        |d AS (SELECT hour_no // 24 AS day, CAST(hour_no % 24 AS INT) AS hod,
+        |             n_concurrent FROM c)
+        |SELECT day, hod, n_concurrent,
+        |       CAST(max(n_concurrent) OVER (PARTITION BY day) AS BIGINT) AS day_peak,
+        |       n_concurrent = max(n_concurrent) OVER (PARTITION BY day) AS is_peak
+        |FROM d ORDER BY day, hod""".stripMargin,
     "q123_session_stats" ->
       """WITH o AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

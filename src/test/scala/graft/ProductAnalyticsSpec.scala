@@ -250,4 +250,48 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(r(2L) == ((2L, 2L, 1.0, 0L, 2.0)))
     assert(r(3L) == ((1L, 1L, 1.0, 0L, 7.5)))
   }
+
+  test("q183: a session occupies every hour it SPANS; the daily peak flags " +
+      "exactly the fullest hours") {
+    // hour 0: u1 session (0:00–0:10) + u2's first session (0:05) → 2 open;
+    // hour 1: u2's second session (1:50 — the 105-min gap split it) → 1;
+    // hours 2 AND 3: u3's single session 2:50–3:10 spans the boundary → 1
+    // each (the interval semantics a per-event count gets wrong).
+    val dir = writeEvents(Seq(
+      (1L, day(0, 0), 1L, "view", 1.0, "{}"),
+      (2L, day(0, 600), 1L, "view", 1.0, "{}"),
+      (3L, day(0, 300), 2L, "view", 1.0, "{}"),
+      (4L, day(0, 6600), 2L, "view", 1.0, "{}"),
+      (5L, day(0, 10200), 3L, "view", 1.0, "{}"),
+      (6L, day(0, 11400), 3L, "view", 1.0, "{}")))
+    val r = operators.ProductAnalytics.concurrentSessions(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r == Map(
+      (0L, 0) -> ((2L, 2L, true)),
+      (0L, 1) -> ((1L, 2L, false)),
+      (0L, 2) -> ((1L, 2L, false)),
+      (0L, 3) -> ((1L, 2L, false))), s"got: $r")
+  }
+
+  test("q184: LTV accumulates in exact cents per cohort offset; pre-signup " +
+      "revenue never credits the cohort") {
+    // cohort day 0 = {u1, u2}; u1 buys $1.00 at offset 0 and $2.50 at
+    // offset 2, u2 buys $0.50 at offset 2. u4 signs up day 1 but bought on
+    // day 0 — negative offset, excluded, so cohort day 1 has no curve.
+    val dir = writeEvents(Seq(
+      (1L, day(0, 10), 1L, "signup", 0.0, "{}"),
+      (2L, day(0, 20), 1L, "purchase", 1.00, "{}"),
+      (3L, day(2, 30), 1L, "purchase", 2.50, "{}"),
+      (4L, day(0, 40), 2L, "signup", 0.0, "{}"),
+      (5L, day(2, 50), 2L, "purchase", 0.50, "{}"),
+      (6L, day(0, 60), 4L, "purchase", 9.99, "{}"),
+      (7L, day(1, 70), 4L, "signup", 0.0, "{}")))
+    val r = operators.ProductAnalytics.cohortLtv(spark, dir).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getDouble(6)))).toMap
+    assert(r == Map(
+      ("1970-01-01", 0L) -> ((1L, 100L, 100L, 2L, 0.5)),
+      ("1970-01-01", 2L) -> ((2L, 300L, 400L, 2L, 2.0))), s"got: $r")
+  }
 }

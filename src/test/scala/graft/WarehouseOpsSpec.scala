@@ -368,4 +368,5 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .map(x => x.getInt(0) -> x.getLong(1)).toMap
     assert(r == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L), s"core: $r")
   }
+
 }
