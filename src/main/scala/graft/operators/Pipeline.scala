@@ -176,6 +176,63 @@ object Pipeline extends QueryModule {
   def phraseSearch(spark: SparkSession, dir: String): DataFrame =
     phraseSearch(docsTable(spark, dir), Seq("table", "hash"))
 
+  /** Build-once registry for [[phraseIndexDir]]: one materialized index
+    * per docs dir per process (the write-once/probe-many contract). */
+  private val phraseIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val PhraseIndexBuckets = 64
+
+  /** q185's index build: the q180 postings WRITTEN ONCE as parquet,
+    * hive-partitioned by a hash bucket of the token — the materialized
+    * inverted index a search deployment maintains. Probes then read ONLY
+    * the phrase terms' bucket directories (partition pruning — proved
+    * file-level in `PartitionPruningSpec`, the q165 discipline), so query
+    * cost scales with the phrase's posting lists, not the corpus. At
+    * 100 TB the build is the indexing job (one explode + one partitioned
+    * write, append-able per ingest batch); 64 buckets here ↔ thousands in
+    * production, same layout. */
+  def phraseIndexDir(spark: SparkSession, dir: String): String =
+    phraseIndexCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft-phrase-idx-").toString
+      docsTable(spark, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("bucket",
+          pmod(xxhash64(col("tok")), lit(PhraseIndexBuckets.toLong)).cast("int"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(out)
+      out
+    })
+
+  /** q185 — [[phraseSearch]] answered from the MATERIALIZED index: same
+    * result (the oracle is literally q180's), different access path — the
+    * bucket literals are computed driver-side with the SAME catalyst
+    * expression that bucketed the write, so the filter lands in
+    * `PartitionFilters` and the non-phrase buckets' files are never
+    * opened. */
+  def phraseSearchIndexed(spark: SparkSession, dir: String,
+                          phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    def bucketOf(t: String): Int =
+      Pmod(XxHash64(Seq(Literal(t)), 42L), Literal(PhraseIndexBuckets.toLong))
+        .eval(null).asInstanceOf[Long].toInt
+    val buckets = phrase.map(bucketOf).distinct
+    val idx = spark.read.parquet(phraseIndexDir(spark, dir))
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(phrase: _*))
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      idx.filter(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    parts.reduce((l, r) => l.join(r, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("start")) + 1).cast("int").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def phraseSearchIndexed(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchIndexed(spark, dir, Seq("table", "hash"))
+
   /** Bloom-pruned fact-dimension join: build a bloom filter over the
     * filtered dimension's keys (one scalar-subquery aggregate → a few KB),
     * prune the fact scan with `might_contain` BEFORE the join shuffle, then
@@ -629,10 +686,24 @@ object Pipeline extends QueryModule {
     "q125_rag_chunks" -> (ragChunks(_, _)),
     "q128_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q168_sample_weighted" -> (weightedSample(_, _)),
-    "q180_phrase_search" -> (phraseSearch(_, _))
+    "q180_phrase_search" -> (phraseSearch(_, _)),
+    "q185_phrase_index" -> ((s, d) => phraseSearchIndexed(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q185 answers from the materialized index; the RESULT contract is
+    // identical to q180, so the oracle is the same SQL verbatim
+    "q185_phrase_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, pos AS start FROM t WHERE tok = 'table'),
+        |p1 AS (SELECT doc_id, pos - 1 AS start FROM t WHERE tok = 'hash')
+        |SELECT doc_id, count(*) AS n_matches,
+        |       CAST(min(start) AS INT) AS first_pos
+        |FROM p0 JOIN p1 USING (doc_id, start)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // positions via generate_subscripts (1-based, like Spark's pos+1);
     // adjacency as rebased-position equality, same as the engine plan
     "q180_phrase_search" ->

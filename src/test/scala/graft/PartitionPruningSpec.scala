@@ -81,4 +81,37 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(q.count() == 64L * 8 &&
       spark.read.parquet(ldir).filter(col("y").between(8, 15)).count() == 64L * 8)
   }
+
+  test("q185's index in practice: a phrase probe opens ONLY the phrase terms' " +
+      "bucket directories, and the answer equals the scan-based q180") {
+    val dir = "/root/testdata/sf0.001"
+    val phrase = Seq("table", "hash")
+    val idxDir = operators.Pipeline.phraseIndexDir(TestSpark.spark, dir)
+    val spark = TestSpark.spark
+
+    // file-level proof, the §6.8/q165 discipline: the pruned read's input
+    // files are a strict subset confined to ≤2 bucket directories
+    val all = spark.read.parquet(idxDir)
+    val probed = operators.Pipeline.phraseSearchIndexed(spark, dir, phrase)
+    val scan = probed.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "no file scans in the indexed probe")
+    // selectedPartitions is POST-pruning: the probe must touch at most the
+    // phrase's ≤2 bucket directories of the >2 the index holds
+    val opened = scan.map(_.selectedPartitions.partitionCount).max
+    val totalBuckets = all.select(col("bucket")).distinct().count()
+    assert(totalBuckets > 2, s"degenerate index: $totalBuckets buckets")
+    assert(opened <= 2, s"probe opened $opened of $totalBuckets bucket dirs")
+    val plan = probed.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters:") && plan.contains("bucket"),
+      s"no bucket partition filter:\n$plan")
+
+    // and the two access paths agree exactly
+    val viaIndex = probed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val viaScan = operators.Pipeline.phraseSearch(Tables(spark, dir, "documents"), phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(viaIndex.toSeq == viaScan.toSeq, "index and scan paths disagree")
+    assert(viaIndex.nonEmpty)
+  }
 }
