@@ -204,6 +204,65 @@ object ProductAnalytics extends QueryModule {
       .orderBy(col("day"), col("hod"))
   }
 
+  /** q186 — q183's concurrency by DELTA SWEEP instead of hour explode:
+    * each session contributes exactly TWO delta rows (+1 at its first
+    * hour, −1 after its last) regardless of length, the dense hour grid
+    * rides a per-day `sequence`, and the running sum is TWO-PHASE like
+    * q93 — within-day running totals plus an exclusive prefix over the
+    * per-day delta sums (≤ horizon rows, broadcast-scale) — so no global
+    * sort and no midnight-crossing carry problem. Same output as q183
+    * (the oracle is q183's verbatim, the q57/q58/q185 variant
+    * discipline); the CHOICE is a cost crossover: the explode writes
+    * O(session-hours) rows (bounded ~2 under a 30-min gap rule — q183
+    * wins there), the sweep writes O(2·sessions + active hours) (wins
+    * when sessions are LONG: always-on devices, connection leases,
+    * day-scale jobs). Measured at 32× in §6.8. */
+  def concurrentSessionsSweep(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val marked = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s", when(col("us") - lag(col("us"), 1).over(byTs) <
+        lit(30L * 60 * 1000000), lit(0L)).otherwise(lit(1L)))
+      .withColumn("sid", sum(col("new_s")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = marked.groupBy(col("user_id"), col("sid"))
+      .agg(expr("min(us) div 3600000000").as("s_h"),
+        expr("max(us) div 3600000000").as("e_h"))
+    // two delta rows per session, then one count per delta hour
+    val deltas = sessions
+      .select(explode(array(
+        struct(col("s_h").as("hour_no"), lit(1L).as("d")),
+        struct((col("e_h") + 1).as("hour_no"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.hour_no"), col("x.d"))
+      .groupBy(col("hour_no")).agg(sum(col("d")).as("d"))
+    // dense hour grid (delta hours alone would skip mid-session hours)
+    val span = deltas.agg(min(col("hour_no")).as("h0"), max(col("hour_no")).as("h1"))
+    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hour_no"))
+    val dense = grid.join(deltas, Seq("hour_no"), "left_outer")
+      .select(col("hour_no"), coalesce(col("d"), lit(0L)).as("d"),
+        expr("hour_no div 24").as("day"))
+    // phase 1: running sum WITHIN each day (≤24 rows per partition);
+    // phase 2: exclusive prefix of per-day totals (≤ horizon rows) joined
+    // back broadcast — together the global running sum, no global sort
+    val inDay = Window.partitionBy(col("day")).orderBy(col("hour_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = dense.withColumn("run_d", sum(col("d")).over(inDay))
+    val offsets = dense.groupBy(col("day")).agg(sum(col("d")).as("dsum"))
+      .withColumn("carry", coalesce(
+        sum(col("dsum")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    local.join(broadcast(offsets), Seq("day"))
+      .withColumn("n_concurrent", col("run_d") + col("carry"))
+      .filter(col("n_concurrent") > 0)
+      .withColumn("hod", expr("cast(hour_no % 24 as int)"))
+      .withColumn("day_peak",
+        max(col("n_concurrent")).over(Window.partitionBy(col("day"))))
+      .select(col("day"), col("hod"), col("n_concurrent"), col("day_peak"),
+        (col("n_concurrent") === col("day_peak")).as("is_peak"))
+      .orderBy(col("day"), col("hod"))
+  }
+
   /** Last-touch marketing attribution: each `purchase` is credited to the
     * user's most recent `click` or `view` STRICTLY before it and within a
     * 1-day lookback; purchases with no qualifying touch are `direct`.
@@ -511,6 +570,7 @@ object ProductAnalytics extends QueryModule {
     "q122_retention_cohorts" -> retention _,
     "q123_session_stats" -> sessionStats _,
     "q183_concurrent_sessions" -> concurrentSessions _,
+    "q186_concurrent_sweep" -> concurrentSessionsSweep _,
     "q184_cohort_ltv" -> cohortLtv _,
     "q126_attribution_last_touch" -> attribution _,
     "q127_ab_welch" -> abWelch _,
@@ -658,6 +718,33 @@ object ProductAnalytics extends QueryModule {
         |         AS ltv_per_user
         |FROM cum m JOIN sizes s USING (cohort_day)
         |ORDER BY m.cohort_day, m.day_offset""".stripMargin,
+    // result-identical to q183 by contract — the sweep is plan shape only
+    "q186_concurrent_sweep" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id) < 1800000000
+        |                 THEN 0 ELSE 1 END AS new_s
+        |  FROM o),
+        |m AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid, us
+        |  FROM s),
+        |iv AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+        |       FROM m GROUP BY 1, 2),
+        |h AS (
+        |  SELECT unnest(generate_series(s_us // 3600000000,
+        |                                e_us // 3600000000)) AS hour_no
+        |  FROM iv),
+        |c AS (SELECT hour_no, count(*) AS n_concurrent FROM h GROUP BY 1),
+        |d AS (SELECT hour_no // 24 AS day, CAST(hour_no % 24 AS INT) AS hod,
+        |             n_concurrent FROM c)
+        |SELECT day, hod, n_concurrent,
+        |       CAST(max(n_concurrent) OVER (PARTITION BY day) AS BIGINT) AS day_peak,
+        |       n_concurrent = max(n_concurrent) OVER (PARTITION BY day) AS is_peak
+        |FROM d ORDER BY day, hod""".stripMargin,
     "q183_concurrent_sessions" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

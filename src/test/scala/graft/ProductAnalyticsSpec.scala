@@ -294,4 +294,26 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       ("1970-01-01", 0L) -> ((1L, 100L, 100L, 2L, 0.5)),
       ("1970-01-01", 2L) -> ((2L, 300L, 400L, 2L, 2.0))), s"got: $r")
   }
+
+  test("q186: the delta sweep agrees with the hour explode ACROSS MIDNIGHT " +
+      "(the carry its per-day windows must thread)") {
+    // u1's session runs 23:50 day 0 → 00:05 day 1 — it must appear in
+    // day 0 hour 23 AND day 1 hour 0, and the sweep's day-1 running sum
+    // starts from a +1 carried in from day 0. u2 is a disjoint control.
+    // (The events 15 min apart stay one session under the 30-min gap.)
+    val dir = writeEvents(Seq(
+      (1L, day(0, 86400 - 600), 1L, "view", 1.0, "{}"),
+      (2L, day(1, 300), 1L, "view", 1.0, "{}"),
+      (3L, day(1, 3 * 3600), 2L, "view", 1.0, "{}")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    val explode = rows(operators.ProductAnalytics.concurrentSessions(spark, dir))
+    val sweep = rows(operators.ProductAnalytics.concurrentSessionsSweep(spark, dir))
+    assert(explode == sweep, s"paths disagree:\nexplode $explode\nsweep   $sweep")
+    assert(explode == Map(
+      (0L, 23) -> ((1L, 1L, true)),
+      (1L, 0) -> ((1L, 1L, true)),
+      (1L, 3) -> ((1L, 1L, true))), s"got: $explode")
+  }
 }
