@@ -202,6 +202,55 @@ object WarehouseOps extends QueryModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** q187 — two-sample KOLMOGOROV–SMIRNOV drift test on the purchase-value
+    * distribution, first half vs second half of the horizon (q143's
+    * period split): D = sup|F_A − F_B|, the EXACT distribution-distance
+    * complement of PSI's 10-bin approximation — PSI can miss a shift that
+    * never crosses a bin edge; KS cannot. The statistic is computed with
+    * an INTEGER numerator: at each distinct value v,
+    * |cumA(v)·n_B − cumB(v)·n_A| is exact int64, the sup is an integer
+    * argmax (ties → smallest value), and ONE division produces D — the
+    * q112 cross-multiplication rule applied to a test statistic. The
+    * α=0.05 decision uses the classic large-sample critical value
+    * 1.358·√((n_A+n_B)/(n_A·n_B)); both engines derive it from the same
+    * exact integers with the same two FP ops, so the boolean agrees
+    * bit-for-bit. One scan → per-(value, period) counts → cumulative
+    * windows over the DISTINCT-VALUE grid (a reduced aggregate: price
+    * points, not purchases) → a 1-row TakeOrdered argmax. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val bounds = p.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val tagged = p.crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(datediff(col("day"), col("d0")) * 2 <= datediff(col("d1"), col("d0")), "A")
+          .otherwise("B"))
+    val perValue = tagged.groupBy(col("cents"))
+      .agg(count(when(col("period") === "A", 1)).as("a_n"),
+        count(when(col("period") === "B", 1)).as("b_n"))
+    val grid = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perValue
+      .withColumn("cum_a", sum(col("a_n")).over(grid))
+      .withColumn("cum_b", sum(col("b_n")).over(grid))
+      .withColumn("n_a", sum(col("a_n")).over(tot))
+      .withColumn("n_b", sum(col("b_n")).over(tot))
+      .withColumn("d_num", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .orderBy(col("d_num").desc, col("cents"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("cents").as("at_cents"),
+        (round(col("d_num").cast("double") / (col("n_a") * col("n_b")), 6) + lit(0.0))
+          .as("d_stat"),
+        (round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+          / (col("n_a") * col("n_b"))), 6) + lit(0.0)).as("crit_05"),
+        (col("d_num").cast("double") / (col("n_a") * col("n_b")) >
+          lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+            / (col("n_a") * col("n_b")))).as("reject_05"))
+  }
+
   /** q145 — seasonal baseline: the expected traffic profile per (event
     * type, day-of-week, hour-of-day) cell with exact-integer mean/stddev
     * over the observed hourly counts — the reference surface a seasonal
@@ -796,12 +845,45 @@ object WarehouseOps extends QueryModule {
     "q178_ols_trend" -> olsTrend _,
     "q179_snapshot_diff" -> snapshotDiff _,
     "q181_key_skew_profile" -> keySkewProfile _,
-    "q182_graph_kcore" -> ((s, d) => graphKcore(s, d))
+    "q182_graph_kcore" -> ((s, d) => graphKcore(s, d)),
+    "q187_ks_drift" -> ksDrift _
   )
 
   val oracleSql: Map[String, String] = Map(
     // 6 unrolled peel rounds — fixed-round parity with the Spark loop
     // (monotone peeling: extra rounds past the fixpoint are no-ops)
+    "q187_ks_drift" ->
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+        |t AS (
+        |  SELECT cents, CASE WHEN (p.day - b.d0) * 2 <= (b.d1 - b.d0)
+        |                     THEN 'A' ELSE 'B' END AS period
+        |  FROM p CROSS JOIN b),
+        |pv AS (
+        |  SELECT cents,
+        |         count(*) FILTER (WHERE period = 'A') AS a_n,
+        |         count(*) FILTER (WHERE period = 'B') AS b_n
+        |  FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT cents,
+        |         CAST(sum(a_n) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |         CAST(sum(b_n) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+        |         CAST(sum(a_n) OVER () AS BIGINT) AS n_a,
+        |         CAST(sum(b_n) OVER () AS BIGINT) AS n_b
+        |  FROM pv),
+        |d AS (SELECT *, abs(cum_a * n_b - cum_b * n_a) AS d_num FROM c)
+        |SELECT n_a, n_b, cents AS at_cents,
+        |       round(CAST(d_num AS DOUBLE) / (n_a * n_b), 6) + 0.0 AS d_stat,
+        |       round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 6)
+        |         + 0.0 AS crit_05,
+        |       CAST(d_num AS DOUBLE) / (n_a * n_b) >
+        |         1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)) AS reject_05
+        |FROM d ORDER BY d_num DESC, cents LIMIT 1""".stripMargin,
     "q182_graph_kcore" ->
       """WITH ui AS (
         |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item

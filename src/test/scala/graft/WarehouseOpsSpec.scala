@@ -369,4 +369,25 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L), s"core: $r")
   }
 
+  test("q187: KS statistic is the exact integer-ratio sup, attained at the " +
+      "smallest tied value; the 5% decision follows the classic critical value") {
+    // A (days 0-1) = {1.00, 2.00, 3.00}, B (days 2-3) = {3.00, 4.00, 5.00}:
+    // |cumA·3 − cumB·3| over the grid = 3,6,6,3,0 → sup 6 at cents 200
+    // (200 < 300 on the tie), D = 6/9 = 0.666667 < 1.358·√(6/9) → keep H0.
+    val dir = writeEvents(Seq(
+      (1L, day(0), 1L, "purchase", 1.00, "{}"),
+      (2L, day(0, 10), 1L, "purchase", 2.00, "{}"),
+      (3L, day(1), 1L, "purchase", 3.00, "{}"),
+      (4L, day(2), 1L, "purchase", 3.00, "{}"),
+      (5L, day(3), 1L, "purchase", 4.00, "{}"),
+      (6L, day(3, 10), 1L, "purchase", 5.00, "{}")))
+    val r = operators.WarehouseOps.ksDrift(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val crit = BigDecimal(1.358 * math.sqrt(6.0 / 9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3),
+      row.getDouble(4), row.getBoolean(5)) == ((3L, 3L, 200L, 0.666667, crit, false)),
+      s"got: $row")
+  }
 }
