@@ -407,6 +407,45 @@ object TextStats extends QueryModule {
   def classifierAuc(spark: SparkSession, dir: String): DataFrame =
     classifierAuc(docsTable(spark, dir))
 
+  /** q188 — CALIBRATION TABLE for the q166 classifier: held-out accuracy
+    * by CONFIDENCE-MARGIN quintile, where margin = best score − runner-up
+    * score in exact integer micro-nats — the "can I trust the score as a
+    * confidence?" report that q172's AUC (pure ranking) does not give,
+    * and the evidence behind any threshold-gated auto-labeling pipeline
+    * (ship bucket-5 predictions unreviewed, route bucket-1 to humans).
+    * Margins are integer differences of the q166 fixed-point scores, so
+    * bucket edges are exact ranks (ntile over (margin, doc_id) — a
+    * global window, acceptable by construction: the HOLD-OUT fifth is
+    * sample-sized at any corpus scale, the same justification as q130's
+    * quintiles); accuracy is the one division per bucket, rounded with
+    * the signed-zero convention. */
+  def calibrationTable(docs: DataFrame, buckets: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("model_lang"))
+    val per = nbScores(docs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(when(col("rn") === 1, col("model_lang"))).as("predicted"),
+        (max(when(col("rn") === 1, col("score_q")))
+          - max(when(col("rn") === 2, col("score_q")))).as("margin"))
+    per
+      .withColumn("bucket", ntile(buckets)
+        .over(Window.orderBy(col("margin"), col("doc_id"))).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
+        min(col("margin")).as("margin_lo"), max(col("margin")).as("margin_hi"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_docs"), 6) + lit(0.0))
+      .select(col("bucket"), col("n_docs"), col("n_correct"),
+        col("margin_lo"), col("margin_hi"), col("accuracy"))
+      .orderBy(col("bucket"))
+  }
+
+  def calibrationTable(spark: SparkSession, dir: String): DataFrame =
+    calibrationTable(docsTable(spark, dir))
+
   /** q174 — χ² FEATURE SELECTION over the q166 training split: for each
     * (lang, token), the 2×2 contingency of doc-level token presence vs
     * class membership, ranked per lang — the vocabulary-pruning step that
@@ -533,7 +572,8 @@ object TextStats extends QueryModule {
     "q166_nb_classifier" -> (nbLangClassifier(_, _)),
     "q172_classifier_auc" -> (classifierAuc(_, _)),
     "q174_chi2_features" -> (chiSquareFeatures(_, _)),
-    "q177_bigram_lm" -> (bigramLm(_, _))
+    "q177_bigram_lm" -> (bigramLm(_, _)),
+    "q188_calibration" -> (calibrationTable(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -730,6 +770,56 @@ object TextStats extends QueryModule {
         |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q166's model chain, then Mann-Whitney with integer midranks
     // (2*rank + |tie| - 1); one final double division
+    "q188_calibration" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE tok <> ''),
+        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
+        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
+        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
+        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
+        |stats AS (
+        |  SELECT t.model_lang,
+        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
+        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
+        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
+        |  CROSS JOIN vocab CROSS JOIN dall),
+        |model AS (
+        |  SELECT c.model_lang, c.tok,
+        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
+        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
+        |sums AS (
+        |  SELECT te.doc_id, te.lang, s.model_lang,
+        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
+        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
+        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT su.doc_id, su.lang, su.model_lang,
+        |         su.tok_q + st.prior_q AS score,
+        |         row_number() OVER (PARTITION BY su.doc_id
+        |           ORDER BY su.tok_q + st.prior_q DESC, su.model_lang) AS rn
+        |  FROM sums su JOIN stats st USING (model_lang)),
+        |per AS (
+        |  SELECT doc_id, lang,
+        |         max(CASE WHEN rn = 1 THEN model_lang END) AS predicted,
+        |         CAST(max(CASE WHEN rn = 1 THEN score END)
+        |              - max(CASE WHEN rn = 2 THEN score END) AS BIGINT) AS margin
+        |  FROM sc WHERE rn <= 2 GROUP BY 1, 2),
+        |b AS (SELECT *, CAST(ntile(5) OVER (ORDER BY margin, doc_id) AS INT)
+        |               AS bucket FROM per)
+        |SELECT bucket, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_correct,
+        |       min(margin) AS margin_lo, max(margin) AS margin_hi,
+        |       round(CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / count(*), 6) + 0.0 AS accuracy
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_classifier_auc" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok

@@ -478,6 +478,31 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       s"unexpected separable AUC: $r2")
   }
 
+  test("q188: the misprediction lands in the low-margin bucket with exact " +
+      "micro-nat edges; high-margin buckets stay clean") {
+    import spark.implicits._
+    // Symmetric disjoint-vocab model (4 en / 4 fr train docs, equal token
+    // counts, equal priors). Held-out: doc 0 (en, 4 en tokens → margin
+    // 4·1609438 µnats, correct), doc 10 (fr, 2 fr tokens → 2·1609438,
+    // correct), doc 5 (fr, one token of EACH vocab → scores exactly equal,
+    // margin 0, tie predicts 'en' → WRONG). With 2 buckets the ntile puts
+    // {doc5, doc10} in bucket 1 (accuracy 0.5) and {doc0} in bucket 2.
+    val docs = (Seq(
+      (0L, "hello world hello world", "en", "s", 23L),
+      (5L, "bonjour hello", "fr", "s", 13L),
+      (10L, "bonjour monde", "fr", "s", 13L)) ++
+      (1L to 4L).map(i => (i, "hello world yes", "en", "s", 15L)) ++
+      (6L to 9L).map(i => (i, "bonjour monde oui", "fr", "s", 17L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = 1609438L // round(ln(5/18)·1e6) − round(ln(1/18)·1e6)
+    val r = operators.TextStats.calibrationTable(docs, buckets = 2).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5)))).toMap
+    assert(r == Map(
+      1 -> ((2L, 1L, 0L, 2 * m, 0.5)),
+      2 -> ((1L, 1L, 4 * m, 4 * m, 1.0))), s"got: $r")
+  }
+
   test("q174: class-exclusive tokens score the hand-computed chi2; shared tokens score 0") {
     import spark.implicits._
     def doc(id: Long, text: String, lang: String) =
