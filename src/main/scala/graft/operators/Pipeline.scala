@@ -176,11 +176,19 @@ object Pipeline extends QueryModule {
   def phraseSearch(spark: SparkSession, dir: String): DataFrame =
     phraseSearch(docsTable(spark, dir), Seq("table", "hash"))
 
-  /** Build-once registry for [[phraseIndexDir]]: one materialized index
-    * per docs dir per process (the write-once/probe-many contract). */
-  private val phraseIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] val PhraseIndexBuckets = 64
+
+  /** The q185 postings projection: one explode of the docs' token
+    * stream, hash-bucketed by token — shared by the initial build and
+    * every incremental append so all generations carry the identical
+    * layout. `gen` tags the ingest batch that produced each posting
+    * (generation 0 = the initial build); probes ignore it, ops use it. */
+  private def postings(docs: DataFrame, gen: Int): DataFrame = docs
+    .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    .filter(col("tok") =!= "")
+    .withColumn("gen", lit(gen))
+    .withColumn("bucket",
+      pmod(xxhash64(col("tok")), lit(PhraseIndexBuckets.toLong)).cast("int"))
 
   /** q185's index build: the q180 postings WRITTEN ONCE as parquet,
     * hive-partitioned by a hash bucket of the token — the materialized
@@ -189,19 +197,27 @@ object Pipeline extends QueryModule {
     * file-level in `PartitionPruningSpec`, the q165 discipline), so query
     * cost scales with the phrase's posting lists, not the corpus. At
     * 100 TB the build is the indexing job (one explode + one partitioned
-    * write, append-able per ingest batch); 64 buckets here ↔ thousands in
-    * production, same layout. */
+    * write); each ingest batch then APPENDS its generation of postings via
+    * [[phraseIndexAppend]] — new files land inside the existing bucket
+    * dirs, so probe pruning is generation-oblivious. */
   def phraseIndexDir(spark: SparkSession, dir: String): String =
-    phraseIndexCache.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft-phrase-idx-").toString
-      docsTable(spark, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .filter(col("tok") =!= "")
-        .withColumn("bucket",
-          pmod(xxhash64(col("tok")), lit(PhraseIndexBuckets.toLong)).cast("int"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(out)
-      out
-    })
+    Materialize.parquetDir(
+      s"phrase-idx:$dir@${Materialize.snapshot(s"$dir/documents.parquet")}",
+      "graft-phrase-idx-", Seq("bucket")) {
+      postings(docsTable(spark, dir), gen = 0)
+    }
+
+  /** Incremental index append — the ingest-batch reality of a search
+    * index (VERDICT r13 #7): a new batch of docs is exploded with the
+    * SAME bucketing expression and appended as parquet files INSIDE the
+    * existing `bucket=` dirs. No rewrite, no compaction needed for
+    * correctness: a probe's partition filter selects bucket dirs, and
+    * every generation's files for those buckets are read together —
+    * access-path-identical to a fresh full build (spec-verified, plus a
+    * file-listing proof that multi-generation probes stay pruned). */
+  def phraseIndexAppend(indexDir: String, newDocs: DataFrame, gen: Int): Unit =
+    postings(newDocs, gen)
+      .write.partitionBy("bucket").mode("append").parquet(indexDir)
 
   /** q185 — [[phraseSearch]] answered from the MATERIALIZED index: same
     * result (the oracle is literally q180's), different access path — the

@@ -334,9 +334,21 @@ object Similarity extends QueryModule {
     * Both stages are already 100 TB-shaped — candidates only from the
     * hyperplane-bucket equi-join, clustering by large-star/small-star
     * contraction — so the composition introduces no new shuffle class. */
-  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.dedupClusters(
-      cosineNearDupPairs(spark, dir).select(col("a"), col("b")))
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    // the cosine graph's labels, materialized once per embeddings snapshot
+    // (VERDICT r13 #4 — same registry as the q77 simhash labels; the two
+    // graphs differ, so they cache under different keys)
+    val labels = spark.read.parquet(Materialize.parquetDir(
+      s"cosine-labels:$dir@${Materialize.snapshot(s"$dir/embeddings.parquet")}",
+      "graft-cosine-labels-") {
+      graft.operators.Dedup.componentLabels(
+        cosineNearDupPairs(spark, dir).select(col("a"), col("b")))
+    })
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("label").as("cluster_id"), col("n_members"))
+      .orderBy(col("n_members").desc, col("cluster_id"))
+  }
 
   /** IVF codebook training: deterministic Lloyd iterations — the step that
     * produces the coarse centroids q53's IVF search takes as given (Lloyd

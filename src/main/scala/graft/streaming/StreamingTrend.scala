@@ -17,10 +17,15 @@ final case class TrendState(curDay: Long, curCount: Long, x0: Long,
 
 /** One trend refresh: after `day` sealed, the OLS fit over all closed
   * days so far — batch q178's (n_days, slope, intercept, r2,
-  * forecast_next) row, recomputed incrementally in O(1) per day. */
+  * forecast_next) row, recomputed incrementally in O(1) per day.
+  * `n_late` surfaces the group's cumulative dropped-late-row count
+  * (ADVICE r13: the late-row contract needs a monitoring surface — a
+  * nonzero value means upstream delivered ticks for already-sealed days
+  * and the fit is missing their counts). */
 final case class TrendUpdate(group: String, day: Long, n_days: Long,
                              slope: Double, intercept: Double,
-                             r2: Option[Double], forecast_next: Double)
+                             r2: Option[Double], forecast_next: Double,
+                             n_late: Long)
 
 /** Streaming OLS trend — the continuous twin of batch q178
   * (`WarehouseOps.olsTrend`): linear regression is PURE MOMENTS, so the
@@ -66,7 +71,8 @@ object StreamingTrend {
         if (vy == 0) None
         else Some(Rounding.r6(num.toDouble * num.toDouble / (den.toDouble * vy.toDouble))),
         Rounding.r4((s.sy * den - num * s.sx + s.n * num * xnext).toDouble
-          / (s.n * den))))
+          / (s.n * den)),
+        s.nLate))
     }
 
     override def handleInputRows(

@@ -487,7 +487,7 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
       val ckpt = Files.createTempDirectory("ra-tr-ckpt-").toString
       val schema = StructType.fromDDL(
         "group STRING, day BIGINT, n_days BIGINT, slope DOUBLE, " +
-          "intercept DOUBLE, r2 DOUBLE, forecast_next DOUBLE")
+          "intercept DOUBLE, r2 DOUBLE, forecast_next DOUBLE, n_late BIGINT")
       def dayMs(d: Long, i: Long = 0) = d * 86400000L + i
       val f = new HttpFrontend(inDir, 0)
       f.start()

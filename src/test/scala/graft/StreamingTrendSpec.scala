@@ -62,6 +62,18 @@ class StreamingTrendSpec extends AnyFunSuite {
     assert(out.last.forecast_next == 5.0)
   }
 
+  test("late ticks for sealed days are dropped AND counted in n_late") {
+    // day 0..2 close normally; a tick for already-sealed day 0 arrives in
+    // batch 2 — it must not perturb the fit, but the next emission must
+    // carry n_late = 1 (the ADVICE r13 monitoring surface).
+    val a = linTicks("lt", 2) :+ GroupTick("lt", dayUs(3))
+    val b = GroupTick("lt", dayUs(0, 99)) +:
+      ((1 to 15).map(i => GroupTick("lt", dayUs(3, i))) :+ GroupTick("lt", dayUs(4)))
+    val out = run("tr_late", Seq(a, b))
+    assert(out.filter(_.day <= 2).forall(_.n_late == 0L), out.toString)
+    assert(out.maxBy(_.day).n_late == 1L, out.toString)
+  }
+
   test("batch parity: the last emission equals q178 on the closed-day prefix, " +
       "and a split feed resumes the moments across batches") {
     import spark.implicits._

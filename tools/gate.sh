@@ -63,15 +63,16 @@ SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_REPS=${BENCH_REPS:-3} \
   sbt -batch "runMain graft.Bench" || exit 1
 
-# Pre-armed drift watch-list (VERDICT r12 perf note): these four are the
-# pair-heavy dedup/graph cohort whose driver-run times are known
-# run-to-run volatile under load. r12 reference points — gate (r12h,
-# commit a6664b5) vs driver (BENCH_r12): q88 1.13 vs 2.46x-moved,
-# q95 0.99 (driver x2.76), q132 1.68 vs 7.43, q134 1.19 vs 4.43. A flag
-# on ONLY these queries, surviving the warm re-measure but adjudicated
-# drift by the same-code witness, matches the established pattern — cite
-# these numbers when adjudicating rather than re-deriving them.
-echo "== gate: drift watch-list (r12 refs): q88 1.13s q95 0.99s q132 1.68s q134 1.19s =="
+# Pre-armed drift watch-list (VERDICT r13 perf note): the pair-heavy
+# dedup/graph cohort whose driver-run times are known run-to-run volatile
+# under load — r13 driver-vs-gate movers: q133 x2.7, q134 x3.2, q90 x2.5,
+# q140 x2.5, q88 x1.9. The list is INFORMATIONAL ONLY (ADVICE r13): it
+# says where drift flags are expected, never what to conclude. The
+# adjudicating evidence for any flag — on these queries or others — is
+# always the same-code witness re-measure below (bench_r<N>.commit →
+# unchanged code re-timed under current box conditions), not any stale
+# reference number from a prior round.
+echo "== gate: drift watch-list (informational; adjudicate via same-code witness): q133 q134 q90 q140 q88 =="
 echo "== gate: bench_diff vs $PREV =="
 diff_out=$(python3 tools/bench_diff.py "$PREV" bench_out.json $WITNESS_ARG)
 rc=$?
