@@ -226,14 +226,22 @@ object Pipeline extends QueryModule {
     * `PartitionFilters` and the non-phrase buckets' files are never
     * opened. */
   def phraseSearchIndexed(spark: SparkSession, dir: String,
-                          phrase: Seq[String]): DataFrame = {
+                          phrase: Seq[String]): DataFrame =
+    phraseIndexProbe(spark, phraseIndexDir(spark, dir), phrase)
+
+  /** The probe against an EXPLICIT index dir — generation-oblivious by
+    * construction (it never mentions `gen`), so a freshly-built index and
+    * one that grew through [[phraseIndexAppend]] batches answer through
+    * the identical plan. Shared by q185 and the multi-generation spec. */
+  def phraseIndexProbe(spark: SparkSession, indexDir: String,
+                       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty)
     import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
     def bucketOf(t: String): Int =
       Pmod(XxHash64(Seq(Literal(t)), 42L), Literal(PhraseIndexBuckets.toLong))
         .eval(null).asInstanceOf[Long].toInt
     val buckets = phrase.map(bucketOf).distinct
-    val idx = spark.read.parquet(phraseIndexDir(spark, dir))
+    val idx = spark.read.parquet(indexDir)
       .filter(col("bucket").isin(buckets: _*) && col("tok").isin(phrase: _*))
     val parts = phrase.zipWithIndex.map { case (t, i) =>
       idx.filter(col("tok") === t)

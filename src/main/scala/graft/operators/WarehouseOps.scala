@@ -431,38 +431,65 @@ object WarehouseOps extends QueryModule {
     } finally { und.unpersist(); edges.unpersist() }
   }
 
-  /** q182 — K-CORE decomposition of the co-occurrence graph (fixed-round
-    * peel): repeatedly remove nodes of degree < k until the remainder is
-    * the k-core — the standard "dense backbone" extraction (community
-    * cores, spam-graph trimming, feature for fraud models) that completes
-    * the graph family's census (triangles q147, BFS q148, label-prop
-    * q153, PageRank q118). Like q153, rounds are FIXED (6) so the oracle
-    * unrolls the identical computation — peeling is monotone (nodes only
-    * leave), so extra rounds past the fixpoint are no-ops and the
-    * fixed-round result EQUALS the fixpoint whenever convergence happens
-    * within the budget (spec-checked on the fixture; production reruns
-    * until a round removes nothing, typically O(log n) rounds on
-    * power-law graphs — Montresor et al. 2013 measure ~10-100 on web
-    * graphs). Per round: one degree aggregate + two semi-join filters
-    * against the BROADCAST survivor set (item-catalog-sized, the q153
-    * justification), lineage truncated per round; the edge list itself
-    * never re-shuffles. */
+  /** q182 — K-CORE decomposition of the co-occurrence graph, peeled to
+    * FIXPOINT (VERDICT r13 #6): repeatedly remove nodes of degree < k
+    * until a round removes nothing — the remainder is the k-core, the
+    * standard "dense backbone" extraction (community cores, spam-graph
+    * trimming, feature for fraud models) that completes the graph
+    * family's census (triangles q147, BFS q148, label-prop q153,
+    * PageRank q118). Rounds 13 and earlier ran a FIXED 6 rounds, which
+    * equals the fixpoint only when convergence happens within the budget
+    * — a deep structure (a chain hanging off the core peels ONE node per
+    * round) silently returns a superset. The loop now runs until the
+    * post-peel edge count stops shrinking and emits the CONVERGENCE
+    * WITNESS as a `rounds_used` column (number of rounds that removed
+    * at least one edge), so a result can prove it is the fixpoint.
+    * Montresor et al. 2013 measure O(log n)-ish round counts (~10-100)
+    * on real web graphs; `maxRounds` is a runaway backstop far above
+    * that, never the convergence mechanism (spec-asserted on a fixture
+    * where 6 fixed rounds would NOT converge).
+    *
+    * Oracle: DuckDB's recursive CTE cannot express a shrinking-relation
+    * fixpoint (re-verified r13), so the oracle stays the UNROLLED peel at
+    * the witnessed round count for the verify SF, asserting the witness
+    * as a literal — if the data or the loop ever converges differently,
+    * the hash mismatch is the alarm, not a silent pass. Per round: one
+    * degree aggregate + two semi-join filters against the BROADCAST
+    * survivor set (item-catalog-sized, the q153 justification), lineage
+    * truncated per round; the edge list itself never re-shuffles. The
+    * per-round count() driving convergence reads the just-materialized
+    * checkpoint — metadata-cheap, and the price of not running blind. */
   def graphKcore(spark: SparkSession, dir: String, k: Int = 3,
-                 rounds: Int = 6, minUsers: Int = 5): DataFrame = {
+                 minUsers: Int = 5, maxRounds: Int = 64): DataFrame = {
     val edges = coEdges(spark, dir, minUsers)
+    graphKcoreEdges(edges, k, maxRounds)
+  }
+
+  /** Fixpoint peel on an explicit (a, b) edge list — q182's core, shared
+    * with the deep-peel convergence spec. */
+  private[graft] def graphKcoreEdges(edges: DataFrame, k: Int,
+                                     maxRounds: Int = 64): DataFrame = {
     var und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var nEdges = und.count()
+    var roundsUsed = 0
+    var converged = nEdges == 0L
+    while (!converged && roundsUsed < maxRounds) {
       val alive = und.groupBy(col("a")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("a"))
-      und = und
+      val next = und
         .join(broadcast(alive), Seq("a"))
         .join(broadcast(alive.select(col("a").as("b"))), Seq("b"))
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      val m = next.count()
+      if (m == nEdges) converged = true // this round removed nothing: fixpoint
+      else { und = next; nEdges = m; roundsUsed += 1 }
     }
+    assert(converged, s"k-core peel did not converge within $maxRounds rounds")
     und.groupBy(col("a")).agg(count(lit(1)).as("degree"))
-      .select(col("a").as("item"), col("degree"))
+      .select(col("a").as("item"), col("degree"),
+        lit(roundsUsed).as("rounds_used"))
       .orderBy(col("item"))
   }
 
@@ -928,6 +955,16 @@ object WarehouseOps extends QueryModule {
         |         1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)) AS reject_05
         |FROM d WHERE n_a > 0 AND n_b > 0
         |ORDER BY d_num DESC, cents LIMIT 1""".stripMargin,
+    // Unrolled peel at the WITNESSED round count (VERDICT r13 #6): at the
+    // verify SF the support-filtered co-occurrence graph's minimum degree
+    // is already >= 3, so the fixpoint loop converges in 0 effective
+    // rounds (measured via an iterative DuckDB replay of the peel) and
+    // the unrolled form is the raw undirected edge list, with the witness
+    // asserted as a literal. DuckDB's recursive CTE cannot express a
+    // shrinking-relation fixpoint, so a deeper graph would extend this
+    // unroll to its own witnessed count; the loop itself is spec-tested on
+    // a 15-round fixture (WarehouseOpsSpec) where fixed-6 would not
+    // converge.
     "q182_graph_kcore" ->
       """WITH ui AS (
         |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
@@ -938,25 +975,12 @@ object WarehouseOps extends QueryModule {
         |  GROUP BY 1, 2 HAVING count(*) >= 5),
         |u0 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
         |al1 AS (SELECT a FROM u0 GROUP BY a HAVING count(*) >= 3),
-        |u1 AS (SELECT u.a, u.b FROM u0 u
-        |         JOIN al1 x ON u.a = x.a JOIN al1 y ON u.b = y.a),
-        |al2 AS (SELECT a FROM u1 GROUP BY a HAVING count(*) >= 3),
-        |u2 AS (SELECT u.a, u.b FROM u1 u
-        |         JOIN al2 x ON u.a = x.a JOIN al2 y ON u.b = y.a),
-        |al3 AS (SELECT a FROM u2 GROUP BY a HAVING count(*) >= 3),
-        |u3 AS (SELECT u.a, u.b FROM u2 u
-        |         JOIN al3 x ON u.a = x.a JOIN al3 y ON u.b = y.a),
-        |al4 AS (SELECT a FROM u3 GROUP BY a HAVING count(*) >= 3),
-        |u4 AS (SELECT u.a, u.b FROM u3 u
-        |         JOIN al4 x ON u.a = x.a JOIN al4 y ON u.b = y.a),
-        |al5 AS (SELECT a FROM u4 GROUP BY a HAVING count(*) >= 3),
-        |u5 AS (SELECT u.a, u.b FROM u4 u
-        |         JOIN al5 x ON u.a = x.a JOIN al5 y ON u.b = y.a),
-        |al6 AS (SELECT a FROM u5 GROUP BY a HAVING count(*) >= 3),
-        |u6 AS (SELECT u.a, u.b FROM u5 u
-        |         JOIN al6 x ON u.a = x.a JOIN al6 y ON u.b = y.a)
-        |SELECT a AS item, count(*) AS degree
-        |FROM u6 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |chk AS (SELECT CASE WHEN (SELECT count(*) FROM al1)
+        |                       = (SELECT count(DISTINCT a) FROM u0)
+        |                    THEN 0 END AS rounds_used)
+        |SELECT a AS item, count(*) AS degree,
+        |       (SELECT rounds_used FROM chk) AS rounds_used
+        |FROM u0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q181_key_skew_profile" ->
       """WITH c1 AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
         |h1 AS (SELECT c, count(*) AS freq FROM c1 GROUP BY 1),

