@@ -152,24 +152,29 @@ object TextExpressions {
   def shingleHashes(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
 
-  /** Static worker: FNV-1a hashes of every ≤2-deletion variant of the
-    * string, deduplicated (deleting any char of a repeated run yields the
-    * same variant, so template names with digit runs collapse well below
-    * the 1 + L + L(L−1)/2 ceiling). One char-skipping pass per variant —
-    * no substring is ever materialized. Used by the q133 FastSS blocking:
-    * two strings within edit distance 2 share ≥1 variant, hence ≥1 hash
-    * (equal strings hash equal); a cross-string collision only ADDS a
-    * candidate the levenshtein verify discards, so the hash width is a
-    * performance choice, not a correctness one. */
-  def deletionHashes(s: UTF8String, maxLen: Int): GenericArrayData = {
+  /** Static worker: FNV-1a hashes of every ≤`maxDeletes`-deletion variant
+    * of the string, deduplicated (deleting any char of a repeated run
+    * yields the same variant, so template names with digit runs collapse
+    * well below the 1 + L + L(L−1)/2 ceiling). One char-skipping pass per
+    * variant — no substring is ever materialized. Used by the q133 FastSS
+    * blocking at k=2: two strings within edit distance k must share ≥1
+    * ≤k-deletion variant (pigeonhole: each edit op touches at most one
+    * position per side), hence ≥1 hash (equal strings hash equal); a
+    * cross-string collision only ADDS a candidate the levenshtein verify
+    * discards, so the hash width is a performance choice, not a
+    * correctness one. k=1 (VERDICT r13 #8) emits only 1 + L variants —
+    * O(L²) work instead of O(L³) — and keeps exact recall for the
+    * lev ≤ 1 predicate (property-tested under random single edits). */
+  def deletionHashes(s: UTF8String, maxLen: Int,
+                     maxDeletes: Int): GenericArrayData = {
     val str = s.toString
     val len = math.min(str.length, maxLen)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     // deletion slots (j, i), 1-based, j < i, 0 = unused — the SQL form's
-    // enumeration exactly
+    // enumeration exactly; k=1 pins the second slot to "unused"
     var i = 0
     while (i <= len) {
-      val jMax = if (i == 0) 0 else i - 1
+      val jMax = if (i == 0 || maxDeletes < 2) 0 else i - 1
       var j = 0
       while (j <= jMax) {
         var h = 0xcbf29ce484222325L
@@ -193,8 +198,15 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  def deletionHashes(s: UTF8String, maxLen: Int): GenericArrayData =
+    deletionHashes(s, maxLen, 2)
+
   def deletionHashes(c: Column): Column =
     ColumnBridge.column(DeletionHashes(ColumnBridge.expression(c)))
+
+  def deletionHashes(c: Column, maxDeletes: Int): Column =
+    ColumnBridge.column(
+      DeletionHashes(ColumnBridge.expression(c), maxDeletes = maxDeletes))
 
   /** Static worker: first 60 md5 bits of a string's UTF-8 bytes — VALUE-
     * identical to the SQL idiom `conv(substring(md5(s), 1, 15), 16, 10)`
@@ -314,21 +326,27 @@ case class SimHash64(child: Expression, nBits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** All ≤2-deletion variant hashes of a string as one codegen'd
+/** All ≤`maxDeletes`-deletion variant hashes of a string as one codegen'd
   * expression: string → array<long>, deduped — the FastSS blocking key
-  * builder (see [[TextExpressions.deletionHashes]]). Strings are clamped
-  * to 128 chars: FastSS is for SHORT keys (names, phones, SKUs), and the
-  * clamp bounds the O(L³) per-row work; candidates from clamped strings
-  * remain a superset within the clamp window. */
-case class DeletionHashes(child: Expression, maxLen: Int = 128) extends UnaryExpression {
+  * builder (see [[TextExpressions.deletionHashes]]). k=2 is the q133
+  * default (exact recall for lev ≤ 2); k=1 is the cheap variant (1 + L
+  * signatures, exact recall for lev ≤ 1) for callers whose predicate is
+  * a single edit. Strings are clamped to 128 chars: FastSS is for SHORT
+  * keys (names, phones, SKUs), and the clamp bounds the O(L^(k+1))
+  * per-row work; candidates from clamped strings remain a superset
+  * within the clamp window. */
+case class DeletionHashes(child: Expression, maxLen: Int = 128,
+                          maxDeletes: Int = 2) extends UnaryExpression {
+  require(maxDeletes == 1 || maxDeletes == 2,
+    s"deletion-signature depth must be 1 or 2, got $maxDeletes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    TextExpressions.deletionHashes(input.asInstanceOf[UTF8String], maxLen)
+    TextExpressions.deletionHashes(input.asInstanceOf[UTF8String], maxLen, maxDeletes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.TextExpressions.deletionHashes($c, $maxLen);""")
+      ${ev.value} = graft.functions.TextExpressions.deletionHashes($c, $maxLen, $maxDeletes);""")
 
   override protected def withNewChildInternal(newChild: Expression): DeletionHashes =
     copy(child = newChild)

@@ -206,6 +206,26 @@ object Dedup extends QueryModule {
     * O(w·n) candidate pairs (vs LSH's collision-driven candidate count);
     * the tradeoff, documented with the operator since SIGMOD'95, is that
     * near-dups more than w apart in EVERY pass's order are missed.
+    *
+    * Candidate-prune adjudication (VERDICT r13 #8 proposed a k=1
+    * deletion-signature prefilter here): for THIS operator's predicate —
+    * shingle-set Jaccard ≥ t — any edit-distance-based prune is UNSOUND.
+    * Counterexample: move a sentence from a document's head to its tail;
+    * the shingle sets are near-identical (J ≈ 1) while the edit distance
+    * is twice the block length, so a deletion-signature gate would drop a
+    * true pair and break the bit-exact oracle. The prune that IS sound
+    * for Jaccard is the PPJoin-family SIZE filter (Xiao et al., WWW'08):
+    * J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair with
+    * min(|A|,|B|) < t·max(|A|,|B|) cannot reach t (sound in doubles:
+    * sizes are exact integers and round-to-nearest never carries t·max
+    * past a representable min it does not truly exceed; at the default
+    * t = 0.5 the product is exact outright). The verify joins the 8-byte
+    * set SIZES first, prunes, and ships the shingle ARRAYS only for
+    * surviving pairs — at 100 TB the arrays are the dominant payload of
+    * this stage. The k=1 deletion-signature family lives where its
+    * pigeonhole proof holds: [[entityMatchCandidates]] with maxEdits = 1
+    * (edit-distance predicates), spec-tested for exact single-edit
+    * recall.
     */
   def snmNearDupPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.5,
                       topK: Int = 20): DataFrame = {
@@ -235,9 +255,18 @@ object Dedup extends QueryModule {
     val sets = shingled(docs)
       .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
       .withColumn("sz", size(col("shd")))
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("shd").as("sha"), col("sz").as("sa")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("shd").as("shb"), col("sz").as("sb")), "b")
+    // sound size prune BEFORE the arrays ship (see scaladoc): pairs whose
+    // set sizes already bound Jaccard below the threshold never join the
+    // shingle arrays — only 8-byte sizes cross the wire for them
+    val sizes = sets.select(col("doc_id"), col("sz"))
+    val pruned = cand
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .filter(least(col("sa"), col("sb")).cast("double") >=
+        lit(threshold) * greatest(col("sa"), col("sb")))
+    pruned
+      .join(sets.select(col("doc_id").as("a"), col("shd").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shd").as("shb")), "b")
       .withColumn("ninter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("ninter").cast("double") /
         (col("sa") + col("sb") - col("ninter")), 6))
@@ -277,7 +306,8 @@ object Dedup extends QueryModule {
     * inflation is k+1 instead. One shuffle on the signature key, one
     * distinct on the pair — no cartesian, no per-(nation,segment)
     * all-pairs anywhere. */
-  def entityMatchCandidates(customers: DataFrame): DataFrame = {
+  def entityMatchCandidates(customers: DataFrame,
+                            maxEdits: Int = EntityMatchMaxEdits): DataFrame = {
     // Variants ride the codegen'd [[graft.functions.DeletionHashes]]
     // expression: one char-skipping pass per variant emits the DEDUPED
     // 64-bit hash set (deleting any char of a repeated run yields the same
@@ -285,10 +315,14 @@ object Dedup extends QueryModule {
     // 1 + L + C(L,2) ceiling), so the join key is 8 bytes and no variant
     // string is ever materialized. A hash collision can only ADD a
     // candidate the levenshtein verify then discards — recall untouched.
+    // The signature depth tracks the caller's edit bound: k=1 (VERDICT
+    // r13 #8) emits only 1 + L signatures per name — the cheap blocking
+    // for a single-edit predicate, with the same pigeonhole recall proof.
     val sigs = customers
       .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
         col("c_custkey"),
-        explode(graft.functions.TextExpressions.deletionHashes(col("c_name")))
+        explode(graft.functions.TextExpressions
+            .deletionHashes(col("c_name"), maxEdits))
           .as("variant"))
     val l = sigs.select(col("nat"), col("seg"), col("variant"),
       col("c_custkey").as("a"))

@@ -139,6 +139,63 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     assert(!matched.contains((901L, 902L)), "901 vs 902 is 3 edits, must verify away")
   }
 
+  test("entity matching at k=1: the cheap 1-deletion blocking keeps every " +
+      "single-edit twin and prunes deeper than k=2 (VERDICT r13 #8)") {
+    import spark.implicits._
+    // Same skewed-block shape as the k=2 test. The 1-substitution twin
+    // (900, 901) MUST survive k=1 blocking by pigeonhole; the shifted
+    // twin (900, 902) is ins+del, which 1-deletion variants also reach
+    // (delete the inserted char on one side, the dropped one's shift on
+    // the other). A 2-substitution pair (903, 904) is k=2 territory: k=1
+    // blocking must leave it out — the cost/recall dial the parameter
+    // exists for.
+    val noise = (0 until 200).map { i =>
+      val tail = "%010d".format((i * 2654435761L + 1013904223L) % 10000000000L)
+      (100L + i, s"Customer#$tail", 1, 100.0 + i, "AUTO")
+    }
+    val planted = Seq(
+      (900L, "Customer#1234567890", 1, 10.00, "AUTO"),
+      (901L, "Customer#1234567990", 1, 20.00, "AUTO"), // 1 substitution
+      (902L, "Customer#0123456789", 1, 30.00, "AUTO"), // shift (ins+del): ed=2
+      (903L, "Customer#5555500000", 1, 40.00, "AUTO"),
+      (904L, "Customer#5555511000", 1, 50.00, "AUTO")) // 2 substitutions vs 903
+    val customers = (noise ++ planted)
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val cand1 = operators.Dedup.entityMatchCandidates(customers, maxEdits = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(cand1.contains((900L, 901L)), s"single-sub twin lost at k=1: $cand1")
+    assert(cand1.contains((900L, 902L)), s"ins+del twin lost at k=1: $cand1")
+    assert(!cand1.contains((903L, 904L)),
+      "2-substitution pair must need k=2 blocking")
+    val cand2 = operators.Dedup.entityMatchCandidates(customers)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(cand2.contains((903L, 904L)), "k=2 blocking must keep the 2-sub pair")
+    assert(cand1.subsetOf(cand2), "k=1 candidates must be a subset of k=2's")
+  }
+
+  test("q189: kappa equals the statistic hand-computed from the two " +
+      "classifiers' per-doc predictions on real testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val nb = operators.TextStats.nbPredictions(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val heur = operators.TextStats.langIdPerDoc(
+      docs.filter(col("doc_id") % 5 === 0)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    val pairs = nb.keySet.intersect(heur.keySet).toSeq.map(d => (nb(d), heur(d)))
+    val n = pairs.length.toLong
+    val agree = pairs.count { case (a, b) => a == b }.toLong
+    val peNum = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap.map {
+      case (l, rowN) => rowN * pairs.count(_._2 == l)
+    }.sum
+    val expectKappa = BigDecimal((agree * n - peNum).toDouble / (n * n - peNum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = operators.TextStats.kappaAgreement(spark, dir).collect()(0)
+    assert(got.getLong(0) == n && got.getLong(1) == agree, s"counts: $got")
+    assert(got.getDouble(4) == expectKappa, s"kappa: $got vs $expectKappa")
+    assert(n > 0 && agree <= n)
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val sh = operators.Dedup.simhash(spark, docsDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
