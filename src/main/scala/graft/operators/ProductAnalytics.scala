@@ -561,7 +561,94 @@ object ProductAnalytics extends QueryModule {
       .orderBy(col("rnk"))
   }
 
+  /** q191 — LONGEST ACTIVITY STREAKS per user: consecutive-day runs from
+    * the per-user distinct-day set (gaps-and-islands by the day − rank
+    * constant-difference trick — q123's sessionization grammar at daily
+    * grain), reporting active days, streak count, and the longest run —
+    * the habit/engagement metric (Duolingo-style streaks, "n-day
+    * contribution runs") product teams rank users by. Dedup to
+    * (user, day) FIRST (the q141 rule: volume dies at the first
+    * aggregate), then ONE user_id shuffle carries the rank window and
+    * both aggregates; the top-k is a distributed TakeOrdered. */
+  def activityStreaks(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    // repartition on user_id BEFORE the (user, day) distinct: hash(user)
+    // satisfies the dedup's clustering AND the window's, so dedup, rank,
+    // and both aggregates ride ONE exchange (the q92/q95 shared-shuffle
+    // rule; plan-pinned)
+    val days = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .repartition(col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("longest_streak").desc, col("user_id"))
+      .limit(topK)
+  }
+
+  /** q192 — GROWTH ACCOUNTING: the daily new / retained / resurrected /
+    * churned decomposition of the active-user base (the Social Capital
+    * accounting framework — the canonical "where did the DAU change come
+    * from" report that q141's DAU/stickiness totals do not explain). A
+    * user's active day is `new` (first ever), `retained` (previous
+    * active day within the lapse window), or `resurrected` (returned
+    * after > lapse days away); a user CHURNS on the day their lapse
+    * window expires with no activity (prev active day + lapse, emitted
+    * from the same lag/lead pass — churn is an ABSENCE event, so it must
+    * be derived, not observed; the end-of-horizon guard keeps not-yet-
+    * expired users out). The identity net = new + resurrected − churned
+    * ties the report to the active-base delta. One user_id shuffle
+    * (dedup + lag + lead share it), then a ≤|days| aggregate; the
+    * horizon scalar broadcasts. */
+  def growthAccounting(spark: SparkSession, dir: String, lapse: Int = 7): DataFrame = {
+    // same shared-shuffle rule as q191: hash(user) carries dedup + lag/lead
+    val days = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .repartition(col("user_id"))
+      .distinct()
+    // horizon off the RAW scan (max over raw == max over distinct): deriving
+    // it from `days` would re-run the dedup's user shuffle for one scalar
+    val horizon = Tables(spark, dir, "events")
+      .agg(max(expr("unix_micros(ts) div 86400000000")).as("hday"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    // ONE pass emits both row kinds: each (user, day) cursor row explodes
+    // into its activity classification plus, when its lapse window expires
+    // observably, the derived churn event — a union of two branches would
+    // re-derive the scan AND the user shuffle per branch (plan-pinned)
+    val seq = days
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+    val cls = when(col("prev").isNull, "new")
+      .when(col("day") - col("prev") <= lapse, "retained")
+      .otherwise("resurrected")
+    val churns = (col("nxt").isNull && col("day") + lapse <= col("hday")) ||
+      (col("nxt").isNotNull && col("nxt") - col("day") > lapse)
+    seq
+      .select(explode(filter(array(
+        struct(col("day").as("day_no"), cls.as("cls")),
+        when(churns, struct((col("day") + lapse).as("day_no"),
+          lit("churned").as("cls")))), x => x.isNotNull)).as("e"))
+      .select(col("e.day_no").as("day_no"), col("e.cls").as("cls"))
+      .groupBy(col("day_no"))
+      .agg(sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("cls") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("net_active_delta",
+        col("n_new") + col("n_resurrected") - col("n_churned"))
+      .orderBy(col("day_no"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q191_activity_streaks" -> ((s, d) => activityStreaks(s, d)),
+    "q192_growth_accounting" -> ((s, d) => growthAccounting(s, d)),
     "q138_journey_trigrams" -> ((s, d) => journeyTrigrams(s, d)),
     "q134_item_cooccurrence" -> ((s, d) => itemCooccurrence(s, d)),
     "q135_event_transitions" -> eventTransitions _,
@@ -579,6 +666,55 @@ object ProductAnalytics extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q191_activity_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |i AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |       count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM s GROUP BY 1
+        |ORDER BY longest_streak DESC, user_id LIMIT 50""".stripMargin,
+    // churn is derived: the lapse window expiring without activity, only
+    // where the horizon can observe the full window (same rule as Spark)
+    "q192_growth_accounting" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |h AS (SELECT max(day) AS hday FROM d),
+        |sq AS (
+        |  SELECT user_id, day,
+        |         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        |  FROM d),
+        |act AS (
+        |  SELECT day AS day_no,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN day - prev <= 7 THEN 'retained'
+        |              ELSE 'resurrected' END AS cls
+        |  FROM sq),
+        |churn AS (
+        |  SELECT day + 7 AS day_no, 'churned' AS cls
+        |  FROM sq CROSS JOIN h
+        |  WHERE (nxt IS NULL AND day + 7 <= hday)
+        |     OR (nxt IS NOT NULL AND nxt - day > 7)),
+        |u AS (SELECT * FROM act UNION ALL SELECT * FROM churn)
+        |SELECT day_no,
+        |       CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_retained,
+        |       CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_resurrected,
+        |       CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_churned,
+        |       CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+        |            + sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |            - sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS net_active_delta
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q138_journey_trigrams" ->
       """WITH t AS (
         |  SELECT event_type AS t1,

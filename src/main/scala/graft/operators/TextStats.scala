@@ -44,9 +44,10 @@ object TextStats extends QueryModule {
   def textStats(spark: SparkSession, dir: String): DataFrame =
     textStats(docsTable(spark, dir))
 
-  /** Keyword-profile language ID: score each profile, argmax, confusion
-    * matrix against the labeled lang. */
-  def langId(docs: DataFrame): DataFrame =
+  /** Per-doc keyword-profile prediction — q47's scoring rule factored out
+    * so q189's agreement query scores the IDENTICAL heuristic (one rule,
+    * two consumers — the q133/q165 single-constant discipline). */
+  private[graft] def langIdPerDoc(docs: DataFrame): DataFrame =
     toks(docs)
       .withColumn("s_en", size(filter(col("toks"), t => t.isin("the", "a", "data"))))
       .withColumn("s_es", size(filter(col("toks"), t => t.isin("row", "value", "table"))))
@@ -55,6 +56,11 @@ object TextStats extends QueryModule {
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
           .when(col("s_es") >= col("s_zh"), "es")
           .otherwise("zh"))
+
+  /** Keyword-profile language ID: score each profile, argmax, confusion
+    * matrix against the labeled lang. */
+  def langId(docs: DataFrame): DataFrame =
+    langIdPerDoc(docs)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
@@ -446,6 +452,48 @@ object TextStats extends QueryModule {
   def calibrationTable(spark: SparkSession, dir: String): DataFrame =
     calibrationTable(docsTable(spark, dir))
 
+  /** q189 — INTER-CLASSIFIER AGREEMENT (Cohen's κ, 1960) between the
+    * trained NB classifier (q166) and the fixed-profile heuristic (q47)
+    * on the held-out fifth — the "do my two labelers actually agree
+    * beyond chance" report behind every auto-labeling pipeline that
+    * cross-checks a cheap heuristic against a trained model (label-drift
+    * canary, annotation QA, silver-label acceptance). κ corrects raw
+    * agreement for the agreement two INDEPENDENT labelers with these
+    * marginals would reach by chance: κ = (p_o − p_e)/(1 − p_e).
+    * Everything is exact integer arithmetic to the last step — the
+    * confusion matrix is counts, p_o's numerator is the diagonal sum,
+    * p_e's numerator Σ row_l·col_l — and κ is computed as ONE division
+    * of integer cross-products (n_agree·N − pe_num)/(N² − pe_num), the
+    * q112/q187 rule, so both engines agree bit-for-bit. Scale: the heavy
+    * stage is q166's scoring (vocab-keyed joins, already audited); past
+    * it everything is held-out-doc-sized, and the ≤|langs|² confusion
+    * matrix + marginal products are driver-trivial aggregates. */
+  def kappaAgreement(docs: DataFrame): DataFrame = {
+    val nb = nbPredictions(docs)
+      .select(col("doc_id"), col("model_lang").as("nb_pred"))
+    val heur = langIdPerDoc(docs.filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id"), col("predicted").as("heur_pred"))
+    val conf = nb.join(heur, "doc_id")
+      .groupBy(col("nb_pred"), col("heur_pred")).agg(count(lit(1)).as("n"))
+    val tot = conf.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("nb_pred") === col("heur_pred"), col("n"))
+        .otherwise(0L)).as("n_agree"))
+    val peNum = conf.groupBy(col("nb_pred").as("l")).agg(sum(col("n")).as("row_n"))
+      .join(conf.groupBy(col("heur_pred").as("l")).agg(sum(col("n")).as("col_n")),
+        Seq("l"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n_docs"), col("n_agree"),
+        (round(col("n_agree").cast("double") / col("n_docs"), 6) + lit(0.0)).as("po"),
+        (round(col("pe_num").cast("double")
+          / (col("n_docs") * col("n_docs")), 6) + lit(0.0)).as("pe"),
+        (round((col("n_agree") * col("n_docs") - col("pe_num")).cast("double")
+          / (col("n_docs") * col("n_docs") - col("pe_num")), 6) + lit(0.0)).as("kappa"))
+  }
+
+  def kappaAgreement(spark: SparkSession, dir: String): DataFrame =
+    kappaAgreement(docsTable(spark, dir))
+
   /** q174 — χ² FEATURE SELECTION over the q166 training split: for each
     * (lang, token), the 2×2 contingency of doc-level token presence vs
     * class membership, ranked per lang — the vocabulary-pruning step that
@@ -573,7 +621,8 @@ object TextStats extends QueryModule {
     "q172_classifier_auc" -> (classifierAuc(_, _)),
     "q174_chi2_features" -> (chiSquareFeatures(_, _)),
     "q177_bigram_lm" -> (bigramLm(_, _)),
-    "q188_calibration" -> (calibrationTable(_, _))
+    "q188_calibration" -> (calibrationTable(_, _)),
+    "q189_kappa_agreement" -> (kappaAgreement(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -768,6 +817,73 @@ object TextStats extends QueryModule {
         |       round(CAST(sum(CASE WHEN model_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
         |             / count(*), 4) + 0.0 AS accuracy
         |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q166's model chain to per-doc NB predictions, q47's heuristic rule
+    // per doc, then Cohen's kappa as one division of integer
+    // cross-products: (n_agree*N - pe_num) / (N^2 - pe_num)
+    "q189_kappa_agreement" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE tok <> ''),
+        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
+        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
+        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
+        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
+        |stats AS (
+        |  SELECT t.model_lang,
+        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
+        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
+        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
+        |  CROSS JOIN vocab CROSS JOIN dall),
+        |model AS (
+        |  SELECT c.model_lang, c.tok,
+        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
+        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
+        |sums AS (
+        |  SELECT te.doc_id, te.lang, s.model_lang,
+        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
+        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
+        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
+        |  GROUP BY 1, 2, 3),
+        |nbp AS (
+        |  SELECT doc_id, model_lang AS nb_pred FROM (
+        |    SELECT doc_id, model_lang,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY su.tok_q + st.prior_q DESC, model_lang) AS rn
+        |    FROM sums su JOIN stats st USING (model_lang))
+        |  WHERE rn = 1),
+        |heur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS heur_pred
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split(text,' '), t -> t IN ('the','a','data'))) AS s_en,
+        |      len(list_filter(string_split(text,' '), t -> t IN ('row','value','table'))) AS s_es,
+        |      len(list_filter(string_split(text,' '), t -> t IN ('query','join','window'))) AS s_zh
+        |    FROM documents WHERE doc_id % 5 = 0)),
+        |conf AS (
+        |  SELECT nb_pred, heur_pred, count(*) AS n
+        |  FROM nbp JOIN heur USING (doc_id) GROUP BY 1, 2),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |              CAST(sum(CASE WHEN nb_pred = heur_pred THEN n ELSE 0 END)
+        |                AS BIGINT) AS n_agree
+        |       FROM conf),
+        |pe AS (
+        |  SELECT CAST(coalesce(sum(r.row_n * c.col_n), 0) AS BIGINT) AS pe_num
+        |  FROM (SELECT nb_pred AS l, sum(n) AS row_n FROM conf GROUP BY 1) r
+        |  JOIN (SELECT heur_pred AS l, sum(n) AS col_n FROM conf GROUP BY 1) c
+        |    USING (l))
+        |SELECT n_docs, n_agree,
+        |       round(CAST(n_agree AS DOUBLE) / n_docs, 6) + 0.0 AS po,
+        |       round(CAST(pe_num AS DOUBLE) / (n_docs * n_docs), 6) + 0.0 AS pe,
+        |       round(CAST(n_agree * n_docs - pe_num AS DOUBLE)
+        |             / (n_docs * n_docs - pe_num), 6) + 0.0 AS kappa
+        |FROM t2 CROSS JOIN pe""".stripMargin,
     // q166's model chain, then Mann-Whitney with integer midranks
     // (2*rank + |tie| - 1); one final double division
     "q188_calibration" ->

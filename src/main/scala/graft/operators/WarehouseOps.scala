@@ -894,6 +894,101 @@ object WarehouseOps extends QueryModule {
     } finally { und.unpersist(); edges.unpersist() }
   }
 
+  /** q190 — BENFORD first-digit audit of the purchase-value ledger: the
+    * classic forensic-accounting screen (Nigrini 1996; Benford 1938) —
+    * naturally-arising multi-magnitude amounts follow P(d) = log₁₀(1+1/d),
+    * and fabricated/capped/price-pointed figures don't, so the per-digit
+    * deviation plus the χ² distance is the "does this ledger look
+    * organic" report auditors and fraud models start from. Completes the
+    * DQ family's distributional axis (q150 constraints, q143 PSI vs own
+    * history, q187 KS between periods — q190 tests against an ANALYTIC
+    * reference, no second sample needed). Digit counts are exact
+    * integers off one scan (first digit via string head — exact, no FP
+    * log in the hot path); the 9-digit grid left-joins the observed
+    * counts (q143's grid rule, digit 0 impossible for positive cents);
+    * expectations and χ² are the one double chain at the end, written
+    * identically in both engines (ln-based log₁₀ — engine-native log10
+    * implementations may differ in the last bit, ln/ln cannot). The
+    * cumulative fold runs over the 9-row aggregate (bounded, the
+    * suite-wide window guard's whitelist-by-construction), and the α=0.05
+    * decision uses the classic χ²₈ critical value 15.507. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+    val obs = cents
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = cents.agg(count(lit(1)).as("n"))
+    val grid = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val cum = Window.orderBy(col("digit"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("digit"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid.join(obs, Seq("digit"), "left_outer").na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_benford", log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .withColumn("expected", col("n") * col("p_benford"))
+      .withColumn("contrib",
+        (col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+          / col("expected"))
+      .withColumn("chi2_total", sum(col("contrib")).over(all))
+      .select(col("digit"), col("n_obs"),
+        (round(col("n_obs").cast("double") / col("n"), 6) + lit(0.0)).as("obs_share"),
+        (round(col("p_benford"), 6) + lit(0.0)).as("benford_share"),
+        (round(col("contrib"), 6) + lit(0.0)).as("chi2_contrib"),
+        (round(sum(col("contrib")).over(cum), 6) + lit(0.0)).as("chi2_cum"),
+        (col("chi2_total") > 15.507).as("reject_05"))
+      .orderBy(col("digit"))
+  }
+
+  /** q193 — REVENUE CONCENTRATION: the exact Gini coefficient and
+    * top-decile share of per-customer order revenue — the inequality
+    * lens ("how much of revenue sits with the top 10%") every exec
+    * dashboard and account-risk review carries next to q160's totals and
+    * q130's RFM segments. Gini from the rank formulation over ascending
+    * revenue: G = (2·Σ i·rᵢ − (n+1)·Σ rᵢ)/(n·Σ rᵢ) — exact integer
+    * numerators (revenue in cents, ranks from a deterministic
+    * (rev, custkey) order; ties commute in Σ i·rᵢ, so the tie-break
+    * cannot change the value), ONE division at the end. The global rank
+    * over the customer-cardinality aggregate uses the q93/q187 TWO-PHASE
+    * discipline — order-preserving revenue buckets (arithmetic
+    * shiftright), in-bucket row_number + broadcast per-bucket offsets —
+    * so no window ever sorts the full customer list in one task; the
+    * Σ i·rᵢ accumulator is decimal(38,0) (HUGEINT in the oracle): at
+    * 10⁹ customers × 10⁷-cent revenues the int64 range is exceeded, the
+    * decimal is not, and both engines convert the same exact integer to
+    * the same double. */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+    val bucketed = rev.withColumn("vb", shiftright(col("rev"), 16))
+    val inb = Window.partitionBy(col("vb")).orderBy(col("rev"), col("o_custkey"))
+    val local = bucketed.withColumn("rnl", row_number().over(inb).cast("long"))
+    val offsets = bucketed.groupBy(col("vb")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("vb")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("vb"), col("off"))
+    val ranked = local.join(broadcast(offsets), Seq("vb"))
+      .withColumn("grank", col("rnl") + col("off"))
+    val tot = rev.agg(count(lit(1)).as("n"), sum(col("rev")).as("total"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_customers"), max(col("total")).as("total_cents"),
+        sum(col("rev").cast("decimal(38,0)") * col("grank")).as("s1"),
+        sum(when(col("grank") > col("n") - expr("n div 10"), col("rev"))
+          .otherwise(0L)).as("top_cents"))
+      .select(col("n_customers"), col("total_cents"),
+        (round((lit(2).cast("decimal(38,0)") * col("s1")
+            - (col("n_customers") + 1).cast("decimal(38,0)") * col("total_cents"))
+          .cast("double")
+          / (col("n_customers").cast("decimal(38,0)") * col("total_cents"))
+            .cast("double"), 6) + lit(0.0)).as("gini"),
+        (round(col("top_cents").cast("double") / col("total_cents"), 6)
+          + lit(0.0)).as("top_decile_share"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q152_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "q153_graph_labelprop" -> ((s, d) => graphLabelProp(s, d)),
@@ -916,7 +1011,9 @@ object WarehouseOps extends QueryModule {
     "q179_snapshot_diff" -> snapshotDiff _,
     "q181_key_skew_profile" -> keySkewProfile _,
     "q182_graph_kcore" -> ((s, d) => graphKcore(s, d)),
-    "q187_ks_drift" -> ksDrift _
+    "q187_ks_drift" -> ksDrift _,
+    "q190_benford_audit" -> benfordAudit _,
+    "q193_gini_revenue" -> giniRevenue _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -955,6 +1052,58 @@ object WarehouseOps extends QueryModule {
         |         1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)) AS reject_05
         |FROM d WHERE n_a > 0 AND n_b > 0
         |ORDER BY d_num DESC, cents LIMIT 1""".stripMargin,
+    // exact digit counts off one scan; the double chain (ln-based log10,
+    // chi-square) is written operation-for-operation like the Spark side
+    "q190_benford_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND CAST(round(value * 100) AS BIGINT) > 0),
+        |obs AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS n_obs
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM c),
+        |grid AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+        |j AS (
+        |  SELECT g.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs, t.n,
+        |         ln(1.0 + 1.0 / g.digit) / ln(10.0) AS p_benford
+        |  FROM grid g LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN tot t),
+        |k AS (
+        |  SELECT digit, n_obs, n, p_benford,
+        |         (n_obs - n * p_benford) * (n_obs - n * p_benford)
+        |           / (n * p_benford) AS contrib
+        |  FROM j)
+        |SELECT digit, n_obs,
+        |       round(CAST(n_obs AS DOUBLE) / n, 6) + 0.0 AS obs_share,
+        |       round(p_benford, 6) + 0.0 AS benford_share,
+        |       round(contrib, 6) + 0.0 AS chi2_contrib,
+        |       round(sum(contrib) OVER (ORDER BY digit ROWS BETWEEN UNBOUNDED
+        |         PRECEDING AND CURRENT ROW), 6) + 0.0 AS chi2_cum,
+        |       sum(contrib) OVER () > 15.507 AS reject_05
+        |FROM k ORDER BY digit""".stripMargin,
+    // rank-formulation Gini on exact cents; HUGEINT accumulators mirror
+    // the Spark side's decimal(38,0); one double division at the end
+    "q193_gini_revenue" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT rev,
+        |         CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS grank
+        |       FROM r),
+        |t AS (SELECT count(*) AS n, CAST(sum(rev) AS BIGINT) AS total FROM r),
+        |s AS (
+        |  SELECT CAST(sum(CAST(rev AS HUGEINT) * grank) AS HUGEINT) AS s1,
+        |         CAST(sum(CASE WHEN grank > t.n - t.n // 10 THEN rev ELSE 0 END)
+        |           AS BIGINT) AS top_cents
+        |  FROM rk CROSS JOIN t)
+        |SELECT t.n AS n_customers, t.total AS total_cents,
+        |       round(CAST(2 * s.s1 - (t.n + 1) * CAST(t.total AS HUGEINT) AS DOUBLE)
+        |             / CAST(CAST(t.n AS HUGEINT) * t.total AS DOUBLE), 6) + 0.0 AS gini,
+        |       round(CAST(s.top_cents AS DOUBLE) / t.total, 6) + 0.0
+        |         AS top_decile_share
+        |FROM t CROSS JOIN s""".stripMargin,
     // Unrolled peel at the WITNESSED round count (VERDICT r13 #6): at the
     // verify SF the support-filtered co-occurrence graph's minimum degree
     // is already >= 3, so the fixpoint loop converges in 0 effective

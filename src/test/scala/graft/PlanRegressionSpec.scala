@@ -627,6 +627,44 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q189: kappa's confusion/marginal joins ride broadcasts; no cartesian") {
+    // past q166's scoring (vocab-keyed, separately pinned) everything is
+    // held-out-sized: the per-doc prediction join and the ≤|langs|²
+    // marginal joins must never become data-sized shuffles
+    val p = plan("q189_kappa_agreement")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q189 lost its broadcasts:\n$p")
+  }
+
+  test("q190: Benford is one scan + a 9-digit grid join — no sort-merge anywhere") {
+    val p = plan("q190_benford_audit")
+    assert(!p.contains("SortMergeJoin"), s"q190 shuffles the grid join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"q190 lost the count broadcast:\n$p")
+  }
+
+  test("q191/q192: the day-grain family costs exactly one user_id shuffle, no join " +
+      "beyond the broadcast horizon") {
+    Seq("q191_activity_streaks", "q192_growth_accounting").foreach { name =>
+      val p = plan(name)
+      val userExchanges = p.linesIterator
+        .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).size
+      assert(userExchanges == 1, s"$name re-shuffles on user_id:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name plans a shuffle join:\n$p")
+    }
+    assert(plan("q191_activity_streaks").contains("TakeOrderedAndProject"),
+      "q191 lost its distributed top-k")
+  }
+
+  test("q193: the Gini rank is two-phase — bucket offsets broadcast, " +
+      "one revenue-aggregate shuffle") {
+    val p = plan("q193_gini_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"q193 offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q193 shuffles the offset join:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("suite-wide: every partition-less Window sits on a provably-reduced input") {
     // VERDICT r13 #2: a Window with no partitionBy funnels its whole input
     // through ONE task — fine on a bounded histogram, a serial funnel on

@@ -316,4 +316,46 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       (1L, 0) -> ((1L, 1L, true)),
       (1L, 3) -> ((1L, 1L, true))), s"got: $explode")
   }
+
+  test("q191: streaks split on gaps, count islands, and dedup within-day noise") {
+    // u1 active days 1,2,3 | 5,6 | 10 (three events on day 1 must dedup);
+    // u2 a single day
+    val dir = writeEvents(Seq(
+      (1L, day(1), 1L, "view", 1.0, "{}"),
+      (2L, day(1, 100), 1L, "click", 1.0, "{}"),
+      (3L, day(1, 200), 1L, "view", 1.0, "{}"),
+      (4L, day(2), 1L, "view", 1.0, "{}"),
+      (5L, day(3), 1L, "view", 1.0, "{}"),
+      (6L, day(5), 1L, "view", 1.0, "{}"),
+      (7L, day(6), 1L, "view", 1.0, "{}"),
+      (8L, day(10), 1L, "view", 1.0, "{}"),
+      (9L, day(4), 2L, "view", 1.0, "{}")))
+    val r = operators.ProductAnalytics.activityStreaks(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((6L, 3L, 3L)), s"u1: ${r(1L)}")
+    assert(r(2L) == ((1L, 1L, 1L)), s"u2: ${r(2L)}")
+  }
+
+  test("q192: growth accounting classifies new/retained/resurrected and " +
+      "derives churn when the lapse window expires observably") {
+    // u1: day 0 (new), day 1 (retained), day 10 (resurrected, gap 9 > 7)
+    //     → churn at 1+7=8 (mid-gap) and at 10+7=17 (horizon-observable
+    //       because u2 extends the horizon to day 17)
+    // u2: day 17 (new), last-day churn at 24 NOT observable (beyond horizon)
+    val dir = writeEvents(Seq(
+      (1L, day(0), 1L, "view", 1.0, "{}"),
+      (2L, day(1), 1L, "view", 1.0, "{}"),
+      (3L, day(10), 1L, "view", 1.0, "{}"),
+      (4L, day(17), 2L, "view", 1.0, "{}")))
+    val r = operators.ProductAnalytics.growthAccounting(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r(0L) == ((1L, 0L, 0L, 0L, 1L)), s"day 0: ${r(0L)}")   // u1 new
+    assert(r(1L) == ((0L, 1L, 0L, 0L, 0L)), s"day 1: ${r(1L)}")   // u1 retained
+    assert(r(8L) == ((0L, 0L, 0L, 1L, -1L)), s"day 8: ${r(8L)}")  // u1 lapses
+    assert(r(10L) == ((0L, 0L, 1L, 0L, 1L)), s"day 10: ${r(10L)}") // u1 back
+    assert(r(17L) == ((1L, 0L, 0L, 1L, 0L)), s"day 17: ${r(17L)}") // u2 new, u1 out
+    assert(!r.contains(24L), "u2's churn is beyond the horizon — not emitted")
+    assert(r.keySet == Set(0L, 1L, 8L, 10L, 17L), s"days: ${r.keySet}")
+  }
 }

@@ -390,6 +390,62 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r.map(_.getInt(2)).toSet == Set(15), s"witness: ${r.toSeq}")
   }
 
+  test("q190: Benford audit counts first digits exactly, zero-fills the grid, " +
+      "and the chi-square decision follows the computed total") {
+    // purchases 1.00, 19.99, 2.50, 0.30, 9.00 → cents 100/1999/250/30/900
+    // → digits 1,1,2,3,9; a refund (-5) and a zero must be excluded
+    val dir = writeEvents(Seq(
+      (1L, ns(1), 1L, "purchase", 1.00, "{}"),
+      (2L, ns(2), 1L, "purchase", 19.99, "{}"),
+      (3L, ns(3), 2L, "purchase", 2.50, "{}"),
+      (4L, ns(4), 2L, "purchase", 0.30, "{}"),
+      (5L, ns(5), 3L, "purchase", 9.00, "{}"),
+      (6L, ns(6), 3L, "purchase", 0.00, "{}"),
+      (7L, ns(7), 3L, "view", 5.00, "{}")))
+    val r = operators.WarehouseOps.benfordAudit(spark, dir).collect()
+    assert(r.length == 9, "one row per digit 1..9, absent digits zero-filled")
+    val byDigit = r.map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(byDigit == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L), s"digit counts: $byDigit")
+    // chi2 must match the hand formula, and the flag must follow the total
+    val chi2 = (1 to 9).map { d =>
+      val p = math.log(1.0 + 1.0 / d) / math.log(10.0)
+      val e = 5 * p
+      (byDigit(d) - e) * (byDigit(d) - e) / e
+    }.sum
+    val lastCum = r.last.getDouble(5)
+    assert(math.abs(lastCum - chi2) < 1e-6, s"chi2 $lastCum vs $chi2")
+    assert(r.forall(_.getBoolean(6) == (chi2 > 15.507)))
+    val shares = r.map(_.getDouble(3)).sum
+    assert(math.abs(shares - 1.0) < 1e-5, "Benford shares sum to 1")
+  }
+
+  private def writeOrders(rows: Seq[(Long, Double)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    rows.zipWithIndex.map { case ((c, p), i) => (i.toLong, c, p) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("q193: Gini is 0 for equal revenues and (n-1)/n for total concentration") {
+    val equal = operators.WarehouseOps.giniRevenue(spark,
+      writeOrders(Seq((1L, 100.0), (2L, 100.0), (3L, 100.0), (4L, 100.0)))).collect()(0)
+    assert((equal.getLong(0), equal.getLong(1)) == ((4L, 40000L)))
+    assert(equal.getDouble(2) == 0.0, s"equal split must score 0: $equal")
+    assert(equal.getDouble(3) == 0.0, "n=4 has an empty top decile (4 div 10 = 0)")
+
+    val skew = operators.WarehouseOps.giniRevenue(spark,
+      writeOrders(Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 100.0)))).collect()(0)
+    assert(skew.getDouble(2) == 0.75, s"one-holder Gini must be (n-1)/n: $skew")
+
+    // multiple orders per customer aggregate before ranking
+    val multi = operators.WarehouseOps.giniRevenue(spark,
+      writeOrders(Seq((1L, 60.0), (1L, 40.0), (2L, 100.0)))).collect()(0)
+    assert(multi.getDouble(2) == 0.0, "per-customer totals equal → 0")
+  }
+
   test("q187: KS statistic is the exact integer-ratio sup, attained at the " +
       "smallest tied value; the 5% decision follows the classic critical value") {
     // A (days 0-1) = {1.00, 2.00, 3.00}, B (days 2-3) = {3.00, 4.00, 5.00}:
