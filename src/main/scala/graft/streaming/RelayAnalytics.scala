@@ -142,6 +142,19 @@ object RelayAnalytics {
       .as[GroupTick]
   }
 
+  /** Canonical records → [[ValueTick]] rows for [[StreamingDrift]]:
+    * group = metric name, value in integer CENTS (the q187/q143 exact-
+    * integer rule) — "has this metric's value distribution moved since
+    * its reference day", the per-metric sibling of the batch drift
+    * reports. */
+  def valueTicks(records: DataFrame): Dataset[ValueTick] = {
+    import records.sparkSession.implicits._
+    records.filter(col("time").isNotNull && col("value").isNotNull)
+      .select(col("name").as("group"), (col("time") * lit(1000L)).as("tsUs"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[ValueTick]
+  }
+
   /** Canonical records → [[TokenEvent]] rows for
     * [[StreamingHeavyHitters]]: group = metric name, token = the canonical
     * series string — "which label sets dominate this metric", the

@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    batch=<id>/partition/chunk layout
   *                                    ([[ExactlyOnceFileSink]]): replays
   *                                    overwrite, never duplicate
-  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict|ratio|range-eval|holt-winters|compact|cardinality|downsample|trend[,...]]
+  *     [--analytics rate|range-rate|topk|topk-rate|staleness|histogram|predict|ratio|range-eval|holt-winters|compact|cardinality|downsample|trend|drift[,...]]
   *     [--ratio-num error] [--ratio-den click]
   *                                    ratio mode: numerator/denominator
   *                                    metric names (matching key = the
@@ -87,7 +87,7 @@ object RelayMain {
   val Modes: Seq[String] =
     Seq("rate", "range-rate", "topk", "topk-rate", "staleness", "histogram", "predict",
       "ratio", "range-eval", "holt-winters", "compact", "cardinality", "downsample",
-      "trend")
+      "trend", "drift")
 
   /** The chosen analytic over canonical records, as an untyped frame — one
     * switch shared by [[main]] and the end-to-end spec. Every mode rides
@@ -99,7 +99,9 @@ object RelayMain {
                      topkCapacity: Int = 1000, topkK: Int = 20,
                      ratioNum: String = "error", ratioDen: String = "click",
                      gridStep: Duration = Duration.ofSeconds(21600L),
-                     gridWindow: Duration = Duration.ofSeconds(86400L)): DataFrame =
+                     gridWindow: Duration = Duration.ofSeconds(86400L),
+                     driftLo: Long = 0L, driftHi: Long = 99999L,
+                     driftBins: Int = 10): DataFrame =
     mode match {
     case "rate" =>
       StreamingRate.rateUpdates(RelayAnalytics.counterSamples(records), rateTtl).toDF()
@@ -136,6 +138,9 @@ object RelayMain {
         rateTtl).toDF()
     case "trend" =>
       StreamingTrend.trendUpdates(RelayAnalytics.groupTicks(records), rateTtl).toDF()
+    case "drift" =>
+      StreamingDrift.driftScores(RelayAnalytics.valueTicks(records),
+        driftLo, driftHi, driftBins, rateTtl).toDF()
     case other =>
       sys.error(s"--analytics $other: expected one of ${Modes.mkString("|")}")
   }

@@ -526,6 +526,52 @@ class RelayAnalyticsModesSpec extends AnyFunSuite {
     }
   }
 
+  test("POST → drift analytic JSON: the reference day survives a restart and " +
+      "a shifted day trips the KS decision") {
+    withRocksDb {
+      val inDir = Files.createTempDirectory("ra-dr-in-").toString
+      val outDir = Files.createTempDirectory("ra-dr-out-").toString + "/analytics-drift"
+      val ckpt = Files.createTempDirectory("ra-dr-ckpt-").toString
+      val schema = StructType.fromDDL(
+        "group STRING, day BIGINT, n_ref BIGINT, n_day BIGINT, " +
+          "d_stat DOUBLE, psi DOUBLE, drifted BOOLEAN")
+      def dayMs(d: Long, i: Long = 0) = d * 86400000L + i
+      val f = new HttpFrontend(inDir, 0)
+      f.start()
+      try {
+        // day 0 (reference) and day 1: four values ~$5-8 (bin 0 of the
+        // $100-wide default bins); day 2 opens with four ~$500 values
+        // (bin 5) but does NOT seal in this run
+        val low = Seq(5.0, 6.0, 7.0, 8.0)
+        val wave1 =
+          low.zipWithIndex.map { case (v, i) => Sample(v, dayMs(0, i)) } ++
+          low.zipWithIndex.map { case (v, i) => Sample(v, dayMs(1, i)) } ++
+          low.zipWithIndex.map { case (v, i) => Sample(v + 495.0, dayMs(2, i)) }
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "latency"), wave1))) == 200)
+        runOnce(inDir, "drift", outDir, ckpt)
+        val first = spark.read.schema(schema).json(outDir).collect()
+        assert(first.length == 1, s"only day 1 seals in run 1: ${first.toSeq}")
+        assert(first.head.getAs[Long]("day") == 1L
+          && first.head.getAs[Double]("d_stat") == 0.0
+          && !first.head.getAs[Boolean]("drifted"), s"day1: ${first.head}")
+
+        // restart: a day-3 opener seals day 2 — the restored reference
+        // histogram (learned before the restart) must flag the full shift:
+        // D = 1 > 1.358·√(8/16) ≈ 0.96
+        assert(post(f.boundPort, body(
+          TimeSeries(Map("__name__" -> "latency"), Seq(Sample(5.0, dayMs(3)))))) == 200)
+        runOnce(inDir, "drift", outDir, ckpt)
+        val rows = spark.read.schema(schema).json(outDir).collect()
+          .map(r => r.getAs[Long]("day") ->
+            ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_day"),
+              r.getAs[Double]("d_stat"), r.getAs[Boolean]("drifted")))).toMap
+        assert(rows(2L) == ((4L, 4L, 1.0, true)), s"day2: ${rows.get(2L)}")
+        assert(rows.keySet == Set(1L, 2L), s"days: ${rows.keySet}")
+      } finally f.stop()
+    }
+  }
+
   test("an unknown analytics mode is rejected loudly") {
     val records = spark.range(1).selectExpr("'m' AS name", "1L AS time",
       "1.0 AS value", "map('__name__','m') AS labels")
