@@ -989,6 +989,76 @@ object WarehouseOps extends QueryModule {
           + lit(0.0)).as("top_decile_share"))
   }
 
+  /** q194 — per-segment LORENZ CURVE + Gini (q193's grouped, dashboard
+    * form): for each market segment, the ten Lorenz points "the bottom
+    * d·10 % of customers hold s % of revenue" plus the segment's exact
+    * Gini — the concentration table behind every account-risk /
+    * fairness-of-mix review, and the r15-candidate-3 delivery. Same
+    * two-phase rank discipline as q193, PARTITIONED by segment: revenue
+    * buckets (order-preserving shiftright), in-bucket row_number AND
+    * running revenue share one (segment, vb) shuffle; per-(segment,
+    * bucket) offsets broadcast back. The decile cutoff ranks
+    * r_d = (n·d) div 10 come from a 10-row-per-segment broadcast grid;
+    * the pick of cumulative revenue AT each cutoff is a broadcast
+    * equi-join on (segment, grank = r_d), so the customer-sized frame
+    * never re-shuffles; cutoff 0 (n < 10) back-fills share 0 through
+    * the grid's left join. Accumulators follow q193: Σ rank·rev in
+    * decimal(38,0)/HUGEINT, cumulative revenue in int64 (safe: it is
+    * bounded by the segment total). */
+  def lorenzSegment(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val rev = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_custkey").as("cust"), col("rev"))
+    val bucketed = rev.withColumn("vb", shiftright(col("rev"), 16))
+    val inb = Window.partitionBy(col("segment"), col("vb"))
+      .orderBy(col("rev"), col("cust"))
+    val local = bucketed
+      .withColumn("rnl", row_number().over(inb).cast("long"))
+      .withColumn("crl", sum(col("rev")).over(
+        inb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val acrossB = Window.partitionBy(col("segment")).orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("segment"), col("vb"))
+      .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("srev"))
+      .withColumn("offn", coalesce(sum(col("cnt")).over(acrossB), lit(0L)))
+      .withColumn("offr", coalesce(sum(col("srev")).over(acrossB), lit(0L)))
+      .select(col("segment"), col("vb"), col("offn"), col("offr"))
+    val ranked = local.join(broadcast(offsets), Seq("segment", "vb"))
+      .withColumn("grank", col("rnl") + col("offn"))
+      .withColumn("cumrev", col("crl") + col("offr"))
+    val segTot = rev.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("total"))
+    val giniSeg = ranked.groupBy(col("segment"))
+      .agg(sum(col("rev").cast("decimal(38,0)") * col("grank")).as("s1"))
+      .join(broadcast(segTot), "segment")
+      .select(col("segment"),
+        (round((lit(2).cast("decimal(38,0)") * col("s1")
+            - (col("n") + 1).cast("decimal(38,0)") * col("total")).cast("double")
+          / (col("n").cast("decimal(38,0)") * col("total")).cast("double"), 6)
+          + lit(0.0)).as("gini"))
+    val cutoffs = segTot
+      .select(col("segment"), col("n"), col("total"),
+        explode(sequence(lit(1), lit(10))).as("decile"))
+      .withColumn("r_d", expr("(n * decile) div 10"))
+    val picks = ranked.select(col("segment").as("pseg"), col("grank"), col("cumrev"))
+      .join(broadcast(cutoffs), col("grank") === col("r_d") &&
+        col("pseg") === col("segment"))
+      .select(col("segment"), col("decile"), col("cumrev"))
+    cutoffs.select(col("segment"), col("decile"), col("r_d"), col("total"))
+      .join(broadcast(picks), Seq("segment", "decile"), "left_outer")
+      .join(broadcast(giniSeg), Seq("segment"))
+      .select(col("segment"), col("decile").cast("int").as("decile"),
+        col("r_d").as("cutoff_rank"),
+        (round(coalesce(col("cumrev"), lit(0L)).cast("double")
+          / col("total"), 6) + lit(0.0)).as("bottom_share"),
+        col("gini"))
+      .orderBy(col("segment"), col("decile"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q152_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "q153_graph_labelprop" -> ((s, d) => graphLabelProp(s, d)),
@@ -1013,7 +1083,8 @@ object WarehouseOps extends QueryModule {
     "q182_graph_kcore" -> ((s, d) => graphKcore(s, d)),
     "q187_ks_drift" -> ksDrift _,
     "q190_benford_audit" -> benfordAudit _,
-    "q193_gini_revenue" -> giniRevenue _
+    "q193_gini_revenue" -> giniRevenue _,
+    "q194_lorenz_segment" -> lorenzSegment _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1104,6 +1175,45 @@ object WarehouseOps extends QueryModule {
         |       round(CAST(s.top_cents AS DOUBLE) / t.total, 6) + 0.0
         |         AS top_decile_share
         |FROM t CROSS JOIN s""".stripMargin,
+    // per-segment rank/cumsum windows in the oracle; decile cutoffs via a
+    // grid left join so r_d = 0 back-fills share 0 exactly like Spark
+    "q194_lorenz_segment" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS cust,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c.c_mktsegment AS segment, r.cust, r.rev
+        |  FROM rev r JOIN customer c ON c.c_custkey = r.cust),
+        |rk AS (
+        |  SELECT segment, cust, rev,
+        |         CAST(row_number() OVER (PARTITION BY segment
+        |           ORDER BY rev, cust) AS BIGINT) AS grank,
+        |         CAST(sum(rev) OVER (PARTITION BY segment ORDER BY rev, cust
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cumrev
+        |  FROM j),
+        |t AS (SELECT segment, count(*) AS n, CAST(sum(rev) AS BIGINT) AS total
+        |      FROM j GROUP BY 1),
+        |g AS (
+        |  SELECT rk.segment,
+        |         round(CAST(2 * sum(CAST(rev AS HUGEINT) * grank)
+        |                 - (t.n + 1) * CAST(t.total AS HUGEINT) AS DOUBLE)
+        |               / CAST(CAST(t.n AS HUGEINT) * t.total AS DOUBLE), 6) + 0.0
+        |           AS gini
+        |  FROM rk JOIN t USING (segment) GROUP BY rk.segment, t.n, t.total),
+        |cut AS (
+        |  SELECT t.segment, CAST(d.range AS INT) AS decile, t.total,
+        |         (t.n * d.range) // 10 AS r_d
+        |  FROM t CROSS JOIN range(1, 11) d)
+        |SELECT cut.segment, cut.decile, CAST(cut.r_d AS BIGINT) AS cutoff_rank,
+        |       round(CAST(coalesce(rk.cumrev, 0) AS DOUBLE) / cut.total, 6) + 0.0
+        |         AS bottom_share,
+        |       g.gini
+        |FROM cut
+        |LEFT JOIN rk ON rk.segment = cut.segment AND rk.grank = cut.r_d
+        |JOIN g ON g.segment = cut.segment
+        |ORDER BY 1, 2""".stripMargin,
     // Unrolled peel at the WITNESSED round count (VERDICT r13 #6): at the
     // verify SF the support-filtered co-occurrence graph's minimum degree
     // is already >= 3, so the fixpoint loop converges in 0 effective

@@ -665,6 +665,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q194: segment Lorenz keeps every rank window partitioned and its " +
+      "offsets/cutoffs broadcast") {
+    val p = plan("q194_lorenz_segment")
+    assert(p.contains("BroadcastHashJoin"), s"q194 lost its broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the customer-sized ranked frame must never hit a sort-merge join —
+    // picks and offsets both probe it via broadcast
+    assert(!p.contains("SortMergeJoin"), s"q194 shuffles the ranked frame:\n$p")
+  }
+
   test("suite-wide: every partition-less Window sits on a provably-reduced input") {
     // VERDICT r13 #2: a Window with no partitionBy funnels its whole input
     // through ONE task — fine on a bounded histogram, a serial funnel on

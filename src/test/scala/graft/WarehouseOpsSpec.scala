@@ -446,6 +446,37 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(multi.getDouble(2) == 0.0, "per-customer totals equal → 0")
   }
 
+  test("q194: Lorenz points hit the exact decile cutoffs per segment; " +
+      "small segments back-fill share 0 below their first rank") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    // segment A: 10 customers with revenue 1..10 dollars — decile d cuts
+    // at rank d, bottom_share(d) = (Σ1..d)/55, Gini = 0.3 exactly;
+    // segment B: 4 equal customers — deciles 1-2 cut at rank 0 (share 0),
+    // Gini 0
+    val aCust = (1 to 10).map(i => (i.toLong, "A"))
+    val bCust = (11 to 14).map(i => (i.toLong, "B"))
+    (aCust ++ bCust).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val aOrders = (1 to 10).map(i => (i.toLong, i.toLong, i.toDouble))
+    val bOrders = (11 to 14).map(i => (i.toLong, i.toLong, 5.0))
+    (aOrders ++ bOrders).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = operators.WarehouseOps.lorenzSegment(spark, d).collect()
+      .map(x => (x.getString(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.size == 20, s"10 deciles × 2 segments: ${r.size}")
+    def sh(dd: Int) = BigDecimal((1 to dd).sum / 55.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 10).foreach { dd =>
+      assert(r(("A", dd)) == ((dd.toLong, sh(dd), 0.3)), s"A/$dd: ${r(("A", dd))}")
+    }
+    assert(r(("B", 1)) == ((0L, 0.0, 0.0)), s"B/1: ${r(("B", 1))}")
+    assert(r(("B", 2)) == ((0L, 0.0, 0.0)), s"B/2: ${r(("B", 2))}")
+    assert(r(("B", 5)) == ((2L, 0.5, 0.0)), s"B/5: ${r(("B", 5))}")
+    assert(r(("B", 10)) == ((4L, 1.0, 0.0)), s"B/10: ${r(("B", 10))}")
+  }
+
   test("q187: KS statistic is the exact integer-ratio sup, attained at the " +
       "smallest tied value; the 5% decision follows the classic critical value") {
     // A (days 0-1) = {1.00, 2.00, 3.00}, B (days 2-3) = {3.00, 4.00, 5.00}:
