@@ -47,13 +47,13 @@ object StreamingGrowth {
 
   private val msPerDay = 86400000L
 
-  private final class GrowthProcessor(lapse: Int)
+  private final class GrowthProcessor(lapse: Int, ttl: TTLConfig)
       extends StatefulProcessor[Long, GrowthTick, GrowthEvent] {
     @transient private var state: ValueState[GrowthState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[GrowthState]("growth",
-        Encoders.product[GrowthState], TTLConfig.NONE)
+        Encoders.product[GrowthState], ttl)
 
     override def handleInputRows(
         key: Long, rows: Iterator[GrowthTick],
@@ -97,19 +97,35 @@ object StreamingGrowth {
 
   /** @param ticks activity stream; MUST carry a watermark on `ts` (the
     *              event-time timers fire against it)
-    * @param lapse days of silence after which a user churns (q192's 7) */
-  def growthEvents(ticks: Dataset[GrowthTick], lapse: Int = 7): Dataset[GrowthEvent] = {
+    * @param lapse days of silence after which a user churns (q192's 7)
+    * @param forget optional retirement horizon for CHURNED users' state —
+    *              without it, state grows with EVER-SEEN users, not
+    *              active ones (the [[StreamingStaleness]] forgetAfter
+    *              rule). The TTL refreshes on every state write (each
+    *              activity AND the churn-time write), so the clock runs
+    *              from the churn transition; a user reviving past it
+    *              re-enters as `new` — the documented tradeoff of
+    *              forgetting, identical to a warehouse pruning its
+    *              activity history to a retention window. Set it in
+    *              production; must comfortably exceed `lapse` days or
+    *              users would be forgotten before their churn can fire. */
+  def growthEvents(ticks: Dataset[GrowthTick], lapse: Int = 7,
+                   forget: Option[java.time.Duration] = None): Dataset[GrowthEvent] = {
+    forget.foreach(f => require(f.toDays > lapse.toLong,
+      s"forget horizon $f must exceed the $lapse-day lapse window"))
     import ticks.sparkSession.implicits._
+    val ttl = forget.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
     ticks
       .groupByKey(_.user_id)
-      .transformWithState(new GrowthProcessor(lapse),
+      .transformWithState(new GrowthProcessor(lapse, ttl),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Convenience: attach a zero-delay watermark and run. */
-  def growthEventsWithWatermark(ticks: Dataset[GrowthTick],
-                                lapse: Int = 7): Dataset[GrowthEvent] = {
+  def growthEventsWithWatermark(ticks: Dataset[GrowthTick], lapse: Int = 7,
+      forget: Option[java.time.Duration] = None): Dataset[GrowthEvent] = {
     import ticks.sparkSession.implicits._
-    growthEvents(ticks.withWatermark("ts", "0 seconds").as[GrowthTick], lapse)
+    growthEvents(ticks.withWatermark("ts", "0 seconds").as[GrowthTick],
+      lapse, forget)
   }
 }
