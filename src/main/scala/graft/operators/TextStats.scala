@@ -470,16 +470,25 @@ object TextStats extends QueryModule {
     * matrix + marginal products are driver-trivial aggregates. */
   def kappaAgreement(docs: DataFrame): DataFrame = {
     val nb = nbPredictions(docs)
-      .select(col("doc_id"), col("model_lang").as("nb_pred"))
+      .select(col("doc_id"), col("model_lang").as("pred_a"))
     val heur = langIdPerDoc(docs.filter(col("doc_id") % 5 === 0))
-      .select(col("doc_id"), col("predicted").as("heur_pred"))
-    val conf = nb.join(heur, "doc_id")
-      .groupBy(col("nb_pred"), col("heur_pred")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("predicted").as("pred_b"))
+    agreementReport(nb.join(heur, "doc_id"))
+  }
+
+  /** The generic library surface under q189: Cohen's κ for ANY frame of
+    * paired labels (canonical columns `pred_a`, `pred_b` — adapt with a
+    * select, like the dedup family's `doc_id`/`text` contract). Works for
+    * any two labelers: model vs heuristic, two annotators, old vs new
+    * model version. Same exact-integer arithmetic as the query form. */
+  def agreementReport(pairs: DataFrame): DataFrame = {
+    val conf = pairs
+      .groupBy(col("pred_a"), col("pred_b")).agg(count(lit(1)).as("n"))
     val tot = conf.agg(sum(col("n")).as("n_docs"),
-      sum(when(col("nb_pred") === col("heur_pred"), col("n"))
+      sum(when(col("pred_a") === col("pred_b"), col("n"))
         .otherwise(0L)).as("n_agree"))
-    val peNum = conf.groupBy(col("nb_pred").as("l")).agg(sum(col("n")).as("row_n"))
-      .join(conf.groupBy(col("heur_pred").as("l")).agg(sum(col("n")).as("col_n")),
+    val peNum = conf.groupBy(col("pred_a").as("l")).agg(sum(col("n")).as("row_n"))
+      .join(conf.groupBy(col("pred_b").as("l")).agg(sum(col("n")).as("col_n")),
         Seq("l"))
       .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("pe_num"))
     tot.crossJoin(broadcast(peNum))

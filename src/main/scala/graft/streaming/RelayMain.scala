@@ -59,6 +59,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                    topk mode: snapshot size / tracked
   *                                    series per metric (Metwally bound:
   *                                    freq > N/capacity guaranteed present)
+  *     [--drift-relearn <days>]       drift mode: re-seal the reference
+  *                                    histogram from the scored day once
+  *                                    the reference epoch is this old
+  *                                    (default: first day is the
+  *                                    reference forever)
   *     [--grid-step 21600] [--grid-window 86400]
   *                                    range-eval mode: aligned step and
   *                                    trailing window (s) of the continuous
@@ -101,7 +106,8 @@ object RelayMain {
                      gridStep: Duration = Duration.ofSeconds(21600L),
                      gridWindow: Duration = Duration.ofSeconds(86400L),
                      driftLo: Long = 0L, driftHi: Long = 99999L,
-                     driftBins: Int = 10): DataFrame =
+                     driftBins: Int = 10,
+                     driftRelearn: Option[Int] = None): DataFrame =
     mode match {
     case "rate" =>
       StreamingRate.rateUpdates(RelayAnalytics.counterSamples(records), rateTtl).toDF()
@@ -140,7 +146,7 @@ object RelayMain {
       StreamingTrend.trendUpdates(RelayAnalytics.groupTicks(records), rateTtl).toDF()
     case "drift" =>
       StreamingDrift.driftScores(RelayAnalytics.valueTicks(records),
-        driftLo, driftHi, driftBins, rateTtl).toDF()
+        driftLo, driftHi, driftBins, driftRelearn, rateTtl).toDF()
     case other =>
       sys.error(s"--analytics $other: expected one of ${Modes.mkString("|")}")
   }
@@ -160,10 +166,11 @@ object RelayMain {
                      topkCapacity: Int = 1000, topkK: Int = 20,
                      ratioNum: String = "error", ratioDen: String = "click",
                      gridStep: Duration = Duration.ofSeconds(21600L),
-                     gridWindow: Duration = Duration.ofSeconds(86400L)): StreamingQuery = {
+                     gridWindow: Duration = Duration.ofSeconds(86400L),
+                     driftRelearn: Option[Int] = None): StreamingQuery = {
     val frame = analyticsFrame(RelayPipeline.records(bodies), mode,
       rateTtl, rangeWindow, staleAfter, topkCapacity, topkK, ratioNum, ratioDen,
-      gridStep, gridWindow)
+      gridStep, gridWindow, driftRelearn = driftRelearn)
     frame.writeStream
       .queryName(s"graft-analytics-$mode")
       .trigger(trigger)
@@ -259,7 +266,8 @@ object RelayMain {
           ratioNum = opts.getOrElse("--ratio-num", "error"),
           ratioDen = opts.getOrElse("--ratio-den", "click"),
           gridStep = Duration.ofSeconds(opts.getOrElse("--grid-step", "21600").toLong),
-          gridWindow = Duration.ofSeconds(opts.getOrElse("--grid-window", "86400").toLong))
+          gridWindow = Duration.ofSeconds(opts.getOrElse("--grid-window", "86400").toLong),
+          driftRelearn = opts.get("--drift-relearn").map(_.toInt))
       }
       if (intervalSec == 0) {
         q.processAllAvailable(); q.stop()

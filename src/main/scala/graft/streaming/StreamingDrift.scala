@@ -12,10 +12,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 final case class ValueTick(group: String, tsUs: Long, cents: Long)
 
 /** Per-group drift state: the sealed REFERENCE histogram (empty while the
-  * reference day is still open), the open day + its building histogram,
-  * and the late-row count. Size is exactly 2·nBins longs + 3 scalars per
-  * group — constant, independent of volume. */
-final case class DriftState(refHist: Seq[Long], curDay: Long,
+  * reference day is still open) and the day it was sealed on, the open
+  * day + its building histogram, and the late-row count. Size is exactly
+  * 2·nBins longs + 4 scalars per group — constant, independent of
+  * volume. */
+final case class DriftState(refHist: Seq[Long], refDay: Long, curDay: Long,
                             curHist: Seq[Long], nLate: Long)
 
 /** A sealed post-reference day scored against the reference distribution —
@@ -55,7 +56,7 @@ object StreamingDrift {
   private val usPerDay = 86400000000L
 
   private final class DriftProcessor(lo: Long, hi: Long, nBins: Int,
-                                     ttl: TTLConfig)
+                                     relearnDays: Option[Int], ttl: TTLConfig)
       extends StatefulProcessor[String, ValueTick, DriftScore] {
     @transient private var state: ValueState[DriftState] = _
 
@@ -98,7 +99,7 @@ object StreamingDrift {
         timers: TimerValues): Iterator[DriftScore] = {
       val zero = Seq.fill(nBins)(0L)
       var s = if (state.exists()) state.get()
-              else DriftState(Seq.empty, Long.MinValue, zero, 0L)
+              else DriftState(Seq.empty, Long.MinValue, Long.MinValue, zero, 0L)
       val out = Seq.newBuilder[DriftScore]
       rows.toArray.sortBy(_.tsUs).foreach { t =>
         val d = t.tsUs / usPerDay
@@ -106,9 +107,20 @@ object StreamingDrift {
         else {
           if (d > s.curDay && s.curDay != Long.MinValue) {
             // seal curDay: it becomes the reference if none exists,
-            // otherwise it scores against the reference
-            if (s.refHist.isEmpty) s = s.copy(refHist = s.curHist)
-            else out += score(key, s.curDay, s.refHist, s.curHist)
+            // otherwise it scores against the reference — and, with
+            // relearn enabled, REPLACES the reference once the epoch is
+            // relearnDays old (concept-drift-aware monitoring: the scored
+            // day becomes the new normal, so a PERMANENT regime change
+            // alarms once and then re-baselines instead of alarming
+            // forever; choose the horizon longer than any drift you must
+            // keep seeing)
+            if (s.refHist.isEmpty)
+              s = s.copy(refHist = s.curHist, refDay = s.curDay)
+            else {
+              out += score(key, s.curDay, s.refHist, s.curHist)
+              if (relearnDays.exists(r => s.curDay - s.refDay >= r))
+                s = s.copy(refHist = s.curHist, refDay = s.curDay)
+            }
             s = s.copy(curHist = zero)
           }
           val h = s.curHist.updated(bin(t.cents), s.curHist(bin(t.cents)) + 1)
@@ -122,17 +134,24 @@ object StreamingDrift {
 
   /** @param ticks the group/time/value stream
     * @param lo,hi,nBins the fixed bin layout (values clamp to [lo, hi])
+    * @param relearnDays re-seal the reference from the scored day once the
+    *              current reference epoch is this many days old (None =
+    *              the first day stays the reference forever); must exceed
+    *              0 — the scored day still ALWAYS scores against the old
+    *              reference before replacing it, so the regime-change
+    *              alarm is never swallowed
     * @param ttl   retires idle groups; a revival re-learns its reference */
   def driftScores(ticks: Dataset[ValueTick], lo: Long, hi: Long,
-                  nBins: Int = 10,
+                  nBins: Int = 10, relearnDays: Option[Int] = None,
                   ttl: Option[Duration] = None): Dataset[DriftScore] = {
     require(nBins >= 2 && hi > lo, "need a real bin layout")
+    require(relearnDays.forall(_ > 0), "relearn horizon must be positive")
     import ticks.sparkSession.implicits._
     val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
     val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     ticks
       .groupByKey(_.group)
-      .transformWithState(new DriftProcessor(lo, hi, nBins, ttlConf),
+      .transformWithState(new DriftProcessor(lo, hi, nBins, relearnDays, ttlConf),
         timeMode, OutputMode.Append())
   }
 }

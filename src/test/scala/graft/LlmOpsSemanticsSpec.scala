@@ -196,6 +196,20 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     assert(n > 0 && agree <= n)
   }
 
+  test("agreementReport: the textbook 2x2 gives the classic kappa value") {
+    import spark.implicits._
+    // Cohen's worked shape: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no →
+    // po = 35/50, pe = (25·30 + 25·20)/2500 = 0.5, κ = 0.4 exactly
+    val pairs =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = operators.TextStats.agreementReport(
+      pairs.toDF("pred_a", "pred_b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((50L, 35L)))
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((0.7, 0.5, 0.4)),
+      s"got $r")
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val sh = operators.Dedup.simhash(spark, docsDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -23,12 +23,13 @@ class StreamingDriftSpec extends AnyFunSuite {
   }
 
   private def run(name: String, batches: Seq[Seq[ValueTick]],
-                  lo: Long, hi: Long, nBins: Int = 10): Seq[DriftScore] =
+                  lo: Long, hi: Long, nBins: Int = 10,
+                  relearnDays: Option[Int] = None): Seq[DriftScore] =
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       val stream = MemoryStream[ValueTick]
-      val q = StreamingDrift.driftScores(stream.toDS(), lo, hi, nBins)
+      val q = StreamingDrift.driftScores(stream.toDS(), lo, hi, nBins, relearnDays)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
@@ -73,6 +74,31 @@ class StreamingDriftSpec extends AnyFunSuite {
     // identical binned shapes → D = 0 despite the wild value
     assert(out.head.n_ref == 2 && out.head.n_day == 2)
     assert(out.head.d_stat == 0.0 && !out.head.drifted)
+  }
+
+  test("relearn: a PERMANENT regime change alarms once, then the re-sealed " +
+      "reference adopts the new normal; without relearn it alarms forever") {
+    // day 0 (reference): low bins; days 1-4: high bins — the regime moved
+    // for good. relearnDays = 2: day 1 scores vs day 0 (drifted) but the
+    // epoch is not yet 2 days old... day 2 scores vs day 0 (drifted,
+    // epoch age 2 → re-seal to day 2's histogram); days 3-4 score vs the
+    // NEW reference (identical shape → clean). Control run without
+    // relearn stays drifted on every day.
+    val low = (0 until 100).map(i => (i % 50).toLong)
+    val high = (0 until 100).map(i => (50 + i % 50).toLong)
+    def day(d: Long, vs: Seq[Long]) =
+      vs.zipWithIndex.map { case (v, i) => ValueTick("g", dayUs(d, i), v) }
+    val ticks = day(0, low) ++ day(1, high) ++ day(2, high) ++
+      day(3, high) ++ day(4, high) :+ ValueTick("g", dayUs(5), 0L)
+    val relearned = run("drift_relearn", Seq(ticks), lo = 0, hi = 99,
+      relearnDays = Some(2)).sortBy(_.day)
+    assert(relearned.map(d => d.day -> d.drifted) ==
+      Seq(1L -> true, 2L -> true, 3L -> false, 4L -> false),
+      s"relearn: $relearned")
+    val fixed = run("drift_fixed", Seq(ticks), lo = 0, hi = 99).sortBy(_.day)
+    assert(fixed.map(d => d.day -> d.drifted) ==
+      Seq(1L -> true, 2L -> true, 3L -> true, 4L -> true),
+      s"fixed reference: $fixed")
   }
 
   test("batch parity on sf0.001: streamed KS/PSI equals scores computed from " +
