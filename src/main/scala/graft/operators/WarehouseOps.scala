@@ -1059,6 +1059,55 @@ object WarehouseOps extends QueryModule {
       .orderBy(col("segment"), col("decile"))
   }
 
+  /** q195 — THEIL–SEN robust trend per event type (Theil 1950, Sen
+    * 1968): the median of all pairwise slopes over the daily-count
+    * series, plus the matching median-residual intercept — the robust
+    * counterpart of q178's least-squares fit exactly as q131's
+    * median/MAD is to q144's mean-shift: a single corrupted day (outage,
+    * backfill spike, logging bug) moves OLS arbitrarily but cannot move
+    * a median of C(n,2) slopes (breakdown point ≈ 29 %). Shape: the
+    * heavy reduction is the (type, day) count aggregate — after it the
+    * series is HORIZON-BOUNDED (≤ days rows per type), so the pairwise
+    * slopes are a per-row array explode (q134's no-self-join rule,
+    * C(days,2) ≤ 435 at a 30-day horizon), never a join, and the median
+    * is an in-array pick at two exact 1-based positions ((n+1) div 2 and
+    * n div 2 + 1 — identical arithmetic both engines, no engine median()
+    * semantics in play). Slopes are exact-integer differences divided
+    * once into doubles; the only rounding is at output. */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("pts"),
+        count(lit(1)).as("n_days"))
+    val slopes = series.select(col("event_type"), col("n_days"),
+      expr("flatten(transform(pts, (p, i) -> " +
+        "transform(slice(pts, i + 2, size(pts)), " +
+        "q -> (q.cnt - p.cnt) / cast(q.day - p.day as double))))").as("sl"))
+      .withColumn("sl", sort_array(col("sl")))
+      .withColumn("n_pairs", size(col("sl")).cast("long"))
+      .withColumn("sen_slope",
+        (expr("element_at(sl, cast((n_pairs + 1) div 2 as int))")
+          + expr("element_at(sl, cast(n_pairs div 2 + 1 as int))")) / 2)
+    val resid = daily
+      .join(broadcast(slopes.select(col("event_type"), col("sen_slope"))),
+        "event_type")
+      .withColumn("res", col("cnt") - col("sen_slope") * col("day"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("res"))).as("rs"))
+      .withColumn("nr", size(col("rs")).cast("long"))
+      .select(col("event_type"),
+        ((expr("element_at(rs, cast((nr + 1) div 2 as int))")
+          + expr("element_at(rs, cast(nr div 2 + 1 as int))")) / 2).as("sen_icept"))
+    slopes.join(broadcast(resid), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        (round(col("sen_slope"), 6) + lit(0.0)).as("sen_slope"),
+        (round(col("sen_icept"), 6) + lit(0.0)).as("sen_intercept"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q152_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "q153_graph_labelprop" -> ((s, d) => graphLabelProp(s, d)),
@@ -1084,7 +1133,8 @@ object WarehouseOps extends QueryModule {
     "q187_ks_drift" -> ksDrift _,
     "q190_benford_audit" -> benfordAudit _,
     "q193_gini_revenue" -> giniRevenue _,
-    "q194_lorenz_segment" -> lorenzSegment _
+    "q194_lorenz_segment" -> lorenzSegment _,
+    "q195_theilsen_trend" -> theilSenTrend _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1175,6 +1225,42 @@ object WarehouseOps extends QueryModule {
         |       round(CAST(s.top_cents AS DOUBLE) / t.total, 6) + 0.0
         |         AS top_decile_share
         |FROM t CROSS JOIN s""".stripMargin,
+    // pairwise slopes via a bounded self-join on the daily aggregate (the
+    // oracle's textbook form; Spark explodes per-row arrays instead);
+    // medians as explicit two-position picks, no engine median() semantics
+    "q195_theilsen_trend" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |daily AS (
+        |  SELECT event_type, us // 86400000000 AS day, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |         (b.cnt - a.cnt) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day > a.day),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         list_sort(list(slope)) AS sl
+        |  FROM p GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n_pairs,
+        |         (sl[CAST((n_pairs + 1) // 2 AS INT)]
+        |          + sl[CAST(n_pairs // 2 + 1 AS INT)]) / 2 AS sen_slope
+        |  FROM s),
+        |r AS (
+        |  SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         list_sort(list(d.cnt - m.sen_slope * d.day)) AS rs
+        |  FROM daily d JOIN m USING (event_type) GROUP BY 1),
+        |ri AS (
+        |  SELECT event_type, n_days,
+        |         (rs[CAST((n_days + 1) // 2 AS INT)]
+        |          + rs[CAST(n_days // 2 + 1 AS INT)]) / 2 AS sen_icept
+        |  FROM r)
+        |SELECT m.event_type, ri.n_days, m.n_pairs,
+        |       round(m.sen_slope, 6) + 0.0 AS sen_slope,
+        |       round(ri.sen_icept, 6) + 0.0 AS sen_intercept
+        |FROM m JOIN ri USING (event_type)
+        |ORDER BY 1""".stripMargin,
     // per-segment rank/cumsum windows in the oracle; decile cutoffs via a
     // grid left join so r_d = 0 back-fills share 0 exactly like Spark
     "q194_lorenz_segment" ->

@@ -675,6 +675,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q194 shuffles the ranked frame:\n$p")
   }
 
+  test("q195: Theil-Sen pairs come from per-row arrays on the day aggregate — " +
+      "no self-join; the slope/residual joins broadcast") {
+    val p = plan("q195_theilsen_trend")
+    assert(!p.contains("SortMergeJoin"), s"q195 self-joins the daily series:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q195 lost its broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("suite-wide: every partition-less Window sits on a provably-reduced input") {
     // VERDICT r13 #2: a Window with no partitionBy funnels its whole input
     // through ONE task — fine on a bounded histogram, a serial funnel on

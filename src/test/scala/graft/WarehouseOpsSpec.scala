@@ -477,6 +477,34 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r(("B", 10)) == ((4L, 1.0, 0.0)), s"B/10: ${r(("B", 10))}")
   }
 
+  test("q195: Theil-Sen recovers a planted line EXACTLY through a corrupted " +
+      "day that drags OLS off it — the breakdown-point contrast, measured") {
+    // type "view": daily counts on y = 10 + 2d for days 0..8, except the
+    // LAST day carries a 1000-event spike — maximum OLS leverage (a spike
+    // at the center day x̄ would not move the OLS slope at all). Pairwise
+    // slopes not involving day 8 are exactly 2; day-8 pairs are 8 of
+    // C(9,2) = 36 — far below half, so the median slope is exactly 2.0
+    // and the median residual exactly 10.0.
+    val rows = (0 to 8).flatMap { d =>
+      val n = if (d == 8) 1000 else 10 + 2 * d
+      (0 until n).map(i => ((d * 1000 + i).toLong, day(d.toLong, i.toLong),
+        1L, "view", 1.0, "{}"))
+    }
+    val dir = writeEvents(rows)
+    val r = operators.WarehouseOps.theilSenTrend(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getLong(1), row.getLong(2)) == (("view", 9L, 36L)))
+    assert(row.getDouble(3) == 2.0, s"sen slope must ignore the spike: $row")
+    assert(row.getDouble(4) == 10.0, s"sen intercept: $row")
+    // the contrast that justifies the operator: OLS on the same series is
+    // dragged far off the true slope by the single corrupted day
+    val ols = operators.WarehouseOps.olsTrend(spark, dir).collect()
+      .filter(_.getString(0) == "view")
+    assert(ols.length == 1 && math.abs(ols.head.getDouble(2) - 2.0) > 10,
+      s"fixture too tame: OLS slope ${ols.headOption.map(_.getDouble(2))}")
+  }
+
   test("q187: KS statistic is the exact integer-ratio sup, attained at the " +
       "smallest tied value; the 5% decision follows the classic critical value") {
     // A (days 0-1) = {1.00, 2.00, 3.00}, B (days 2-3) = {3.00, 4.00, 5.00}:
