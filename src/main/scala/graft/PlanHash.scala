@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-fingerprint dump (round-15 candidate 2, pulled forward): one
+  * canonical hash per declared query's optimized physical plan, written
+  * as JSON for the gate to diff against the previous round's committed
+  * snapshot. `PlanRegressionSpec` pins the plan shapes someone THOUGHT
+  * to pin; the fingerprint diff catches EVERY silent plan change —
+  * a dropped broadcast, a new exchange, a join reorder from a Spark
+  * upgrade — and asks the round to adjudicate it in the gate transcript
+  * (informational: plans legitimately change when code does; the value
+  * is that they can no longer change unnoticed).
+  *
+  * Canonicalization strips the per-run noise that is not plan shape:
+  * expression ids (`#123`), codegen/plan ids, every filesystem path
+  * (testdata locations, Materialize temp dirs), and cached-RDD numbers —
+  * then sha-256. Stability is self-checked: each plan is rendered twice
+  * and must hash identically before the dump is written. */
+object PlanHash {
+
+  private[graft] def canonical(plan: String): String =
+    plan
+      .replaceAll("#\\d+", "#x")
+      // lambda variables carry a session-global counter (x_1, y_20, …);
+      // the name_digits# form also normalizes literal-suffixed column
+      // aliases (reject_05 → reject_n) — lossy but DETERMINISTICALLY so
+      .replaceAll("\\blambda ([a-zA-Z]+)_\\d+", "lambda $1_n")
+      .replaceAll("\\b([a-zA-Z]+)_\\d+#", "$1_n#")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[id=#x\\]", "")
+      .replaceAll("file:[^\\s,\\]\\)]+", "<path>")
+      .replaceAll("/tmp/[^\\s,\\]\\)]+", "<tmp>")
+      .replaceAll("(?m)^.*Location.*$", "Location: <path>")
+      .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
+      .replaceAll("rdd_\\d+", "rdd_x")
+      .replaceAll("@[0-9a-f]{6,}", "@x") // JVM object identity hashes
+      // JIT-assigned lambda class names: Foo$$Lambda$123/0x00007f…
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda\\$x")
+
+  private def sha(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    d.take(8).map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/plan_fingerprints.json")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var unstable = List.empty[String]
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def render() = canonical(
+        fn(spark, sfDir).queryExecution.explainString(FormattedMode))
+      val (ta, tb) = (render(), render())
+      // a few plans have genuinely nondeterministic TEXT (the
+      // multi-distinct-aggregate rewrite orders its Expand branches from
+      // hash iteration — semantically identical plans, different print);
+      // record those explicitly rather than hash noise or fail the dump
+      val v = if (ta == tb) sha(ta) else { unstable ::= name; "unstable" }
+      // debugging aid: dump the canonical text per query for cross-process
+      // diffs (sys env so the gate's invocation stays one clean arg pair)
+      sys.env.get("PLAN_DUMP_DIR").foreach { d =>
+        Files.createDirectories(Paths.get(d))
+        Files.writeString(Paths.get(s"$d/$name.txt"), ta)
+      }
+      s"""  "$name": "$v""""
+    }
+    Files.writeString(Paths.get(out),
+      entries.mkString("{\n", ",\n", "\n}\n"))
+    println(s"plan fingerprints: ${entries.length} queries -> $out" +
+      (if (unstable.nonEmpty)
+        s" (${unstable.size} text-nondeterministic, recorded as unstable: " +
+          s"${unstable.sorted.mkString(",")})"
+      else ""))
+    spark.stop()
+  }
+}

@@ -125,8 +125,22 @@ if [ $rc -ne 0 ]; then
     echo "gate: flagged queries pass warm — cold-run noise, not a regression"
   fi
 fi
+# Plan-fingerprint sweep (r14 addition): one canonical hash per query's
+# optimized plan, diffed INFORMATIONALLY against the previous round's
+# committed snapshot — PlanRegressionSpec pins the shapes someone thought
+# to pin; this surfaces every silent plan change for adjudication in the
+# transcript. Never fails the gate (plans change legitimately with code).
+echo "== gate: plan fingerprints =="
+sbt -batch "runMain graft.PlanHash /tmp/plans_new.json" || exit 1
+PREV_PLANS=$(ls plans/plan_r*.json 2>/dev/null | sort -V | tail -1)
+if [ -n "$PREV_PLANS" ]; then
+  echo "== gate: plan_diff vs $PREV_PLANS (informational) =="
+  python3 tools/plan_diff.py "$PREV_PLANS" /tmp/plans_new.json
+fi
+
 if [ -n "${ROUND:-}" ]; then
-  mkdir -p bench
+  mkdir -p bench plans
+  cp /tmp/plans_new.json "plans/plan_r${ROUND}.json"
   cp bench_out.json "bench/bench_r${ROUND}.json"
   # Record the commit the snapshot measured, so a FUTURE gate can
   # re-measure this exact code when its diff flags survive (self-witness
