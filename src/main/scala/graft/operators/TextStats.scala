@@ -503,6 +503,49 @@ object TextStats extends QueryModule {
   def kappaAgreement(spark: SparkSession, dir: String): DataFrame =
     kappaAgreement(docsTable(spark, dir))
 
+  /** q196 — the per-segment κ DRILL-DOWN the scalar q189 report points at
+    * but cannot answer: WHERE do the two labelers disagree? One κ row per
+    * TRUE label (the held-out docs' `lang`), each with its own
+    * chance-correction from that segment's marginals — the
+    * disagreement-triage view (which language's silver labels need human
+    * review) behind any two-labeler pipeline. Same exact-integer
+    * arithmetic as q189, now keyed by segment; a segment where both
+    * labelers collapse to one marginal has κ undefined (pₑ = 1), emitted
+    * as NULL identically in both engines rather than a divide-by-zero
+    * artifact. All aggregates are ≤|langs|·|labels|² — driver-trivial
+    * past q166's scoring stage. */
+  def kappaBySegment(docs: DataFrame): DataFrame = {
+    val nb = nbPredictions(docs)
+      .select(col("doc_id"), col("lang"), col("model_lang").as("pred_a"))
+    val heur = langIdPerDoc(docs.filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id"), col("predicted").as("pred_b"))
+    val conf = nb.join(heur, "doc_id")
+      .groupBy(col("lang"), col("pred_a"), col("pred_b"))
+      .agg(count(lit(1)).as("n"))
+    val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_docs"),
+      sum(when(col("pred_a") === col("pred_b"), col("n"))
+        .otherwise(0L)).as("n_agree"))
+    val peNum = conf.groupBy(col("lang"), col("pred_a").as("l"))
+      .agg(sum(col("n")).as("row_n"))
+      .join(conf.groupBy(col("lang"), col("pred_b").as("l"))
+        .agg(sum(col("n")).as("col_n")), Seq("lang", "l"))
+      .groupBy(col("lang"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("pe_num"))
+    tot.join(broadcast(peNum), "lang")
+      .select(col("lang"), col("n_docs"), col("n_agree"),
+        (round(col("n_agree").cast("double") / col("n_docs"), 6) + lit(0.0)).as("po"),
+        (round(col("pe_num").cast("double")
+          / (col("n_docs") * col("n_docs")), 6) + lit(0.0)).as("pe"),
+        when(col("n_docs") * col("n_docs") > col("pe_num"),
+          round((col("n_agree") * col("n_docs") - col("pe_num")).cast("double")
+            / (col("n_docs") * col("n_docs") - col("pe_num")), 6) + lit(0.0))
+          .as("kappa"))
+      .orderBy(col("lang"))
+  }
+
+  def kappaBySegment(spark: SparkSession, dir: String): DataFrame =
+    kappaBySegment(docsTable(spark, dir))
+
   /** q174 — χ² FEATURE SELECTION over the q166 training split: for each
     * (lang, token), the 2×2 contingency of doc-level token presence vs
     * class membership, ranked per lang — the vocabulary-pruning step that
@@ -631,7 +674,8 @@ object TextStats extends QueryModule {
     "q174_chi2_features" -> (chiSquareFeatures(_, _)),
     "q177_bigram_lm" -> (bigramLm(_, _)),
     "q188_calibration" -> (calibrationTable(_, _)),
-    "q189_kappa_agreement" -> (kappaAgreement(_, _))
+    "q189_kappa_agreement" -> (kappaAgreement(_, _)),
+    "q196_kappa_by_segment" -> (kappaBySegment(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -826,6 +870,75 @@ object TextStats extends QueryModule {
         |       round(CAST(sum(CASE WHEN model_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
         |             / count(*), 4) + 0.0 AS accuracy
         |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q189's chain grouped by the TRUE label; a segment with pe = 1 emits
+    // kappa NULL (undefined), identically in both engines
+    "q196_kappa_by_segment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE tok <> ''),
+        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
+        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
+        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
+        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
+        |stats AS (
+        |  SELECT t.model_lang,
+        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
+        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
+        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
+        |  CROSS JOIN vocab CROSS JOIN dall),
+        |model AS (
+        |  SELECT c.model_lang, c.tok,
+        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
+        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
+        |sums AS (
+        |  SELECT te.doc_id, te.lang, s.model_lang,
+        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
+        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
+        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
+        |  GROUP BY 1, 2, 3),
+        |nbp AS (
+        |  SELECT doc_id, lang, model_lang AS pred_a FROM (
+        |    SELECT doc_id, lang, model_lang,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY su.tok_q + st.prior_q DESC, model_lang) AS rn
+        |    FROM sums su JOIN stats st USING (model_lang))
+        |  WHERE rn = 1),
+        |heur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_b
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split(text,' '), t -> t IN ('the','a','data'))) AS s_en,
+        |      len(list_filter(string_split(text,' '), t -> t IN ('row','value','table'))) AS s_es,
+        |      len(list_filter(string_split(text,' '), t -> t IN ('query','join','window'))) AS s_zh
+        |    FROM documents WHERE doc_id % 5 = 0)),
+        |conf AS (
+        |  SELECT lang, pred_a, pred_b, count(*) AS n
+        |  FROM nbp JOIN heur USING (doc_id) GROUP BY 1, 2, 3),
+        |t2 AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+        |              CAST(sum(CASE WHEN pred_a = pred_b THEN n ELSE 0 END)
+        |                AS BIGINT) AS n_agree
+        |       FROM conf GROUP BY 1),
+        |pe AS (
+        |  SELECT lang, CAST(coalesce(sum(r.row_n * c.col_n), 0) AS BIGINT) AS pe_num
+        |  FROM (SELECT lang, pred_a AS l, sum(n) AS row_n FROM conf GROUP BY 1, 2) r
+        |  JOIN (SELECT lang, pred_b AS l, sum(n) AS col_n FROM conf GROUP BY 1, 2) c
+        |    USING (lang, l)
+        |  GROUP BY lang)
+        |SELECT lang, n_docs, n_agree,
+        |       round(CAST(n_agree AS DOUBLE) / n_docs, 6) + 0.0 AS po,
+        |       round(CAST(pe_num AS DOUBLE) / (n_docs * n_docs), 6) + 0.0 AS pe,
+        |       CASE WHEN n_docs * n_docs > pe_num THEN
+        |         round(CAST(n_agree * n_docs - pe_num AS DOUBLE)
+        |               / (n_docs * n_docs - pe_num), 6) + 0.0 END AS kappa
+        |FROM t2 JOIN pe USING (lang)
+        |ORDER BY lang""".stripMargin,
     // q166's model chain to per-doc NB predictions, q47's heuristic rule
     // per doc, then Cohen's kappa as one division of integer
     // cross-products: (n_agree*N - pe_num) / (N^2 - pe_num)

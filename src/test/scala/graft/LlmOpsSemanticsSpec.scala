@@ -196,6 +196,43 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     assert(n > 0 && agree <= n)
   }
 
+  test("q196: per-segment kappa equals the per-lang hand computation, and " +
+      "the segment rows reconcile with q189's pooled counts") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val nb = operators.TextStats.nbPredictions(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val heur = operators.TextStats.langIdPerDoc(
+      docs.filter(col("doc_id") % 5 === 0)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    val got = operators.TextStats.kappaBySegment(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    val byLang = nb.keySet.intersect(heur.keySet).toSeq
+      .map(d => (nb(d)._1, nb(d)._2, heur(d))).groupBy(_._1)
+    assert(got.keySet == byLang.keySet, s"segments: ${got.keySet}")
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length.toLong
+      val agree = rows.count(r => r._2 == r._3).toLong
+      val peNum = rows.groupBy(_._2).map { case (l, rs) =>
+        rs.length.toLong * rows.count(_._3 == l)
+      }.sum
+      val expect =
+        if (n * n > peNum)
+          Some(BigDecimal((agree * n - peNum).toDouble / (n * n - peNum))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      assert(got(lang)._1 == n && got(lang)._2 == agree, s"$lang: ${got(lang)}")
+      assert(got(lang)._3 == expect, s"$lang kappa: ${got(lang)._3} vs $expect")
+    }
+    // the segment rows pool back to q189's totals
+    val pooled = operators.TextStats.kappaAgreement(spark, dir).collect()(0)
+    assert(got.values.map(_._1).sum == pooled.getLong(0))
+    assert(got.values.map(_._2).sum == pooled.getLong(1))
+  }
+
   test("agreementReport: the textbook 2x2 gives the classic kappa value") {
     import spark.implicits._
     // Cohen's worked shape: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no →

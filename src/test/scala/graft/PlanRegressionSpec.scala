@@ -627,14 +627,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q189: kappa's confusion/marginal joins ride broadcasts; no cartesian") {
+  test("q189/q196: kappa's confusion/marginal joins ride broadcasts; no cartesian") {
     // past q166's scoring (vocab-keyed, separately pinned) everything is
     // held-out-sized: the per-doc prediction join and the ≤|langs|²
     // marginal joins must never become data-sized shuffles
-    val p = plan("q189_kappa_agreement")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"q189 lost its broadcasts:\n$p")
+    Seq("q189_kappa_agreement", "q196_kappa_by_segment").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its broadcasts:\n$p")
+    }
   }
 
   test("q190: Benford is one scan + a 9-digit grid join — no sort-merge anywhere") {
