@@ -47,15 +47,40 @@ object PlanHash {
     d.take(8).map("%02x".format(_)).mkString
   }
 
+  /** Structural features of a formatted plan — the subset of plan shape
+    * the gate HARD-fails on (round-15 policy, VERDICT r14 #4): the join
+    * strategy census and the exchange counts. A text-hash change can be a
+    * renamed alias; a BroadcastHashJoin flipping to SortMergeJoin, or a
+    * new shuffle Exchange appearing, is exactly the silent scale
+    * regression the fingerprints exist to catch. Parsed from the
+    * FormattedMode node headers (`(12) SortMergeJoin …`), so the feature
+    * string is stable even for the two queries whose Expand TEXT is
+    * nondeterministic — node multisets don't depend on branch print
+    * order. */
+  private[graft] def features(plan: String): String = {
+    val node = "(?m)^\\s*\\(\\d+\\)\\s+([A-Za-z]+)".r
+    val names = node.findAllMatchIn(plan).map(_.group(1)).toSeq
+    val joins = names.filter(n => n.contains("Join") || n == "CartesianProduct")
+      .groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (n, xs) => s"$n:${xs.size}" }.mkString(",")
+    val shuffles = names.count(_ == "Exchange")
+    val bcasts = names.count(_ == "BroadcastExchange")
+    s"joins=[$joins] shuffles=$shuffles broadcasts=$bcasts"
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/plan_fingerprints.json")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // demo/CI hook for the structural guard: prove a forced join-strategy
+    // flip (broadcast pins dropped session-wide) fails the plan gate
+    if (sys.env.contains("PLAN_HASH_NO_BROADCAST"))
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var unstable = List.empty[String]
     val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -65,15 +90,19 @@ object PlanHash {
       // a few plans have genuinely nondeterministic TEXT (the
       // multi-distinct-aggregate rewrite orders its Expand branches from
       // hash iteration — semantically identical plans, different print);
-      // record those explicitly rather than hash noise or fail the dump
+      // record those explicitly rather than hash noise or fail the dump.
+      // Their structural FEATURES are still well-defined (node multisets
+      // don't care about print order) and must agree across renders.
       val v = if (ta == tb) sha(ta) else { unstable ::= name; "unstable" }
+      val (fa, fb) = (features(ta), features(tb))
+      val f = if (fa == fb) fa else "unstable"
       // debugging aid: dump the canonical text per query for cross-process
       // diffs (sys env so the gate's invocation stays one clean arg pair)
       sys.env.get("PLAN_DUMP_DIR").foreach { d =>
         Files.createDirectories(Paths.get(d))
         Files.writeString(Paths.get(s"$d/$name.txt"), ta)
       }
-      s"""  "$name": "$v""""
+      s"""  "$name": {"h": "$v", "f": "$f"}"""
     }
     Files.writeString(Paths.get(out),
       entries.mkString("{\n", ",\n", "\n}\n"))

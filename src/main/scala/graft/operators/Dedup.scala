@@ -257,13 +257,18 @@ object Dedup extends QueryModule {
       .withColumn("sz", size(col("shd")))
     // sound size prune BEFORE the arrays ship (see scaladoc): pairs whose
     // set sizes already bound Jaccard below the threshold never join the
-    // shingle arrays — only 8-byte sizes cross the wire for them
+    // shingle arrays — only 8-byte sizes cross the wire for them. The
+    // bound carries a half-ulp-of-the-rounding margin (ADVICE r14): the
+    // final filter keeps jaccard ROUNDED to 6 decimals ≥ t, so a pair
+    // with true J ∈ [t − 5e-7, t) survives it; since J ≤ min/max, such a
+    // pair has min ≥ (t − 5e-7)·max and the margined prune keeps it too —
+    // prune and verify can never disagree on a boundary pair
     val sizes = sets.select(col("doc_id"), col("sz"))
     val pruned = cand
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
       .filter(least(col("sa"), col("sb")).cast("double") >=
-        lit(threshold) * greatest(col("sa"), col("sb")))
+        lit(threshold - 5e-7) * greatest(col("sa"), col("sb")))
     pruned
       .join(sets.select(col("doc_id").as("a"), col("shd").as("sha")), "a")
       .join(sets.select(col("doc_id").as("b"), col("shd").as("shb")), "b")

@@ -1082,6 +1082,11 @@ object WarehouseOps extends QueryModule {
     val series = daily.groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("pts"),
         count(lit(1)).as("n_days"))
+      // a single-active-day type has zero pairwise slopes — the oracle's
+      // self-join drops it (no b.day > a.day row survives the inner
+      // joins); dropping it here too keeps both engines identical instead
+      // of element_at(sl, 0) throwing on the empty array (ADVICE r14)
+      .filter(col("n_days") >= 2)
     val slopes = series.select(col("event_type"), col("n_days"),
       expr("flatten(transform(pts, (p, i) -> " +
         "transform(slice(pts, i + 2, size(pts)), " +

@@ -35,6 +35,15 @@ final case class GrowthEvent(user_id: Long, day_no: Long, cls: String)
   * passes it). A revival after churn emits `resurrected`, matching the
   * batch classification of a > lapse gap.
   *
+  * Churn does NOT depend on the timer actually having fired: a revival
+  * that arrives while the deadline is still armed (watermark behind it),
+  * or a > lapse gap bridged entirely inside one micro-batch (deadline
+  * never armed), emits the owed `churned` event INLINE at
+  * `lastDay + lapse` before the resurrection — so the event log is
+  * micro-batch-packing-independent and equal to batch q192's derivation;
+  * the timer path remains only for silence with no later activity
+  * (ADVICE r14 fix, pinned by the one-batch-gap spec).
+  *
   * This is [[StreamingStaleness]]'s timer-driven absence pattern moved
   * from processing time to EVENT time: deadlines live in the data's own
   * clock, so replays and backfills produce the identical event log —
@@ -61,15 +70,32 @@ object StreamingGrowth {
       val out = Seq.newBuilder[GrowthEvent]
       var s = if (state.exists()) Some(state.get()) else None
       val dayBefore = s.map(_.lastDay)
+      // Whether the churn for the CURRENT lastDay is still owed: a stored
+      // timerMs > 0 means the deadline is armed but has not fired (the
+      // expired-timer handler zeroes it); timerMs == 0 with existing state
+      // means the churn already fired. Days processed WITHIN this batch
+      // set it true — their deadline was never armed at all, so a further
+      // > lapse gap inside the same batch must emit the churn inline
+      // (ADVICE r14: a revival arriving before the armed timer fires, or
+      // a gap bridged entirely inside one micro-batch, must not lose the
+      // churn event batch q192 derives at lastDay + lapse).
+      var churnPending = s.exists(_.timerMs > 0L)
       rows.toArray.map(_.ts.getTime / msPerDay).sorted.distinct.foreach { d =>
         s match {
           case None =>
             out += GrowthEvent(key, d, "new")
             s = Some(GrowthState(d, 0L))
+            churnPending = true
           case Some(st) if d > st.lastDay =>
-            out += GrowthEvent(key, d,
-              if (d - st.lastDay <= lapse) "retained" else "resurrected")
+            if (d - st.lastDay <= lapse)
+              out += GrowthEvent(key, d, "retained")
+            else {
+              if (churnPending)
+                out += GrowthEvent(key, st.lastDay + lapse, "churned")
+              out += GrowthEvent(key, d, "resurrected")
+            }
             s = Some(st.copy(lastDay = d))
+            churnPending = true
           case _ => () // same-day repeat (or late row behind lastDay): no event
         }
       }

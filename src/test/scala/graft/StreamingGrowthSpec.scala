@@ -47,19 +47,45 @@ class StreamingGrowthSpec extends AnyFunSuite {
     val out = run("gr_life", Seq(
       Seq(tick(1, 0), tick(2, 0)),
       Seq(tick(1, 1), tick(2, 1)),
-      Seq(tick(2, 10)),          // u2 revives past the lapse; u1 stays silent
+      Seq(tick(2, 10)),          // u2 revives past the lapse BEFORE its timer
       Seq(tick(3, 20)),          // watermark → day 10: u1's day-9 deadline fires
       Seq(tick(3, 30))))         // watermark → day 20: u2's day-18 deadline fires
     val byUser = out.groupBy(_.user_id).view
-      .mapValues(_.sortBy(_.day_no).map(e => (e.day_no, e.cls)).toList).toMap
+      .mapValues(_.sortBy(e => (e.day_no, e.cls)).map(e => (e.day_no, e.cls)).toList).toMap
     assert(byUser(1L) == List((D, "new"), (D + 1, "retained"), (D + 8, "churned")),
       s"u1: ${byUser.get(1L)}")
-    assert(byUser(2L) == List((D, "new"), (D + 1, "retained"),
+    // u2's day-10 revival lands while the day-9 deadline is still armed
+    // (watermark = day 1): the churn batch q192 derives at day 1+7 must
+    // STILL be emitted — inline, before the resurrection (ADVICE r14)
+    assert(byUser(2L) == List((D, "new"), (D + 1, "retained"), (D + 8, "churned"),
       (D + 10, "resurrected"), (D + 17, "churned")), s"u2: ${byUser.get(2L)}")
-    // u3's day-28 churn deadline sits beyond the final watermark (day 20),
-    // so it never fires; day 30's activity is a 10-day gap → resurrected
-    assert(byUser(3L) == List((D + 20, "new"), (D + 30, "resurrected")),
-      s"u3: ${byUser.get(3L)}")
+    // u3's day-28 timer deadline sits beyond the final watermark (day 20),
+    // but day 30's 10-day gap itself proves the day-27 churn → emitted
+    // inline with the resurrection, exactly as batch derives it
+    assert(byUser(3L) == List((D + 20, "new"), (D + 27, "churned"),
+      (D + 30, "resurrected")), s"u3: ${byUser.get(3L)}")
+  }
+
+  test("a > lapse gap packed entirely inside ONE micro-batch still emits " +
+      "the churn event (no timer was ever armed for the bridged day)") {
+    val out = run("gr_onebatch", Seq(
+      Seq(tick(1, 0), tick(1, 12)),  // new + revival in the same batch
+      Seq(tick(9, 40)),              // watermark → day 12 …
+      Seq(tick(9, 41))))             // … then day 40: u1's day-19 churn fires
+    val u1 = out.filter(_.user_id == 1L).sortBy(e => (e.day_no, e.cls))
+      .map(e => (e.day_no, e.cls))
+    // batch q192 on the same log: new@0, churned@7, resurrected@12, and
+    // the day-12+7 churn once the horizon passes — identical here, and
+    // INDEPENDENT of micro-batch packing
+    assert(u1 == List((D, "new"), (D + 7, "churned"),
+      (D + 12, "resurrected"), (D + 19, "churned")), s"u1: $u1")
+    // replaying the same log split across batches yields the identical
+    // event log (the scaladoc's replay-determinism claim, now fixture-free)
+    val out2 = run("gr_onebatch2", Seq(
+      Seq(tick(1, 0)), Seq(tick(1, 12)), Seq(tick(9, 40)), Seq(tick(9, 41))))
+    val u1b = out2.filter(_.user_id == 1L).sortBy(e => (e.day_no, e.cls))
+      .map(e => (e.day_no, e.cls))
+    assert(u1b == u1, s"packing-dependent event log: $u1b vs $u1")
   }
 
   test("a same-day replay after churn does NOT duplicate the churn event") {

@@ -1,30 +1,72 @@
 #!/usr/bin/env python3
-"""Plan-fingerprint diff: report every query whose canonicalized optimized
-plan changed since the previous round's committed snapshot (plus added /
-removed queries). INFORMATIONAL — plans legitimately change when code does;
-the point is that a silent plan change (a dropped broadcast, a new
-exchange) now surfaces in the gate transcript for adjudication instead of
-passing unnoticed. Exit 0 always.
+"""Plan-fingerprint diff with the round-15 STRUCTURAL hard-fail policy.
 
-Usage: python3 tools/plan_diff.py <old.json> <new.json>
+Two tiers (VERDICT r14 #4 decided):
+
+ - TEXT-HASH changes stay INFORMATIONAL: a canonical-text change can be a
+   renamed alias or a reordered projection — adjudicate in the round notes.
+ - STRUCTURAL changes HARD-FAIL (exit 2): for a query present in both
+   snapshots, a change in the join-strategy census or the exchange counts
+   (the `f` feature string: joins=[...] shuffles=N broadcasts=N) is
+   exactly the silent scale regression class — a broadcast pin silently
+   flipping to SortMergeJoin, a new shuffle appearing. Intentional changes
+   are acknowledged per-query via PLAN_ACK="q1 q2" (env or --ack), which
+   downgrades those queries to informational for THIS run; the updated
+   snapshot archived on PASS then becomes the new baseline.
+
+Snapshots are {"query": {"h": hash, "f": features}}; pre-r15 snapshots
+held bare hash strings — read compatibly (no feature baseline -> the
+structural check is skipped for that query, informational note only).
+
+Usage: python3 tools/plan_diff.py <old.json> <new.json> [--ack "q1 q2"]
+Exit 0 = clean/informational only; exit 2 = unacknowledged structural change.
 """
 import json
+import os
 import sys
 
-old = json.load(open(sys.argv[1]))
-new = json.load(open(sys.argv[2]))
-changed = sorted(q for q in old.keys() & new.keys() if old[q] != new[q])
+
+def norm(v):
+    if isinstance(v, str):
+        return {"h": v, "f": None}
+    return {"h": v.get("h"), "f": v.get("f")}
+
+
+old = {k: norm(v) for k, v in json.load(open(sys.argv[1])).items()}
+new = {k: norm(v) for k, v in json.load(open(sys.argv[2])).items()}
+ack = set()
+if "--ack" in sys.argv:
+    ack |= set(sys.argv[sys.argv.index("--ack") + 1].split())
+ack |= set(os.environ.get("PLAN_ACK", "").split())
+
+common = old.keys() & new.keys()
+changed = sorted(q for q in common if old[q]["h"] != new[q]["h"])
+structural = sorted(
+    q for q in common
+    if old[q]["f"] is not None and new[q]["f"] is not None
+    and old[q]["f"] != new[q]["f"])
 added = sorted(new.keys() - old.keys())
 removed = sorted(old.keys() - new.keys())
+
+hard = [q for q in structural if q not in ack]
+for q in structural:
+    tag = "PLAN STRUCTURAL" if q not in ack else "plan structural (acked)"
+    print(f"{tag}: {q}\n  old: {old[q]['f']}\n  new: {new[q]['f']}")
 for q in changed:
-    print(f"PLAN CHANGED: {q} ({old[q]} -> {new[q]})")
+    if q in structural:
+        continue
+    print(f"PLAN CHANGED: {q} ({old[q]['h']} -> {new[q]['h']})")
 for q in added:
     print(f"plan added:   {q}")
 for q in removed:
     print(f"plan removed: {q}")
-if not (changed or added or removed):
+if not (changed or structural or added or removed):
     print("plans unchanged")
 else:
-    print(f"\n{len(changed)} changed / {len(added)} added / "
-          f"{len(removed)} removed of {len(new)} plans — adjudicate "
-          f"changed entries in the round notes")
+    print(f"\n{len(changed)} hash-changed ({len(structural)} structural, "
+          f"{len(hard)} unacked) / {len(added)} added / {len(removed)} "
+          f"removed of {len(new)} plans")
+if hard:
+    print("plan_diff: FAIL — join-strategy/exchange-count change without "
+          "PLAN_ACK: " + " ".join(hard))
+    sys.exit(2)
