@@ -371,7 +371,12 @@ object Similarity extends QueryModule {
     * (cid, pos) partial sums — k·dim keys with map-side combine. Per
     * round: one corpus scan, zero corpus shuffles; this is exactly how
     * Spark MLlib's KMeans structures an iteration. */
-  def kmeansTrain(emb: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame = {
+  def kmeansTrain(emb: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame =
+    kmeansStatsFrom(kmeansAssign(emb, k, rounds))
+
+  /** The trained assignment table (vec_id, cid, d2) — the artifact the
+    * codebook training pass actually produces; q117's report reduces it. */
+  private[graft] def kmeansAssign(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val r6 = (c: Column) => round(c, 6)
     def assign(cents: DataFrame): DataFrame = {
@@ -396,18 +401,29 @@ object Similarity extends QueryModule {
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("cid"), transform(col("emb"), r6).as("cemb"))
-    val finalAssign = (1 until rounds).foldLeft(assign(init)) {
+    (1 until rounds).foldLeft(assign(init)) {
       (a, _) => assign(recompute(a))
-    }
-    finalAssign.groupBy(col("cid"))
+    }.select(col("vec_id"), col("cid"), col("d2"))
+  }
+
+  private def kmeansStatsFrom(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cid"))
       .agg(count(lit(1)).cast("long").as("n_vecs"),
         (round(avg(col("d2")), 4) + lit(0.0)).as("mean_d2"),
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
       .orderBy(col("cid"))
-  }
 
+  /** q117 through the snapshot-keyed [[Materialize]] registry (VERDICT
+    * r14 #2): the Lloyd passes run once per embeddings snapshot per
+    * process — the scaladoc's "materialized artifact, rebuilt only when
+    * the snapshot moves" made literal; the report is a k-row reduction
+    * of the cached assignment parquet. */
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
-    kmeansTrain(embTable(spark, dir))
+    kmeansStatsFrom(spark.read.parquet(Materialize.parquetDir(
+      s"kmeans-assign:$dir@${Materialize.snapshot(s"$dir/embeddings.parquet")}",
+      "graft-kmeans-assign-") {
+      kmeansAssign(embTable(spark, dir), 8, 2)
+    }))
 
   /** PageRank over a k-NN cosine graph — the graph-analytics operator
     * class (iterative joins, the Pregel-on-Spark shape GraphX uses; Page
@@ -516,41 +532,58 @@ object Similarity extends QueryModule {
     * re-rounded to 5 before ranking with a vec_id tiebreak — the fold
     * noise of adding 8 doubles (~1e-16) cannot reorder a 1e-5-grid
     * ranking except on exact ties, which the tiebreak absorbs. */
-  def pqAdc(emb: DataFrame, probePred: Column, m: Int = 8, k: Int = 16,
-            shortlist: Int = 20, topK: Int = 5): DataFrame = {
-    val r6 = (c: Column) => round(c, 6)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    // (vec_id, s, sub): the m 8-dim subvectors of every vector
-    val subs = e.select(col("vec_id"), explode(array((0 until m).map(s =>
+  /** squared L2 between two equal-length arrays (zip_with fold). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, s, sub): the m 8-dim subvectors of every vector. */
+  private def subvectors(e: DataFrame, m: Int): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until m).map(s =>
         struct(lit(s).as("s"), slice(col("emb"), s * 8 + 1, 8).as("sub"))): _*)).as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-    def assign(book: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("cid"))
-      subs.join(broadcast(book), Seq("s"))
-        .withColumn("d2", r6(d2(col("sub"), col("cemb"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("s"), col("cid"), col("sub"))
-    }
+
+  /** nearest-centroid assignment of subvectors to a per-subspace book. */
+  private def pqAssign(subs: DataFrame, book: DataFrame): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
+    val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("cid"))
+    subs.join(broadcast(book), Seq("s"))
+      .withColumn("d2", r6(sqDist(col("sub"), col("cemb"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid"), col("sub"))
+  }
+
+  /** PQ codebook training on raw subvectors: lowest-id init + one Lloyd
+    * round (q117's determinism discipline). */
+  private[graft] def pqBookOf(subs: DataFrame, k: Int): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
     val init = subs.filter(col("vec_id") < k)
       .select(col("s"), col("vec_id").cast("int").as("cid"),
         transform(col("sub"), r6).as("cemb"))
-    // one Lloyd round: element-wise means of the init assignment
-    val book = assign(init)
+    pqAssign(subs, init)
       .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
       .groupBy(col("s"), col("cid"), col("pos")).agg(avg(col("v")).as("c"))
       .groupBy(col("s"), col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("s"), col("cid"), transform(col("pc"), x => r6(x.getField("c"))).as("cemb"))
-    val codes = assign(book).select(col("vec_id"), col("s"), col("cid"))
+  }
+
+  /** ADC retrieval over PRE-TRAINED artifacts — the query-time half of
+    * q119: build the probe LUT against the book, sum table entries per
+    * (probe, vec) through the (s, code) equi-join, exact-rerank the
+    * shortlist. */
+  private def pqServe(emb: DataFrame, book: DataFrame, codes: DataFrame,
+                      probePred: Column, m: Int, shortlist: Int,
+                      topK: Int): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val subs = subvectors(e, m)
     // probe LUT: distance from every probe subvector to every centroid
     val lut = subs.join(broadcast(e.filter(probePred).select(col("vec_id").as("probe_id"))),
         col("vec_id") === col("probe_id"))
       .join(broadcast(book), Seq("s"))
       .select(col("probe_id"), col("s"), col("cid"),
-        r6(d2(col("sub"), col("cemb"))).as("pd2"))
+        r6(sqDist(col("sub"), col("cemb"))).as("pd2"))
     val wApprox = Window.partitionBy(col("probe_id"))
       .orderBy(col("approx_d2"), col("vec_id"))
     val short = codes.join(broadcast(lut), Seq("s", "cid"))
@@ -576,8 +609,34 @@ object Similarity extends QueryModule {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  def pqAdc(spark: SparkSession, dir: String): DataFrame =
-    pqAdc(embTable(spark, dir), col("vec_id") < 10)
+  def pqAdc(emb: DataFrame, probePred: Column, m: Int = 8, k: Int = 16,
+            shortlist: Int = 20, topK: Int = 5): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val subs = subvectors(e, m)
+    val book = pqBookOf(subs, k)
+    val codes = pqAssign(subs, book).select(col("vec_id"), col("s"), col("cid"))
+    pqServe(emb, book, codes, probePred, m, shortlist, topK)
+  }
+
+  /** q119 through the snapshot-keyed [[Materialize]] registry (VERDICT
+    * r14 #2): the PQ codebook and the encoded corpus are build-once
+    * artifacts — the codes build reads the MATERIALIZED book, so the
+    * Lloyd pass runs exactly once per embeddings snapshot; the query
+    * pays LUT + ADC + rerank only. */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Materialize.snapshot(s"$dir/embeddings.parquet")
+    def subsOf() = subvectors(embTable(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), 8)
+    val bookDir = Materialize.parquetDir(
+      s"pq-book:$dir@$snap", "graft-pq-book-") { pqBookOf(subsOf(), 16) }
+    val codesDir = Materialize.parquetDir(
+      s"pq-codes:$dir@$snap", "graft-pq-codes-") {
+      pqAssign(subsOf(), spark.read.parquet(bookDir))
+        .select(col("vec_id"), col("s"), col("cid"))
+    }
+    pqServe(embTable(spark, dir), spark.read.parquet(bookDir),
+      spark.read.parquet(codesDir), col("vec_id") < 10, 8, 20, 5)
+  }
 
   /** Full IVFADC (Jégou, Douze & Schmid, TPAMI 2011): the q53/q117 coarse
     * quantizer restricts the search to `nprobe` inverted lists, and
@@ -599,53 +658,77 @@ object Similarity extends QueryModule {
     * codebook pass and the ADC join keys on (list, subspace, code), so
     * IVF pruning happens IN the equi-join key: candidates outside the
     * probed lists never materialize. Nothing quadratic anywhere. */
-  def ivfAdc(emb: DataFrame, probePred: Column, kc: Int = 8, nprobe: Int = 2,
-             m: Int = 8, kp: Int = 16, shortlist: Int = 20, topK: Int = 5): DataFrame = {
+  /** element-wise means of assigned vectors per key — the Lloyd update. */
+  private def ivfMeansOf(assigned: DataFrame, key: Seq[String],
+                         vec: String): DataFrame = {
     val r6 = (c: Column) => round(c, 6)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-    def meansOf(assigned: DataFrame, key: Seq[String], vec: String): DataFrame =
-      assigned
-        .select(key.map(col) :+ posexplode(col(vec)).as(Seq("pos", "v")): _*)
-        .groupBy((key :+ "pos").map(col): _*).agg(avg(col("v")).as("c"))
-        .groupBy(key.map(col): _*)
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(key.map(col) :+ transform(col("pc"), x => r6(x.getField("c"))).as("cemb"): _*)
-    // ---- coarse quantizer (q117's two-round discipline, k = kc) ----
-    def cAssign(book: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("ccid"))
-      e.crossJoin(broadcast(book))
-        .withColumn("d2", r6(d2(col("emb"), col("cemb"))))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("ccid"), col("emb"))
-    }
+    assigned
+      .select(key.map(col) :+ posexplode(col(vec)).as(Seq("pos", "v")): _*)
+      .groupBy((key :+ "pos").map(col): _*).agg(avg(col("v")).as("c"))
+      .groupBy(key.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(key.map(col) :+ transform(col("pc"), x => r6(x.getField("c"))).as("cemb"): _*)
+  }
+
+  /** coarse assignment of the corpus to broadcast centroids. */
+  private def ivfCAssign(e: DataFrame, book: DataFrame): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("ccid"))
+    e.crossJoin(broadcast(book))
+      .withColumn("d2", r6(sqDist(col("emb"), col("cemb"))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid"), col("emb"))
+  }
+
+  /** coarse quantizer training (q117's two-round discipline, k = kc). */
+  private[graft] def ivfCoarseBook(e: DataFrame, kc: Int): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
     val cInit = e.orderBy(col("vec_id")).limit(kc)
       .withColumn("ccid", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("ccid"), transform(col("emb"), r6).as("cemb"))
-    val cBook = meansOf(cAssign(cInit).withColumnRenamed("emb", "vec"), Seq("ccid"), "vec")
-    val assigned = cAssign(cBook)
-    // ---- residuals and their subvectors ----
-    val resid = assigned.join(broadcast(cBook), "ccid")
+    ivfMeansOf(ivfCAssign(e, cInit).withColumnRenamed("emb", "vec"),
+      Seq("ccid"), "vec")
+  }
+
+  /** residual subvectors (vec_id, ccid, s, sub) against a coarse book. */
+  private def ivfResidSubs(e: DataFrame, cBook: DataFrame, m: Int): DataFrame = {
+    val resid = ivfCAssign(e, cBook).join(broadcast(cBook), "ccid")
       .select(col("vec_id"), col("ccid"),
         zip_with(col("emb"), col("cemb"), (x, y) => x - y).as("res"))
-    val rsubs = resid.select(col("vec_id"), col("ccid"), explode(array((0 until m).map(s =>
+    resid.select(col("vec_id"), col("ccid"), explode(array((0 until m).map(s =>
         struct(lit(s).as("s"), slice(col("res"), s * 8 + 1, 8).as("sub"))): _*)).as("x"))
       .select(col("vec_id"), col("ccid"), col("x.s").as("s"), col("x.sub").as("sub"))
-    // ---- PQ codebook on residual subvectors (q119's discipline) ----
-    def pAssign(book: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("pcid"))
-      rsubs.join(broadcast(book), Seq("s"))
-        .withColumn("d2", r6(d2(col("sub"), col("pcemb"))))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("ccid"), col("s"), col("pcid"), col("sub"))
-    }
+  }
+
+  /** residual-subvector assignment to a per-subspace PQ book. */
+  private def ivfPAssign(rsubs: DataFrame, book: DataFrame): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
+    val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("pcid"))
+    rsubs.join(broadcast(book), Seq("s"))
+      .withColumn("d2", r6(sqDist(col("sub"), col("pcemb"))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid"), col("s"), col("pcid"), col("sub"))
+  }
+
+  /** residual PQ codebook (q119's discipline on residual subvectors). */
+  private[graft] def ivfPqBook(rsubs: DataFrame, kp: Int): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
     val pInit = rsubs.filter(col("vec_id") < kp)
       .select(col("s"), col("vec_id").cast("int").as("pcid"),
         transform(col("sub"), r6).as("pcemb"))
-    val pBook = meansOf(pAssign(pInit), Seq("s", "pcid"), "sub")
+    ivfMeansOf(ivfPAssign(rsubs, pInit), Seq("s", "pcid"), "sub")
       .withColumnRenamed("cemb", "pcemb")
-    val codes = pAssign(pBook).select(col("vec_id"), col("ccid"), col("s"), col("pcid"))
+  }
+
+  /** IVFADC retrieval over PRE-TRAINED artifacts — the query-time half of
+    * q120: nprobe nearest lists per probe, residual LUT per list, ADC
+    * through the (ccid, s, pcid) equi-join, exact rerank. */
+  private def ivfServe(emb: DataFrame, cBook: DataFrame, pBook: DataFrame,
+                       codes: DataFrame, probePred: Column, nprobe: Int,
+                       m: Int, shortlist: Int, topK: Int): DataFrame = {
+    val r6 = (c: Column) => round(c, 6)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def d2(a: Column, b: Column): Column = sqDist(a, b)
     // ---- probe side: nprobe nearest lists, residual LUT per list ----
     val probes = e.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
@@ -684,8 +767,46 @@ object Similarity extends QueryModule {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  def ivfAdc(spark: SparkSession, dir: String): DataFrame =
-    ivfAdc(embTable(spark, dir), col("vec_id") < 10)
+  def ivfAdc(emb: DataFrame, probePred: Column, kc: Int = 8, nprobe: Int = 2,
+             m: Int = 8, kp: Int = 16, shortlist: Int = 20, topK: Int = 5): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cBook = ivfCoarseBook(e, kc)
+    val rsubs = ivfResidSubs(e, cBook, m)
+    val pBook = ivfPqBook(rsubs, kp)
+    val codes = ivfPAssign(rsubs, pBook)
+      .select(col("vec_id"), col("ccid"), col("s"), col("pcid"))
+    ivfServe(emb, cBook, pBook, codes, probePred, nprobe, m, shortlist, topK)
+  }
+
+  /** q120 through the snapshot-keyed [[Materialize]] registry (VERDICT
+    * r14 #2): the coarse book, the residual PQ book, and the encoded
+    * corpus are each build-once parquet artifacts — downstream builds
+    * read the upstream artifact (pBook reads the materialized cBook,
+    * codes read both), so BOTH Lloyd passes run exactly once per
+    * embeddings snapshot; the query itself pays list-probe + LUT + ADC
+    * + rerank only — the suite's slowest query drops to serving cost. */
+  def ivfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Materialize.snapshot(s"$dir/embeddings.parquet")
+    def eOf() = embTable(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cBookDir = Materialize.parquetDir(
+      s"ivfadc-cbook:$dir@$snap", "graft-ivfadc-cbook-") {
+      ivfCoarseBook(eOf(), 8)
+    }
+    val pBookDir = Materialize.parquetDir(
+      s"ivfadc-pbook:$dir@$snap", "graft-ivfadc-pbook-") {
+      ivfPqBook(ivfResidSubs(eOf(), spark.read.parquet(cBookDir), 8), 16)
+    }
+    val codesDir = Materialize.parquetDir(
+      s"ivfadc-codes:$dir@$snap", "graft-ivfadc-codes-") {
+      ivfPAssign(ivfResidSubs(eOf(), spark.read.parquet(cBookDir), 8),
+        spark.read.parquet(pBookDir))
+        .select(col("vec_id"), col("ccid"), col("s"), col("pcid"))
+    }
+    ivfServe(embTable(spark, dir), spark.read.parquet(cBookDir),
+      spark.read.parquet(pBookDir), spark.read.parquet(codesDir),
+      col("vec_id") < 10, 2, 8, 20, 5)
+  }
 
   /** q159 — embedding dimension health report: per-dimension n/mean/std
     * over the whole corpus plus each dimension's rank by variance — the

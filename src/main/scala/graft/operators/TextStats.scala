@@ -358,10 +358,52 @@ object TextStats extends QueryModule {
     (model, stats)
   }
 
+  /** The q166 model chain, materialized ONCE per docs snapshot (VERDICT
+    * r14 #1 — the r13 componentLabels pattern): six queries (q166, q172,
+    * q188, q189, q196 — and StreamingClassifier's fit) consume a model
+    * that never changes between them, so the (model, stats) frames and
+    * the held-out scores frame are snapshot-keyed parquet artifacts in
+    * the [[Materialize]] registry — the training pass runs once per
+    * corpus snapshot per process, every consumer reads scored parquet.
+    * At 100 TB this IS the production shape: a model registry entry plus
+    * a scored-eval table, rebuilt only when the corpus snapshot moves. */
+  private[graft] def nbModelFramesCached(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val snap = Materialize.snapshot(s"$dir/documents.parquet")
+    val modelDir = Materialize.parquetDir(
+      s"nb-model:$dir@$snap", "graft-nb-model-") {
+      nbModelFrames(docsTable(spark, dir))._1
+    }
+    val statsDir = Materialize.parquetDir(
+      s"nb-stats:$dir@$snap", "graft-nb-stats-") {
+      nbModelFrames(docsTable(spark, dir))._2
+    }
+    (spark.read.parquet(modelDir), spark.read.parquet(statsDir))
+  }
+
+  /** Held-out scores (doc_id, lang, model_lang, score_q), materialized
+    * once per docs snapshot; scoring reads the cached model frames, so
+    * even the first consumer pays training exactly once. */
+  private[graft] def nbScoresCached(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the model artifacts BEFORE entering the scores build:
+    // Materialize's computeIfAbsent must not nest (recursive-update guard)
+    val (model, stats) = nbModelFramesCached(spark, dir)
+    spark.read.parquet(Materialize.parquetDir(
+      s"nb-scores:$dir@${Materialize.snapshot(s"$dir/documents.parquet")}",
+      "graft-nb-scores-") {
+      nbScoresFrom(docsTable(spark, dir), model, stats)
+    })
+  }
+
   /** Per-held-out-doc per-language score: (doc_id, lang, model_lang,
     * score_q) — exact integer micro-nats. */
   private[graft] def nbScores(docs: DataFrame): DataFrame = {
     val (model, stats) = nbModelFrames(docs)
+    nbScoresFrom(docs, model, stats)
+  }
+
+  private def nbScoresFrom(docs: DataFrame, model: DataFrame,
+                           stats: DataFrame): DataFrame = {
     val test = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -377,10 +419,13 @@ object TextStats extends QueryModule {
   }
 
   /** Per-held-out-doc prediction: (doc_id, lang, model_lang). */
-  private[graft] def nbPredictions(docs: DataFrame): DataFrame = {
+  private[graft] def nbPredictions(docs: DataFrame): DataFrame =
+    nbPredictionsFromScores(nbScores(docs))
+
+  private def nbPredictionsFromScores(scores: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_q").desc, col("model_lang"))
-    nbScores(docs)
+    scores
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("model_lang"))
@@ -395,15 +440,28 @@ object TextStats extends QueryModule {
     * global rank runs over the held-out docs only (an eval set is orders
     * smaller than the corpus; at larger eval sizes the same identity
     * distributes by partition-ranked prefix sums). */
-  def classifierAuc(docs: DataFrame, posLang: String = "en"): DataFrame = {
-    val s = nbScores(docs).filter(col("model_lang") === posLang)
+  def classifierAuc(docs: DataFrame, posLang: String = "en"): DataFrame =
+    classifierAucFromScores(nbScores(docs), posLang)
+
+  private def classifierAucFromScores(scores: DataFrame,
+                                      posLang: String): DataFrame = {
+    val s = scores.filter(col("model_lang") === posLang)
       .select((col("lang") === posLang).cast("long").as("y"), col("score_q"))
-    val r2 = s
-      .withColumn("rnk", rank().over(Window.orderBy(col("score_q"))))
-      .withColumn("tied", count(lit(1)).over(Window.partitionBy(col("score_q"))))
-      .withColumn("r2", lit(2L) * col("rnk") + col("tied") - 1L)
-    r2.agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"),
-        sum(when(col("y") === 1L, col("r2")).otherwise(0L)).as("r2s"))
+    // counts-of-scores first (r15): every row with score s shares
+    // rank = 1 + Σ_{s'<s} c_{s'} and tie count c_s, so the per-row
+    // 2·rank + tied − 1 collapses to one value per DISTINCT score and
+    // r2s = Σ_s p_s·r2(s) — identical integers, and the one global
+    // running sum now rides the score-distinct AGGREGATE (guard-
+    // sanctioned, q187's discipline) instead of a row-grain window
+    val byScore = s.groupBy(col("score_q"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val wCum = Window.orderBy(col("score_q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = byScore
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .withColumn("r2", lit(2L) * (col("cum_before") + 1L) + col("c") - 1L)
+    r2.agg(sum(col("p")).as("n_pos"), sum(col("c") - col("p")).as("n_neg"),
+        sum(col("p") * col("r2")).as("r2s"))
       .select(col("n_pos"), col("n_neg"),
         (round((col("r2s").cast("double") / 2
             - col("n_pos").cast("double") * (col("n_pos") + 1) / 2)
@@ -411,7 +469,7 @@ object TextStats extends QueryModule {
   }
 
   def classifierAuc(spark: SparkSession, dir: String): DataFrame =
-    classifierAuc(docsTable(spark, dir))
+    classifierAucFromScores(nbScoresCached(spark, dir), "en")
 
   /** q188 — CALIBRATION TABLE for the q166 classifier: held-out accuracy
     * by CONFIDENCE-MARGIN quintile, where margin = best score − runner-up
@@ -425,10 +483,14 @@ object TextStats extends QueryModule {
     * sample-sized at any corpus scale, the same justification as q130's
     * quintiles); accuracy is the one division per bucket, rounded with
     * the signed-zero convention. */
-  def calibrationTable(docs: DataFrame, buckets: Int = 5): DataFrame = {
+  def calibrationTable(docs: DataFrame, buckets: Int = 5): DataFrame =
+    calibrationFromScores(nbScores(docs), buckets)
+
+  private def calibrationFromScores(scores: DataFrame,
+                                    buckets: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_q").desc, col("model_lang"))
-    val per = nbScores(docs)
+    val per = scores
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .groupBy(col("doc_id"), col("lang"))
@@ -450,7 +512,7 @@ object TextStats extends QueryModule {
   }
 
   def calibrationTable(spark: SparkSession, dir: String): DataFrame =
-    calibrationTable(docsTable(spark, dir))
+    calibrationFromScores(nbScoresCached(spark, dir), 5)
 
   /** q189 — INTER-CLASSIFIER AGREEMENT (Cohen's κ, 1960) between the
     * trained NB classifier (q166) and the fixed-profile heuristic (q47)
@@ -468,9 +530,12 @@ object TextStats extends QueryModule {
     * stage is q166's scoring (vocab-keyed joins, already audited); past
     * it everything is held-out-doc-sized, and the ≤|langs|² confusion
     * matrix + marginal products are driver-trivial aggregates. */
-  def kappaAgreement(docs: DataFrame): DataFrame = {
-    val nb = nbPredictions(docs)
-      .select(col("doc_id"), col("model_lang").as("pred_a"))
+  def kappaAgreement(docs: DataFrame): DataFrame =
+    kappaFromPredictions(nbPredictions(docs), docs)
+
+  private def kappaFromPredictions(preds: DataFrame,
+                                   docs: DataFrame): DataFrame = {
+    val nb = preds.select(col("doc_id"), col("model_lang").as("pred_a"))
     val heur = langIdPerDoc(docs.filter(col("doc_id") % 5 === 0))
       .select(col("doc_id"), col("predicted").as("pred_b"))
     agreementReport(nb.join(heur, "doc_id"))
@@ -501,7 +566,8 @@ object TextStats extends QueryModule {
   }
 
   def kappaAgreement(spark: SparkSession, dir: String): DataFrame =
-    kappaAgreement(docsTable(spark, dir))
+    kappaFromPredictions(nbPredictionsFromScores(nbScoresCached(spark, dir)),
+      docsTable(spark, dir))
 
   /** q196 — the per-segment κ DRILL-DOWN the scalar q189 report points at
     * but cannot answer: WHERE do the two labelers disagree? One κ row per
@@ -514,8 +580,12 @@ object TextStats extends QueryModule {
     * as NULL identically in both engines rather than a divide-by-zero
     * artifact. All aggregates are ≤|langs|·|labels|² — driver-trivial
     * past q166's scoring stage. */
-  def kappaBySegment(docs: DataFrame): DataFrame = {
-    val nb = nbPredictions(docs)
+  def kappaBySegment(docs: DataFrame): DataFrame =
+    kappaBySegmentFrom(nbPredictions(docs), docs)
+
+  private def kappaBySegmentFrom(preds: DataFrame,
+                                 docs: DataFrame): DataFrame = {
+    val nb = preds
       .select(col("doc_id"), col("lang"), col("model_lang").as("pred_a"))
     val heur = langIdPerDoc(docs.filter(col("doc_id") % 5 === 0))
       .select(col("doc_id"), col("predicted").as("pred_b"))
@@ -544,7 +614,8 @@ object TextStats extends QueryModule {
   }
 
   def kappaBySegment(spark: SparkSession, dir: String): DataFrame =
-    kappaBySegment(docsTable(spark, dir))
+    kappaBySegmentFrom(nbPredictionsFromScores(nbScoresCached(spark, dir)),
+      docsTable(spark, dir))
 
   /** q174 — χ² FEATURE SELECTION over the q166 training split: for each
     * (lang, token), the 2×2 contingency of doc-level token presence vs
@@ -645,8 +716,11 @@ object TextStats extends QueryModule {
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLm(docsTable(spark, dir))
 
-  def nbLangClassifier(docs: DataFrame): DataFrame = {
-    nbPredictions(docs)
+  def nbLangClassifier(docs: DataFrame): DataFrame =
+    nbAccuracyFrom(nbPredictions(docs))
+
+  private def nbAccuracyFrom(preds: DataFrame): DataFrame = {
+    preds
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("model_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
@@ -656,7 +730,7 @@ object TextStats extends QueryModule {
   }
 
   def nbLangClassifier(spark: SparkSession, dir: String): DataFrame =
-    nbLangClassifier(docsTable(spark, dir))
+    nbAccuracyFrom(nbPredictionsFromScores(nbScoresCached(spark, dir)))
 
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,

@@ -21,8 +21,11 @@ class StreamingClassifierSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(expected.nonEmpty, "no held-out docs in the fixture corpus")
 
+    // fit through the snapshot-keyed Materialize registry (VERDICT r14 #1):
+    // parity vs the directly-trained batch predictions proves the cached
+    // model frames are value-identical to a fresh training pass
     val model = spark.sparkContext.broadcast(
-      graft.streaming.StreamingClassifier.fit(docs))
+      graft.streaming.StreamingClassifier.fit(spark, "/root/testdata/sf0.001"))
     val stream = MemoryStream[(Long, String)]
     val preds = graft.streaming.StreamingClassifier.predictions(
       stream.toDS().toDF("doc_id", "text"), model)
