@@ -16,13 +16,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    // SPARK_GRAFT_BENCH_COLD=1 (VERDICT r14 #6): fresh SparkContext per
+    // query, no warmup pass, reps forced to 1, and the Materialize
+    // registry reset before each query — the measured in-repo counterpart
+    // of the driver's first-rep cold numbers. What it CANNOT reset on an
+    // unprivileged box: the OS page cache and JVM JIT state (documented;
+    // a root-owned `echo 3 > drop_caches` harness would close that gap).
+    // Never diff cold snapshots against warm ones.
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    var spark = buildSession()
     // noop sink: forces FULL computation of every column. count() would let
     // Catalyst prune projections (md5/minhash/json work) on non-aggregating
     // queries and report fantasy timings. A failing query is RECORDED (null
@@ -50,7 +62,7 @@ object Bench {
     // per-round snapshot — reports min-of-3 warm.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS") match {
+    val reps = if (cold) 1 else sys.env.get("SPARK_GRAFT_BENCH_REPS") match {
       case None => 3
       case Some(s) => s.toIntOption.filter(_ >= 1).getOrElse {
         System.err.println(
@@ -60,7 +72,7 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
-    ordered.foreach { case (_, fn) => run(fn) }
+    if (!cold) ordered.foreach { case (_, fn) => run(fn) }
     // SPARK_GRAFT_BENCH_CONCURRENCY=N (opt-in, default 1 = the serial path
     // every gate and driver snapshot uses) times the suite with N queries
     // IN FLIGHT on the shared scheduler — the multi-tenant regime a real
@@ -82,9 +94,20 @@ object Bench {
         sys.exit(2)
       }
     }
+    if (cold && conc > 1) {
+      System.err.println("[bench] SPARK_GRAFT_BENCH_COLD and " +
+        "SPARK_GRAFT_BENCH_CONCURRENCY are mutually exclusive (a shared " +
+        "contended context is the opposite of a cold start)")
+      sys.exit(2)
+    }
     val (results, wallOverride) =
       if (conc <= 1) {
         val rs = ordered.map { case (name, fn) =>
+          if (cold) {
+            spark.stop()
+            graft.operators.Materialize.reset()
+            spark = buildSession()
+          }
           val runs = (1 to reps).map(_ => run(fn))
           val (secs, err) = runs.minBy { case (s, e) => (e.isDefined, s) }
           if (reps > 1)
@@ -117,7 +140,8 @@ object Bench {
     val errs = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = wallOverride.getOrElse(results.collect { case (_, v, None) => v }.sum)
-    val mode = if (conc <= 1) "" else s""","concurrency":$conc"""
+    val mode = (if (conc <= 1) "" else s""","concurrency":$conc""") +
+      (if (cold) ""","cold":true""" else "")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$mode,"sf":"$sfDir"}"""
     // SPARK_GRAFT_BENCH_OUT redirects filtered/spot runs to a scratch file

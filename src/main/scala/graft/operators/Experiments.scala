@@ -244,15 +244,99 @@ object Experiments extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** q202 — MANN–WHITNEY U test on the q127 A/B arms (Mann & Whitney
+    * 1947): the rank-sum complement of q127's Welch t — revenue-per-
+    * purchase distributions are heavy-tailed, so the parametric t can be
+    * driven by a handful of whale orders while the rank test asks the
+    * robust question ("does one arm stochastically dominate?"). Arms are
+    * q127's md5 rule verbatim. Exactness: pooled midranks collapse to the
+    * counts-of-distinct-values aggregate (rank = 1 + Σ c before, tie = c
+    * — the q172 two-phase form, so the one global running sum rides an
+    * AGGREGATE), 2·R_A is an exact integer, 2·U_A = 2·R_A − 2·(n_A(n_A+1)/2)
+    * stays integer, and the tie-corrected normal deviate
+    * z = (U_A − n_A·n_B/2)/√Var with Var = n_A·n_B/12·((N+1) −
+    * Σ(t³−t)/(N(N−1))) divides exact integer terms once. */
+  def abMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val obs = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(cents.as("cents"),
+        (graft.functions.TextExpressions.md5Hash60Col(
+          concat(col("user_id").cast("string"), lit(":ab"))) % 2 === 0)
+          .as("is_a"))
+    val byVal = obs.groupBy(col("cents"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      // all c rows at this value share rank = cum_before + 1, tie count c:
+      // twice the midrank = 2·rank + c − 1
+      .withColumn("r2", lit(2L) * (col("cum_before") + 1L) + col("c") - 1L)
+    ranked.agg(
+        sum(col("ca")).as("n_a"), sum(col("c") - col("ca")).as("n_b"),
+        sum(col("ca") * col("r2")).as("r2a"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("tie3"))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("u2a", col("r2a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("var_u",
+        col("n_a").cast("double") * col("n_b") / 12
+          * ((col("nn") + 1) - col("tie3").cast("double")
+            / (col("nn") * (col("nn") - 1))))
+      .select(col("n_a"), col("n_b"),
+        (col("u2a").cast("double") / 2).as("u_a"),
+        (round(col("var_u"), 4) + lit(0.0)).as("var_u"),
+        (round((col("u2a").cast("double") / 2
+            - col("n_a").cast("double") * col("n_b") / 2) / sqrt(col("var_u")), 6)
+          + lit(0.0)).as("z"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q151_ab_bootstrap" -> ((s, d) => abBootstrap(s, d)),
     "q154_attribution_position" -> attributionPosition _,
     "q155_funnel_latency" -> funnelLatency _,
     "q156_retention_drivers" -> retentionDrivers _,
-    "q157_path_entropy" -> pathEntropy _
+    "q157_path_entropy" -> pathEntropy _,
+    "q202_ab_mann_whitney" -> abMannWhitney _
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q127's md5 arm rule verbatim; midranks two-phase off the
+    // counts-of-distinct-values (q172's trick); integer 2U_A; one division
+    "q202_ab_mann_whitney" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)
+        |           AS BIGINT) % 2 = 0 AS is_a
+        |  FROM events WHERE event_type = 'purchase'),
+        |bv AS (
+        |  SELECT cents, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        |  FROM p GROUP BY 1),
+        |rk AS (
+        |  SELECT *, COALESCE(CAST(sum(c) OVER (ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |           0) AS cum_before
+        |  FROM bv),
+        |r2 AS (SELECT *, 2 * (cum_before + 1) + c - 1 AS r2 FROM rk),
+        |agg AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |         CAST(sum(c - ca) AS BIGINT) AS n_b,
+        |         CAST(sum(ca * r2) AS BIGINT) AS r2a,
+        |         CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+        |  FROM r2),
+        |x AS (
+        |  SELECT *, n_a + n_b AS nn, r2a - n_a * (n_a + 1) AS u2a,
+        |         CAST(n_a AS DOUBLE) * n_b / 12
+        |           * ((n_a + n_b + 1) - CAST(tie3 AS DOUBLE)
+        |             / ((n_a + n_b) * (n_a + n_b - 1))) AS var_u
+        |  FROM agg)
+        |SELECT n_a, n_b, CAST(u2a AS DOUBLE) / 2 AS u_a,
+        |       round(var_u, 4) + 0.0 AS var_u,
+        |       round((CAST(u2a AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+        |             / sqrt(var_u), 6) + 0.0 AS z
+        |FROM x""".stripMargin,
     "q151_ab_bootstrap" ->
       """WITH p AS (
         |  SELECT event_id,

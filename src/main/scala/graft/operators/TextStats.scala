@@ -732,6 +732,89 @@ object TextStats extends QueryModule {
   def nbLangClassifier(spark: SparkSession, dir: String): DataFrame =
     nbAccuracyFrom(nbPredictionsFromScores(nbScoresCached(spark, dir)))
 
+  /** q199 — JENSEN–SHANNON divergence between two corpus halves' token
+    * distributions, per language (Lin 1991): JSD(p‖q) = (KL(p‖m) +
+    * KL(q‖m))/2 with m the midpoint — the SYMMETRIC, always-finite
+    * distribution-drift score that completes the divergence family (PSI
+    * q143 is binned-with-smoothing, KS q187 is distribution-exact on
+    * values, KL q158 needs q ≪ p; JSD needs nothing and is bounded by
+    * ln 2) — the "did this ingest batch shift the token mix?" gate a
+    * corpus refresh runs. Halves split by doc_id parity (deterministic,
+    * orderless). Exactness discipline: with integer counts a, b and half
+    * totals A, B, p/m = 2/(1 + (b/a)(A/B)) — each token's log term is ONE
+    * identical double expression in both engines, QUANTIZED to micro-nat
+    * BIGINTs (q166's rule) and weighted by the INTEGER count, so both
+    * KL sums are order-independent integer sums and the only terminal
+    * doubles are two divisions and the average. A token absent from a
+    * half contributes ln 2 to the present side only — the JSD boundary
+    * case handled identically by the a > 0 / b > 0 splits. One token
+    * aggregate (lang, tok — uniform keys), per-lang scalars broadcast. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docsTable(spark, dir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("in_a"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cnt = toks.groupBy(col("lang"), col("tok"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
+    val tot = cnt.groupBy(col("lang"))
+      .agg(sum(col("a")).as("atot"), sum(col("b")).as("btot"),
+        count(lit(1)).as("n_types"))
+      .filter(col("atot") > 0 && col("btot") > 0)
+    cnt.join(broadcast(tot), "lang")
+      .withColumn("klp_q", when(col("a") > 0, col("a") * expr(
+        "cast(round(ln(2.0 / (1.0 + (cast(b as double) / a) * " +
+          "(cast(atot as double) / btot))) * 1000000) as bigint)"))
+        .otherwise(0L))
+      .withColumn("klq_q", when(col("b") > 0, col("b") * expr(
+        "cast(round(ln(2.0 / (1.0 + (cast(a as double) / b) * " +
+          "(cast(btot as double) / atot))) * 1000000) as bigint)"))
+        .otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(min(col("n_types")).as("n_types"), min(col("atot")).as("tok_a"),
+        min(col("btot")).as("tok_b"),
+        sum(col("klp_q")).as("sp"), sum(col("klq_q")).as("sq"))
+      .select(col("lang"), col("n_types"), col("tok_a"), col("tok_b"),
+        (round((col("sp").cast("double") / 1e6 / col("tok_a")
+          + col("sq").cast("double") / 1e6 / col("tok_b")) / 2, 6)
+          + lit(0.0)).as("jsd"))
+      .orderBy(col("lang"))
+  }
+
+  private[graft] val NoveltyBatchDocs = 50
+
+  /** q200 — VOCABULARY NOVELTY curve over ingest batches: per batch of
+    * `NoveltyBatchDocs` doc_ids, how many distinct token types appear,
+    * how many appear for the FIRST time in the corpus, the cumulative
+    * vocabulary, and the novelty share — the new-vocab emergence curve
+    * that tells a tokenizer-training pipeline when its vocabulary has
+    * saturated (Heaps' law read operationally: retrain the BPE when the
+    * curve stops falling). First-seen is one min(batch) aggregate per
+    * token; everything downstream is batch-grain (≤ corpus/50 rows), so
+    * the running cumulative window rides an AGGREGATE (guard rule). One
+    * token shuffle total; exact integers + one terminal division. */
+  def vocabNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val pres = docsTable(spark, dir)
+      .select(expr(s"doc_id div $NoveltyBatchDocs").as("batch"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val firstSeen = pres.groupBy(col("tok")).agg(min(col("batch")).as("first_batch"))
+    val perBatch = pres.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_types"))
+    val news = firstSeen.groupBy(col("first_batch").as("batch"))
+      .agg(count(lit(1)).as("n_new"))
+    perBatch.join(broadcast(news), Seq("batch"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_vocab", sum(col("n_new")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("batch"), col("n_types"), col("n_new"), col("cum_vocab"),
+        (round(col("n_new").cast("double") / col("n_types"), 6) + lit(0.0))
+          .as("novelty_share"))
+      .orderBy(col("batch"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
@@ -749,10 +832,65 @@ object TextStats extends QueryModule {
     "q177_bigram_lm" -> (bigramLm(_, _)),
     "q188_calibration" -> (calibrationTable(_, _)),
     "q189_kappa_agreement" -> (kappaAgreement(_, _)),
-    "q196_kappa_by_segment" -> (kappaBySegment(_, _))
+    "q196_kappa_by_segment" -> (kappaBySegment(_, _)),
+    "q199_js_divergence" -> (jsDivergence(_, _)),
+    "q200_vocab_novelty" -> (vocabNovelty(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // each token's log term is ONE identical double expression quantized
+    // to micro-nat BIGINTs; both KL sums are integer sums (q166 rule)
+    "q199_js_divergence" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id % 2 = 0 AS in_a, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, tok,
+        |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, CAST(sum(a) AS BIGINT) AS atot,
+        |         CAST(sum(b) AS BIGINT) AS btot,
+        |         CAST(count(*) AS BIGINT) AS n_types
+        |  FROM cnt GROUP BY 1 HAVING sum(a) > 0 AND sum(b) > 0),
+        |q AS (
+        |  SELECT cnt.lang,
+        |         CASE WHEN a > 0 THEN a * CAST(round(ln(2.0 / (1.0
+        |           + (CAST(b AS DOUBLE) / a) * (CAST(atot AS DOUBLE) / btot)))
+        |           * 1000000) AS BIGINT) ELSE 0 END AS klp_q,
+        |         CASE WHEN b > 0 THEN b * CAST(round(ln(2.0 / (1.0
+        |           + (CAST(a AS DOUBLE) / b) * (CAST(btot AS DOUBLE) / atot)))
+        |           * 1000000) AS BIGINT) ELSE 0 END AS klq_q,
+        |         atot, btot, n_types
+        |  FROM cnt JOIN tot ON cnt.lang = tot.lang)
+        |SELECT lang, min(n_types) AS n_types, min(atot) AS tok_a,
+        |       min(btot) AS tok_b,
+        |       round((CAST(sum(klp_q) AS DOUBLE) / 1000000 / min(atot)
+        |              + CAST(sum(klq_q) AS DOUBLE) / 1000000 / min(btot)) / 2, 6)
+        |         + 0.0 AS jsd
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    // first-seen = min(batch) per token; the cumulative window rides the
+    // batch-grain aggregate
+    "q200_vocab_novelty" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id // 50 AS batch,
+        |         unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |p AS (SELECT * FROM pres WHERE tok <> ''),
+        |fs AS (SELECT tok, min(batch) AS first_batch FROM p GROUP BY 1),
+        |pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_types FROM p GROUP BY 1),
+        |nw AS (SELECT first_batch AS batch, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM fs GROUP BY 1),
+        |j AS (
+        |  SELECT pb.batch, pb.n_types, COALESCE(nw.n_new, 0) AS n_new
+        |  FROM pb LEFT JOIN nw ON pb.batch = nw.batch)
+        |SELECT batch, n_types, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY batch
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_vocab,
+        |       round(CAST(n_new AS DOUBLE) / n_types, 6) + 0.0 AS novelty_share
+        |FROM j ORDER BY 1""".stripMargin,
     "q46_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(avg(n_chars), 4) AS avg_chars,

@@ -1113,6 +1113,152 @@ object WarehouseOps extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** q197 — MANN–KENDALL trend test per event type (Mann 1945, Kendall
+    * 1975): the nonparametric "is there a monotone trend at all?"
+    * significance test that pairs with q195's Theil–Sen slope (the
+    * classic Sen-estimate + MK-test combo every environmental/ops
+    * monitoring stack ships): S = Σ_{i<j} sign(c_j − c_i) over the daily
+    * series, tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18, and the continuity-corrected normal deviate
+    * z = (S∓1)/√Var(S). Determinism: S is an exact integer fold over the
+    * same per-row pair arrays as q195 (horizon-bounded, no self-join);
+    * the tie term is an integer aggregate over the counts-of-counts; the
+    * only doubles are the final one-division variance and z, identical
+    * expression trees in both engines, rounded before the trend label so
+    * the 1.96 comparison can never disagree. All-equal series (Var = 0)
+    * have S = 0 by construction and emit z = 0 / no_trend, not a
+    * divide-by-zero artifact. */
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("pts"),
+        count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+    val s = series.select(col("event_type"), col("n_days"),
+      expr("aggregate(flatten(transform(pts, (p, i) -> " +
+        "transform(slice(pts, i + 2, size(pts)), " +
+        "q -> case when q.cnt > p.cnt then 1L when q.cnt < p.cnt then -1L " +
+        "else 0L end))), 0L, (a, x) -> a + x)").as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("cnt"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    s.join(broadcast(ties), "event_type")
+      .withColumn("var_s",
+        (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - col("tie_term")).cast("double") / 18)
+      .withColumn("z", round(
+        when(col("s_stat") === 0, lit(0.0))
+          .when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+          .otherwise((col("s_stat") + 1).cast("double") / sqrt(col("var_s"))),
+        6) + lit(0.0))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        (round(col("var_s"), 4) + lit(0.0)).as("var_s"), col("z"),
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("no_trend")).as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q201 — WINSORIZED + TRIMMED revenue stats per market segment: the
+    * robust-mean family applied to order values — raw mean, the p05/p95
+    * winsorized mean (outliers CLAMPED to the fence values), and the
+    * trimmed mean (outliers DROPPED) — the outlier-resistant revenue
+    * report finance actually reads next to q131's MAD and q195's Sen
+    * slope. Fences are EXACT rank positions on integer cents (lo rank =
+    * (n·5) div 100 + 1, hi rank = (n·95) div 100 — identical integer
+    * arithmetic both engines, no percentile() semantics in play); all
+    * three means divide one exact BIGINT sum. The rank window partitions
+    * by segment (≤ |segments| partitions of orders — the q130 class);
+    * the two fence values per segment join back broadcast. */
+  def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val seg = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        cents.as("cents"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val ranked = seg.withColumn("rnk", row_number().over(w))
+    val n = seg.groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .withColumn("lo_rank", (col("n") * 5).divide(100).cast("long") + 1)
+      .withColumn("hi_rank", (col("n") * 95).divide(100).cast("long"))
+    val fences = ranked.join(broadcast(n), "segment")
+      .filter(col("rnk") === col("lo_rank") || col("rnk") === col("hi_rank"))
+      .groupBy(col("segment"))
+      .agg(min(col("cents")).as("lo_val"), max(col("cents")).as("hi_val"))
+    ranked.join(broadcast(n), "segment").join(broadcast(fences), "segment")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("s_raw"),
+        sum(greatest(least(col("cents"), col("hi_val")), col("lo_val")))
+          .as("s_wins"),
+        sum(when(col("rnk") >= col("lo_rank") && col("rnk") <= col("hi_rank"),
+          col("cents")).otherwise(0L)).as("s_trim"),
+        sum(when(col("rnk") >= col("lo_rank") && col("rnk") <= col("hi_rank"), 1L)
+          .otherwise(0L)).as("n_trim"),
+        min(col("lo_val")).as("lo_cents"), min(col("hi_val")).as("hi_cents"))
+      .select(col("segment"), col("n_orders"),
+        (round(col("s_raw").cast("double") / col("n_orders") / 100, 4)
+          + lit(0.0)).as("mean_raw"),
+        (round(col("s_wins").cast("double") / col("n_orders") / 100, 4)
+          + lit(0.0)).as("mean_winsor"),
+        (round(col("s_trim").cast("double") / col("n_trim") / 100, 4)
+          + lit(0.0)).as("mean_trimmed"),
+        col("lo_cents"), col("hi_cents"))
+      .orderBy(col("segment"))
+  }
+
+  /** q198 — SPEARMAN rank correlation between event types' daily-count
+    * series (Spearman 1904): for each type pair, the Pearson correlation
+    * of the MIDRANKS of the two series over their COMMON days — "do these
+    * metrics move together?" with no linearity assumption, the companion
+    * readout to q18's Pearson and q149's per-series forecasts. Exactness:
+    * midranks carry as the INTEGER 2·rank + |tie| − 1 (the q172 trick),
+    * so all five correlation moments are exact BIGINT sums and ρ is ONE
+    * final expression; a constant series (zero rank variance) emits NULL
+    * identically in both engines. Shape: the pair frame is a self-join of
+    * the (type, day) AGGREGATE on day (≤ |types|² × days rows — tiny);
+    * the midrank windows partition by the (a, b) pair. */
+  def spearmanDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = daily.select(col("event_type").as("type_a"), col("day"),
+        col("cnt").as("ca"))
+      .join(daily.select(col("event_type").as("type_b"), col("day"),
+        col("cnt").as("cb")), Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+    def r2(c: String): org.apache.spark.sql.Column =
+      lit(2L) * rank().over(Window.partitionBy(col("type_a"), col("type_b"))
+        .orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col("type_a"), col("type_b"),
+          col(c))) - 1L
+    val ranked = pairs
+      .withColumn("ra", r2("ca"))
+      .withColumn("rb", r2("cb"))
+    ranked.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
+        sum(col("ra") * col("ra")).as("sxx"),
+        sum(col("rb") * col("rb")).as("syy"),
+        sum(col("ra") * col("rb")).as("sxy"))
+      .withColumn("den_x", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den_y", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        when(col("den_x") > 0 && col("den_y") > 0,
+          round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(col("den_x").cast("double") * col("den_y").cast("double")), 6)
+            + lit(0.0)).as("rho"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q152_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "q153_graph_labelprop" -> ((s, d) => graphLabelProp(s, d)),
@@ -1139,7 +1285,10 @@ object WarehouseOps extends QueryModule {
     "q190_benford_audit" -> benfordAudit _,
     "q193_gini_revenue" -> giniRevenue _,
     "q194_lorenz_segment" -> lorenzSegment _,
-    "q195_theilsen_trend" -> theilSenTrend _
+    "q195_theilsen_trend" -> theilSenTrend _,
+    "q197_mann_kendall" -> mannKendallTrend _,
+    "q198_spearman_daily" -> spearmanDaily _,
+    "q201_winsorized_revenue" -> winsorizedRevenue _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1266,6 +1415,117 @@ object WarehouseOps extends QueryModule {
         |       round(ri.sen_icept, 6) + 0.0 AS sen_intercept
         |FROM m JOIN ri USING (event_type)
         |ORDER BY 1""".stripMargin,
+    // pairwise sign sum via the bounded self-join (q195's p CTE with sign);
+    // tie term off the counts-of-counts; z/trend from the same rounded value
+    "q197_mann_kendall" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |daily AS (
+        |  SELECT event_type, us // 86400000000 AS day, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1 HAVING count(*) >= 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+        |                       WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day > a.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, cnt, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |v AS (
+        |  SELECT nd.event_type, nd.n_days, s.s_stat,
+        |         CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+        |              - ties.tie_term AS DOUBLE) / 18 AS var_s
+        |  FROM nd JOIN s USING (event_type) JOIN ties USING (event_type)),
+        |z AS (
+        |  SELECT *, round(CASE WHEN s_stat = 0 THEN 0.0
+        |                       WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |                       ELSE CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s) END, 6)
+        |            + 0.0 AS z
+        |  FROM v)
+        |SELECT event_type, n_days, s_stat, round(var_s, 4) + 0.0 AS var_s, z,
+        |       CASE WHEN z > 1.96 THEN 'increasing'
+        |            WHEN z < -1.96 THEN 'decreasing'
+        |            ELSE 'no_trend' END AS trend
+        |FROM z ORDER BY 1""".stripMargin,
+    // midranks as integer 2*rank + tie - 1 (q172's trick); five BIGINT
+    // moments; NULL on a constant series in both engines
+    "q198_spearman_daily" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |daily AS (
+        |  SELECT event_type, us // 86400000000 AS day, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+        |         a.cnt AS ca, b.cnt AS cb
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type < b.event_type),
+        |r AS (
+        |  SELECT type_a, type_b,
+        |         2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY ca)
+        |           + count(*) OVER (PARTITION BY type_a, type_b, ca) - 1 AS ra,
+        |         2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY cb)
+        |           + count(*) OVER (PARTITION BY type_a, type_b, cb) - 1 AS rb
+        |  FROM p),
+        |m AS (
+        |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(ra) AS BIGINT) AS sx, CAST(sum(rb) AS BIGINT) AS sy,
+        |         CAST(sum(ra * ra) AS BIGINT) AS sxx,
+        |         CAST(sum(rb * rb) AS BIGINT) AS syy,
+        |         CAST(sum(ra * rb) AS BIGINT) AS sxy
+        |  FROM r GROUP BY 1, 2),
+        |d AS (
+        |  SELECT *, n_days * sxx - sx * sx AS den_x,
+        |            n_days * syy - sy * sy AS den_y
+        |  FROM m)
+        |SELECT type_a, type_b, n_days,
+        |       CASE WHEN den_x > 0 AND den_y > 0 THEN
+        |         round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |               / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) + 0.0
+        |       END AS rho
+        |FROM d ORDER BY 1, 2""".stripMargin,
+    // exact integer fence ranks ((n*5) div 100 + 1, (n*95) div 100); all
+    // three means divide one BIGINT sum
+    "q201_winsorized_revenue" ->
+      """WITH seg AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY segment
+        |                               ORDER BY cents, o_orderkey) AS rnk
+        |  FROM seg),
+        |n AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |         (count(*) * 5) // 100 + 1 AS lo_rank,
+        |         (count(*) * 95) // 100 AS hi_rank
+        |  FROM seg GROUP BY 1),
+        |f AS (
+        |  SELECT rk.segment, min(rk.cents) AS lo_val, max(rk.cents) AS hi_val
+        |  FROM rk JOIN n USING (segment)
+        |  WHERE rk.rnk = n.lo_rank OR rk.rnk = n.hi_rank
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT rk.segment, CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(rk.cents) AS BIGINT) AS s_raw,
+        |         CAST(sum(greatest(least(rk.cents, f.hi_val), f.lo_val)) AS BIGINT) AS s_wins,
+        |         CAST(sum(CASE WHEN rk.rnk BETWEEN n.lo_rank AND n.hi_rank
+        |                       THEN rk.cents ELSE 0 END) AS BIGINT) AS s_trim,
+        |         CAST(sum(CASE WHEN rk.rnk BETWEEN n.lo_rank AND n.hi_rank
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+        |         min(f.lo_val) AS lo_cents, min(f.hi_val) AS hi_cents
+        |  FROM rk JOIN n USING (segment) JOIN f USING (segment)
+        |  GROUP BY 1)
+        |SELECT segment, n_orders,
+        |       round(CAST(s_raw AS DOUBLE) / n_orders / 100, 4) + 0.0 AS mean_raw,
+        |       round(CAST(s_wins AS DOUBLE) / n_orders / 100, 4) + 0.0 AS mean_winsor,
+        |       round(CAST(s_trim AS DOUBLE) / n_trim / 100, 4) + 0.0 AS mean_trimmed,
+        |       lo_cents, hi_cents
+        |FROM agg ORDER BY 1""".stripMargin,
     // per-segment rank/cumsum windows in the oracle; decile cutoffs via a
     // grid left join so r_d = 0 back-fills share 0 exactly like Spark
     "q194_lorenz_segment" ->

@@ -153,4 +153,78 @@ class PartitionPruningSpec extends AnyFunSuite {
       "two-generation index and scan paths disagree")
     assert(viaIndex.nonEmpty)
   }
+
+  test("q185 generation compaction (VERDICT r14 #5): an over-threshold " +
+      "bucket rewrites to ONE file, probes answer identically " +
+      "mid-compaction and after, pruning and both generations intact") {
+    val dir = "/root/testdata/sf0.001"
+    val phrase = Seq("table", "hash")
+    val docs = Tables(spark, dir, "documents")
+    // five ingest generations by doc_id mod 5 → ≥5 files per touched bucket
+    val idxDir = Files.createTempDirectory("graft-phrase-compact-spec-").toString
+    (0 to 4).foreach { g =>
+      operators.Pipeline.phraseIndexAppend(idxDir,
+        docs.filter(col("doc_id") % 5 === g), gen = g)
+    }
+    def filesOf(bucket: Int): Seq[String] = {
+      val d = new java.io.File(s"$idxDir/bucket=$bucket")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq.sorted
+    }
+    val baseline = operators.Pipeline.phraseIndexProbe(spark, idxDir, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(baseline.nonEmpty)
+
+    // compact ONE phrase bucket first — the index is now MID-compaction
+    // (one bucket single-file, its phrase sibling still 5 small files)
+    val phraseBuckets = spark.read.parquet(idxDir)
+      .filter(col("tok").isin(phrase: _*))
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).sorted
+    assert(phraseBuckets.length == 2, s"phrase buckets: ${phraseBuckets.toSeq}")
+    val preCount = filesOf(phraseBuckets.head).length
+    assert(preCount >= 5, s"append produced only $preCount files")
+    // surgically compact just the first bucket: run with a threshold that
+    // both buckets pass, against a root holding ONLY that bucket... the op
+    // is per-bucket by design, so emulate the mid-compaction state by
+    // compacting all, then verifying file layouts: instead compact with
+    // maxFiles high enough that nothing triggers (no-op contract) first
+    assert(operators.Pipeline.phraseIndexCompact(spark, idxDir, maxFiles = 99).isEmpty,
+      "threshold not reached must be a no-op")
+    assert(filesOf(phraseBuckets.head).length == preCount, "no-op rewrote files")
+
+    // now compact ONLY the first phrase bucket (single-bucket root view)
+    val oneBucketRoot = Files.createTempDirectory("graft-phrase-one-").toString
+    val moved = new java.io.File(s"$idxDir/bucket=${phraseBuckets.head}")
+    val target = new java.io.File(s"$oneBucketRoot/bucket=${phraseBuckets.head}")
+    Files.move(moved.toPath, target.toPath)
+    assert(operators.Pipeline.phraseIndexCompact(spark, oneBucketRoot, maxFiles = 4)
+      == Seq(phraseBuckets.head))
+    Files.move(target.toPath, moved.toPath)
+    assert(filesOf(phraseBuckets.head).length == 1,
+      s"bucket ${phraseBuckets.head} not compacted: ${filesOf(phraseBuckets.head)}")
+    assert(filesOf(phraseBuckets.last).length == preCount,
+      "untouched bucket changed mid-compaction")
+
+    // MID-compaction: answers identical, pruning intact, generations intact
+    val mid = operators.Pipeline.phraseIndexProbe(spark, idxDir, phrase)
+    val scan = mid.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.map(_.selectedPartitions.partitionCount).max <= 2,
+      "mid-compaction probe lost partition pruning")
+    assert(mid.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      == baseline, "mid-compaction probe disagrees with the pre-compaction answer")
+    val gensCompacted = spark.read.parquet(s"$idxDir/bucket=${phraseBuckets.head}")
+      .select(col("gen")).distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(gensCompacted == (0 to 4).toSeq,
+      s"compaction lost generations: $gensCompacted")
+
+    // full compaction: every phrase bucket single-file, answers unchanged
+    val done = operators.Pipeline.phraseIndexCompact(spark, idxDir, maxFiles = 4)
+    assert(done.nonEmpty && done.contains(phraseBuckets.last))
+    assert(filesOf(phraseBuckets.last).length == 1, "full compaction incomplete")
+    assert(operators.Pipeline.phraseIndexProbe(spark, idxDir, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      == baseline, "post-compaction probe disagrees")
+  }
 }
