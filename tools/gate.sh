@@ -28,7 +28,12 @@ SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
 SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
 # sort -V: plain sort puts bench_r100 before bench_r99 once rounds hit
 # three digits (ADVICE r09) — version sort keeps the latest round latest.
-PREV=${PREV:-$(ls bench/bench_r*.json 2>/dev/null | sort -V | tail -1)}
+# The grep pins the glob to FULL-SUITE snapshots (bench_r<N>[a-z].json):
+# cohort/cold side-files (bench_r15_mat_sf01.json, bench_r15_cold.json)
+# sort -V AFTER bench_r15.json and silently became the baseline in the
+# r15 archive run — an 8-query cohort file as PREV skips the other 189
+# queries' regression diff (round-16 incident, fixed here).
+PREV=${PREV:-$(ls bench/bench_r*.json 2>/dev/null | grep -E 'bench_r[0-9]+[a-z]?\.json$' | sort -V | tail -1)}
 PREV=${PREV:-$(ls BENCH_r*.json 2>/dev/null | sort -V | tail -1)}
 # Second witness of the prior round's code: the driver's own post-round
 # bench run (bench_out.json as committed by the round tail, archived as
