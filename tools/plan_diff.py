@@ -41,14 +41,29 @@ ack |= set(os.environ.get("PLAN_ACK", "").split())
 
 common = old.keys() & new.keys()
 changed = sorted(q for q in common if old[q]["h"] != new[q]["h"])
+
+
+def stable(f):
+    # "unstable" = PlanHash couldn't canonicalize this plan's features in
+    # that snapshot; comparing it against a concrete feature string would
+    # hard-fail without any real join/exchange change (ADVICE r15). Treat
+    # like a missing baseline: skip the structural check, note it below.
+    return f is not None and f != "unstable"
+
+
 structural = sorted(
     q for q in common
-    if old[q]["f"] is not None and new[q]["f"] is not None
+    if stable(old[q]["f"]) and stable(new[q]["f"])
     and old[q]["f"] != new[q]["f"])
+unstable_skipped = sorted(
+    q for q in common
+    if (old[q]["f"] == "unstable") != (new[q]["f"] == "unstable"))
 added = sorted(new.keys() - old.keys())
 removed = sorted(old.keys() - new.keys())
 
 hard = [q for q in structural if q not in ack]
+for q in unstable_skipped:
+    print(f"plan unstable on one side (structural check skipped): {q}")
 for q in structural:
     tag = "PLAN STRUCTURAL" if q not in ack else "plan structural (acked)"
     print(f"{tag}: {q}\n  old: {old[q]['f']}\n  new: {new[q]['f']}")
