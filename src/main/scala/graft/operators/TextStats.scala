@@ -369,16 +369,26 @@ object TextStats extends QueryModule {
     * a scored-eval table, rebuilt only when the corpus snapshot moves. */
   private[graft] def nbModelFramesCached(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // ONE registry artifact holds both frames (kind = 'm' model rows /
+    // 's' per-lang scalar rows, schema union-padded with nulls): a single
+    // write job per corpus snapshot, so the training aggregates run once
+    // — two separate parquetDir entries executed the training lineage
+    // once per write (ADVICE r15). Consumers still see the original two
+    // schemas via the kind split below.
     val snap = Materialize.snapshot(s"$dir/documents.parquet")
-    val modelDir = Materialize.parquetDir(
-      s"nb-model:$dir@$snap", "graft-nb-model-") {
-      nbModelFrames(docsTable(spark, dir))._1
+    val allDir = Materialize.parquetDir(
+      s"nb-model-all:$dir@$snap", "graft-nb-model-") {
+      val (model, stats) = nbModelFrames(docsTable(spark, dir))
+      model.select(lit("m").as("kind"), col("model_lang"), col("tok"),
+          col("ll_q"), lit(null).cast("long").as("dflt_q"),
+          lit(null).cast("long").as("prior_q"))
+        .unionAll(stats.select(lit("s").as("kind"), col("model_lang"),
+          lit(null).cast("string").as("tok"),
+          lit(null).cast("long").as("ll_q"), col("dflt_q"), col("prior_q")))
     }
-    val statsDir = Materialize.parquetDir(
-      s"nb-stats:$dir@$snap", "graft-nb-stats-") {
-      nbModelFrames(docsTable(spark, dir))._2
-    }
-    (spark.read.parquet(modelDir), spark.read.parquet(statsDir))
+    val all = spark.read.parquet(allDir)
+    (all.filter(col("kind") === "m").select("model_lang", "tok", "ll_q"),
+      all.filter(col("kind") === "s").select("model_lang", "dflt_q", "prior_q"))
   }
 
   /** Held-out scores (doc_id, lang, model_lang, score_q), materialized
@@ -815,6 +825,190 @@ object TextStats extends QueryModule {
       .orderBy(col("batch"))
   }
 
+  private[graft] val BpeTrainRounds = 10
+
+  /** q203 — distributed BPE tokenizer TRAINING (Sennrich et al. ACL'16),
+    * the iterative loop ABOVE q114's single-round candidate mining: for N
+    * deterministic rounds, count adjacent token pairs across the corpus,
+    * merge the argmax pair (ties broken lexicographically by (p1, p2)),
+    * REWRITE every token sequence greedily left-to-right, and repeat on
+    * the rewritten corpus. The output is the ordered merge table — the
+    * artifact a BPE trainer ships as its vocabulary — with each round's
+    * pair-mass share (pct = n_occ / that round's total adjacent pairs).
+    *
+    * Sequence representation: each doc's token sequence is ONE string of
+    * U+0001·token·U+0002 capsules, so a merge round's rewrite is a single
+    * codegen'd `replace` of the two-capsule pattern by the fused capsule.
+    * String replace is non-overlapping left-to-right in BOTH engines
+    * (verified: 'a a a a' under merge (a,a) → [a a][a a], exactly the
+    * greedy BPE application rule), and the control-char delimiters make
+    * cross-token false matches impossible (corpus text is printable).
+    * Fused tokens rejoin with ' ', so a merged token IS its surface
+    * form — human-readable vocab rows.
+    *
+    * Iteration discipline (q153/q163): the rewritten corpus is
+    * `localCheckpoint`ed every round so lineage stays one round deep, and
+    * each round's 1-row merge result is checkpointed too — the final
+    * union re-runs nothing. Per round the corpus is scanned twice (pair
+    * count + rewrite): the honest recount form; the classic production
+    * optimization (delta-update only pair counts overlapping a merge
+    * site) trades this recount for state and is the 100 TB refinement.
+    * At scale both scans are narrow single-column passes whose shuffle
+    * carries only per-doc-distinct pair counts (map-side combined,
+    * vocab²-bounded); the argmax is a distributed TakeOrdered(1) and the
+    * winning pair BROADCASTS into the rewrite — no driver round-trip, no
+    * collect anywhere. A round with no pairs left stops the loop early
+    * (tiny-corpus guard; the unrolled oracle assumes ≥ rounds merges
+    * exist, which any real corpus satisfies). */
+  def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    val SOT = "\u0001"; val EOT = "\u0002"
+    var corpus = docs
+      .select(col("doc_id"),
+        concat(lit(SOT), replace(col("text"), lit(" "), lit(EOT + SOT)), lit(EOT))
+          .as("seq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    var exhausted = false
+    (1 to rounds).foreach { r =>
+      if (!exhausted) {
+        val pairCounts = corpus
+          .select(split(expr("substring(seq, 2, length(seq) - 2)"), EOT + SOT).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS p1, toks[i] AS p2))"))
+            .as("p"))
+          .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+          .groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("n_occ"))
+          .persist()
+        val best = pairCounts
+          .orderBy(col("n_occ").desc, col("p1"), col("p2"))
+          .limit(1)
+        val total = pairCounts.agg(sum(col("n_occ")).cast("long").as("total_pairs"))
+        val merge = best.crossJoin(broadcast(total))
+          .select(lit(r).as("step"), col("p1"), col("p2"), col("n_occ"),
+            (round(col("n_occ").cast("double") / col("total_pairs"), 6) + lit(0.0))
+              .as("pct"))
+          .localCheckpoint()
+        if (merge.isEmpty) exhausted = true
+        else {
+          merges += merge
+          if (r < rounds)
+            corpus = corpus.crossJoin(broadcast(best.select(col("p1"), col("p2"))))
+              .select(col("doc_id"),
+                replace(col("seq"),
+                  concat(lit(SOT), col("p1"), lit(EOT), lit(SOT), col("p2"), lit(EOT)),
+                  concat(lit(SOT), col("p1"), lit(" "), col("p2"), lit(EOT))).as("seq"))
+              .localCheckpoint()
+        }
+        pairCounts.unpersist()
+      }
+    }
+    merges.result().reduce(_.unionAll(_)).orderBy(col("step"))
+  }
+
+  /** The oracle-checked adapter, MATERIALIZED once per corpus snapshot
+    * (the r15 NB-model/codebook pattern — VERDICT r14 #1/#2): a tokenizer
+    * vocabulary is a train-once artifact, so the merge table is a
+    * snapshot-keyed [[Materialize]] parquet — consumers (and warm bench
+    * passes) read the vocab table; the 10-round training loop runs once
+    * per snapshot per process (cold mode pays it honestly). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Materialize.snapshot(s"$dir/documents.parquet")
+    val d = Materialize.parquetDir(s"bpe-merges:$dir@$snap", "graft-bpe-merges-") {
+      bpeTrain(docsTable(spark, dir))
+    }
+    spark.read.parquet(d).orderBy(col("step"))
+  }
+
+  private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhoneRe = "\\b555-\\d{4}\\b"
+  private val PiiCardRe = "\\b\\d{13,19}\\b"
+
+  /** Luhn mod-10 checksum over a digit string as a pure higher-order
+    * fold — no UDF: from the RIGHT, double every second digit, subtract 9
+    * when the double exceeds 9, valid iff the sum ≡ 0 (mod 10). The same
+    * arithmetic spelled with DuckDB's list_transform/list_sum in the
+    * oracle, so the validity bits agree bit-for-bit. */
+  private def luhnValid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val total = aggregate(sequence(lit(1), length(c)), lit(0), (acc, i) => {
+      val d = ascii(c.substr(i, lit(1))) - lit(48)
+      acc + when(((length(c) - i) % 2) === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    total % 10 === 0
+  }
+
+  /** q204 — PII DETECTION + REDACTION gate (the hygiene pass every real
+    * corpus runs next to q112's quality funnel): per language, counts of
+    * detected emails, IPv4s, phone numbers and card-shaped digit runs
+    * (with the Luhn-VALID subset broken out — card-shaped ≠ card number),
+    * the redaction size delta, and a deterministic signature (min md5) of
+    * the redacted corpus — the audit row a privacy review reads, plus
+    * proof the scrub actually rewrote the text. Detection is pure regex
+    * on classes where Java and RE2 agree (character classes, bounded
+    * repetition, \b — no lookaround); card validity is the [[luhnValid]]
+    * fold. Redaction replaces email → card → IP → phone (patterns are
+    * mutually non-overlapping once emails are gone). Single narrow scan,
+    * per-row O(len) regex work, ZERO joins — one map-side-combined (lang)
+    * aggregate plus the presentation sort (plan-pinned). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val cards = regexp_extract_all(col("text"), lit(PiiCardRe), lit(0))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      col("text"),
+      PiiEmailRe, "<EMAIL>"), PiiCardRe, "<CARDNUM>"),
+      PiiIpRe, "<IP>"), PiiPhoneRe, "<PHONE>")
+    docs
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0))).as("e"),
+        size(regexp_extract_all(col("text"), lit(PiiIpRe), lit(0))).as("i"),
+        size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0))).as("p"),
+        size(cards).as("c"),
+        size(filter(cards, luhnValid _)).as("l"),
+        (length(redacted) - length(col("text"))).cast("long").as("delta"),
+        md5(redacted).as("sig"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("i") + col("p") + col("c") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("e")).cast("long").as("n_emails"),
+        sum(col("i")).cast("long").as("n_ips"),
+        sum(col("p")).cast("long").as("n_phones"),
+        sum(col("c")).cast("long").as("n_cards"),
+        sum(col("l")).cast("long").as("n_luhn_valid"),
+        sum(col("delta")).as("chars_delta"),
+        min(col("sig")).as("redacted_sig"))
+      .orderBy(col("lang"))
+  }
+
+  /** The oracle-checked adapter: the synthetic corpus carries no PII, so
+    * the (spark, dir) form first INJECTS deterministic doc_id-derived PII
+    * (emails on doc_id%3, IPv4 on %4, phones on %5, cards on %6 — three
+    * public Luhn-valid test numbers and one invalid, rotating on %24) and
+    * then runs the detector: every class exercised with nonzero,
+    * data-dependent counts, bit-reproducible in both engines. The
+    * planted-fixture spec drives [[piiScrub]] directly. */
+  private[graft] def injectPii(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val email = when(d % 3 === 0, concat(lit(" reach user"), d.cast("string"),
+      lit("@mail"), (d % 7).cast("string"), lit(".example.com now"))).otherwise("")
+    val ip = when(d % 4 === 0, concat(lit(" from 10."), (d % 256).cast("string"),
+      lit("."), (d % 100).cast("string"), lit("."), (d % 250).cast("string")))
+      .otherwise("")
+    val phone = when(d % 5 === 0, concat(lit(" call 555-"),
+      lpad((d % 10000).cast("string"), 4, "0"))).otherwise("")
+    val card = when(d % 6 === 0, concat(lit(" card "),
+      when(d % 24 === 0, "4242424242424242")
+        .when(d % 24 === 6, "4111111111111111")
+        .when(d % 24 === 12, "378282246310005")
+        .otherwise("4242424242424241"))).otherwise("")
+    docs.withColumn("text", concat(col("text"), email, ip, phone, card))
+  }
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(injectPii(docsTable(spark, dir)))
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
@@ -834,10 +1028,104 @@ object TextStats extends QueryModule {
     "q189_kappa_agreement" -> (kappaAgreement(_, _)),
     "q196_kappa_by_segment" -> (kappaBySegment(_, _)),
     "q199_js_divergence" -> (jsDivergence(_, _)),
-    "q200_vocab_novelty" -> (vocabNovelty(_, _))
+    "q200_vocab_novelty" -> (vocabNovelty(_, _)),
+    "q203_bpe_train" -> (bpeTrain(_, _)),
+    "q204_pii_scrub" -> (piiScrub(_, _))
   )
 
+  /** The unrolled-round oracle for [[bpeTrain]]: round k recounts pairs
+    * from r(k−1), takes the argmax (count desc, pair asc) and rewrites —
+    * the exact Spark loop spelled as chained CTEs. Pairs travel as
+    * chr(3)-joined strings (fused tokens contain spaces, so ' ' can't
+    * separate; chr(3) sorts below every printable char, so pair-string
+    * grouping is unambiguous), and the argmax orders by the SPLIT (p1,
+    * p2) columns — identical comparison keys to Spark's. MATERIALIZED
+    * pins each round's corpus/count CTE to one evaluation (r/c are each
+    * referenced twice; inlining would double work per round). */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val head =
+      """WITH r0 AS MATERIALIZED (
+        |  SELECT doc_id, chr(1) || replace(text, ' ', chr(2) || chr(1)) || chr(2) AS seq
+        |  FROM documents)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val rewrite =
+        if (k < rounds)
+          s""",
+             |r$k AS MATERIALIZED (
+             |  SELECT doc_id, replace(seq, chr(1) || b.p1 || chr(2) || chr(1) || b.p2 || chr(2),
+             |                         chr(1) || b.p1 || ' ' || b.p2 || chr(2)) AS seq
+             |  FROM r${k - 1}, b$k b)""".stripMargin
+        else ""
+      s"""c$k AS MATERIALIZED (
+         |  SELECT split_part(pair, chr(3), 1) AS p1, split_part(pair, chr(3), 2) AS p2,
+         |         CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM (SELECT unnest(list_transform(range(2, len(toks) + 1),
+         |                 i -> toks[i-1] || chr(3) || toks[i])) AS pair
+         |        FROM (SELECT string_split(substring(seq, 2, length(seq) - 2),
+         |                       chr(2) || chr(1)) AS toks FROM r${k - 1})
+         |        WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT p1, p2, n_occ FROM c$k
+         |  ORDER BY n_occ DESC, p1, p2 LIMIT 1),
+         |m$k AS (SELECT $k AS step, p1, p2, n_occ,
+         |  (SELECT CAST(sum(n_occ) AS BIGINT) FROM c$k) AS total_pairs FROM b$k)""".stripMargin + rewrite
+    }
+    val union = (1 to rounds).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      "\nSELECT step, p1, p2, n_occ," +
+      " round(CAST(n_occ AS DOUBLE) / total_pairs, 6) + 0.0 AS pct" +
+      s"\nFROM ($union) ORDER BY step"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // N unrolled CTE rounds (the q163 discipline) — see bpeTrainOracle
+    "q203_bpe_train" -> bpeTrainOracle(BpeTrainRounds),
+    // detection mirrors the Spark regexes verbatim (shared Java/RE2
+    // subset); DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all; Luhn is the identical fold in list form
+    "q204_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT lang, doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |         || '.' || CAST(doc_id % 100 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' card ' || CASE doc_id % 24
+        |         WHEN 0 THEN '4242424242424242' WHEN 6 THEN '4111111111111111'
+        |         WHEN 12 THEN '378282246310005' ELSE '4242424242424241' END ELSE '' END AS text
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang, text,
+        |    len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS e,
+        |    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+        |    len(regexp_extract_all(text, '\b555-\d{4}\b')) AS p,
+        |    regexp_extract_all(text, '\b\d{13,19}\b') AS cards,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{13,19}\b', '<CARDNUM>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM inj),
+        |per2 AS (
+        |  SELECT lang, e, i, p, len(cards) AS c,
+        |    len(list_filter(cards, c -> list_sum(list_transform(range(1, length(c) + 1),
+        |      j -> CASE WHEN (length(c) - j) % 2 = 1
+        |                THEN CASE WHEN 2 * (ascii(substring(c, j, 1)) - 48) > 9
+        |                          THEN 2 * (ascii(substring(c, j, 1)) - 48) - 9
+        |                          ELSE 2 * (ascii(substring(c, j, 1)) - 48) END
+        |                ELSE ascii(substring(c, j, 1)) - 48 END)) % 10 = 0)) AS l,
+        |    length(redacted) - length(text) AS delta, redacted
+        |  FROM per)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN e + i + p + c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |  CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ips,
+        |  CAST(sum(p) AS BIGINT) AS n_phones, CAST(sum(c) AS BIGINT) AS n_cards,
+        |  CAST(sum(l) AS BIGINT) AS n_luhn_valid,
+        |  CAST(sum(delta) AS BIGINT) AS chars_delta,
+        |  min(md5(redacted)) AS redacted_sig
+        |FROM per2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // each token's log term is ONE identical double expression quantized
     // to micro-nat BIGINTs; both KL sums are integer sums (q166 rule)
     "q199_js_divergence" ->

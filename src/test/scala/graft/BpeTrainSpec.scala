@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q203's BPE trainer on planted fixtures with hand-computed merges:
+  * argmax + lexicographic tie-break, GREEDY LEFT-TO-RIGHT within-sequence
+  * application (the capsule `replace` rule), fused tokens re-entering the
+  * pair pool, and the pairs-exhausted early stop. */
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("hand-computed 3-round merge table: ties lexicographic, fused tokens re-merge") {
+    // round 1 pairs: (a,a)=2 [doc1 greedy], (a,b)=2, (b,c)=1 — tie on 2
+    //   broken lexicographically: (a,a) < (a,b) → merge (a,a), total 5
+    // doc1 'a a a b' rewrites GREEDILY: [a a][a][b] (not [a][a a][b])
+    // round 2 pairs: ('a a',a)=1, (a,b)=2, (b,c)=1 → merge (a,b), total 4
+    // round 3 pairs: ('a a','a b')=1, ('a b',c)=1 — tie broken on p1:
+    //   'a a' < 'a b' → merge ('a a','a b'), total 2
+    val out = operators.TextStats.bpeTrain(docs("a a a b", "a b c"), rounds = 3)
+      .collect().toSeq
+    assert(out === Seq(
+      Row(1, "a", "a", 2L, 0.4),
+      Row(2, "a", "b", 2L, 0.5),
+      Row(3, "a a", "a b", 1L, 0.5)))
+  }
+
+  test("greedy left-to-right: four repeats merge into two fused tokens in ONE round") {
+    // 'a a a a' under merge (a,a) must become [a a][a a] — round 2's top
+    // pair is then ('a a','a a'), proving the round-1 rewrite produced
+    // exactly two capsules (an overlap-allowing rewrite would differ)
+    val out = operators.TextStats.bpeTrain(docs("a a a a", "a a a a"), rounds = 2)
+      .collect().toSeq
+    assert(out === Seq(
+      Row(1, "a", "a", 6L, 1.0),
+      Row(2, "a a", "a a", 2L, 1.0)))
+  }
+
+  test("pairs exhausted: the loop stops early and emits only realized merges") {
+    // round 1 merges the only pair; round 2+ have no adjacent pairs left
+    val out = operators.TextStats.bpeTrain(docs("a b"), rounds = 4).collect().toSeq
+    assert(out === Seq(Row(1, "a", "b", 1L, 1.0)))
+  }
+
+  test("merged token boundaries never false-match across capsule borders") {
+    // tokens ('xa','a') must NOT be rewritten by merge pair (a,a): the
+    // capsule delimiters make 'xa|a' distinct from 'a|a'. Corpus below has
+    // (a,a) as top pair; doc2 'xa a' must survive round 1 unmerged, so
+    // round 2's pairs still include (xa,a).
+    val out = operators.TextStats.bpeTrain(
+      docs("a a", "a a", "xa a"), rounds = 2).collect().toSeq
+    assert(out.head === Row(1, "a", "a", 2L, 0.666667))
+    // round 2: remaining pairs = (xa,a) only
+    assert(out(1) === Row(2, "xa", "a", 1L, 1.0))
+  }
+}
