@@ -826,6 +826,10 @@ object TextStats extends QueryModule {
   }
 
   private[graft] val BpeTrainRounds = 10
+  // capsule delimiters shared by the BPE trainer (q203) and encoder
+  // (q205): each token travels as SOT+token+EOT inside one per-doc string
+  private val BpeSot = "\u0001"
+  private val BpeEot = "\u0002"
 
   /** q203 — distributed BPE tokenizer TRAINING (Sennrich et al. ACL'16),
     * the iterative loop ABOVE q114's single-round candidate mining: for N
@@ -861,7 +865,7 @@ object TextStats extends QueryModule {
     * (tiny-corpus guard; the unrolled oracle assumes ≥ rounds merges
     * exist, which any real corpus satisfies). */
   def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
-    val SOT = "\u0001"; val EOT = "\u0002"
+    val SOT = BpeSot; val EOT = BpeEot
     var corpus = docs
       .select(col("doc_id"),
         concat(lit(SOT), replace(col("text"), lit(" "), lit(EOT + SOT)), lit(EOT))
@@ -920,6 +924,53 @@ object TextStats extends QueryModule {
     }
     spark.read.parquet(d).orderBy(col("step"))
   }
+
+  /** q205 — BPE tokenizer APPLICATION (q203's consumer, closing the
+    * train→apply loop): encode a corpus with a trained merge table and
+    * report per-language token counts before/after plus the compression
+    * ratio — the "how much does this vocab actually buy" readout a
+    * tokenizer rollout reads. The merge table PIVOTS to one wide row
+    * (step k → p1_k/p2_k columns) that broadcasts; application is then a
+    * FOLD of the merges, in training order, over each doc's capsule
+    * string — ten chained codegen'd `replace`s in ONE projection, so the
+    * whole encode is a single map-side scan with zero shuffles before
+    * the (lang) aggregate. This is exactly how production tokenizers
+    * deploy: vocab broadcast to every worker, corpus encoded in one
+    * pass. Applying the trainer's own merges to its training corpus
+    * reproduces the training loop's final rewritten corpus (greedy
+    * left-to-right replace per round = the BPE application rule), which
+    * is what the unrolled oracle pins. Fewer realized merges than
+    * `rounds` (early-stopped trainer) no-op via the null guard. */
+  def bpeApply(docs: DataFrame, merges: DataFrame,
+               rounds: Int = BpeTrainRounds): DataFrame = {
+    val SOT = BpeSot; val EOT = BpeEot
+    val wideCols = (1 to rounds).flatMap(k => Seq(
+      max(when(col("step") === k, col("p1"))).as(s"p1_$k"),
+      max(when(col("step") === k, col("p2"))).as(s"p2_$k")))
+    val wide = merges.groupBy().agg(wideCols.head, wideCols.tail: _*)
+    val seq0 = concat(lit(SOT), replace(col("text"), lit(" "), lit(EOT + SOT)), lit(EOT))
+    val applied = (1 to rounds).foldLeft(seq0) { (s, k) =>
+      when(col(s"p1_$k").isNull, s).otherwise(
+        replace(s,
+          concat(lit(SOT), col(s"p1_$k"), lit(EOT), lit(SOT), col(s"p2_$k"), lit(EOT)),
+          concat(lit(SOT), col(s"p1_$k"), lit(" "), col(s"p2_$k"), lit(EOT))))
+    }
+    docs.crossJoin(broadcast(wide))
+      .withColumn("seq", applied)
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("before"),
+        size(split(expr("substring(seq, 2, length(seq) - 2)"), EOT + SOT)).as("after"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("before")).cast("long").as("tok_before"),
+        sum(col("after")).cast("long").as("tok_after"),
+        (round(sum(col("after")).cast("double") / sum(col("before")), 6) + lit(0.0))
+          .as("compression"))
+      .orderBy(col("lang"))
+  }
+
+  def bpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeApply(docsTable(spark, dir), bpeTrain(spark, dir))
 
   private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
@@ -1030,7 +1081,8 @@ object TextStats extends QueryModule {
     "q199_js_divergence" -> (jsDivergence(_, _)),
     "q200_vocab_novelty" -> (vocabNovelty(_, _)),
     "q203_bpe_train" -> (bpeTrain(_, _)),
-    "q204_pii_scrub" -> (piiScrub(_, _))
+    "q204_pii_scrub" -> (piiScrub(_, _)),
+    "q205_bpe_apply" -> (bpeApply(_, _))
   )
 
   /** The unrolled-round oracle for [[bpeTrain]]: round k recounts pairs
@@ -1043,13 +1095,46 @@ object TextStats extends QueryModule {
     * pins each round's corpus/count CTE to one evaluation (r/c are each
     * referenced twice; inlining would double work per round). */
   private def bpeTrainOracle(rounds: Int): String = {
+    val union = (1 to rounds).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    bpeChainCtes(rounds, withStats = true, rewriteLast = false) +
+      "\nSELECT step, p1, p2, n_occ," +
+      " round(CAST(n_occ AS DOUBLE) / total_pairs, 6) + 0.0 AS pct" +
+      s"\nFROM ($union) ORDER BY step"
+  }
+
+  /** The q205 oracle: the SAME unrolled chain, rewriting through the
+    * final round — r(rounds) IS the fully-encoded corpus (greedy replace
+    * per round = the BPE application rule), so the apply stats read off
+    * it directly. */
+  private def bpeApplyOracle(rounds: Int): String =
+    bpeChainCtes(rounds, withStats = false, rewriteLast = true) + s"""
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tok_before,
+       CAST(sum(len(string_split(substring(r.seq, 2, length(r.seq) - 2),
+         chr(2) || chr(1)))) AS BIGINT) AS tok_after,
+       round(CAST(sum(len(string_split(substring(r.seq, 2, length(r.seq) - 2),
+         chr(2) || chr(1)))) AS DOUBLE)
+         / sum(len(string_split(d.text, ' '))), 6) + 0.0 AS compression
+FROM r$rounds r JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""
+
+  /** Shared unrolled-round CTE chain: r0 capsulizes, each round counts
+    * pairs (c), argmaxes (b), optionally emits the merge row (m, with the
+    * round's total pair mass) and rewrites (r). */
+  private def bpeChainCtes(rounds: Int, withStats: Boolean,
+                           rewriteLast: Boolean): String = {
     val head =
       """WITH r0 AS MATERIALIZED (
         |  SELECT doc_id, chr(1) || replace(text, ' ', chr(2) || chr(1)) || chr(2) AS seq
         |  FROM documents)""".stripMargin
     val steps = (1 to rounds).map { k =>
+      val stats =
+        if (withStats)
+          s""",
+             |m$k AS (SELECT $k AS step, p1, p2, n_occ,
+             |  (SELECT CAST(sum(n_occ) AS BIGINT) FROM c$k) AS total_pairs FROM b$k)""".stripMargin
+        else ""
       val rewrite =
-        if (k < rounds)
+        if (k < rounds || rewriteLast)
           s""",
              |r$k AS MATERIALIZED (
              |  SELECT doc_id, replace(seq, chr(1) || b.p1 || chr(2) || chr(1) || b.p2 || chr(2),
@@ -1066,20 +1151,16 @@ object TextStats extends QueryModule {
          |        WHERE len(toks) >= 2)
          |  GROUP BY 1, 2),
          |b$k AS MATERIALIZED (SELECT p1, p2, n_occ FROM c$k
-         |  ORDER BY n_occ DESC, p1, p2 LIMIT 1),
-         |m$k AS (SELECT $k AS step, p1, p2, n_occ,
-         |  (SELECT CAST(sum(n_occ) AS BIGINT) FROM c$k) AS total_pairs FROM b$k)""".stripMargin + rewrite
+         |  ORDER BY n_occ DESC, p1, p2 LIMIT 1)""".stripMargin + stats + rewrite
     }
-    val union = (1 to rounds).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
-    (head +: steps).mkString(",\n") +
-      "\nSELECT step, p1, p2, n_occ," +
-      " round(CAST(n_occ AS DOUBLE) / total_pairs, 6) + 0.0 AS pct" +
-      s"\nFROM ($union) ORDER BY step"
+    (head +: steps).mkString(",\n")
   }
 
   val oracleSql: Map[String, String] = Map(
     // N unrolled CTE rounds (the q163 discipline) — see bpeTrainOracle
     "q203_bpe_train" -> bpeTrainOracle(BpeTrainRounds),
+    // same chain rewritten through the last round; r10 = encoded corpus
+    "q205_bpe_apply" -> bpeApplyOracle(BpeTrainRounds),
     // detection mirrors the Spark regexes verbatim (shared Java/RE2
     // subset); DuckDB regexp_replace needs the explicit 'g' flag to match
     // Spark's replace-all; Luhn is the identical fold in list form

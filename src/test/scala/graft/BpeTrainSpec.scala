@@ -47,6 +47,25 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out === Seq(Row(1, "a", "b", 1L, 1.0)))
   }
 
+  test("bpeApply on the training corpus reproduces the trainer's final rewrite") {
+    import spark.implicits._
+    val d = Seq((0L, "en", "a a a b"), (1L, "en", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val merges = operators.TextStats.bpeTrain(d, rounds = 3)
+    // doc1: m1 → [a a][a][b], m2 → [a a][a b], m3 → [a a a b] = 1 token
+    // doc2: m2 → [a b][c] = 2 tokens; before = 4 + 3 = 7, after = 3
+    val out = operators.TextStats.bpeApply(d, merges, rounds = 3).collect().head
+    assert(out === Row("en", 2L, 7L, 3L, 0.428571))
+  }
+
+  test("bpeApply null-guards steps beyond an early-stopped merge table") {
+    import spark.implicits._
+    val d = Seq((0L, "en", "a b")).toDF("doc_id", "lang", "text")
+    val merges = operators.TextStats.bpeTrain(d, rounds = 4) // 1 realized merge
+    val out = operators.TextStats.bpeApply(d, merges, rounds = 4).collect().head
+    assert(out === Row("en", 1L, 2L, 1L, 0.5))
+  }
+
   test("merged token boundaries never false-match across capsule borders") {
     // tokens ('xa','a') must NOT be rewritten by merge pair (a,a): the
     // capsule delimiters make 'xa|a' distinct from 'a|a'. Corpus below has
