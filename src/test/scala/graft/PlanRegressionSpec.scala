@@ -717,6 +717,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q197/q198: the statistical-test pair work stays horizon-bounded — " +
+      "no sort-merge self-join on the daily series (32x-swept, VERDICT r15 #2)") {
+    // q197's S rides q195's per-row pair arrays (an aggregate fold, not a
+    // self-join); its tie term joins broadcast. q198's pair frame self-
+    // joins the (type, day) AGGREGATE on day — tiny, so it must broadcast
+    // — and every midrank window rides that join's single exchange.
+    Seq("q197_mann_kendall", "q198_spearman_daily").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"), s"$name sort-merges the daily series:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q205: tokenizer application is one map-side pass — vocab broadcasts, " +
+      "no shuffle before the language aggregate") {
+    val p = plan("q205_bpe_apply")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q205's wide vocab row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("suite-wide: every partition-less Window sits on a provably-reduced input") {
     // VERDICT r13 #2: a Window with no partitionBy funnels its whole input
     // through ONE task — fine on a bounded histogram, a serial funnel on
