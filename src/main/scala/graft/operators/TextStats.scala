@@ -972,6 +972,76 @@ object TextStats extends QueryModule {
   def bpeApply(spark: SparkSession, dir: String): DataFrame =
     bpeApply(docsTable(spark, dir), bpeTrain(spark, dir))
 
+  /** The trained-and-materialized merge table for an arbitrary corpus
+    * slice — [[bpeTrain]]'s snapshot pattern keyed by a slice tag, shared
+    * by q206 (parity halves) and q207 (25 % sample vs full). */
+  private def bpeMergesCached(spark: SparkSession, dir: String, tag: String,
+                              slice: DataFrame => DataFrame): DataFrame = {
+    val snap = Materialize.snapshot(s"$dir/documents.parquet")
+    val d = Materialize.parquetDir(s"bpe-merges-$tag:$dir@$snap",
+      s"graft-bpe-$tag-") {
+      bpeTrain(slice(docsTable(spark, dir)))
+    }
+    spark.read.parquet(d)
+  }
+
+  /** q206 — BPE VOCABULARY DRIFT between two corpus slices (the
+    * tokenizer-drift readout q200's novelty curve triggers): train the
+    * same N-round BPE on the doc-parity halves and diff the merge
+    * tables — per merged pair, its rank in each half, whether it exists
+    * in both ('both'/'only_a'/'only_b'), and the rank displacement. This
+    * is the "did the ingest shift what the tokenizer would learn?"
+    * answer — rank-stable merges mean the deployed vocab still fits the
+    * corpus; one-sided merges are the drift. Both trainings materialize
+    * once per snapshot; the diff itself is a full outer join of two
+    * ≤N-row tables — driver-free, broadcast-trivial. */
+  def bpeDrift(mergesA: DataFrame, mergesB: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    val a = mergesA.select(col("step").as("step_a"), col("p1"), col("p2"))
+    val b = mergesB.select(col("step").as("step_b"), col("p1"), col("p2"))
+    a.join(b, Seq("p1", "p2"), "full_outer")
+      .select(col("p1"), col("p2"), col("step_a"), col("step_b"),
+        when(col("step_a").isNull, "only_b")
+          .when(col("step_b").isNull, "only_a")
+          .otherwise("both").as("status"),
+        (col("step_b") - col("step_a")).as("displacement"))
+      .orderBy(coalesce(col("step_a"), lit(rounds + 1)),
+        coalesce(col("step_b"), lit(rounds + 1)), col("p1"), col("p2"))
+  }
+
+  def bpeDrift(spark: SparkSession, dir: String): DataFrame =
+    bpeDrift(
+      bpeMergesCached(spark, dir, "half0", _.filter(col("doc_id") % 2 === 0)),
+      bpeMergesCached(spark, dir, "half1", _.filter(col("doc_id") % 2 === 1)))
+
+  /** q207 — BPE SAMPLE-TRAINING AGREEMENT (the actual 100 TB training
+    * path: nobody BPE-trains on the full corpus — you train on a
+    * deterministic sample and need evidence the sampled vocab matches):
+    * train on the 25 % doc_id-hash slice, join to the full-corpus merge
+    * table ON STEP, and report per-rank exact agreement plus whether the
+    * full merge appears ANYWHERE in the sampled vocab (rank-insensitive
+    * membership — the weaker property that's usually all a tokenizer
+    * needs). Trainings materialize per snapshot; the diff is an N-row
+    * join. */
+  def bpeSampleAgreement(mergesFull: DataFrame, mergesSample: DataFrame): DataFrame = {
+    val f = mergesFull.select(col("step"), col("p1").as("p1_full"), col("p2").as("p2_full"))
+    val s = mergesSample.select(col("step"), col("p1").as("p1_sample"), col("p2").as("p2_sample"))
+    val inVocab = mergesSample.select(col("p1").as("p1_full"),
+      col("p2").as("p2_full"), lit(true).as("in_vocab"))
+    f.join(s, Seq("step"))
+      .join(broadcast(inVocab), Seq("p1_full", "p2_full"), "left")
+      .select(col("step"), col("p1_full"), col("p2_full"),
+        col("p1_sample"), col("p2_sample"),
+        (col("p1_full") === col("p1_sample") && col("p2_full") === col("p2_sample"))
+          .as("exact_match"),
+        coalesce(col("in_vocab"), lit(false)).as("in_sample_vocab"))
+      .orderBy(col("step"))
+  }
+
+  def bpeSampleAgreement(spark: SparkSession, dir: String): DataFrame =
+    bpeSampleAgreement(
+      bpeTrain(spark, dir),
+      bpeMergesCached(spark, dir, "sample4", _.filter(col("doc_id") % 4 === 0)))
+
   private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val PiiPhoneRe = "\\b555-\\d{4}\\b"
@@ -1082,7 +1152,9 @@ object TextStats extends QueryModule {
     "q200_vocab_novelty" -> (vocabNovelty(_, _)),
     "q203_bpe_train" -> (bpeTrain(_, _)),
     "q204_pii_scrub" -> (piiScrub(_, _)),
-    "q205_bpe_apply" -> (bpeApply(_, _))
+    "q205_bpe_apply" -> (bpeApply(_, _)),
+    "q206_bpe_drift" -> (bpeDrift(_, _)),
+    "q207_bpe_sample_agreement" -> (bpeSampleAgreement(_, _))
   )
 
   /** The unrolled-round oracle for [[bpeTrain]]: round k recounts pairs
@@ -1096,18 +1168,52 @@ object TextStats extends QueryModule {
     * referenced twice; inlining would double work per round). */
   private def bpeTrainOracle(rounds: Int): String = {
     val union = (1 to rounds).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
-    bpeChainCtes(rounds, withStats = true, rewriteLast = false) +
+    "WITH " + bpeChainCtes(rounds, withStats = true, rewriteLast = false) +
       "\nSELECT step, p1, p2, n_occ," +
       " round(CAST(n_occ AS DOUBLE) / total_pairs, 6) + 0.0 AS pct" +
       s"\nFROM ($union) ORDER BY step"
   }
+
+  /** The q206 oracle: TWO unrolled chains (doc_id-parity halves) full-
+    * outer-joined on the merged pair. */
+  private def bpeDriftOracle(rounds: Int): String =
+    "WITH " +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false,
+        px = "a_", where = " WHERE doc_id % 2 = 0") + ",\n" +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false,
+        px = "b_", where = " WHERE doc_id % 2 = 1") + ",\n" +
+      bpeMergesCte(rounds, "a_") + ",\n" + bpeMergesCte(rounds, "b_") + s"""
+SELECT coalesce(a.p1, b.p1) AS p1, coalesce(a.p2, b.p2) AS p2,
+       a.step AS step_a, b.step AS step_b,
+       CASE WHEN a.step IS NULL THEN 'only_b'
+            WHEN b.step IS NULL THEN 'only_a' ELSE 'both' END AS status,
+       b.step - a.step AS displacement
+FROM a_merges a FULL OUTER JOIN b_merges b
+  ON a.p1 = b.p1 AND a.p2 = b.p2
+ORDER BY coalesce(a.step, $rounds + 1), coalesce(b.step, $rounds + 1), p1, p2"""
+
+  /** The q207 oracle: the full-corpus chain vs the 25 %-sample chain,
+    * joined on STEP (rank agreement). */
+  private def bpeSampleOracle(rounds: Int): String =
+    "WITH " +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false) + ",\n" +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false,
+        px = "s_", where = " WHERE doc_id % 4 = 0") + ",\n" +
+      bpeMergesCte(rounds, "") + ",\n" + bpeMergesCte(rounds, "s_") + """
+SELECT f.step, f.p1 AS p1_full, f.p2 AS p2_full,
+       s.p1 AS p1_sample, s.p2 AS p2_sample,
+       f.p1 = s.p1 AND f.p2 = s.p2 AS exact_match,
+       EXISTS (SELECT 1 FROM s_merges x
+               WHERE x.p1 = f.p1 AND x.p2 = f.p2) AS in_sample_vocab
+FROM merges f JOIN s_merges s USING (step)
+ORDER BY f.step"""
 
   /** The q205 oracle: the SAME unrolled chain, rewriting through the
     * final round — r(rounds) IS the fully-encoded corpus (greedy replace
     * per round = the BPE application rule), so the apply stats read off
     * it directly. */
   private def bpeApplyOracle(rounds: Int): String =
-    bpeChainCtes(rounds, withStats = false, rewriteLast = true) + s"""
+    "WITH " + bpeChainCtes(rounds, withStats = false, rewriteLast = true) + s"""
 SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tok_before,
        CAST(sum(len(string_split(substring(r.seq, 2, length(r.seq) - 2),
@@ -1117,50 +1223,63 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
          / sum(len(string_split(d.text, ' '))), 6) + 0.0 AS compression
 FROM r$rounds r JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""
 
-  /** Shared unrolled-round CTE chain: r0 capsulizes, each round counts
-    * pairs (c), argmaxes (b), optionally emits the merge row (m, with the
-    * round's total pair mass) and rewrites (r). */
+  /** Shared unrolled-round CTE chain BODY (no leading WITH — callers
+    * compose, possibly two chains in one query): {px}r0 capsulizes the
+    * (optionally filtered) corpus, each round counts pairs ({px}c),
+    * argmaxes ({px}b), optionally emits the merge row ({px}m, with the
+    * round's total pair mass) and rewrites ({px}r). */
   private def bpeChainCtes(rounds: Int, withStats: Boolean,
-                           rewriteLast: Boolean): String = {
+                           rewriteLast: Boolean, px: String = "",
+                           where: String = ""): String = {
     val head =
-      """WITH r0 AS MATERIALIZED (
-        |  SELECT doc_id, chr(1) || replace(text, ' ', chr(2) || chr(1)) || chr(2) AS seq
-        |  FROM documents)""".stripMargin
+      s"""${px}r0 AS MATERIALIZED (
+         |  SELECT doc_id, chr(1) || replace(text, ' ', chr(2) || chr(1)) || chr(2) AS seq
+         |  FROM documents$where)""".stripMargin
     val steps = (1 to rounds).map { k =>
       val stats =
         if (withStats)
           s""",
-             |m$k AS (SELECT $k AS step, p1, p2, n_occ,
-             |  (SELECT CAST(sum(n_occ) AS BIGINT) FROM c$k) AS total_pairs FROM b$k)""".stripMargin
+             |${px}m$k AS (SELECT $k AS step, p1, p2, n_occ,
+             |  (SELECT CAST(sum(n_occ) AS BIGINT) FROM ${px}c$k) AS total_pairs FROM ${px}b$k)""".stripMargin
         else ""
       val rewrite =
         if (k < rounds || rewriteLast)
           s""",
-             |r$k AS MATERIALIZED (
+             |${px}r$k AS MATERIALIZED (
              |  SELECT doc_id, replace(seq, chr(1) || b.p1 || chr(2) || chr(1) || b.p2 || chr(2),
              |                         chr(1) || b.p1 || ' ' || b.p2 || chr(2)) AS seq
-             |  FROM r${k - 1}, b$k b)""".stripMargin
+             |  FROM ${px}r${k - 1}, ${px}b$k b)""".stripMargin
         else ""
-      s"""c$k AS MATERIALIZED (
+      s"""${px}c$k AS MATERIALIZED (
          |  SELECT split_part(pair, chr(3), 1) AS p1, split_part(pair, chr(3), 2) AS p2,
          |         CAST(count(*) AS BIGINT) AS n_occ
          |  FROM (SELECT unnest(list_transform(range(2, len(toks) + 1),
          |                 i -> toks[i-1] || chr(3) || toks[i])) AS pair
          |        FROM (SELECT string_split(substring(seq, 2, length(seq) - 2),
-         |                       chr(2) || chr(1)) AS toks FROM r${k - 1})
+         |                       chr(2) || chr(1)) AS toks FROM ${px}r${k - 1})
          |        WHERE len(toks) >= 2)
          |  GROUP BY 1, 2),
-         |b$k AS MATERIALIZED (SELECT p1, p2, n_occ FROM c$k
+         |${px}b$k AS MATERIALIZED (SELECT p1, p2, n_occ FROM ${px}c$k
          |  ORDER BY n_occ DESC, p1, p2 LIMIT 1)""".stripMargin + stats + rewrite
     }
     (head +: steps).mkString(",\n")
   }
+
+  /** The merge LIST of a chain as one UNION CTE named `${px}merges`. */
+  private def bpeMergesCte(rounds: Int, px: String): String =
+    s"${px}merges AS (" +
+      (1 to rounds).map(k => s"SELECT step, p1, p2 FROM ${px}m$k")
+        .mkString(" UNION ALL ") + ")"
 
   val oracleSql: Map[String, String] = Map(
     // N unrolled CTE rounds (the q163 discipline) — see bpeTrainOracle
     "q203_bpe_train" -> bpeTrainOracle(BpeTrainRounds),
     // same chain rewritten through the last round; r10 = encoded corpus
     "q205_bpe_apply" -> bpeApplyOracle(BpeTrainRounds),
+    // two chains (parity halves) full-outer-joined on the merged pair
+    "q206_bpe_drift" -> bpeDriftOracle(BpeTrainRounds),
+    // full vs 25%-sample chains joined on step (rank agreement)
+    "q207_bpe_sample_agreement" -> bpeSampleOracle(BpeTrainRounds),
     // detection mirrors the Spark regexes verbatim (shared Java/RE2
     // subset); DuckDB regexp_replace needs the explicit 'g' flag to match
     // Spark's replace-all; Luhn is the identical fold in list form

@@ -66,6 +66,29 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out === Row("en", 1L, 2L, 1L, 0.5))
   }
 
+  test("bpeDrift labels shared, lost and gained merges with rank displacement") {
+    import spark.implicits._
+    val a = Seq((1, "a", "b"), (2, "c", "d")).toDF("step", "p1", "p2")
+    val b = Seq((1, "c", "d"), (2, "x", "y")).toDF("step", "p1", "p2")
+    val out = operators.TextStats.bpeDrift(a, b, rounds = 2).collect().toSeq
+    assert(out === Seq(
+      Row("a", "b", 1, null, "only_a", null),
+      Row("c", "d", 2, 1, "both", -1),
+      Row("x", "y", null, 2, "only_b", null)))
+  }
+
+  test("bpeSampleAgreement separates rank-exact from membership-only agreement") {
+    import spark.implicits._
+    val full = Seq((1, "a", "b"), (2, "c", "d")).toDF("step", "p1", "p2")
+    val sample = Seq((1, "a", "b"), (2, "e", "f"), (3, "c", "d"))
+      .toDF("step", "p1", "p2")
+    val out = operators.TextStats.bpeSampleAgreement(full, sample).collect().toSeq
+    assert(out === Seq(
+      Row(1, "a", "b", "a", "b", true, true), // rank-exact
+      // full's (c,d) is NOT rank-2 in the sample but IS in its vocab
+      Row(2, "c", "d", "e", "f", false, true)))
+  }
+
   test("merged token boundaries never false-match across capsule borders") {
     // tokens ('xa','a') must NOT be rewritten by merge pair (a,a): the
     // capsule delimiters make 'xa|a' distinct from 'a|a'. Corpus below has
