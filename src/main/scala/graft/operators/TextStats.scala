@@ -1074,21 +1074,36 @@ object TextStats extends QueryModule {
     * mutually non-overlapping once emails are gone). Single narrow scan,
     * per-row O(len) regex work, ZERO joins — one map-side-combined (lang)
     * aggregate plus the presentation sort (plan-pinned). */
-  def piiScrub(docs: DataFrame): DataFrame = {
+  /** The per-doc detection/redaction frame — ONE rule, two consumers
+    * (q47/q189 discipline): batch q204 aggregates it; the streaming
+    * [[graft.streaming.StreamingPiiGate]] maps it over a doc stream
+    * (stateless, so it streams as-is). Appends per-class counts, the
+    * Luhn-valid subset, and the redacted text to the input columns. */
+  private[graft] def piiPerDoc(docs: DataFrame): DataFrame = {
     val cards = regexp_extract_all(col("text"), lit(PiiCardRe), lit(0))
-    val redacted = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      col("text"),
-      PiiEmailRe, "<EMAIL>"), PiiCardRe, "<CARDNUM>"),
-      PiiIpRe, "<IP>"), PiiPhoneRe, "<PHONE>")
     docs
-      .select(col("lang"),
-        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0))).as("e"),
-        size(regexp_extract_all(col("text"), lit(PiiIpRe), lit(0))).as("i"),
-        size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0))).as("p"),
-        size(cards).as("c"),
-        size(filter(cards, luhnValid _)).as("l"),
-        (length(redacted) - length(col("text"))).cast("long").as("delta"),
-        md5(redacted).as("sig"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("text"), lit(PiiIpRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0))))
+      .withColumn("n_cards", size(cards))
+      .withColumn("n_luhn_valid", size(filter(cards, luhnValid _)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("text"),
+          PiiEmailRe, "<EMAIL>"), PiiCardRe, "<CARDNUM>"),
+          PiiIpRe, "<IP>"), PiiPhoneRe, "<PHONE>"))
+  }
+
+  def piiScrub(docs: DataFrame): DataFrame =
+    piiPerDoc(docs)
+      .select(col("lang"), col("n_emails").as("e"), col("n_ips").as("i"),
+        col("n_phones").as("p"), col("n_cards").as("c"),
+        col("n_luhn_valid").as("l"),
+        (length(col("redacted")) - length(col("text"))).cast("long").as("delta"),
+        md5(col("redacted")).as("sig"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("e") + col("i") + col("p") + col("c") > 0, 1L).otherwise(0L))
@@ -1101,7 +1116,6 @@ object TextStats extends QueryModule {
         sum(col("delta")).as("chars_delta"),
         min(col("sig")).as("redacted_sig"))
       .orderBy(col("lang"))
-  }
 
   /** The oracle-checked adapter: the synthetic corpus carries no PII, so
     * the (spark, dir) form first INJECTS deterministic doc_id-derived PII
