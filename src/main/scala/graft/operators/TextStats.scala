@@ -949,11 +949,18 @@ object TextStats extends QueryModule {
       max(when(col("step") === k, col("p2"))).as(s"p2_$k")))
     val wide = merges.groupBy().agg(wideCols.head, wideCols.tail: _*)
     val seq0 = concat(lit(SOT), replace(col("text"), lit(" "), lit(EOT + SOT)), lit(EOT))
+    // each fold level must reference the accumulated expression exactly
+    // ONCE: a when(null, s).otherwise(replace(s, …)) guard doubles the
+    // child per level — a 2^rounds expression tree that cost q205 9 s at
+    // sf0.1 (caught by the r16 gate bench). The null guard instead rides
+    // the PATTERN: a missing merge coalesces to the NUL sentinel, which
+    // never occurs in a capsule string, so its replace is a no-op.
     val applied = (1 to rounds).foldLeft(seq0) { (s, k) =>
-      when(col(s"p1_$k").isNull, s).otherwise(
-        replace(s,
-          concat(lit(SOT), col(s"p1_$k"), lit(EOT), lit(SOT), col(s"p2_$k"), lit(EOT)),
-          concat(lit(SOT), col(s"p1_$k"), lit(" "), col(s"p2_$k"), lit(EOT))))
+      replace(s,
+        coalesce(concat(lit(SOT), col(s"p1_$k"), lit(EOT),
+          lit(SOT), col(s"p2_$k"), lit(EOT)), lit("\u0000")),
+        coalesce(concat(lit(SOT), col(s"p1_$k"), lit(" "),
+          col(s"p2_$k"), lit(EOT)), lit("")))
     }
     docs.crossJoin(broadcast(wide))
       .withColumn("seq", applied)
