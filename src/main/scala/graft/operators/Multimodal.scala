@@ -90,13 +90,97 @@ object Multimodal extends QueryModule {
         lower(hex(col("frame"))).as("frame_hex"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** q208 — MULTIMODAL NEAR-DUP pairs by byte-level SimHash (q43's rule on
+    * BYTES, not tokens): opaque payloads can't be tokenized, so the
+    * shingles are fixed-width 8-byte windows at 4-byte stride over the
+    * payload (taken on the hex encoding — 16 hex chars per shingle, 8-char
+    * stride), each hashed to the repo-wide 60-bit md5 value; the sketch is
+    * the standard ±1 bit-vote SimHash. Dedup for image/audio/video
+    * payloads WITHOUT decoding — byte-identical regions vote the same
+    * bits, so re-encoded-header / trimmed-tail variants land within a few
+    * bits of Hamming distance. Candidate generation bands on the high 16
+    * bits (equi-join, the q52 discipline — never all-pairs), verify is
+    * `bit_count(xor) ≤ 12`.
+    *
+    * The sketch is ONE per-row expression (shingle → hash → bit-vote fold
+    * → recompose, all built-in HOFs): every fold consumes its input
+    * exactly once, so the tree stays linear after CollapseProject (the
+    * q205 lesson) and the whole pass is a narrow scan — no explode, no
+    * shuffle before the band join. The payload here is the documents
+    * text cast to binary — the container's standing stand-in for real
+    * media bytes (q51's stub contract). */
+  def byteSimhashSketch(blobs: DataFrame): DataFrame =
+    blobs
+      .filter(col("payload").isNotNull && length(col("payload")) >= 8)
+      .withColumn("hexp", lower(hex(col("payload"))))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  zip_with(
+          |    aggregate(
+          |      transform(
+          |        transform(sequence(1, length(hexp) - 15, 8),
+          |                  i -> substring(hexp, i, 16)),
+          |        g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)),
+          |      array_repeat(0L, 60),
+          |      (acc, v) -> zip_with(acc,
+          |        transform(sequence(0, 59),
+          |          k -> CASE WHEN (shiftright(v, k) & 1) = 1 THEN 1L ELSE -1L END),
+          |        (x, y) -> x + y)),
+          |    sequence(0, 59),
+          |    (b, j) -> CASE WHEN b > 0 THEN shiftleft(1L, j) ELSE 0L END),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
+  def byteSimhashPairs(blobs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val sh = byteSimhashSketch(blobs)
+      .withColumn("band", shiftright(col("simhash"), 44))
+    val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"))
+    val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"))
+    l.join(r, Seq("band")).filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("hamming"), col("a"), col("b"))
+  }
+
+  def byteSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    byteSimhashPairs(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
   val queries: Map[String, QueryFn] = Map(
     "q51_multimodal_features" -> features _,
     "q59_multimodal_expr" -> featuresExpr _,
-    "q67_multimodal_frames" -> frameSample _
+    "q67_multimodal_frames" -> frameSample _,
+    "q208_multimodal_simhash" -> (byteSimhashPairs(_, _))
   )
 
+  /** q43's explode-form SimHash oracle on byte shingles (hex windows). */
+  private val byteSimhashOracle: String = {
+    val bits = (0 until 60)
+      .map(j => s"CAST(sum(CASE WHEN ((v >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
+      .mkString(",\n        ")
+    val recompose = (0 until 60)
+      .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hexp FROM documents
+       |            WHERE text IS NOT NULL AND octet_length(encode(text)) >= 8),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, length(hexp) - 14, 8),
+       |        i -> substring(hexp, i, 16))) AS g FROM hx),
+       |tv AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS v FROM g),
+       |bits AS (SELECT doc_id,
+       |        $bits
+       |    FROM tv GROUP BY doc_id),
+       |shv AS (SELECT doc_id, $recompose AS simhash FROM bits)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM shv a JOIN shv b
+       |  ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+       |ORDER BY hamming, a, b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q208_multimodal_simhash" -> byteSimhashOracle,
     "q51_multimodal_features" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
