@@ -246,6 +246,51 @@ object TextExpressions {
     out
   }
 
+  private val HexChars = "0123456789abcdef".getBytes
+
+  /** Static worker: nBits-bit SimHash of an OPAQUE BYTE payload — fixed
+    * `width`-byte windows at `stride`-byte steps, each md5'd AS ITS
+    * LOWERCASE HEX STRING (16 ASCII bytes for width 8), so the value is
+    * bit-identical to the SQL/DuckDB derivation over
+    * `lower(hex(payload))` windows — the q208 oracle's form. One compiled
+    * pass, zero allocations beyond the reused window buffer: the HOF
+    * spelling of the same sketch interpreted ~2.4 B lambda evaluations at
+    * the 32× corpus and timed out the probe; this is the (b)-preference
+    * native-expression fix. Fewer than one window ⇒ 0L (no votes), the
+    * fold identity. */
+  def byteSimhash(payload: Array[Byte], nBits: Int, width: Int, stride: Int): Long = {
+    val n = payload.length
+    val counts = new Array[Int](nBits)
+    val buf = new Array[Byte](width * 2)
+    var i = 0
+    while (i + width <= n) {
+      var k = 0
+      while (k < width) {
+        val b = payload(i + k) & 0xff
+        buf(2 * k) = HexChars(b >>> 4)
+        buf(2 * k + 1) = HexChars(b & 0xf)
+        k += 1
+      }
+      val v = md5Bits60(buf)
+      var j = 0
+      while (j < nBits) {
+        if (((v >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += stride
+    }
+    var out = 0L
+    var j = 0
+    while (j < nBits) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  def byteSimhash64(c: Column, nBits: Int, width: Int = 8, stride: Int = 4): Column =
+    ColumnBridge.column(ByteSimHash64(ColumnBridge.expression(c), nBits, width, stride))
+
 }
 
 /** Token n-grams of a space-separated string as a codegen'd unary
@@ -323,6 +368,26 @@ case class SimHash64(child: Expression, nBits: Int) extends UnaryExpression {
       ${ev.value} = graft.functions.TextExpressions.simhash($c, $nBits);""")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** nBits-bit SimHash of a BINARY payload as one codegen'd expression —
+  * fixed-width byte windows at a fixed stride, hashed as their lowercase
+  * hex strings (the oracle-matching form): binary → long. */
+case class ByteSimHash64(child: Expression, nBits: Int, width: Int, stride: Int)
+    extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 60, s"simhash width must be in [1,60], got $nBits")
+  require(width >= 1 && stride >= 1, s"need positive window/stride, got $width/$stride")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.byteSimhash(input.asInstanceOf[Array[Byte]], nBits, width, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextExpressions.byteSimhash($c, $nBits, $width, $stride);""")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSimHash64 =
     copy(child = newChild)
 }
 

@@ -102,38 +102,28 @@ object Multimodal extends QueryModule {
     * bits (equi-join, the q52 discipline — never all-pairs), verify is
     * `bit_count(xor) ≤ 12`.
     *
-    * The sketch is ONE per-row expression (shingle → hash → bit-vote fold
-    * → recompose, all built-in HOFs): every fold consumes its input
-    * exactly once, so the tree stays linear after CollapseProject (the
-    * q205 lesson) and the whole pass is a narrow scan — no explode, no
-    * shuffle before the band join. The payload here is the documents
-    * text cast to binary — the container's standing stand-in for real
-    * media bytes (q51's stub contract). */
+    * The sketch is the NATIVE codegen'd [[graft.functions.ByteSimHash64]]
+    * expression — one compiled pass per row, a reused window buffer, no
+    * explode, no shuffle before the band join. (The first cut spelled the
+    * sketch as built-in HOFs; interpreted-lambda cost made the 32× probe
+    * time out at ~2.4 B lambda evaluations — the native expression is the
+    * preference-order (b) fix, value-identical to the SQL derivation
+    * because each window is hashed as its lowercase hex string.) The
+    * payload here is the documents text cast to binary — the container's
+    * standing stand-in for real media bytes (q51's stub contract). */
   def byteSimhashSketch(blobs: DataFrame): DataFrame =
     blobs
       .filter(col("payload").isNotNull && length(col("payload")) >= 8)
-      .withColumn("hexp", lower(hex(col("payload"))))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  zip_with(
-          |    aggregate(
-          |      transform(
-          |        transform(sequence(1, length(hexp) - 15, 8),
-          |                  i -> substring(hexp, i, 16)),
-          |        g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)),
-          |      array_repeat(0L, 60),
-          |      (acc, v) -> zip_with(acc,
-          |        transform(sequence(0, 59),
-          |          k -> CASE WHEN (shiftright(v, k) & 1) = 1 THEN 1L ELSE -1L END),
-          |        (x, y) -> x + y)),
-          |    sequence(0, 59),
-          |    (b, j) -> CASE WHEN b > 0 THEN shiftleft(1L, j) ELSE 0L END),
-          |  0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("simhash",
+        graft.functions.TextExpressions.byteSimhash64(col("payload"), 60))
       .select(col("doc_id"), col("simhash"))
 
   def byteSimhashPairs(blobs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    // the sketch self-joins (both band sides): checkpoint the 2-long/doc
+    // frame so the payload scan runs ONCE however large the corpus
     val sh = byteSimhashSketch(blobs)
       .withColumn("band", shiftright(col("simhash"), 44))
+      .localCheckpoint()
     val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"))
     val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"))
     l.join(r, Seq("band")).filter(col("a") < col("b"))
