@@ -450,10 +450,12 @@ object WarehouseOps extends QueryModule {
     * where 6 fixed rounds would NOT converge).
     *
     * Oracle: DuckDB's recursive CTE cannot express a shrinking-relation
-    * fixpoint (re-verified r13), so the oracle stays the UNROLLED peel at
-    * the witnessed round count for the verify SF, asserting the witness
-    * as a literal — if the data or the loop ever converges differently,
-    * the hash mismatch is the alarm, not a silent pass. Per round: one
+    * fixpoint (re-verified r13), so the oracle is the peel UNROLLED to an
+    * 8-round budget with per-round convergence detection ([[kcoreOracle]]
+    * — r16: the earlier form asserted the verify SF's witness as a
+    * literal and mismatched at sf0.001, caught by a cross-scale sweep);
+    * data needing more than 8 rounds hash-mismatches as the alarm, not a
+    * silent pass. Per round: one
     * degree aggregate + two semi-join filters against the BROADCAST
     * survivor set (item-catalog-sized, the q153 justification), lineage
     * truncated per round; the edge list itself never re-shuffles. The
@@ -1263,6 +1265,44 @@ object WarehouseOps extends QueryModule {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** The q182 oracle: the peel UNROLLED to a fixed round budget with
+    * per-round convergence detection — generically correct at ANY scale
+    * whose fixpoint lands within `rounds` (r16 fix: the previous oracle
+    * hard-coded the verify SF's "already a k-core, witness 0"
+    * precondition and mismatched at sf0.001, where one peel round runs;
+    * an sf0.001 robustness sweep caught it). The peeled relation is
+    * monotone shrinking and stable after convergence, so r_N IS the
+    * fixpoint for any data converging within N rounds, and the witness is
+    * the count of rounds that removed at least one edge — exactly
+    * Spark's `rounds_used`. Deeper-than-N structures hash-mismatch as
+    * the alarm (the documented contract), now with 8 rounds of headroom
+    * instead of zero. */
+  private def kcoreOracle(rounds: Int, k: Int): String = {
+    val head =
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+         |  FROM events WHERE props->>'k' IS NOT NULL),
+         |e AS (
+         |  SELECT x.item AS a, y.item AS b
+         |  FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |r0 AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)""".stripMargin
+    val steps = (1 to rounds).map { j =>
+      s"""al$j AS MATERIALIZED (SELECT a FROM r${j - 1} GROUP BY a HAVING count(*) >= $k),
+         |r$j AS MATERIALIZED (
+         |  SELECT r.a, r.b FROM r${j - 1} r
+         |  JOIN al$j x ON r.a = x.a JOIN al$j y ON r.b = y.a)""".stripMargin
+    }
+    val shrink = (1 to rounds).map(j =>
+      s"(CASE WHEN (SELECT count(*) FROM r$j) < (SELECT count(*) FROM r${j - 1}) " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
+    (head +: steps).mkString(",\n") + s",\nw AS (SELECT $shrink AS rounds_used)" +
+      s"""
+         |SELECT a AS item, CAST(count(*) AS BIGINT) AS degree,
+         |       (SELECT rounds_used FROM w) AS rounds_used
+         |FROM r$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q152_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "q153_graph_labelprop" -> ((s, d) => graphLabelProp(s, d)),
@@ -1581,22 +1621,7 @@ object WarehouseOps extends QueryModule {
     // unroll to its own witnessed count; the loop itself is spec-tested on
     // a 15-round fixture (WarehouseOpsSpec) where fixed-6 would not
     // converge.
-    "q182_graph_kcore" ->
-      """WITH ui AS (
-        |  SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
-        |  FROM events WHERE props->>'k' IS NOT NULL),
-        |e AS (
-        |  SELECT x.item AS a, y.item AS b
-        |  FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.item < y.item
-        |  GROUP BY 1, 2 HAVING count(*) >= 5),
-        |u0 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-        |al1 AS (SELECT a FROM u0 GROUP BY a HAVING count(*) >= 3),
-        |chk AS (SELECT CASE WHEN (SELECT count(*) FROM al1)
-        |                       = (SELECT count(DISTINCT a) FROM u0)
-        |                    THEN 0 END AS rounds_used)
-        |SELECT a AS item, count(*) AS degree,
-        |       (SELECT rounds_used FROM chk) AS rounds_used
-        |FROM u0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q182_graph_kcore" -> kcoreOracle(rounds = 8, k = 3),
     "q181_key_skew_profile" ->
       """WITH c1 AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
         |h1 AS (SELECT c, count(*) AS freq FROM c1 GROUP BY 1),
