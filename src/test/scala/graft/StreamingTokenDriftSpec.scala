@@ -89,6 +89,48 @@ class StreamingTokenDriftSpec extends AnyFunSuite {
     assert(s.jsd > 0.0 && s.jsd <= 0.693148)
   }
 
+  test("reference map and open pane survive a checkpointed restart") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ckpt = java.nio.file.Files.createTempDirectory("td_ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[TokenDriftScore]()
+      val stream = MemoryStream[VocabArrival]
+      def start() = StreamingTokenDrift.driftScores(stream.toDS(), capacity = 10)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TokenDriftScore], _: Long) =>
+          b.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      val q1 = start()
+      try {
+        // pane 0 (the future reference) and half of pane 1 land before the stop
+        stream.addData(VocabArrival("g", 0, "a"), VocabArrival("g", 0, "a"))
+        q1.processAllAvailable()
+        stream.addData(VocabArrival("g", 1, "a"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start() // ref map + open-pane counts must come back
+      try {
+        stream.addData(VocabArrival("g", 1, "b"))
+        q2.processAllAvailable()
+        stream.addData(VocabArrival("g", 2, "x"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      val rows = seen.asScala.toSeq
+      assert(rows.size === 1)
+      // a state loss would read n_ref = 0 (no reference) or n_cur = 1
+      // (pane-1 tokens from before the restart forgotten)
+      assert(rows.head.pane === 1L && rows.head.n_ref === 2L
+        && rows.head.n_cur === 2L, rows.head.toString)
+    }
+  }
+
   test("relearn re-baselines AFTER scoring; late rows drop without effect") {
     val got = run(capacity = 10, relearn = Some(1), "td_relearn", Seq(
       Seq(VocabArrival("g", 0, "a"), VocabArrival("g", 0, "a")),
