@@ -38,15 +38,24 @@ object EventAnalytics extends QueryModule {
 
   /** Dedicated filter + projection + column arithmetic (SURVEY §2.2 [ext]
     * predicate row): the filters and the two projected columns are all that
-    * reach the parquet scan (PushedFilters + pruned ReadSchema). */
+    * reach the parquet scan (PushedFilters + pruned ReadSchema).
+    *
+    * `charge` rounds to cents on an INTEGER decision — `round(x·100)` to
+    * scale 0 — not `round(x, 2)`: scale-2 rounding of a raw double is the
+    * one place the engines may disagree (Spark decides on the decimal
+    * shortest-string, DuckDB on the binary value, and a .xx5 boundary is
+    * not binary-representable — two rows at sf0.1 flipped their last
+    * cent, caught by the r16 cross-scale sweep). Scale-0 rounding is
+    * cross-engine safe: a shortest-repr of ".5" implies the binary value
+    * IS exactly .5, where both engines round up. */
   def filterProject(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .filter(expr("l_shipdate >= TIMESTAMP '2000-01-01'") &&
         expr("l_shipdate < TIMESTAMP '2000-02-01'") &&
         col("l_discount") > 0.05 && col("l_quantity") < 25)
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-          (lit(1.0) + col("l_tax")), 2).as("charge"))
+        (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * 100).cast("long") / 100.0).as("charge"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Shared per-series delta pipeline for the PromQL family: lag-window
@@ -1054,9 +1063,12 @@ object EventAnalytics extends QueryModule {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // cents decided at scale 0 (integer) — the cross-engine-safe rounding;
+    // see the filterProject scaladoc
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        |       round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge
+        |       CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100)
+        |            AS BIGINT) / 100.0 AS charge
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
         |  AND l_shipdate < TIMESTAMP '2000-02-01'
