@@ -32,7 +32,11 @@ final case class GridFill(name: String, grid_us: Long, value: Double)
   * behavior. */
 object StreamingGapFill {
 
-  private final case class LastSample(tsUs: Long, value: Double)
+  // private[streaming] (not plain private): Spark's encoder codegen cannot
+  // access a plain-private nested product and silently falls back to
+  // interpreted (de)serialization on every state access — the visibility
+  // every other streaming state class uses (see StreamingAsOf).
+  private[streaming] final case class LastSample(tsUs: Long, value: Double)
 
   /** Exactly Spark SQL's `round(x, 6) + 0.0`. */
   private def round6(x: Double): Double =

@@ -23,8 +23,10 @@ class StreamingGapFillSpec extends AnyFunSuite {
     }
   }
 
+  // assertNone: state (de)serialization must stay in codegen — the r16
+  // plain-`private` LastSample regression ran every state access interpreted
   private def run(name: String, batches: Seq[Seq[SeriesSample]]): Seq[GridFill] =
-    withRocksDb {
+    CodegenFallbackGuard.assertNone(withRocksDb {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       val stream = MemoryStream[SeriesSample]
@@ -34,7 +36,7 @@ class StreamingGapFillSpec extends AnyFunSuite {
       try batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
       finally q.stop()
       spark.table(name).as[GridFill].collect().toSeq
-    }
+    })
 
   private def us(sec: Long) = sec * 1000000L
 
