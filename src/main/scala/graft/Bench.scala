@@ -97,12 +97,26 @@ object Bench {
             case _ => None
           }
         }
-      snaps.sortBy(_._1).lastOption.map { case (_, f) =>
-        val txt = Files.readString(f.toPath)
-        val q = """"(q[0-9][^"]*)":([0-9.eE+-]+)""".r
-        q.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      snaps.sortBy(_._1).lastOption match {
+        case Some((_, f)) =>
+          val txt = Files.readString(f.toPath)
+          val q = """"(q[0-9][^"]*)":([0-9.eE+-]+)""".r
+          val m = q.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // visible in the bench log (ADVICE r16): a silently-disabled
+          // adaptive pass (format drift, wrong cwd) is otherwise invisible
+          System.err.println(s"[bench] adaptive baseline: ${f.getPath} " +
+            s"(${m.size} query timings)")
+          if (m.isEmpty) System.err.println(
+            s"[bench] WARNING: baseline ${f.getPath} parsed to 0 timings " +
+              "— adaptive re-reps are effectively OFF (format drift?)")
+          m
+        case None =>
+          System.err.println("[bench] no bench/bench_r*.json baseline " +
+            "found (cwd=" + new java.io.File(".").getAbsolutePath +
+            ") — adaptive re-reps disabled")
+          Map.empty
+      }
     }
     // SPARK_GRAFT_BENCH_CONCURRENCY=N (opt-in, default 1 = the serial path
     // every gate and driver snapshot uses) times the suite with N queries

@@ -299,6 +299,19 @@ object Pipeline extends QueryModule {
     def parquets(p: Path): Seq[Path] =
       listDir(p).filter(_.getFileName.toString.endsWith(".parquet"))
     val root = Paths.get(indexDir)
+    def rmTree(p: Path): Unit = {
+      val walk = Files.walk(p)
+      val tree = try walk.iterator().asScala.toList finally walk.close()
+      tree.reverse.foreach(q => Files.deleteIfExists(q))
+    }
+    // purge scratch left by a previous crashed compaction (a crash between
+    // the parquet write and the cleanup walk would otherwise leave the
+    // half-written tree under the index root forever) — safe under this
+    // op's single-writer maintenance contract
+    listDir(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(".graft-phrase-compact-"))
+      .foreach(rmTree)
     val bucketDirs = listDir(root)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("bucket=")).sortBy(_.toString)
@@ -310,20 +323,19 @@ object Pipeline extends QueryModule {
         // same-filesystem scratch (ATOMIC_MOVE guarantee), hidden from
         // Spark's listing by the dot prefix
         val tmp = Files.createTempDirectory(root, ".graft-phrase-compact-")
-        spark.read.parquet(bd.toString)
-          .repartition(1).sortWithinPartitions("tok", "doc_id", "pos")
-          .write.mode("overwrite").parquet(tmp.toString)
-        parquets(tmp).zipWithIndex.foreach { case (nf, i) =>
-          Files.move(nf, bd.resolve(s"compacted-${java.util.UUID.randomUUID}-$i.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
-        }
-        old.foreach { f =>
-          Files.deleteIfExists(f)
-          Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
-        }
-        val walk = Files.walk(tmp)
-        val tmpTree = try walk.iterator().asScala.toList finally walk.close()
-        tmpTree.reverse.foreach(p => Files.deleteIfExists(p))
+        try {
+          spark.read.parquet(bd.toString)
+            .repartition(1).sortWithinPartitions("tok", "doc_id", "pos")
+            .write.mode("overwrite").parquet(tmp.toString)
+          parquets(tmp).zipWithIndex.foreach { case (nf, i) =>
+            Files.move(nf, bd.resolve(s"compacted-${java.util.UUID.randomUUID}-$i.parquet"),
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+          old.foreach { f =>
+            Files.deleteIfExists(f)
+            Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
+          }
+        } finally rmTree(tmp) // scratch never outlives the bucket's attempt
         compacted += bucketId
       }
     }

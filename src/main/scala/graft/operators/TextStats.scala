@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Text-analysis battery for LLM data pipelines over `documents`
   * (BASELINE north-star): corpus stats, n-gram-profile language ID, quality
@@ -908,7 +909,18 @@ object TextStats extends QueryModule {
         pairCounts.unpersist()
       }
     }
-    merges.result().reduce(_.unionAll(_)).orderBy(col("step"))
+    // a corpus that realizes no merge at all (every doc a single token or
+    // empty) must yield an EMPTY merge table, not a reduce-on-Nil throw
+    merges.result() match {
+      case Nil =>
+        val spark = docs.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("step", IntegerType, nullable = false),
+            StructField("p1", StringType), StructField("p2", StringType),
+            StructField("n_occ", LongType), StructField("pct", DoubleType))))
+      case ms => ms.reduce(_.unionAll(_)).orderBy(col("step"))
+    }
   }
 
   /** The oracle-checked adapter, MATERIALIZED once per corpus snapshot

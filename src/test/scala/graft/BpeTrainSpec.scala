@@ -47,6 +47,13 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out === Seq(Row(1, "a", "b", 1L, 1.0)))
   }
 
+  test("no realizable merge at all: empty merge table with the full schema") {
+    // every doc is a single token (or empty) — round 1 realizes nothing
+    val out = operators.TextStats.bpeTrain(docs("a", "bb", ""), rounds = 3)
+    assert(out.columns.toSeq === Seq("step", "p1", "p2", "n_occ", "pct"))
+    assert(out.collect().isEmpty)
+  }
+
   test("bpeApply on the training corpus reproduces the trainer's final rewrite") {
     import spark.implicits._
     val d = Seq((0L, "en", "a a a b"), (1L, "en", "a b c"))

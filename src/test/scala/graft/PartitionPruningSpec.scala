@@ -219,8 +219,18 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(gensCompacted == (0 to 4).toSeq,
       s"compaction lost generations: $gensCompacted")
 
+    // plant stale scratch from a "crashed" prior compaction: the next run
+    // must purge it (ADVICE r16 — half-written scratch trees otherwise
+    // live under the index root forever)
+    val stale = new java.io.File(s"$idxDir/.graft-phrase-compact-stale123/sub")
+    assert(stale.mkdirs())
+    Files.write(stale.toPath.resolve("part-half-written.parquet"),
+      Array[Byte](1, 2, 3))
+
     // full compaction: every phrase bucket single-file, answers unchanged
     val done = operators.Pipeline.phraseIndexCompact(spark, idxDir, maxFiles = 4)
+    assert(!stale.getParentFile.exists(),
+      "stale crash scratch not purged at compaction entry")
     assert(done.nonEmpty && done.contains(phraseBuckets.last))
     assert(filesOf(phraseBuckets.last).length == 1, "full compaction incomplete")
     assert(operators.Pipeline.phraseIndexProbe(spark, idxDir, phrase)
