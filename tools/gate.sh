@@ -60,6 +60,16 @@ SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out"
 # gate's tee, per the r12 judge's archival ask.
 python3 tools/check.py "$SF_VERIFY" /tmp/verify_out --self-test || exit 1
 
+echo "== gate: cross-scale oracle sweep (sf0.001 leg; VERDICT r16 #6) =="
+# The r16 sweep caught two latent verify-SF-specific oracle defects
+# (q182's fixpoint precondition, q01's scale-2 rounding tie) that the
+# single-SF check above can never see. The cheap sf0.001 leg runs every
+# gate; the sf0.1 leg stays on-demand (tools/sweep.sh 0.1) — it costs a
+# full bench-scale Verify. Skip with SWEEP=0 for partial mid-work gates.
+if [ "${SWEEP:-1}" != "0" ]; then
+  tools/sweep.sh 0.001 || { echo "gate: FAIL — sf0.001 oracle sweep red"; exit 1; }
+fi
+
 echo "== gate: bench (@ $SF_BENCH, local[32], reps=${BENCH_REPS:-3}) =="
 # min-of-3 by default (matching Bench's own default): the gate's bench
 # output is the committable steady-state snapshot, not a single cold pass
