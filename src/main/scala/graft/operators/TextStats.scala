@@ -1061,6 +1061,73 @@ object TextStats extends QueryModule {
       bpeTrain(spark, dir),
       bpeMergesCached(spark, dir, "sample4", _.filter(col("doc_id") % 4 === 0)))
 
+  /** Generation-tagged vocab store — q185's hive-partition layout applied
+    * to tokenizer artifacts (VERDICT r16 #2): each published merge table
+    * lives under `gen=<N>/` in the vocab dir, so a deploy is an append of
+    * a new generation and a rollback is nothing but reading an older one.
+    * `gen` is the partition column; a reader pinned to gen-N prunes to
+    * that one directory (spec-pinned, q185's `selectedPartitions` check)
+    * and is byte-stable no matter how many later generations train —
+    * published generations are immutable by contract (publish writes a
+    * NEW gen dir; it never rewrites an existing one). */
+  def bpeVocabPublish(vocabDir: String, gen: Int, merges: DataFrame): Unit =
+    merges.withColumn("gen", lit(gen))
+      .repartition(1) // a merge table is ≤rounds rows — one file per gen
+      .write.mode("append").partitionBy("gen").parquet(vocabDir)
+
+  /** The merge table pinned to one generation: the `gen` filter is a
+    * partition filter (one dir scanned), columns restored to the
+    * [[bpeTrain]] shape so every existing consumer ([[bpeApply]],
+    * [[bpeDrift]]) takes a pinned vocab unchanged. */
+  def bpeVocabGen(spark: SparkSession, vocabDir: String, gen: Int): DataFrame =
+    spark.read.parquet(vocabDir).filter(col("gen") === gen)
+      .select(col("step"), col("p1"), col("p2"), col("n_occ"), col("pct"))
+
+  /** The generation diff — q179's snapshot-diff discipline applied to two
+    * vocab generations: per merged pair, its rank (training step) in each
+    * generation and the governance status a tokenizer deploy review
+    * reads — `added` (new merge this generation), `removed` (trained out),
+    * `rank_moved` (kept, priority changed — application ORDER changes, so
+    * encodings can too), `stable` (kept at the same step). Both tables are
+    * ≤rounds rows: the full-outer join is broadcast-trivial and the whole
+    * diff is driver-free at any corpus scale because the inputs are the
+    * ARTIFACTS, never the corpus. */
+  def bpeVocabDiff(mergesOld: DataFrame, mergesNew: DataFrame,
+                   rounds: Int = BpeTrainRounds): DataFrame = {
+    val o = mergesOld.select(col("step").as("step_old"), col("p1"), col("p2"))
+    val n = mergesNew.select(col("step").as("step_new"), col("p1"), col("p2"))
+    o.join(n, Seq("p1", "p2"), "full_outer")
+      .select(col("p1"), col("p2"), col("step_old"), col("step_new"),
+        when(col("step_old").isNull, "added")
+          .when(col("step_new").isNull, "removed")
+          .when(col("step_old") =!= col("step_new"), "rank_moved")
+          .otherwise("stable").as("status"),
+        (col("step_new") - col("step_old")).as("displacement"))
+      .orderBy(coalesce(col("step_old"), lit(rounds + 1)),
+        coalesce(col("step_new"), lit(rounds + 1)), col("p1"), col("p2"))
+  }
+
+  /** q209 — BPE VOCAB VERSIONING/ROLLBACK (VERDICT r16 #2): materialize a
+    * TWO-GENERATION vocab store — gen 1 trained on the corpus before the
+    * last ingest batch (`doc_id % 4 <> 3`, 75 %), gen 2 on the full
+    * corpus — in the generation-tagged layout, then read each generation
+    * back THROUGH the store (partition-pruned) and diff them. The output
+    * is the deploy review: which merges the new ingest added, removed,
+    * or re-ranked. Trainings ride the per-snapshot materialization
+    * registry (gen 1 shares q206/q207's slice cache pattern, gen 2 IS
+    * q203's table), so warm consumers pay two ≤rounds-row parquet reads
+    * and one tiny join. */
+  def bpeVocabVersions(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Materialize.snapshot(s"$dir/documents.parquet")
+    val vocabDir = Materialize.parquetDir(s"bpe-vocab-gens:$dir@$snap",
+      "graft-bpe-vocab-", partitionCols = Seq("gen")) {
+      bpeMergesCached(spark, dir, "gen1of4", _.filter(col("doc_id") % 4 =!= 3))
+        .withColumn("gen", lit(1))
+        .unionAll(bpeTrain(spark, dir).withColumn("gen", lit(2)))
+    }
+    bpeVocabDiff(bpeVocabGen(spark, vocabDir, 1), bpeVocabGen(spark, vocabDir, 2))
+  }
+
   private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val PiiPhoneRe = "\\b555-\\d{4}\\b"
@@ -1187,7 +1254,8 @@ object TextStats extends QueryModule {
     "q204_pii_scrub" -> (piiScrub(_, _)),
     "q205_bpe_apply" -> (bpeApply(_, _)),
     "q206_bpe_drift" -> (bpeDrift(_, _)),
-    "q207_bpe_sample_agreement" -> (bpeSampleAgreement(_, _))
+    "q207_bpe_sample_agreement" -> (bpeSampleAgreement(_, _)),
+    "q209_bpe_vocab_versions" -> (bpeVocabVersions(_, _))
   )
 
   /** The unrolled-round oracle for [[bpeTrain]]: round k recounts pairs
@@ -1224,6 +1292,26 @@ SELECT coalesce(a.p1, b.p1) AS p1, coalesce(a.p2, b.p2) AS p2,
 FROM a_merges a FULL OUTER JOIN b_merges b
   ON a.p1 = b.p1 AND a.p2 = b.p2
 ORDER BY coalesce(a.step, $rounds + 1), coalesce(b.step, $rounds + 1), p1, p2"""
+
+  /** The q209 oracle: gen-1 (`doc_id % 4 <> 3`) vs gen-2 (full) chains
+    * full-outer-joined on the merged pair, with the governance status
+    * labels. The store layout itself is spec-verified (pruning,
+    * pinned-generation byte stability); the oracle pins the DIFF. */
+  private def bpeVocabVersionsOracle(rounds: Int): String =
+    "WITH " +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false,
+        px = "o_", where = " WHERE doc_id % 4 <> 3") + ",\n" +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false) + ",\n" +
+      bpeMergesCte(rounds, "o_") + ",\n" + bpeMergesCte(rounds, "") + s"""
+SELECT coalesce(o.p1, n.p1) AS p1, coalesce(o.p2, n.p2) AS p2,
+       o.step AS step_old, n.step AS step_new,
+       CASE WHEN o.step IS NULL THEN 'added'
+            WHEN n.step IS NULL THEN 'removed'
+            WHEN o.step <> n.step THEN 'rank_moved' ELSE 'stable' END AS status,
+       n.step - o.step AS displacement
+FROM o_merges o FULL OUTER JOIN merges n
+  ON o.p1 = n.p1 AND o.p2 = n.p2
+ORDER BY coalesce(o.step, $rounds + 1), coalesce(n.step, $rounds + 1), p1, p2"""
 
   /** The q207 oracle: the full-corpus chain vs the 25 %-sample chain,
     * joined on STEP (rank agreement). */
@@ -1313,6 +1401,8 @@ FROM r$rounds r JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""
     "q206_bpe_drift" -> bpeDriftOracle(BpeTrainRounds),
     // full vs 25%-sample chains joined on step (rank agreement)
     "q207_bpe_sample_agreement" -> bpeSampleOracle(BpeTrainRounds),
+    // gen-1 (75% slice) vs gen-2 (full) chains, governance status labels
+    "q209_bpe_vocab_versions" -> bpeVocabVersionsOracle(BpeTrainRounds),
     // detection mirrors the Spark regexes verbatim (shared Java/RE2
     // subset); DuckDB regexp_replace needs the explicit 'g' flag to match
     // Spark's replace-all; Luhn is the identical fold in list form

@@ -73,6 +73,55 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out === Row("en", 1L, 2L, 1L, 0.5))
   }
 
+  test("q209 vocab store: a gen-pinned encoder is byte-stable while gen-N+1 " +
+      "publishes, reads prune to one generation, and the diff labels govern") {
+    import spark.implicits._
+    val T = operators.TextStats
+    val corpusA = Seq((0L, "en", "a a a b"), (1L, "en", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    // the ingest batch that grows the corpus: c-heavy, shifts the argmax
+    val corpusB = corpusA.unionAll(
+      Seq((2L, "en", "c c c c c c"), (3L, "en", "b c b c"))
+        .toDF("doc_id", "lang", "text"))
+    val vocabDir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-vocab-spec-").toString
+
+    T.bpeVocabPublish(vocabDir, 1, T.bpeTrain(corpusA, rounds = 3))
+    val gen1Rows = T.bpeVocabGen(spark, vocabDir, 1).collect().toSeq
+    val encodedBefore =
+      T.bpeApply(corpusA, T.bpeVocabGen(spark, vocabDir, 1), rounds = 3)
+        .collect().toSeq
+
+    // gen 2 trains and publishes while gen 1 serves
+    T.bpeVocabPublish(vocabDir, 2, T.bpeTrain(corpusB, rounds = 3))
+
+    // pinned generation: identical rows, identical encode — a rollback is
+    // nothing but reading the older generation
+    val gen1After = T.bpeVocabGen(spark, vocabDir, 1)
+    assert(gen1After.collect().toSeq == gen1Rows,
+      "published generation mutated by a later publish")
+    assert(T.bpeApply(corpusA, gen1After, rounds = 3).collect().toSeq
+      == encodedBefore, "gen-pinned encoder not byte-stable across a publish")
+
+    // the gen filter is a PARTITION filter: one generation dir scanned
+    val scans = gen1After.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty &&
+      scans.map(_.selectedPartitions.partitionCount).max == 1,
+      "gen-pinned read scanned more than one generation partition")
+
+    // governance diff: corpusB's c-flood must add/move/remove something
+    val diff = T.bpeVocabDiff(T.bpeVocabGen(spark, vocabDir, 1),
+      T.bpeVocabGen(spark, vocabDir, 2), rounds = 3).collect().toSeq
+    val statuses = diff.map(_.getString(4)).toSet
+    assert(statuses.subsetOf(Set("added", "removed", "rank_moved", "stable")))
+    assert(statuses.contains("added") || statuses.contains("rank_moved"),
+      s"ingest shifted nothing? diff=$diff")
+    // every gen-1 merge appears exactly once on the old side
+    assert(diff.count(r => !r.isNullAt(2)) == gen1Rows.size)
+  }
+
   test("bpeDrift labels shared, lost and gained merges with rank displacement") {
     import spark.implicits._
     val a = Seq((1, "a", "b"), (2, "c", "d")).toDF("step", "p1", "p2")
