@@ -1316,6 +1316,104 @@ object TextStats extends QueryModule {
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     piiScrub(injectPii(docsTable(spark, dir)))
 
+  /** IPv6 in the shared Java/RE2-safe dialect (no lookaround), RFC 5952
+    * canonical lowercase, two DISJOINT alternatives — full 8-group and
+    * single-`::`-compression with ≥1 trailing group. Disjointness matters
+    * cross-engine: Java alternation is leftmost-FIRST, RE2 leftmost-
+    * LONGEST; because a full-form address contains no `::` and a
+    * compressed one cannot supply 7 single colons, at most one alternative
+    * can match at any position and both engines agree exactly. Out of
+    * dialect (documented): leading-`::` forms (`::1` — loopback, not PII)
+    * and uppercase hex (non-canonical). A zone id (`%eth0`) is NOT part of
+    * the address: the match ends at the last hex group (the trailing `\b`
+    * holds before `%`), so redaction preserves the zone id — spec-pinned. */
+  private val PiiIp6Re =
+    "\\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\\b|" +
+      "\\b(?:[0-9a-f]{1,4}:){1,6}:[0-9a-f]{1,4}(?::[0-9a-f]{1,4}){0,5}\\b"
+
+  /** IBAN-shaped run: country (2 letters) + check (2 digits) + 11–30
+    * alphanumerics = 15–34 chars total. The `\b` pair makes a 35+-char
+    * run a clean negative in BOTH engines: every shorter cut fails the
+    * trailing boundary and every interior start fails the leading one. */
+  private val PiiIbanRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  /** ISO 13616 mod-97 check as a pure higher-order fold (the [[luhnValid]]
+    * discipline — no UDF): move the first 4 chars to the end, map letters
+    * A→10…Z→35, and stream the resulting digit string through
+    * `acc → (acc·10^w + v) mod 97` (w = 1 for digits, 2 for letters) —
+    * the standard piecewise mod that never materializes the big integer.
+    * Valid iff the fold ends at 1. The identical fold runs in DuckDB via
+    * `list_reduce` with a prepended 0 accumulator. */
+  private def ibanValid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val r = concat(c.substr(lit(5), length(c) - 4), c.substr(lit(1), lit(4)))
+    val total = aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
+      val a = ascii(r.substr(i, lit(1)))
+      val isDigit = a >= 48 && a <= 57
+      (acc * when(isDigit, 10).otherwise(100)
+        + when(isDigit, a - 48).otherwise(a - 55)) % 97
+    })
+    total === 1
+  }
+
+  /** The extended per-doc detection/redaction frame (VERDICT r16 #5 —
+    * q204's sibling classes): IPv6 addresses and IBAN-shaped runs with
+    * the mod-97-VALID subset broken out (IBAN-shaped ≠ IBAN, the Luhn
+    * lesson). The two patterns cannot overlap (IBAN is uppercase+digits,
+    * IPv6 lowercase hex with colons), so the redaction chain order is
+    * immaterial. Same contract as [[piiPerDoc]]: pure regex + fold, one
+    * narrow scan, zero joins. */
+  private[graft] def piiExtPerDoc(docs: DataFrame): DataFrame = {
+    val ibans = regexp_extract_all(col("text"), lit(PiiIbanRe), lit(0))
+    docs
+      .withColumn("n_ip6",
+        size(regexp_extract_all(col("text"), lit(PiiIp6Re), lit(0))))
+      .withColumn("n_ibans", size(ibans))
+      .withColumn("n_iban_valid", size(filter(ibans, ibanValid _)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"),
+          PiiIbanRe, "<IBAN>"), PiiIp6Re, "<IP6>"))
+  }
+
+  /** q210 — EXTENDED PII gate: the q204 audit row for the IPv6 + IBAN
+    * classes (per-lang counts, valid-IBAN subset, redaction delta, min-md5
+    * corpus signature). Same zero-join single-scan plan shape as q204. */
+  def piiScrubExtended(docs: DataFrame): DataFrame =
+    piiExtPerDoc(docs)
+      .select(col("lang"), col("n_ip6").as("i6"), col("n_ibans").as("ib"),
+        col("n_iban_valid").as("iv"),
+        (length(col("redacted")) - length(col("text"))).cast("long").as("delta"),
+        md5(col("redacted")).as("sig"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("i6") + col("ib") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum(col("i6")).cast("long").as("n_ip6"),
+        sum(col("ib")).cast("long").as("n_ibans"),
+        sum(col("iv")).cast("long").as("n_iban_valid"),
+        sum(col("delta")).as("chars_delta"),
+        min(col("sig")).as("redacted_sig"))
+      .orderBy(col("lang"))
+
+  /** Deterministic doc_id-derived injection for the extended classes
+    * (the [[injectPii]] trick): IPv6 on doc_id%7 — full form on %14,
+    * compressed otherwise; IBAN-shaped on %8 — two public valid test
+    * IBANs and one check-digit-broken invalid, rotating on %24. */
+  private[graft] def injectPiiExt(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val ip6 = when(d % 7 === 0,
+      when(d % 14 === 0, concat(lit(" at 2001:db8:85a3:"), (d % 10).cast("string"),
+        lit(":8a2e:370:7334:"), (d % 10).cast("string")))
+        .otherwise(concat(lit(" at fe80::"), (d % 10).cast("string"), lit(":1"))))
+      .otherwise("")
+    val iban = when(d % 8 === 0, concat(lit(" pay "),
+      when(d % 24 === 0, "GB82WEST12345698765432")
+        .when(d % 24 === 8, "DE89370400440532013000")
+        .otherwise("GB82WEST12345698765431"))).otherwise("")
+    docs.withColumn("text", concat(col("text"), ip6, iban))
+  }
+
+  def piiScrubExtended(spark: SparkSession, dir: String): DataFrame =
+    piiScrubExtended(injectPiiExt(docsTable(spark, dir)))
+
   val queries: Map[String, QueryFn] = Map(
     "q46_text_stats" -> textStats _,
     "q47_text_langid" -> langId _,
@@ -1341,7 +1439,8 @@ object TextStats extends QueryModule {
     "q205_bpe_apply" -> (bpeApply(_, _)),
     "q206_bpe_drift" -> (bpeDrift(_, _)),
     "q207_bpe_sample_agreement" -> (bpeSampleAgreement(_, _)),
-    "q209_bpe_vocab_versions" -> (bpeVocabVersions(_, _))
+    "q209_bpe_vocab_versions" -> (bpeVocabVersions(_, _)),
+    "q210_pii_extended" -> (piiScrubExtended(_, _))
   )
 
   /** The unrolled-round oracle for [[bpeTrain]]: round k recounts pairs
@@ -1532,6 +1631,51 @@ FROM r$rounds r JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""
         |  CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ips,
         |  CAST(sum(p) AS BIGINT) AS n_phones, CAST(sum(c) AS BIGINT) AS n_cards,
         |  CAST(sum(l) AS BIGINT) AS n_luhn_valid,
+        |  CAST(sum(delta) AS BIGINT) AS chars_delta,
+        |  min(md5(redacted)) AS redacted_sig
+        |FROM per2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // extended classes mirror the Spark regexes verbatim (disjoint-
+    // alternative IPv6 keeps Java leftmost-first == RE2 leftmost-longest);
+    // mod-97 is the identical piecewise fold via list_reduce with a
+    // prepended 0 accumulator
+    "q210_pii_extended" ->
+      """WITH inj AS (
+        |  SELECT lang, doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN CASE WHEN doc_id % 14 = 0
+        |         THEN ' at 2001:db8:85a3:' || CAST(doc_id % 10 AS VARCHAR)
+        |           || ':8a2e:370:7334:' || CAST(doc_id % 10 AS VARCHAR)
+        |         ELSE ' at fe80::' || CAST(doc_id % 10 AS VARCHAR) || ':1' END ELSE '' END
+        |    || CASE WHEN doc_id % 8 = 0 THEN ' pay ' || CASE doc_id % 24
+        |         WHEN 0 THEN 'GB82WEST12345698765432'
+        |         WHEN 8 THEN 'DE89370400440532013000'
+        |         ELSE 'GB82WEST12345698765431' END ELSE '' END AS text
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang, text,
+        |    len(regexp_extract_all(text,
+        |      '\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b|\b(?:[0-9a-f]{1,4}:){1,6}:[0-9a-f]{1,4}(?::[0-9a-f]{1,4}){0,5}\b')) AS i6,
+        |    regexp_extract_all(text, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b') AS ibans,
+        |    regexp_replace(regexp_replace(text,
+        |      '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b', '<IBAN>', 'g'),
+        |      '\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b|\b(?:[0-9a-f]{1,4}:){1,6}:[0-9a-f]{1,4}(?::[0-9a-f]{1,4}){0,5}\b',
+        |      '<IP6>', 'g') AS redacted
+        |  FROM inj),
+        |per2 AS (
+        |  SELECT lang, i6, len(ibans) AS ib,
+        |    len(list_filter(ibans, s -> list_reduce(
+        |      list_prepend(0, list_transform(
+        |        range(1, length(substring(s, 5) || substring(s, 1, 4)) + 1),
+        |        j -> CASE WHEN ascii(substring(substring(s, 5) || substring(s, 1, 4), j, 1)) BETWEEN 48 AND 57
+        |                  THEN ascii(substring(substring(s, 5) || substring(s, 1, 4), j, 1)) - 48
+        |                  ELSE ascii(substring(substring(s, 5) || substring(s, 1, 4), j, 1)) - 55 + 100 END)),
+        |      (acc, v) -> CASE WHEN v >= 100 THEN (acc * 100 + v - 100) % 97
+        |                       ELSE (acc * 10 + v) % 97 END) = 1)) AS iv,
+        |    length(redacted) - length(text) AS delta, redacted
+        |  FROM per)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN i6 + ib > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |  CAST(sum(i6) AS BIGINT) AS n_ip6, CAST(sum(ib) AS BIGINT) AS n_ibans,
+        |  CAST(sum(iv) AS BIGINT) AS n_iban_valid,
         |  CAST(sum(delta) AS BIGINT) AS chars_delta,
         |  min(md5(redacted)) AS redacted_sig
         |FROM per2 GROUP BY 1 ORDER BY 1""".stripMargin,

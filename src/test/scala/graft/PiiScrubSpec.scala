@@ -80,4 +80,70 @@ class PiiScrubSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p.linesIterator
       .filter(_.matches("""\s*(\+-|:-)?\s*Exchange.*""")).mkString("\n")).size <= 2, p)
   }
+
+  private def scrubExt(rows: (Long, String, String)*) =
+    operators.TextStats.piiScrubExtended(docs(rows: _*))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("q210: IPv6 full + compressed forms detected; tricky negatives stay clean") {
+    val out = scrubExt(
+      (1L, "en", "full 2001:db8:85a3:0:8a2e:370:7334:1 here"),
+      (2L, "en", "compressed fe80::1:2 and fe80::abcd:1 twice"),
+      (3L, "en", "time 12:30:45 and ab:cd and mac aa:bb:cc:dd:ee:ff stay"),
+      (4L, "en", "loopback ::1 is out of dialect (not PII)"),
+      (5L, "en", "uppercase FE80::1:2 is non-canonical, not detected"))
+    val en = out("en")
+    assert(en.getAs[Long]("n_ip6") === 3L)
+    assert(en.getAs[Long]("docs_with_pii") === 2L)
+  }
+
+  test("q210: zone id survives redaction — the address redacts, %eth0 does not") {
+    val one = docs((1L, "en", "link-local fe80::1:2%eth0 end"))
+    val red = operators.TextStats.piiExtPerDoc(one)
+      .select(col("redacted")).collect().head.getString(0)
+    assert(red === "link-local <IP6>%eth0 end", red)
+  }
+
+  test("q210: IBAN mod-97 discrimination; 14- and 35-char runs are not candidates") {
+    val out = scrubExt(
+      (1L, "en", "valid GB82WEST12345698765432 ok"),
+      (2L, "en", "valid DE89370400440532013000 ok"),
+      (3L, "en", "broken-check GB82WEST12345698765431 shaped only"),
+      // 14 chars (below the 15 minimum) and 35 chars (above the 34 max):
+      // clean negatives — interior starts fail \b, shorter cuts fail \b
+      (4L, "en", "short GB82WEST123456 long GB82WEST1234569876543212345678901AB"))
+    val en = out("en")
+    assert(en.getAs[Long]("n_ibans") === 3L)
+    assert(en.getAs[Long]("n_iban_valid") === 2L)
+    assert(en.getAs[Long]("docs_with_pii") === 3L)
+  }
+
+  test("q210: redaction deltas account every span") {
+    val one = docs((1L, "en", "x fe80::9:1 y GB82WEST12345698765432 end"))
+    val row = operators.TextStats.piiScrubExtended(one).collect().head
+    // '<IP6>'(5) - 9, '<IBAN>'(6) - 22
+    assert(row.getAs[Long]("chars_delta") === (5L - 9L) + (6L - 22L))
+  }
+
+  test("q210: injectPiiExt is deterministic and class-complete on the real corpus") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val agg = operators.TextStats.piiExtPerDoc(
+      operators.TextStats.injectPiiExt(base))
+      .agg(org.apache.spark.sql.functions.sum(col("n_ip6")),
+        org.apache.spark.sql.functions.sum(col("n_ibans")),
+        org.apache.spark.sql.functions.sum(col("n_iban_valid")))
+      .collect().head
+    assert(agg.getLong(0) > 0L && agg.getLong(1) > 0L)
+    // some-but-not-all IBANs mod-97-valid (the rotating broken check digit)
+    assert(agg.getLong(2) > 0L && agg.getLong(2) < agg.getLong(1))
+  }
+
+  test("q210 plan pin: zero joins — one scan, one aggregate, presentation sort") {
+    val p = SparkEntry.queries("q210_pii_extended")(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Aggregate"), p)
+    assert("Exchange".r.findAllIn(p.linesIterator
+      .filter(_.matches("""\s*(\+-|:-)?\s*Exchange.*""")).mkString("\n")).size <= 2, p)
+  }
 }
