@@ -1039,29 +1039,40 @@ object TextStats extends QueryModule {
     * left-to-right replace per round = the BPE application rule), which
     * is what the unrolled oracle pins. Fewer realized merges than
     * `rounds` (early-stopped trainer) no-op via the null guard. */
+  /** Merge table pivoted to ONE wide broadcastable row: step k →
+    * `${px}p1_k`/`${px}p2_k`. The prefix lets two vocabs coexist in one
+    * row (the q211 rollout A/B). */
+  private def mergeWide(merges: DataFrame, rounds: Int, px: String = ""): DataFrame = {
+    val wideCols = (1 to rounds).flatMap(k => Seq(
+      max(when(col("step") === k, col("p1"))).as(s"${px}p1_$k"),
+      max(when(col("step") === k, col("p2"))).as(s"${px}p2_$k")))
+    merges.groupBy().agg(wideCols.head, wideCols.tail: _*)
+  }
+
+  /** The encode fold over a capsule string against a [[mergeWide]] row.
+    * Each fold level must reference the accumulated expression exactly
+    * ONCE: a when(null, s).otherwise(replace(s, …)) guard doubles the
+    * child per level — a 2^rounds expression tree that cost q205 9 s at
+    * sf0.1 (caught by the r16 gate bench). The null guard instead rides
+    * the PATTERN: a missing merge coalesces to the NUL sentinel, which
+    * never occurs in a capsule string, so its replace is a no-op. */
+  private def applyMerges(seq0: org.apache.spark.sql.Column, rounds: Int,
+                          px: String = ""): org.apache.spark.sql.Column =
+    (1 to rounds).foldLeft(seq0) { (s, k) =>
+      replace(s,
+        coalesce(concat(lit(BpeSot), col(s"${px}p1_$k"), lit(BpeEot),
+          lit(BpeSot), col(s"${px}p2_$k"), lit(BpeEot)), lit("\u0000")),
+        coalesce(concat(lit(BpeSot), col(s"${px}p1_$k"), lit(" "),
+          col(s"${px}p2_$k"), lit(BpeEot)), lit("")))
+    }
+
   def bpeApply(docs: DataFrame, merges: DataFrame,
                rounds: Int = BpeTrainRounds): DataFrame = {
     val SOT = BpeSot; val EOT = BpeEot
-    val wideCols = (1 to rounds).flatMap(k => Seq(
-      max(when(col("step") === k, col("p1"))).as(s"p1_$k"),
-      max(when(col("step") === k, col("p2"))).as(s"p2_$k")))
-    val wide = merges.groupBy().agg(wideCols.head, wideCols.tail: _*)
+    val wide = mergeWide(merges, rounds)
     val seq0 = concat(lit(SOT), replace(col("text"), lit(" "), lit(EOT + SOT)), lit(EOT))
-    // each fold level must reference the accumulated expression exactly
-    // ONCE: a when(null, s).otherwise(replace(s, …)) guard doubles the
-    // child per level — a 2^rounds expression tree that cost q205 9 s at
-    // sf0.1 (caught by the r16 gate bench). The null guard instead rides
-    // the PATTERN: a missing merge coalesces to the NUL sentinel, which
-    // never occurs in a capsule string, so its replace is a no-op.
-    val applied = (1 to rounds).foldLeft(seq0) { (s, k) =>
-      replace(s,
-        coalesce(concat(lit(SOT), col(s"p1_$k"), lit(EOT),
-          lit(SOT), col(s"p2_$k"), lit(EOT)), lit("\u0000")),
-        coalesce(concat(lit(SOT), col(s"p1_$k"), lit(" "),
-          col(s"p2_$k"), lit(EOT)), lit("")))
-    }
     docs.crossJoin(broadcast(wide))
-      .withColumn("seq", applied)
+      .withColumn("seq", applyMerges(seq0, rounds))
       .select(col("lang"),
         size(split(col("text"), " ")).as("before"),
         size(split(expr("substring(seq, 2, length(seq) - 2)"), EOT + SOT)).as("after"))
@@ -1076,6 +1087,55 @@ object TextStats extends QueryModule {
 
   def bpeApply(spark: SparkSession, dir: String): DataFrame =
     bpeApply(docsTable(spark, dir), bpeTrain(spark, dir))
+
+  /** q211 — VOCAB ROLLOUT A/B (the readout q209's governance diff gates
+    * on): encode the SAME corpus with the outgoing and incoming vocab
+    * generations in ONE map-side pass — both merge tables pivot into one
+    * broadcast row ([[mergeWide]] prefixes keep them apart) and the two
+    * [[applyMerges]] folds run in the same projection, so the A/B costs
+    * one corpus scan, not two — and report per language what the new
+    * vocab BUYS: token counts and compression under each generation plus
+    * how many documents' encodings changed at all (the blast radius of
+    * q209's `rank_moved`/`added` rows — rank moves only matter if some
+    * document actually encodes differently). This is the evidence row a
+    * tokenizer rollout review reads next to the q209 diff: zero joins
+    * beyond the 1-row broadcast, aggregate map-side-combined on lang. */
+  def bpeRolloutAb(docs: DataFrame, mergesOld: DataFrame, mergesNew: DataFrame,
+                   rounds: Int = BpeTrainRounds): DataFrame = {
+    val SOT = BpeSot; val EOT = BpeEot
+    val wide = mergeWide(mergesOld, rounds, "o_")
+      .crossJoin(mergeWide(mergesNew, rounds, "n_"))
+    val seq0 = concat(lit(SOT), replace(col("text"), lit(" "), lit(EOT + SOT)), lit(EOT))
+    docs.crossJoin(broadcast(wide))
+      .withColumn("seq_old", applyMerges(seq0, rounds, "o_"))
+      .withColumn("seq_new", applyMerges(seq0, rounds, "n_"))
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("before"),
+        size(split(expr("substring(seq_old, 2, length(seq_old) - 2)"), EOT + SOT))
+          .as("t_old"),
+        size(split(expr("substring(seq_new, 2, length(seq_new) - 2)"), EOT + SOT))
+          .as("t_new"),
+        (col("seq_old") =!= col("seq_new")).as("changed"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("before")).cast("long").as("tok_before"),
+        sum(col("t_old")).cast("long").as("tok_old"),
+        sum(col("t_new")).cast("long").as("tok_new"),
+        (round(sum(col("t_old")).cast("double") / sum(col("before")), 6) + lit(0.0))
+          .as("compression_old"),
+        (round(sum(col("t_new")).cast("double") / sum(col("before")), 6) + lit(0.0))
+          .as("compression_new"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("docs_changed"))
+      .orderBy(col("lang"))
+  }
+
+  /** The oracle-checked adapter: generations are q209's — gen 1 trained
+    * on the pre-ingest 75 % slice, gen 2 on the full corpus (artifacts
+    * shared with q209 through the same snapshot-keyed cache). */
+  def bpeRolloutAb(spark: SparkSession, dir: String): DataFrame =
+    bpeRolloutAb(docsTable(spark, dir),
+      bpeMergesCached(spark, dir, "gen1of4", _.filter(col("doc_id") % 4 =!= 3)),
+      bpeTrain(spark, dir))
 
   /** The trained-and-materialized merge table for an arbitrary corpus
     * slice — [[bpeTrain]]'s snapshot pattern keyed by a slice tag, shared
@@ -1440,7 +1500,8 @@ object TextStats extends QueryModule {
     "q206_bpe_drift" -> (bpeDrift(_, _)),
     "q207_bpe_sample_agreement" -> (bpeSampleAgreement(_, _)),
     "q209_bpe_vocab_versions" -> (bpeVocabVersions(_, _)),
-    "q210_pii_extended" -> (piiScrubExtended(_, _))
+    "q210_pii_extended" -> (piiScrubExtended(_, _)),
+    "q211_bpe_rollout_ab" -> (bpeRolloutAb(_, _))
   )
 
   /** The unrolled-round oracle for [[bpeTrain]]: round k recounts pairs
@@ -1571,6 +1632,46 @@ FROM r$rounds r JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""
     (head +: steps).mkString(",\n")
   }
 
+  /** Apply-chain CTEs: encode the FULL corpus with ANOTHER chain's
+    * merges — `${outPx}k` is the corpus after applying merge k of chain
+    * `${mergePx}` (the q211 cross-generation encode; same replace rule
+    * as the training rewrite, which is the BPE application rule). */
+  private def bpeApplyCtes(rounds: Int, mergePx: String, outPx: String): String = {
+    val head =
+      s"""${outPx}0 AS MATERIALIZED (
+         |  SELECT doc_id, chr(1) || replace(text, ' ', chr(2) || chr(1)) || chr(2) AS seq
+         |  FROM documents)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""${outPx}$k AS MATERIALIZED (
+         |  SELECT doc_id, replace(seq, chr(1) || b.p1 || chr(2) || chr(1) || b.p2 || chr(2),
+         |                         chr(1) || b.p1 || ' ' || b.p2 || chr(2)) AS seq
+         |  FROM ${outPx}${k - 1}, ${mergePx}b$k b)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** The q211 oracle: gen-1 chain (75 % slice) supplies merges that an
+    * apply chain runs over the FULL corpus; gen-2's encode IS the full
+    * chain rewritten through its last round (the q205 rule). */
+  private def bpeRolloutAbOracle(rounds: Int): String = {
+    val tokOld = s"len(string_split(substring(a.seq, 2, length(a.seq) - 2), chr(2) || chr(1)))"
+    val tokNew = s"len(string_split(substring(r.seq, 2, length(r.seq) - 2), chr(2) || chr(1)))"
+    "WITH " +
+      bpeChainCtes(rounds, withStats = false, rewriteLast = false,
+        px = "o_", where = " WHERE doc_id % 4 <> 3") + ",\n" +
+      bpeChainCtes(rounds, withStats = false, rewriteLast = true) + ",\n" +
+      bpeApplyCtes(rounds, "o_", "ao") + s"""
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tok_before,
+  CAST(sum($tokOld) AS BIGINT) AS tok_old,
+  CAST(sum($tokNew) AS BIGINT) AS tok_new,
+  round(CAST(sum($tokOld) AS DOUBLE) / sum(len(string_split(d.text, ' '))), 6) + 0.0 AS compression_old,
+  round(CAST(sum($tokNew) AS DOUBLE) / sum(len(string_split(d.text, ' '))), 6) + 0.0 AS compression_new,
+  CAST(sum(CASE WHEN a.seq <> r.seq THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed
+FROM documents d JOIN ao$rounds a USING (doc_id) JOIN r$rounds r USING (doc_id)
+GROUP BY 1 ORDER BY 1"""
+  }
+
   /** The merge LIST of a chain as one UNION CTE named `${px}merges`. */
   private def bpeMergesCte(rounds: Int, px: String): String =
     s"${px}merges AS (" +
@@ -1588,6 +1689,9 @@ FROM r$rounds r JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""
     "q207_bpe_sample_agreement" -> bpeSampleOracle(BpeTrainRounds),
     // gen-1 (75% slice) vs gen-2 (full) chains, governance status labels
     "q209_bpe_vocab_versions" -> bpeVocabVersionsOracle(BpeTrainRounds),
+    // gen-1 merges applied to the full corpus vs the full chain's own
+    // final rewrite — one-scan A/B readout
+    "q211_bpe_rollout_ab" -> bpeRolloutAbOracle(BpeTrainRounds),
     // detection mirrors the Spark regexes verbatim (shared Java/RE2
     // subset); DuckDB regexp_replace needs the explicit 'g' flag to match
     // Spark's replace-all; Luhn is the identical fold in list form

@@ -43,4 +43,24 @@ object StreamingPiiGate {
         sum(col("n_phones")).cast("long").as("n_phones"),
         sum(col("n_cards")).cast("long").as("n_cards"),
         sum(col("n_luhn_valid")).cast("long").as("n_luhn_valid"))
+
+  /** Extended-class twin — batch q210's rule verbatim
+    * ([[graft.operators.TextStats.piiExtPerDoc]]): IPv6 + IBAN-shaped
+    * detection with the mod-97-valid subset, stateless like [[scrub]],
+    * so it streams as the same zero-coordination per-row map. */
+  def scrubExtended(docs: DataFrame): DataFrame =
+    graft.operators.TextStats.piiExtPerDoc(docs)
+
+  /** [[paneCounts]] for the extended classes. */
+  def paneCountsExtended(docs: DataFrame, watermarkDelay: String = "10 seconds",
+                         pane: String = "1 minute"): DataFrame =
+    scrubExtended(docs)
+      .withWatermark("ingest_ts", watermarkDelay)
+      .groupBy(window(col("ingest_ts"), pane), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_ip6") + col("n_ibans") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("n_ip6")).cast("long").as("n_ip6"),
+        sum(col("n_ibans")).cast("long").as("n_ibans"),
+        sum(col("n_iban_valid")).cast("long").as("n_iban_valid"))
 }

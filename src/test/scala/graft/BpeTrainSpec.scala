@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q203's BPE trainer on planted fixtures with hand-computed merges:
@@ -135,6 +136,35 @@ class BpeTrainSpec extends AnyFunSuite {
       s"ingest shifted nothing? diff=$diff")
     // every gen-1 merge appears exactly once on the old side
     assert(diff.count(r => !r.isNullAt(2)) == gen1Rows.size)
+  }
+
+  test("q211 rollout A/B: identical vocabs change nothing; a diverging vocab " +
+      "moves tokens and flags exactly the re-encoded docs") {
+    import spark.implicits._
+    val T = operators.TextStats
+    val d = Seq((0L, "en", "a a a b"), (1L, "en", "a b c"), (2L, "de", "c c"))
+      .toDF("doc_id", "lang", "text")
+    val vocab = T.bpeTrain(d, rounds = 3)
+    // same vocab on both sides: zero changed docs, identical compression
+    val same = T.bpeRolloutAb(d, vocab, vocab, rounds = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(same.values.forall(_.getAs[Long]("docs_changed") == 0L))
+    assert(same("en").getAs[Double]("compression_old")
+      == same("en").getAs[Double]("compression_new"))
+    // diverging vocab: train without doc 0 — the (a,a)-heavy doc is gone,
+    // so merge ranks shift; docs re-encode and the flag counts exactly them
+    val vocab2 = T.bpeTrain(d.filter(col("doc_id") =!= 0), rounds = 3)
+    val ab = T.bpeRolloutAb(d, vocab, vocab2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val enChanged = ab("en").getAs[Long]("docs_changed")
+    assert(enChanged >= 1L, s"vocab shift re-encoded nothing: $ab")
+    // cross-check the flag against a direct per-doc re-encode comparison
+    val perDocOld = T.bpeApply(d, vocab, rounds = 3)
+    val perDocNew = T.bpeApply(d, vocab2, rounds = 3)
+    assert(ab("en").getAs[Long]("tok_old")
+      == perDocOld.filter(col("lang") === "en").collect().head.getAs[Long]("tok_after"))
+    assert(ab("en").getAs[Long]("tok_new")
+      == perDocNew.filter(col("lang") === "en").collect().head.getAs[Long]("tok_after"))
   }
 
   test("bpeDrift labels shared, lost and gained merges with rank displacement") {
