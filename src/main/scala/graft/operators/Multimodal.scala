@@ -137,22 +137,86 @@ object Multimodal extends QueryModule {
     byteSimhashPairs(Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload")))
 
+  /** Signature rows for a blob batch — the multimodal ingest gate's
+    * on-storage state ([[graft.streaming.StreamingMultimodalGate]]
+    * delegates here; one rule, two consumers): one `("h", md5_hex, null)`
+    * row per payload and one `("sh", band, sketch)` row per sketchable
+    * payload (≥ 8 bytes — shorter blobs still exact-dedup by md5 but have
+    * no near check, q208's own filter). */
+  def gateSignatureRows(blobs: DataFrame): DataFrame = {
+    val sk = byteSimhashSketch(blobs)
+      .select(lit("sh").as("kind"),
+        shiftright(col("simhash"), 44).cast("string").as("sig"), col("simhash"))
+    blobs.filter(col("payload").isNotNull)
+      .select(lit("h").as("kind"), md5(col("payload")).as("sig"),
+        lit(null).cast("long").as("simhash"))
+      .union(sk)
+      .distinct()
+  }
+
+  /** Classify `newBlobs` against a signature snapshot → (doc_id, status):
+    * `exact_dup` (payload md5 seen), `near_dup` (shares a high-16-bit
+    * SimHash band AND verifies at `bit_count(xor) ≤ maxHamming` — q208's
+    * candidate+verify rule), else `new`. Precedence exact > near (an
+    * exact dup always also band-matches at Hamming 0). Both probes are
+    * distinct-reduced joins driven by the (small) new side. */
+  def gateClassify(newBlobs: DataFrame, sigs: DataFrame,
+                   maxHamming: Int = 12): DataFrame = {
+    val exactHits = newBlobs
+      .filter(col("payload").isNotNull)
+      .select(col("doc_id"), md5(col("payload")).as("sig"))
+      .join(sigs.filter(col("kind") === "h").select(col("sig")).distinct(),
+        Seq("sig"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("exact", lit(1))
+    val nearHits = byteSimhashSketch(newBlobs)
+      .withColumn("band", shiftright(col("simhash"), 44).cast("string"))
+      .join(sigs.filter(col("kind") === "sh")
+          .select(col("sig").as("band"), col("simhash").as("sh_seen")).distinct(),
+        Seq("band"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("sh_seen"))) <= maxHamming)
+      .select(col("doc_id")).distinct().withColumn("near", lit(1))
+    newBlobs.select(col("doc_id"))
+      .join(exactHits, Seq("doc_id"), "left_outer")
+      .join(nearHits, Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("exact").isNotNull, "exact_dup")
+          .when(col("near").isNotNull, "near_dup")
+          .otherwise("new"))
+      .select(col("doc_id"), col("status"))
+  }
+
+  /** q212 — the multimodal ingest gate as a BATCH query (the r17
+    * streaming family's rule made oracle-checkable): payloads with
+    * doc_id ≥ 400 classify against the doc_id < 400 seed corpus —
+    * exactly one StreamingMultimodalGate micro-batch against its seed
+    * (the q79 split convention), so the oracle pins the same rule the
+    * stream runs. */
+  def multimodalGate(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    gateClassify(blobs.filter(col("doc_id") >= 400),
+      gateSignatureRows(blobs.filter(col("doc_id") < 400)))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q51_multimodal_features" -> features _,
     "q59_multimodal_expr" -> featuresExpr _,
     "q67_multimodal_frames" -> frameSample _,
-    "q208_multimodal_simhash" -> (byteSimhashPairs(_, _))
+    "q208_multimodal_simhash" -> (byteSimhashPairs(_, _)),
+    "q212_multimodal_gate" -> multimodalGate _
   )
 
-  /** q43's explode-form SimHash oracle on byte shingles (hex windows). */
-  private val byteSimhashOracle: String = {
+  /** The per-doc 60-bit sketch CTE chain (…→ `shv(doc_id, simhash)`),
+    * shared by the q208 pair oracle and the q212 gate oracle. */
+  private val shvCtes: String = {
     val bits = (0 until 60)
       .map(j => s"CAST(sum(CASE WHEN ((v >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
       .mkString(",\n        ")
     val recompose = (0 until 60)
       .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    s"""WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS hexp FROM documents
+    s"""hx AS (SELECT doc_id, lower(hex(encode(text))) AS hexp FROM documents
        |            WHERE text IS NOT NULL AND octet_length(encode(text)) >= 8),
        |g AS (SELECT doc_id, unnest(list_transform(range(1, length(hexp) - 14, 8),
        |        i -> substring(hexp, i, 16))) AS g FROM hx),
@@ -160,17 +224,39 @@ object Multimodal extends QueryModule {
        |bits AS (SELECT doc_id,
        |        $bits
        |    FROM tv GROUP BY doc_id),
-       |shv AS (SELECT doc_id, $recompose AS simhash FROM bits)
+       |shv AS (SELECT doc_id, $recompose AS simhash FROM bits)""".stripMargin
+  }
+
+  /** q43's explode-form SimHash oracle on byte shingles (hex windows). */
+  private val byteSimhashOracle: String =
+    s"""WITH $shvCtes
        |SELECT a.doc_id AS a, b.doc_id AS b,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM shv a JOIN shv b
        |  ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
        |ORDER BY hamming, a, b""".stripMargin
-  }
+
+  /** The q212 oracle: md5 membership for exact, the q208 band+verify
+    * rule RESTRICTED to (seed, incoming) pairs for near, else new —
+    * exactly [[gateClassify]]'s precedence. */
+  private val multimodalGateOracle: String =
+    s"""WITH $shvCtes,
+       |near AS (SELECT DISTINCT b.doc_id FROM shv a JOIN shv b
+       |  ON a.doc_id < 400 AND b.doc_id >= 400
+       |  AND (a.simhash >> 44) = (b.simhash >> 44)
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12)
+       |SELECT d.doc_id,
+       |  CASE WHEN md5(d.text) IN
+       |         (SELECT md5(s.text) FROM documents s WHERE s.doc_id < 400)
+       |         THEN 'exact_dup'
+       |       WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+       |       ELSE 'new' END AS status
+       |FROM documents d WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q208_multimodal_simhash" -> byteSimhashOracle,
+    "q212_multimodal_gate" -> multimodalGateOracle,
     "q51_multimodal_features" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -41,51 +41,23 @@ object StreamingMultimodalGate {
   /** Signature table schema — pinned so empty seeds/partitions read. */
   val SigSchema = "kind STRING, sig STRING, simhash BIGINT"
 
-  /** Signature rows for a (static) blob batch. */
-  def signatureRows(blobs: DataFrame): DataFrame = {
-    val sk = Multimodal.byteSimhashSketch(blobs)
-      .select(lit("sh").as("kind"),
-        shiftright(col("simhash"), 44).cast("string").as("sig"), col("simhash"))
-    blobs.filter(col("payload").isNotNull)
-      .select(lit("h").as("kind"), md5(col("payload")).as("sig"),
-        lit(null).cast("long").as("simhash"))
-      .union(sk)
-      .distinct()
-  }
+  /** Signature rows for a (static) blob batch — the batch rule verbatim
+    * ([[Multimodal.gateSignatureRows]]; one rule, two consumers). */
+  def signatureRows(blobs: DataFrame): DataFrame =
+    Multimodal.gateSignatureRows(blobs)
 
   /** Materialize the corpus seed under `batch=-1` (shares the partitioned
     * table with per-batch appends). */
   def seedSignatures(corpus: DataFrame, sigDir: String): Unit =
     signatureRows(corpus).write.mode("overwrite").parquet(s"$sigDir/batch=-1")
 
-  /** Classify `newBlobs` against a signature snapshot → (doc_id, status).
-    * Precedence exact > near (an exact dup always also band-matches at
-    * Hamming 0). Plan shape: two distinct-reduced joins driven by the
-    * (small) batch side — identical cost model to [[StreamingDedup]]. */
+  /** Classify `newBlobs` against a signature snapshot → (doc_id, status)
+    * — the batch rule verbatim ([[Multimodal.gateClassify]], the
+    * oracle-checked q212): exact > near precedence, distinct-reduced
+    * joins driven by the (small) batch side. */
   def classify(newBlobs: DataFrame, sigs: DataFrame,
-               maxHamming: Int = 12): DataFrame = {
-    val exactHits = newBlobs
-      .filter(col("payload").isNotNull)
-      .select(col("doc_id"), md5(col("payload")).as("sig"))
-      .join(sigs.filter(col("kind") === "h").select(col("sig")).distinct(),
-        Seq("sig"), "left_semi")
-      .select(col("doc_id")).distinct().withColumn("exact", lit(1))
-    val nearHits = Multimodal.byteSimhashSketch(newBlobs)
-      .withColumn("band", shiftright(col("simhash"), 44).cast("string"))
-      .join(sigs.filter(col("kind") === "sh")
-          .select(col("sig").as("band"), col("simhash").as("sh_seen")).distinct(),
-        Seq("band"))
-      .filter(bit_count(col("simhash").bitwiseXOR(col("sh_seen"))) <= maxHamming)
-      .select(col("doc_id")).distinct().withColumn("near", lit(1))
-    newBlobs.select(col("doc_id"))
-      .join(exactHits, Seq("doc_id"), "left_outer")
-      .join(nearHits, Seq("doc_id"), "left_outer")
-      .withColumn("status",
-        when(col("exact").isNotNull, "exact_dup")
-          .when(col("near").isNotNull, "near_dup")
-          .otherwise("new"))
-      .select(col("doc_id"), col("status"))
-  }
+               maxHamming: Int = 12): DataFrame =
+    Multimodal.gateClassify(newBlobs, sigs, maxHamming)
 
   /** Start the continuous gate. `deliver` receives each batch's
     * (doc_id, status) — at-least-once, like any foreachBatch sink; the
