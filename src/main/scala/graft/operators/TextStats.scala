@@ -1137,6 +1137,52 @@ object TextStats extends QueryModule {
       bpeMergesCached(spark, dir, "gen1of4", _.filter(col("doc_id") % 4 =!= 3)),
       bpeTrain(spark, dir))
 
+  /** q213 — VOCAB-AWARE PACKING A/B (q211's compression delta turned into
+    * the number that bills: TRAINING SEQUENCES): per-doc token counts
+    * under each vocab generation feed the q168 packing rule verbatim —
+    * per-shard exclusive-prefix-tokens div budget, a window over the
+    * shard key only (never a global cumsum) — and the readout is packs
+    * under the old vs new vocab per shard, i.e. how many fixed-budget
+    * sequences the rollout saves. ONE corpus scan computes both encodes
+    * (the q211 broadcast-row trick); ONE shuffle on shard computes both
+    * running sums in the same WindowExec. */
+  def packVocabAb(docs: DataFrame, mergesOld: DataFrame, mergesNew: DataFrame,
+                  rounds: Int = BpeTrainRounds, budget: Int = 2048,
+                  shards: Int = 8): DataFrame = {
+    val SOT = BpeSot; val EOT = BpeEot
+    val wide = mergeWide(mergesOld, rounds, "o_")
+      .crossJoin(mergeWide(mergesNew, rounds, "n_"))
+    val seq0 = concat(lit(SOT), replace(col("text"), lit(" "), lit(EOT + SOT)), lit(EOT))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.crossJoin(broadcast(wide))
+      .withColumn("seq_old", applyMerges(seq0, rounds, "o_"))
+      .withColumn("seq_new", applyMerges(seq0, rounds, "n_"))
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(split(expr("substring(seq_old, 2, length(seq_old) - 2)"), EOT + SOT))
+          .as("t_old"),
+        size(split(expr("substring(seq_new, 2, length(seq_new) - 2)"), EOT + SOT))
+          .as("t_new"))
+      .withColumn("prefix_old", sum(col("t_old")).over(w) - col("t_old"))
+      .withColumn("prefix_new", sum(col("t_new")).over(w) - col("t_new"))
+      .select(col("shard"), col("t_old"), col("t_new"),
+        expr(s"prefix_old div $budget").as("pack_old"),
+        expr(s"prefix_new div $budget").as("pack_new"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t_old")).cast("long").as("tok_old"),
+        sum(col("t_new")).cast("long").as("tok_new"),
+        (max(col("pack_old")) + 1).as("packs_old"),
+        (max(col("pack_new")) + 1).as("packs_new"),
+        (max(col("pack_old")) - max(col("pack_new"))).as("packs_saved"))
+      .orderBy(col("shard"))
+  }
+
+  def packVocabAb(spark: SparkSession, dir: String): DataFrame =
+    packVocabAb(docsTable(spark, dir),
+      bpeMergesCached(spark, dir, "gen1of4", _.filter(col("doc_id") % 4 =!= 3)),
+      bpeTrain(spark, dir))
+
   /** The trained-and-materialized merge table for an arbitrary corpus
     * slice — [[bpeTrain]]'s snapshot pattern keyed by a slice tag, shared
     * by q206 (parity halves) and q207 (25 % sample vs full). */
@@ -1228,6 +1274,40 @@ object TextStats extends QueryModule {
   def bpeVocabGen(spark: SparkSession, vocabDir: String, gen: Int): DataFrame =
     spark.read.parquet(vocabDir).filter(col("gen") === gen)
       .select(col("step"), col("p1"), col("p2"), col("n_occ"), col("pct"))
+
+  /** Retention for the generation-tagged vocab store — the maintenance
+    * op the governance family still lacked (the [[Pipeline.phraseIndexCompact]]
+    * single-writer discipline applied to tokenizer artifacts): keep the
+    * newest `keepLast` generations, delete the directories of older
+    * ones, and return the purged generation numbers (empty = nothing to
+    * reclaim — the idempotence witness). Deletion is per-generation-dir
+    * (hive partition = one directory, `.crc` sidecars ride along in the
+    * tree walk), so a concurrent pinned READER of a surviving generation
+    * never observes a change — surviving dirs are untouched by
+    * construction. Callers pin deployment to a surviving gen before
+    * running retention, exactly like any warehouse snapshot-expiry. */
+  def bpeVocabRetention(vocabDir: String, keepLast: Int): Seq[Int] = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val root = Paths.get(vocabDir)
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    val gens = listDir(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("gen="))
+      .flatMap(p => p.getFileName.toString.stripPrefix("gen=").toIntOption)
+      .sorted
+    val purge = gens.dropRight(keepLast)
+    purge.foreach { g =>
+      val walk = Files.walk(root.resolve(s"gen=$g"))
+      val tree = try walk.iterator().asScala.toList finally walk.close()
+      tree.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+    purge
+  }
 
   /** The generation diff — q179's snapshot-diff discipline applied to two
     * vocab generations: per merged pair, its rank (training step) in each
@@ -1501,7 +1581,8 @@ object TextStats extends QueryModule {
     "q207_bpe_sample_agreement" -> (bpeSampleAgreement(_, _)),
     "q209_bpe_vocab_versions" -> (bpeVocabVersions(_, _)),
     "q210_pii_extended" -> (piiScrubExtended(_, _)),
-    "q211_bpe_rollout_ab" -> (bpeRolloutAb(_, _))
+    "q211_bpe_rollout_ab" -> (bpeRolloutAb(_, _)),
+    "q213_pack_vocab_ab" -> (packVocabAb(_, _))
   )
 
   /** The unrolled-round oracle for [[bpeTrain]]: round k recounts pairs
@@ -1672,6 +1753,35 @@ FROM documents d JOIN ao$rounds a USING (doc_id) JOIN r$rounds r USING (doc_id)
 GROUP BY 1 ORDER BY 1"""
   }
 
+  /** The q213 oracle: the same two encodes (apply chain + full chain's
+    * final rewrite) run through the q168 packing rule — per-shard
+    * exclusive-prefix div budget — as window functions. */
+  private def packVocabAbOracle(rounds: Int, budget: Int = 2048,
+                                shards: Int = 8): String =
+    "WITH " +
+      bpeChainCtes(rounds, withStats = false, rewriteLast = false,
+        px = "o_", where = " WHERE doc_id % 4 <> 3") + ",\n" +
+      bpeChainCtes(rounds, withStats = false, rewriteLast = true) + ",\n" +
+      bpeApplyCtes(rounds, "o_", "ao") + s""",
+tok AS (
+  SELECT d.doc_id, d.doc_id % $shards AS shard,
+    len(string_split(substring(a.seq, 2, length(a.seq) - 2), chr(2) || chr(1))) AS t_old,
+    len(string_split(substring(r.seq, 2, length(r.seq) - 2), chr(2) || chr(1))) AS t_new
+  FROM documents d JOIN ao$rounds a USING (doc_id) JOIN r$rounds r USING (doc_id)),
+pk AS (
+  SELECT shard, t_old, t_new,
+    (sum(t_old) OVER (PARTITION BY shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t_old) // $budget AS pack_old,
+    (sum(t_new) OVER (PARTITION BY shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t_new) // $budget AS pack_new
+  FROM tok)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(t_old) AS BIGINT) AS tok_old, CAST(sum(t_new) AS BIGINT) AS tok_new,
+  CAST(max(pack_old) + 1 AS BIGINT) AS packs_old,
+  CAST(max(pack_new) + 1 AS BIGINT) AS packs_new,
+  CAST(max(pack_old) - max(pack_new) AS BIGINT) AS packs_saved
+FROM pk GROUP BY 1 ORDER BY 1"""
+
   /** The merge LIST of a chain as one UNION CTE named `${px}merges`. */
   private def bpeMergesCte(rounds: Int, px: String): String =
     s"${px}merges AS (" +
@@ -1692,6 +1802,8 @@ GROUP BY 1 ORDER BY 1"""
     // gen-1 merges applied to the full corpus vs the full chain's own
     // final rewrite — one-scan A/B readout
     "q211_bpe_rollout_ab" -> bpeRolloutAbOracle(BpeTrainRounds),
+    // the two encodes through the q168 packing rule (per-shard windows)
+    "q213_pack_vocab_ab" -> packVocabAbOracle(BpeTrainRounds),
     // detection mirrors the Spark regexes verbatim (shared Java/RE2
     // subset); DuckDB regexp_replace needs the explicit 'g' flag to match
     // Spark's replace-all; Luhn is the identical fold in list form

@@ -167,6 +167,54 @@ class BpeTrainSpec extends AnyFunSuite {
       == perDocNew.filter(col("lang") === "en").collect().head.getAs[Long]("tok_after"))
   }
 
+  test("q213 packing A/B: hand-computed pack ids; a better vocab never adds packs") {
+    import spark.implicits._
+    val T = operators.TextStats
+    val d = Seq((0L, "en", "a b c d"), (1L, "en", "e f g"), (2L, "en", "h i"))
+      .toDF("doc_id", "lang", "text")
+    // empty vocab (no realizable merges) → encode is identity on both
+    // sides: tok = whitespace counts [4,3,2], prefixes [0,4,7], budget 4
+    // → pack ids [0,1,1] → 2 packs, zero saved
+    val emptyVocab = T.bpeTrain(Seq((0L, "solo")).toDF("doc_id", "text"), rounds = 3)
+    val same = T.packVocabAb(d, emptyVocab, emptyVocab,
+      rounds = 3, budget = 4, shards = 1).collect().head
+    assert(same.getAs[Long]("n_docs") === 3L)
+    assert(same.getAs[Long]("tok_old") === 9L && same.getAs[Long]("tok_new") === 9L)
+    assert(same.getAs[Long]("packs_old") === 2L && same.getAs[Long]("packs_new") === 2L)
+    assert(same.getAs[Long]("packs_saved") === 0L)
+    // a trained vocab strictly shrinks the token stream → packs can only
+    // drop (here: merges fuse within docs, tok_new < 9)
+    val trained = T.bpeTrain(d, rounds = 3)
+    val ab = T.packVocabAb(d, emptyVocab, trained,
+      rounds = 3, budget = 4, shards = 1).collect().head
+    assert(ab.getAs[Long]("tok_new") < 9L)
+    assert(ab.getAs[Long]("packs_new") <= ab.getAs[Long]("packs_old"))
+    assert(ab.getAs[Long]("packs_saved")
+      === ab.getAs[Long]("packs_old") - ab.getAs[Long]("packs_new"))
+  }
+
+  test("vocab retention keeps the newest N generations, survivors byte-stable, " +
+      "rerun idempotent") {
+    import spark.implicits._
+    val T = operators.TextStats
+    val vocabDir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-retention-spec-").toString
+    (1 to 4).foreach { g =>
+      T.bpeVocabPublish(vocabDir, g,
+        T.bpeTrain(docs("a a a b", s"round $g a b"), rounds = 2))
+    }
+    val pinned = T.bpeVocabGen(spark, vocabDir, 4).collect().toSeq
+    assert(T.bpeVocabRetention(vocabDir, keepLast = 2) === Seq(1, 2))
+    // survivors intact and byte-stable; purged gens gone from the listing
+    assert(T.bpeVocabGen(spark, vocabDir, 4).collect().toSeq === pinned)
+    assert(T.bpeVocabGen(spark, vocabDir, 3).collect().nonEmpty)
+    val gens = spark.read.parquet(vocabDir)
+      .select(col("gen")).distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(gens === Seq(3, 4))
+    // idempotent: nothing left to reclaim
+    assert(T.bpeVocabRetention(vocabDir, keepLast = 2).isEmpty)
+  }
+
   test("bpeDrift labels shared, lost and gained merges with rank displacement") {
     import spark.implicits._
     val a = Seq((1, "a", "b"), (2, "c", "d")).toDF("step", "p1", "p2")
