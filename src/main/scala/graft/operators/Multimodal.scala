@@ -199,12 +199,58 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q214 — gate PROVENANCE (q212 answers "is it a dup?", a dedup review
+    * also asks "of WHAT?"): per incoming payload, the status plus the
+    * matched seed doc and Hamming distance. Exact matches report the
+    * LOWEST seed doc_id sharing the md5 (deterministic tie-break) at
+    * Hamming 0 (identical bytes by definition — no sketch needed, so
+    * sub-shingle payloads get provenance too); near matches report the
+    * (hamming, seed_id)-minimal verified candidate — one `min(struct)`
+    * aggregate over the band join, never a sort of the candidate set. */
+  def multimodalGateProvenance(spark: SparkSession, dir: String,
+                               maxHamming: Int = 12): DataFrame = {
+    val blobs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val seed = blobs.filter(col("doc_id") < 400)
+    val incoming = blobs.filter(col("doc_id") >= 400)
+    val exact = incoming.select(col("doc_id"), md5(col("payload")).as("m"))
+      .join(seed.select(md5(col("payload")).as("m"), col("doc_id").as("sid"))
+        .groupBy(col("m")).agg(min(col("sid")).as("exact_seed")), Seq("m"))
+      .select(col("doc_id"), col("exact_seed"))
+    val near = byteSimhashSketch(incoming)
+      .withColumn("band", shiftright(col("simhash"), 44))
+      .join(byteSimhashSketch(seed)
+          .select(shiftright(col("simhash"), 44).as("band"),
+            col("doc_id").as("sid"), col("simhash").as("sh_seen")),
+        Seq("band"))
+      .withColumn("hamming",
+        bit_count(col("simhash").bitwiseXOR(col("sh_seen"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("hamming"), col("sid"))).as("best"))
+      .select(col("doc_id"), col("best.sid").as("near_seed"),
+        col("best.hamming").as("near_hamming"))
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_seed").isNotNull, "exact_dup")
+          .when(col("near_seed").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        when(col("exact_seed").isNotNull, col("exact_seed"))
+          .otherwise(col("near_seed")).as("matched_seed"),
+        when(col("exact_seed").isNotNull, lit(0))
+          .otherwise(col("near_hamming")).as("hamming"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q51_multimodal_features" -> features _,
     "q59_multimodal_expr" -> featuresExpr _,
     "q67_multimodal_frames" -> frameSample _,
     "q208_multimodal_simhash" -> (byteSimhashPairs(_, _)),
-    "q212_multimodal_gate" -> multimodalGate _
+    "q212_multimodal_gate" -> multimodalGate _,
+    "q214_multimodal_gate_provenance" -> (multimodalGateProvenance(_, _))
   )
 
   /** The per-doc 60-bit sketch CTE chain (…→ `shv(doc_id, simhash)`),
@@ -254,9 +300,39 @@ object Multimodal extends QueryModule {
        |       ELSE 'new' END AS status
        |FROM documents d WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin
 
+  /** The q214 oracle: exact = min seed doc_id per md5; near = the
+    * (hamming, seed_id)-first row of the verified band join via a
+    * row_number window — the same arg-min [[multimodalGateProvenance]]
+    * computes with min(struct). */
+  private val multimodalGateProvenanceOracle: String =
+    s"""WITH $shvCtes,
+       |ex AS (SELECT d.doc_id, min(s.doc_id) AS exact_seed
+       |  FROM documents d JOIN documents s
+       |    ON s.doc_id < 400 AND d.doc_id >= 400 AND md5(s.text) = md5(d.text)
+       |  GROUP BY 1),
+       |near AS (SELECT doc_id, sid, hamming FROM (
+       |  SELECT b.doc_id, a.doc_id AS sid,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+       |         row_number() OVER (PARTITION BY b.doc_id
+       |           ORDER BY bit_count(xor(a.simhash, b.simhash)), a.doc_id) AS rn
+       |  FROM shv a JOIN shv b
+       |    ON a.doc_id < 400 AND b.doc_id >= 400
+       |    AND (a.simhash >> 44) = (b.simhash >> 44)
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12) WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.sid IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE n.sid END AS matched_seed,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN CAST(0 AS INT) ELSE n.hamming END AS hamming
+       |FROM documents d
+       |LEFT JOIN ex e ON e.doc_id = d.doc_id
+       |LEFT JOIN near n ON n.doc_id = d.doc_id
+       |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q208_multimodal_simhash" -> byteSimhashOracle,
     "q212_multimodal_gate" -> multimodalGateOracle,
+    "q214_multimodal_gate_provenance" -> multimodalGateProvenanceOracle,
     "q51_multimodal_features" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -1343,15 +1343,50 @@ object TextStats extends QueryModule {
     * registry (gen 1 shares q206/q207's slice cache pattern, gen 2 IS
     * q203's table), so warm consumers pay two ≤rounds-row parquet reads
     * and one tiny join. */
-  def bpeVocabVersions(spark: SparkSession, dir: String): DataFrame = {
+  /** The materialized two-generation store (gen 1 = pre-ingest 75 %
+    * slice, gen 2 = full corpus) shared by q209 and q215. */
+  private def bpeVocabStoreDir(spark: SparkSession, dir: String): String = {
     val snap = Materialize.snapshot(s"$dir/documents.parquet")
-    val vocabDir = Materialize.parquetDir(s"bpe-vocab-gens:$dir@$snap",
+    Materialize.parquetDir(s"bpe-vocab-gens:$dir@$snap",
       "graft-bpe-vocab-", partitionCols = Seq("gen")) {
       bpeMergesCached(spark, dir, "gen1of4", _.filter(col("doc_id") % 4 =!= 3))
         .withColumn("gen", lit(1))
         .unionAll(bpeTrain(spark, dir).withColumn("gen", lit(2)))
     }
+  }
+
+  def bpeVocabVersions(spark: SparkSession, dir: String): DataFrame = {
+    val vocabDir = bpeVocabStoreDir(spark, dir)
     bpeVocabDiff(bpeVocabGen(spark, vocabDir, 1), bpeVocabGen(spark, vocabDir, 2))
+  }
+
+  /** q215 — VOCAB-STORE MANIFEST (the governance dashboard's index page):
+    * one audit row per generation in the store — merge count, total
+    * pair-mass share (pct summed in micro units: the q166/q199 integer
+    * quantization, so the cross-engine double sum is order-free), and
+    * rank churn vs the previous generation (merges NOT present at the
+    * same step — added or re-ranked; null for the first generation).
+    * Every input is a ≤rounds-row artifact read; the corpus is never
+    * touched warm. */
+  def bpeVocabManifest(spark: SparkSession, dir: String): DataFrame = {
+    val vocabDir = bpeVocabStoreDir(spark, dir)
+    val g1 = bpeVocabGen(spark, vocabDir, 1)
+    val g2 = bpeVocabGen(spark, vocabDir, 2)
+    def massCols(g: DataFrame) = g.agg(
+      count(lit(1)).as("n_merges"),
+      (round(sum(round(col("pct") * 1000000).cast("long")).cast("double")
+        / 1000000, 6) + lit(0.0)).as("pct_mass"))
+    val churn2 = g2
+      .join(g1.select(col("p1"), col("p2"), col("step")).withColumn("hit", lit(1)),
+        Seq("p1", "p2", "step"), "left_outer")
+      .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("churn_vs_prev"))
+    massCols(g1)
+      .select(lit(1).as("gen"), col("n_merges"), col("pct_mass"),
+        lit(null).cast("long").as("churn_vs_prev"))
+      .unionAll(massCols(g2).crossJoin(churn2)
+        .select(lit(2).as("gen"), col("n_merges"), col("pct_mass"),
+          col("churn_vs_prev")))
+      .orderBy(col("gen"))
   }
 
   private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -1582,7 +1617,8 @@ object TextStats extends QueryModule {
     "q209_bpe_vocab_versions" -> (bpeVocabVersions(_, _)),
     "q210_pii_extended" -> (piiScrubExtended(_, _)),
     "q211_bpe_rollout_ab" -> (bpeRolloutAb(_, _)),
-    "q213_pack_vocab_ab" -> (packVocabAb(_, _))
+    "q213_pack_vocab_ab" -> (packVocabAb(_, _)),
+    "q215_vocab_manifest" -> (bpeVocabManifest(_, _))
   )
 
   /** The unrolled-round oracle for [[bpeTrain]]: round k recounts pairs
@@ -1782,6 +1818,35 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(max(pack_old) - max(pack_new) AS BIGINT) AS packs_saved
 FROM pk GROUP BY 1 ORDER BY 1"""
 
+  /** The merge list WITH pct of a chain as one UNION CTE `${px}pcts`. */
+  private def bpeMergesPctCte(rounds: Int, px: String): String =
+    s"${px}pcts AS (" +
+      (1 to rounds).map(k =>
+        s"SELECT step, p1, p2, round(CAST(n_occ AS DOUBLE) / total_pairs, 6) + 0.0 AS pct FROM ${px}m$k")
+        .mkString(" UNION ALL ") + ")"
+
+  /** The q215 oracle: both chains' per-merge pct rows aggregated to one
+    * audit row per generation; pct mass summed in micro units (integer
+    * sum, order-free); churn = gen-2 merges with no same-step twin. */
+  private def bpeVocabManifestOracle(rounds: Int): String =
+    "WITH " +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false,
+        px = "o_", where = " WHERE doc_id % 4 <> 3") + ",\n" +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false) + ",\n" +
+      bpeMergesPctCte(rounds, "o_") + ",\n" + bpeMergesPctCte(rounds, "") + """
+SELECT * FROM (
+SELECT 1 AS gen, CAST(count(*) AS BIGINT) AS n_merges,
+  round(CAST(sum(CAST(round(pct * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) + 0.0 AS pct_mass,
+  CAST(NULL AS BIGINT) AS churn_vs_prev
+FROM o_pcts
+UNION ALL
+SELECT 2 AS gen, CAST(count(*) AS BIGINT) AS n_merges,
+  round(CAST(sum(CAST(round(pct * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) + 0.0 AS pct_mass,
+  (SELECT CAST(count(*) AS BIGINT) FROM pcts n
+   WHERE NOT EXISTS (SELECT 1 FROM o_pcts o
+     WHERE o.p1 = n.p1 AND o.p2 = n.p2 AND o.step = n.step)) AS churn_vs_prev
+FROM pcts) ORDER BY gen"""
+
   /** The merge LIST of a chain as one UNION CTE named `${px}merges`. */
   private def bpeMergesCte(rounds: Int, px: String): String =
     s"${px}merges AS (" +
@@ -1804,6 +1869,8 @@ FROM pk GROUP BY 1 ORDER BY 1"""
     "q211_bpe_rollout_ab" -> bpeRolloutAbOracle(BpeTrainRounds),
     // the two encodes through the q168 packing rule (per-shard windows)
     "q213_pack_vocab_ab" -> packVocabAbOracle(BpeTrainRounds),
+    // per-generation audit off both chains' pct rows; micro-unit sums
+    "q215_vocab_manifest" -> bpeVocabManifestOracle(BpeTrainRounds),
     // detection mirrors the Spark regexes verbatim (shared Java/RE2
     // subset); DuckDB regexp_replace needs the explicit 'g' flag to match
     // Spark's replace-all; Luhn is the identical fold in list form

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q214 (gate provenance) and q215 (vocab manifest) consistency against
+  * their sibling queries' independently-derived answers. */
+class GateProvenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q214: statuses match q212; near provenance is the verified arg-min pair; " +
+      "new rows carry no provenance") {
+    val prov = Multimodal.multimodalGateProvenance(spark, sf).collect()
+    val statuses = Multimodal.multimodalGate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prov.nonEmpty && prov.length == statuses.size)
+    prov.foreach(r => assert(r.getString(1) == statuses(r.getLong(0)),
+      s"status drift for doc ${r.getLong(0)}"))
+
+    // independent candidate set: the oracle-checked q208 pair rule
+    val cross = Multimodal.byteSimhashPairs(
+        Tables(spark, sf, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => p._1 < 400 && p._2 >= 400)
+      .groupBy(_._2)
+    val nears = prov.filter(_.getString(1) == "near_dup")
+    assert(nears.nonEmpty)
+    nears.foreach { r =>
+      val best = cross(r.getLong(0)).map(p => (p._3, p._1)).min
+      assert((r.getInt(3), r.getLong(2)) == best,
+        s"doc ${r.getLong(0)}: provenance ${(r.getInt(3), r.getLong(2))} != arg-min $best")
+    }
+    prov.filter(_.getString(1) == "new").foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3), s"new doc ${r.getLong(0)} has provenance")
+    }
+  }
+
+  test("q215: manifest counts match the store; churn equals q209's added+rank_moved") {
+    val man = operators.TextStats.bpeVocabManifest(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val diff = operators.TextStats.bpeVocabVersions(spark, sf).collect()
+    assert(man(1).isNullAt(3), "gen 1 must carry null churn")
+    val expChurn = diff.count(r => Set("added", "rank_moved")(r.getString(4)))
+    assert(man(2).getAs[Long]("churn_vs_prev") === expChurn.toLong)
+    // every gen-1 merge appears on the diff's old side exactly once
+    assert(man(1).getAs[Long]("n_merges") === diff.count(r => !r.isNullAt(2)).toLong)
+    assert(man(2).getAs[Long]("n_merges") === diff.count(r => !r.isNullAt(3)).toLong)
+    // pair-mass shares are per-round fractions of 10 rounds: in (0, 10]
+    (1 to 2).foreach { g =>
+      val m = man(g).getAs[Double]("pct_mass")
+      assert(m > 0.0 && m <= 10.0)
+    }
+  }
+}
