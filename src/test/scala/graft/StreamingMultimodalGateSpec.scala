@@ -119,7 +119,34 @@ class StreamingMultimodalGateSpec extends AnyFunSuite {
     // (partition overwrite keeps appends idempotent)
     val sigs = spark.read.schema(StreamingMultimodalGate.SigSchema)
       .parquet(sigDir).select("kind", "sig", "simhash")
-    assert(sigs.count() == sigs.distinct().count())
+    val nSigs = sigs.count() // pinned: sigs' plan holds the PRE-compaction file index
+    assert(nSigs == sigs.distinct().count())
     assert(sigs.filter(col("kind") === "h").count() == 3) // docs 0, 3, 5
+
+    // compaction: fold the batch partitions into ONE seed file —
+    // classification against the table must be unchanged
+    val probe = blobs(Seq((100L, base), (101L, base + " x"),
+      (102L, "an entirely new probe payload unlike anything stored here")))
+    def classifyProbe() = graft.streaming.StreamingMultimodalGate.classify(
+      probe, spark.read.schema(StreamingMultimodalGate.SigSchema).parquet(sigDir))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = classifyProbe()
+    assert(before === Map(100L -> "exact_dup", 101L -> "near_dup", 102L -> "new"))
+    val foldedN = graft.streaming.SignatureCompaction.compact(
+      spark, sigDir, StreamingMultimodalGate.SigSchema)
+    assert(foldedN >= 2, s"expected >=2 batch partitions folded, got $foldedN")
+    assert(classifyProbe() === before, "compaction changed classification")
+    // layout: only batch=-1 remains, with exactly one parquet file
+    val dirs = new java.io.File(sigDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(dirs.toSeq === Seq("batch=-1"), dirs.toSeq.toString)
+    assert(new java.io.File(s"$sigDir/batch=-1").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // rows stay distinct; rerun is a no-op
+    val after = spark.read.schema(StreamingMultimodalGate.SigSchema)
+      .parquet(sigDir).select("kind", "sig", "simhash")
+    assert(after.count() == after.distinct().count() && after.count() == nSigs)
+    assert(graft.streaming.SignatureCompaction.compact(
+      spark, sigDir, StreamingMultimodalGate.SigSchema) == 0)
   }
 }
