@@ -920,6 +920,60 @@ object Similarity extends QueryModule {
       .orderBy(col("dim"), col("decile"))
   }
 
+  /** q216 — EMBEDDING INGEST GATE (the dedup-gate family's rule on the
+    * similarity surface: q212 gates opaque bytes, this gates vectors):
+    * incoming embeddings (vec_id ≥ 400) classify against the seed corpus
+    * as `exact_dup` (byte-identical vector — an array-equality equi-join;
+    * at 100 TB you'd join on a vector digest, same plan shape),
+    * `near_dup` (shares a hyperplane bucket — q61's candidate rule, THE
+    * one bucket formula — and verifies at cosine ≥ τ), or `new`; with
+    * q214-style provenance — the best (cos desc, seed asc) verified
+    * match, exact matches reporting cos 1.0 by definition. Two planted
+    * twins (a byte-copy of seed vec 5 and a ×2 scaling of seed vec 7 —
+    * cosine-1.0 but not byte-equal) make all three statuses real at any
+    * SF, q61's trick. */
+  def embeddingGate(spark: SparkSession, dir: String, tau: Double = 0.999): DataFrame = {
+    val base = embTable(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val twins = base.filter(col("vec_id") === 5)
+      .select(lit(2000000L).as("vec_id"), col("emb"))
+      .unionAll(base.filter(col("vec_id") === 7)
+        .select(lit(2000001L).as("vec_id"),
+          transform(col("emb"), x => x * lit(2.0)).as("emb")))
+    val all = base.unionAll(twins)
+    val incoming = all.filter(col("vec_id") >= 400)
+    val exact = incoming
+      .join(all.filter(col("vec_id") < 400)
+        .select(col("emb"), col("vec_id").as("sid")), Seq("emb"))
+      .groupBy(col("vec_id")).agg(min(col("sid")).as("exact_seed"))
+    val b = bucketed(all.select(col("vec_id"), col("emb").as("embedding")), DedupPlanes)
+    val near = b.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("emb").as("ei"), col("nrm").as("ni"), col("bucket"))
+      .join(b.filter(col("vec_id") < 400)
+          .select(col("vec_id").as("sid"), col("emb").as("es"),
+            col("nrm").as("ns"), col("bucket")),
+        Seq("bucket"))
+      .withColumn("cos_sim",
+        round(dot(col("ei"), col("es")) / (col("ni") * col("ns")), 6))
+      .filter(col("cos_sim") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("sid")).as("nsid"))).as("best"))
+      .select(col("vec_id"), (-col("best.nsid")).as("near_seed"),
+        col("best.cos_sim").as("near_sim"))
+    incoming.select(col("vec_id"))
+      .join(exact, Seq("vec_id"), "left_outer")
+      .join(near, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("exact_seed").isNotNull, "exact_dup")
+          .when(col("near_seed").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        when(col("exact_seed").isNotNull, col("exact_seed"))
+          .otherwise(col("near_seed")).as("matched_seed"),
+        when(col("exact_seed").isNotNull, lit(1.0))
+          .otherwise(col("near_sim")).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q176_sim_dim_deciles" -> (dimDeciles(_, _)),
     "q167_pca_power" -> ((s, dd) => pcaPower(s, dd)),
@@ -935,7 +989,8 @@ object Similarity extends QueryModule {
     "q65_sim_ann_multiprobe" -> annLshMultiProbe _,
     "q78_sim_quantized_rerank" -> (quantizedRerank(_, _)),
     "q90_sim_semantic_clusters" -> semanticClusters _,
-    "q113_decontaminate_semantic" -> semanticDecontaminate _
+    "q113_decontaminate_semantic" -> semanticDecontaminate _,
+    "q216_embedding_gate" -> ((s, dd) => embeddingGate(s, dd))
   )
 
   /** Oracle-side plane weight, same integer formula as [[planeWeight]]. */
@@ -976,7 +1031,53 @@ object Similarity extends QueryModule {
     s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ${planeWeightSql(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** The q216 oracle: array-equality exact join + the q61 bucket rule
+    * restricted to (seed, incoming) pairs, arg-max over the ROUNDED
+    * cosine (ties to the lowest seed id) via row_number — the identical
+    * comparison keys to Spark's max(struct). */
+  private val embeddingGateOracle: String = {
+    val bucketExpr = (0 until DedupPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ${planeWeightSql(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e0 AS (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |            FROM embeddings),
+       |u AS (SELECT vec_id, emb FROM e0
+       |      UNION ALL SELECT 2000000, emb FROM e0 WHERE vec_id = 5
+       |      UNION ALL SELECT 2000001, list_transform(emb, x -> x * 2.0)
+       |                FROM e0 WHERE vec_id = 7),
+       |n AS (SELECT vec_id, emb,
+       |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+       |        $bucketExpr AS bucket
+       |      FROM u),
+       |ex AS (SELECT i.vec_id, min(s.vec_id) AS exact_seed
+       |       FROM u i JOIN u s
+       |         ON i.vec_id >= 400 AND s.vec_id < 400 AND i.emb = s.emb
+       |       GROUP BY 1),
+       |nr0 AS (SELECT i.vec_id, s.vec_id AS sid,
+       |          round(list_sum(list_transform(range(1, 65),
+       |            j -> i.emb[j] * s.emb[j])) / (i.nrm * s.nrm), 6) AS cos_sim
+       |        FROM n i JOIN n s
+       |          ON i.vec_id >= 400 AND s.vec_id < 400 AND i.bucket = s.bucket),
+       |nr AS (SELECT vec_id, sid, cos_sim FROM (
+       |        SELECT vec_id, sid, cos_sim,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                 ORDER BY cos_sim DESC, sid) AS rn
+       |        FROM nr0 WHERE cos_sim >= 0.999) WHERE rn = 1)
+       |SELECT i.vec_id,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.sid IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr.sid END AS matched_seed,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |       ELSE nr.cos_sim END AS cos_sim
+       |FROM u i
+       |LEFT JOIN ex e ON e.vec_id = i.vec_id
+       |LEFT JOIN nr ON nr.vec_id = i.vec_id
+       |WHERE i.vec_id >= 400 ORDER BY i.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q216_embedding_gate" -> embeddingGateOracle,
     // integer-rank boundaries on the identical (x, vec_id) total order
     "q176_sim_dim_deciles" ->
       """WITH cells AS (

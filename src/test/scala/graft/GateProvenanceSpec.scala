@@ -38,6 +38,25 @@ class GateProvenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("q216: planted twins classify exact/near with correct provenance; " +
+      "new rows carry none; every match points into the seed") {
+    val rows = operators.Similarity.embeddingGate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val exactTwin = rows(2000000L) // byte-copy of seed vec 5
+    assert(exactTwin.getString(1) == "exact_dup"
+      && exactTwin.getLong(2) == 5L && exactTwin.getDouble(3) == 1.0)
+    val scaledTwin = rows(2000001L) // x2 scaling of seed vec 7: cos 1, not byte-equal
+    assert(scaledTwin.getString(1) == "near_dup"
+      && scaledTwin.getLong(2) == 7L && scaledTwin.getDouble(3) >= 0.999)
+    rows.values.foreach { r =>
+      r.getString(1) match {
+        case "new" => assert(r.isNullAt(2) && r.isNullAt(3))
+        case "exact_dup" => assert(r.getLong(2) < 400L && r.getDouble(3) == 1.0)
+        case "near_dup" => assert(r.getLong(2) < 400L && r.getDouble(3) >= 0.999)
+      }
+    }
+  }
+
   test("q215: manifest counts match the store; churn equals q209's added+rank_moved") {
     val man = operators.TextStats.bpeVocabManifest(spark, sf).collect()
       .map(r => r.getInt(0) -> r).toMap
