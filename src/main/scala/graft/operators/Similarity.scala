@@ -44,7 +44,7 @@ object Similarity extends QueryModule {
     * replaced the interpreted `aggregate(zip_with(...))` fold in round 4;
     * same ascending left-fold order, bit-identical doubles, ~3x less CPU
     * on the candidate-pair joins. */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotProduct(a, b)
 
   /** Every operator here has two forms: a GENERIC one over any embedding
@@ -54,7 +54,7 @@ object Similarity extends QueryModule {
     * oracle-checked query entries. */
 
   /** vec_id, emb (double), nrm. */
-  private def normed(emb: DataFrame): DataFrame =
+  private[graft] def normed(emb: DataFrame): DataFrame =
     emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(graft.functions.VectorExpressions.sumOfSquares(col("emb"))))
@@ -65,7 +65,7 @@ object Similarity extends QueryModule {
   /** Sign-pattern hyperplane bucket over normed vectors — the ONE place
     * the bucket formula lives (annLsh, multi-probe, and the near-dup
     * pairs all derive from it). */
-  private def bucketed(embeddings: DataFrame, planes: Int): DataFrame =
+  private[graft] def bucketed(embeddings: DataFrame, planes: Int): DataFrame =
     normed(embeddings).withColumn("bucket",
       (0 until planes).map(p =>
         when(dot(col("emb"), planeCol(p)) > 0, lit(1 << p)).otherwise(lit(0)))
@@ -258,7 +258,7 @@ object Similarity extends QueryModule {
     * so this uses 8 planes (256 buckets) where [[annLsh]] uses 4: ~16x
     * fewer candidate pairs per corpus, and true near-dups (cos ≈ 1) land
     * in the same bucket with near-certainty regardless of plane count. */
-  private val DedupPlanes = 8
+  private[graft] val DedupPlanes = 8
 
   def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = embTable(spark, dir)
