@@ -289,21 +289,9 @@ object Pipeline extends QueryModule {
     * @return the compacted bucket ids (empty = nothing passed threshold) */
   def phraseIndexCompact(spark: SparkSession, indexDir: String,
                          maxFiles: Int = 4): Seq[Int] = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    // close the directory stream eagerly — one leaked fd per bucket adds up
-    def listDir(p: Path): Seq[Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList finally s.close()
-    }
-    def parquets(p: Path): Seq[Path] =
-      listDir(p).filter(_.getFileName.toString.endsWith(".parquet"))
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.FsTrees.{listDir, parquets, rmTree}
     val root = Paths.get(indexDir)
-    def rmTree(p: Path): Unit = {
-      val walk = Files.walk(p)
-      val tree = try walk.iterator().asScala.toList finally walk.close()
-      tree.reverse.foreach(q => Files.deleteIfExists(q))
-    }
     // purge scratch left by a previous crashed compaction (a crash between
     // the parquet write and the cleanup walk would otherwise leave the
     // half-written tree under the index root forever) — safe under this

@@ -1287,25 +1287,17 @@ object TextStats extends QueryModule {
     * construction. Callers pin deployment to a surviving gen before
     * running retention, exactly like any warehouse snapshot-expiry. */
   def bpeVocabRetention(vocabDir: String, keepLast: Int): Seq[Int] = {
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    import graft.FsTrees.{listDir, rmTree}
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val root = Paths.get(vocabDir)
-    def listDir(p: Path): Seq[Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList finally s.close()
-    }
     val gens = listDir(root)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("gen="))
       .flatMap(p => p.getFileName.toString.stripPrefix("gen=").toIntOption)
       .sorted
     val purge = gens.dropRight(keepLast)
-    purge.foreach { g =>
-      val walk = Files.walk(root.resolve(s"gen=$g"))
-      val tree = try walk.iterator().asScala.toList finally walk.close()
-      tree.reverse.foreach(p => Files.deleteIfExists(p))
-    }
+    purge.foreach(g => rmTree(root.resolve(s"gen=$g")))
     purge
   }
 

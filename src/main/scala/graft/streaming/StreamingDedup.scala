@@ -78,37 +78,17 @@ object StreamingDedup {
       .select(col("doc_id"), col("status"))
   }
 
-  /** Start the continuous dedup. `deliver` receives each batch's
-    * (doc_id, status) — write it to a sink table, route accepted docs on,
-    * etc. (at-least-once, like any foreachBatch sink; the signature table
-    * itself stays exactly-once via partition-overwrite). */
+  /** Start the continuous dedup ([[GateLoop]] — one copy of the replay-
+    * safe micro-batch discipline for all three gates). `deliver`
+    * receives each batch's (doc_id, status) — write it to a sink table,
+    * route accepted docs on, etc. (at-least-once; the signature table
+    * stays exactly-once via the loop's own-partition exclusion +
+    * overwrite — a replayed uncommitted batch would otherwise read its
+    * OWN signatures, flip its accepts to exact_dup, and erase them). */
   def start(docs: DataFrame, sigDir: String,
             deliver: (DataFrame, Long) => Unit,
             checkpointDir: Option[String] = None,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
-    require(docs.isStreaming, "docs must be a streaming DataFrame; use classify() for batch")
-    val w: DataStreamWriter[Row] = docs.writeStream.outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // snapshot: the file index is pinned when the read is planned, so
-        // this batch's own append below is never visible to its classify.
-        // Explicit schema: an empty seed (or a run of all-duplicate
-        // batches) leaves partitions with no data files, where inference
-        // would fail; the declared schema also pins the table contract.
-        val sigs = spark.read.schema("kind STRING, sig STRING")
-          .parquet(sigDir).select(col("kind"), col("sig"))
-        // eager localCheckpoint: statuses are fixed BEFORE the signature
-        // append lands (and the two consumers below don't recompute)
-        val classified = classify(batch, sigs).localCheckpoint(true)
-        val accepted = batch.join(
-          classified.filter(col("status") === "new").select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        signatureRows(accepted).write.mode("overwrite")
-          .parquet(s"$sigDir/batch=$batchId")
-        deliver(classified, batchId)
-      }
-    checkpointDir.foreach(d => w.option("checkpointLocation", d))
-    w.start()
-  }
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    GateLoop.start(docs, sigDir, "kind STRING, sig STRING", "doc_id",
+      classify, signatureRows, deliver, checkpointDir, trigger)
 }

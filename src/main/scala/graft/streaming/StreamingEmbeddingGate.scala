@@ -69,30 +69,14 @@ object StreamingEmbeddingGate {
       .select(col("vec_id"), col("status"))
   }
 
-  /** Start the continuous gate (at-least-once `deliver`; the signature
-    * table stays exactly-once via partition-overwrite). */
+  /** Start the continuous gate ([[GateLoop]] — one copy of the replay-
+    * safe micro-batch discipline; at-least-once `deliver`, exactly-once
+    * signature table via own-partition exclusion + overwrite). */
   def start(vecs: DataFrame, sigDir: String,
             deliver: (DataFrame, Long) => Unit,
             checkpointDir: Option[String] = None,
             tau: Double = 0.999,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
-    require(vecs.isStreaming,
-      "vecs must be a streaming DataFrame; use classify() for batch")
-    val w: DataStreamWriter[Row] = vecs.writeStream.outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val sigs = spark.read.schema(SigSchema).parquet(sigDir)
-          .select(col("bucket"), col("nrm"), col("emb"))
-        val classified = classify(batch, sigs, tau).localCheckpoint(true)
-        val accepted = batch.join(
-          classified.filter(col("status") === "new").select(col("vec_id")),
-          Seq("vec_id"), "left_semi")
-        signatureRows(accepted).write.mode("overwrite")
-          .parquet(s"$sigDir/batch=$batchId")
-        deliver(classified, batchId)
-      }
-    checkpointDir.foreach(d => w.option("checkpointLocation", d))
-    w.start()
-  }
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    GateLoop.start(vecs, sigDir, SigSchema, "vec_id",
+      classify(_, _, tau), signatureRows, deliver, checkpointDir, trigger)
 }

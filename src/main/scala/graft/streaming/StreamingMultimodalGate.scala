@@ -59,34 +59,15 @@ object StreamingMultimodalGate {
                maxHamming: Int = 12): DataFrame =
     Multimodal.gateClassify(newBlobs, sigs, maxHamming)
 
-  /** Start the continuous gate. `deliver` receives each batch's
-    * (doc_id, status) — at-least-once, like any foreachBatch sink; the
-    * signature table stays exactly-once via partition-overwrite. */
+  /** Start the continuous gate ([[GateLoop]] — one copy of the replay-
+    * safe micro-batch discipline). `deliver` receives each batch's
+    * (doc_id, status), at-least-once; the signature table stays
+    * exactly-once via the loop's own-partition exclusion + overwrite. */
   def start(blobs: DataFrame, sigDir: String,
             deliver: (DataFrame, Long) => Unit,
             checkpointDir: Option[String] = None,
             maxHamming: Int = 12,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
-    require(blobs.isStreaming,
-      "blobs must be a streaming DataFrame; use classify() for batch")
-    val w: DataStreamWriter[Row] = blobs.writeStream.outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // snapshot: the file index is pinned when the read is planned, so
-        // this batch's own append below is never visible to its classify
-        val sigs = spark.read.schema(SigSchema).parquet(sigDir)
-          .select(col("kind"), col("sig"), col("simhash"))
-        // eager localCheckpoint: statuses fixed BEFORE the append lands
-        val classified = classify(batch, sigs, maxHamming).localCheckpoint(true)
-        val accepted = batch.join(
-          classified.filter(col("status") === "new").select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        signatureRows(accepted).write.mode("overwrite")
-          .parquet(s"$sigDir/batch=$batchId")
-        deliver(classified, batchId)
-      }
-    checkpointDir.foreach(d => w.option("checkpointLocation", d))
-    w.start()
-  }
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    GateLoop.start(blobs, sigDir, SigSchema, "doc_id",
+      classify(_, _, maxHamming), signatureRows, deliver, checkpointDir, trigger)
 }
