@@ -22,8 +22,12 @@ object FsTrees {
   def parquets(p: Path): Seq[Path] =
     listDir(p).filter(_.getFileName.toString.endsWith(".parquet"))
 
-  /** Recursive delete, children-first; missing paths are fine. */
+  /** Recursive delete, children-first; missing paths are fine — the
+    * existence guard makes the documented contract real (ADVICE r17:
+    * `Files.walk` throws NoSuchFileException on a nonexistent root;
+    * `deleteIfExists` only covers races mid-walk). */
   def rmTree(p: Path): Unit = {
+    if (!Files.exists(p)) return
     val w = Files.walk(p)
     val tree = try w.iterator().asScala.toList finally w.close()
     tree.reverse.foreach(q => Files.deleteIfExists(q))

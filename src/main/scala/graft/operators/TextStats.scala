@@ -1262,10 +1262,18 @@ object TextStats extends QueryModule {
     * and is byte-stable no matter how many later generations train —
     * published generations are immutable by contract (publish writes a
     * NEW gen dir; it never rewrites an existing one). */
-  def bpeVocabPublish(vocabDir: String, gen: Int, merges: DataFrame): Unit =
+  def bpeVocabPublish(vocabDir: String, gen: Int, merges: DataFrame): Unit = {
+    // enforce the publish-once contract (ADVICE r17): mode("append") into
+    // an EXISTING gen dir would silently double its rows, and
+    // bpeVocabGen/mergeWide consumers would then mix two merge tables
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(vocabDir).resolve(s"gen=$gen")),
+      s"generation $gen already published in $vocabDir — " +
+        "published generations are immutable (publish a new gen instead)")
     merges.withColumn("gen", lit(gen))
       .repartition(1) // a merge table is ≤rounds rows — one file per gen
       .write.mode("append").partitionBy("gen").parquet(vocabDir)
+  }
 
   /** The merge table pinned to one generation: the `gen` filter is a
     * partition filter (one dir scanned), columns restored to the

@@ -67,11 +67,15 @@ object SignatureCompaction {
         Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
       }
       folded.foreach(rmTree)
-    } finally rmTree(tmp)
-    // Spark's shared FileStatusCache can otherwise serve the pre-swap
-    // listing to the next reader of this path (FAILED_READ_FILE on the
-    // deleted parts) — invalidate it as part of the swap
-    spark.catalog.refreshByPath(sigDir)
+    } finally {
+      rmTree(tmp)
+      // Spark's shared FileStatusCache can otherwise serve the pre-swap
+      // listing to the next reader of this path (FAILED_READ_FILE on the
+      // deleted parts) — invalidate it whenever files MAY have moved, so
+      // an exception mid-swap (after ATOMIC_MOVEs/deletes already mutated
+      // the table) cannot leave the cache stale (ADVICE r17)
+      spark.catalog.refreshByPath(sigDir)
+    }
     folded.size
   }
 }

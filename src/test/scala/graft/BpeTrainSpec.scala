@@ -111,6 +111,13 @@ class BpeTrainSpec extends AnyFunSuite {
     // gen 2 trains and publishes while gen 1 serves
     T.bpeVocabPublish(vocabDir, 2, T.bpeTrain(corpusB, rounds = 3))
 
+    // publish-once is ENFORCED, not documentation (ADVICE r17): re-publishing
+    // an existing generation must fail instead of silently doubling its rows
+    val dup = intercept[IllegalArgumentException] {
+      T.bpeVocabPublish(vocabDir, 1, T.bpeTrain(corpusA, rounds = 3))
+    }
+    assert(dup.getMessage.contains("already published"))
+
     // pinned generation: identical rows, identical encode — a rollback is
     // nothing but reading the older generation
     val gen1After = T.bpeVocabGen(spark, vocabDir, 1)
