@@ -78,6 +78,30 @@ object VectorExpressions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Static worker: the array's IEEE-754 bytes, big-endian, 8 per element
+    * (`doubleToLongBits`, so any NaN payload canonicalizes — equal-valued
+    * vectors always pack to equal bytes). Null element ⇒ null, like the
+    * folds above. The packed form exists to be DIGESTED (`md5(pack(emb))`
+    * is the embedding gates' 16-byte exact-probe join key — VERDICT r17
+    * #1: shuffling a 512-byte ARRAY<DOUBLE> as the join key is not the
+    * 100 TB shape); equality of vectors ⇔ equality of packed bytes. */
+  def packDoubles(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](8 * n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val bits = java.lang.Double.doubleToLongBits(a.getDouble(i))
+      var j = 0
+      while (j < 8) {
+        out(i * 8 + j) = ((bits >>> (56 - 8 * j)) & 0xffL).toByte
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -86,6 +110,9 @@ object VectorExpressions {
 
   def scaleRound(a: Column, scale: Column): Column =
     ColumnBridge.column(ScaleRound(ColumnBridge.expression(a), ColumnBridge.expression(scale)))
+
+  def packDoubles(a: Column): Column =
+    ColumnBridge.column(PackDoubles(ColumnBridge.expression(a)))
 
 }
 
@@ -153,4 +180,26 @@ case class ScaleRound(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ScaleRound =
     copy(left = newLeft, right = newRight)
+}
+
+/** Big-endian IEEE-754 bytes of an array<double> column, as a codegen'd
+  * expression — the digestible form of a vector (`md5(pack(emb))` = the
+  * exact-dedup join key). Nullable: a null element yields null. */
+case class PackDoubles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExpressions.packDoubles(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytes = ctx.freshName("packed")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      byte[] $bytes = graft.functions.VectorExpressions.packDoubles($c);
+      if ($bytes == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $bytes; }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackDoubles =
+    copy(child = newChild)
 }

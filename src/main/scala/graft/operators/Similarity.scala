@@ -920,32 +920,54 @@ object Similarity extends QueryModule {
       .orderBy(col("dim"), col("decile"))
   }
 
+  /** The vector digest — `md5` over the array's packed IEEE-754 bytes
+    * ([[graft.functions.VectorExpressions.packDoubles]], codegen'd): THE
+    * exact-probe join key of the embedding gates (VERDICT r17 #1). A
+    * 512-byte ARRAY<DOUBLE> as shuffle/join key is not the 100 TB shape;
+    * the digest is 32 hex chars, and digest-equality plus an equality
+    * VERIFY on the carried vectors is semantically identical to the
+    * array-equality join it replaces (collisions verify away). */
+  private[graft] def vecDigest(emb: Column): Column =
+    md5(graft.functions.VectorExpressions.packDoubles(emb))
+
   /** q216 — EMBEDDING INGEST GATE (the dedup-gate family's rule on the
     * similarity surface: q212 gates opaque bytes, this gates vectors):
     * incoming embeddings (vec_id ≥ 400) classify against the seed corpus
-    * as `exact_dup` (byte-identical vector — an array-equality equi-join;
-    * at 100 TB you'd join on a vector digest, same plan shape),
-    * `near_dup` (shares a hyperplane bucket — q61's candidate rule, THE
-    * one bucket formula — and verifies at cosine ≥ τ), or `new`; with
-    * q214-style provenance — the best (cos desc, seed asc) verified
-    * match, exact matches reporting cos 1.0 by definition. Two planted
-    * twins (a byte-copy of seed vec 5 and a ×2 scaling of seed vec 7 —
-    * cosine-1.0 but not byte-equal) make all three statuses real at any
-    * SF, q61's trick. */
+    * as `exact_dup` (byte-identical vector — a [[vecDigest]] equi-join
+    * with an array-equality verify, the 100 TB shape: the 16-byte digest
+    * is the shuffle key, never the 512-byte vector), `near_dup` (shares a
+    * hyperplane bucket — q61's candidate rule, THE one bucket formula —
+    * and verifies at cosine ≥ τ), or `new`; with q214-style provenance —
+    * the best (cos desc, seed asc) verified match, exact matches
+    * reporting cos 1.0 by definition. Two planted twins (a byte-copy of
+    * seed vec 5 and a ×2 scaling of seed vec 7 — cosine-1.0 but not
+    * byte-equal) make all three statuses real at any SF; their ids are
+    * `max(vec_id)+1/+2` so no real corpus id can collide (ADVICE r17 —
+    * the former hardcoded 2000000/2000001 silently duplicated ids on any
+    * corpus reaching them). */
   def embeddingGate(spark: SparkSession, dir: String, tau: Double = 0.999): DataFrame = {
     val base = embTable(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val twins = base.filter(col("vec_id") === 5)
-      .select(lit(2000000L).as("vec_id"), col("emb"))
-      .unionAll(base.filter(col("vec_id") === 7)
-        .select(lit(2000001L).as("vec_id"),
+    val mx = base.agg(max(col("vec_id")).as("mx"))
+    val twins = base.filter(col("vec_id") === 5).crossJoin(broadcast(mx))
+      .select((col("mx") + 1).as("vec_id"), col("emb"))
+      .unionAll(base.filter(col("vec_id") === 7).crossJoin(broadcast(mx))
+        .select((col("mx") + 2).as("vec_id"),
           transform(col("emb"), x => x * lit(2.0)).as("emb")))
     val all = base.unionAll(twins)
     val incoming = all.filter(col("vec_id") >= 400)
-    val exact = incoming
+    // The digest-collision verify lives INSIDE the aggregate (not a
+    // post-join filter): a bare `emb === es` filter gets merged back into
+    // the equi-join keys by ExtractEquiJoinKeys, silently re-keying the
+    // join on the raw array — exactly the shape the digest exists to
+    // avoid (plan-pinned in GateProvenanceSpec).
+    val exact = incoming.withColumn("dig", vecDigest(col("emb")))
       .join(all.filter(col("vec_id") < 400)
-        .select(col("emb"), col("vec_id").as("sid")), Seq("emb"))
-      .groupBy(col("vec_id")).agg(min(col("sid")).as("exact_seed"))
+        .select(vecDigest(col("emb")).as("dig"), col("emb").as("es"),
+          col("vec_id").as("sid")), Seq("dig"))
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("emb") === col("es"), col("sid"))).as("exact_seed"))
+      .filter(col("exact_seed").isNotNull)
     val b = bucketed(all.select(col("vec_id"), col("emb").as("embedding")), DedupPlanes)
     val near = b.filter(col("vec_id") >= 400)
       .select(col("vec_id"), col("emb").as("ei"), col("nrm").as("ni"), col("bucket"))
@@ -1042,10 +1064,11 @@ object Similarity extends QueryModule {
     s"""WITH e0 AS (SELECT vec_id,
        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |            FROM embeddings),
+       |mx AS (SELECT max(vec_id) AS m FROM e0),
        |u AS (SELECT vec_id, emb FROM e0
-       |      UNION ALL SELECT 2000000, emb FROM e0 WHERE vec_id = 5
-       |      UNION ALL SELECT 2000001, list_transform(emb, x -> x * 2.0)
-       |                FROM e0 WHERE vec_id = 7),
+       |      UNION ALL SELECT m + 1, emb FROM e0, mx WHERE vec_id = 5
+       |      UNION ALL SELECT m + 2, list_transform(emb, x -> x * 2.0)
+       |                FROM e0, mx WHERE vec_id = 7),
        |n AS (SELECT vec_id, emb,
        |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
        |        $bucketExpr AS bucket

@@ -39,13 +39,17 @@ class GateProvenanceSpec extends AnyFunSuite {
   }
 
   test("q216: planted twins classify exact/near with correct provenance; " +
-      "new rows carry none; every match points into the seed") {
-    val rows = operators.Similarity.embeddingGate(spark, sf).collect()
-      .map(r => r.getLong(0) -> r).toMap
-    val exactTwin = rows(2000000L) // byte-copy of seed vec 5
+      "new rows carry none; every match points into the seed; the exact " +
+      "probe joins on the vector digest, not the raw array") {
+    val gate = operators.Similarity.embeddingGate(spark, sf)
+    val rows = gate.collect().map(r => r.getLong(0) -> r).toMap
+    // twin ids derive from max(vec_id) so no real id can collide (ADVICE r17)
+    val mx = Tables(spark, sf, "embeddings")
+      .agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0)
+    val exactTwin = rows(mx + 1) // byte-copy of seed vec 5
     assert(exactTwin.getString(1) == "exact_dup"
       && exactTwin.getLong(2) == 5L && exactTwin.getDouble(3) == 1.0)
-    val scaledTwin = rows(2000001L) // x2 scaling of seed vec 7: cos 1, not byte-equal
+    val scaledTwin = rows(mx + 2) // x2 scaling of seed vec 7: cos 1, not byte-equal
     assert(scaledTwin.getString(1) == "near_dup"
       && scaledTwin.getLong(2) == 7L && scaledTwin.getDouble(3) >= 0.999)
     rows.values.foreach { r =>
@@ -55,6 +59,19 @@ class GateProvenanceSpec extends AnyFunSuite {
         case "near_dup" => assert(r.getLong(2) < 400L && r.getDouble(3) >= 0.999)
       }
     }
+    // plan pin (VERDICT r17 #1): the exact probe's join keys are the
+    // 32-hex-char digest column, never the ARRAY<DOUBLE> itself
+    val joins = gate.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val keyed = joins.filter(_.leftKeys.nonEmpty)
+    assert(keyed.nonEmpty, "no equi-joins in the gate plan")
+    val arrayKeyed = keyed.filter(_.leftKeys.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(arrayKeyed.isEmpty,
+      s"a join still keys on a raw array: ${arrayKeyed.map(_.simpleStringWithNodeId())}")
+    assert(keyed.exists(_.leftKeys.exists(_.toString.contains("dig"))),
+      "no digest-keyed join found in the gate plan")
   }
 
   test("q215: manifest counts match the store; churn equals q209's added+rank_moved") {

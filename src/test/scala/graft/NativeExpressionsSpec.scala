@@ -129,6 +129,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2) && !rows(0).isNullAt(2))
   }
 
+  test("PackDoubles == big-endian doubleToLongBits bytes; null-faithful; " +
+      "digest separates unequal vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map(_ => (0 until 8).map(_ => rnd.nextDouble * 4 - 2)) ++
+      Seq(Seq.empty[Double], Seq(0.0), Seq(-0.0), Seq(Double.MaxValue, Double.MinPositiveValue))
+    val rows = vecs.map(v => Tuple1(v)).toDF("a")
+      .withColumn("packed", VectorExpressions.packDoubles(col("a")))
+      .select(col("a"), col("packed")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val bb = java.nio.ByteBuffer.allocate(8 * v.length) // big-endian default
+      v.foreach(x => bb.putLong(java.lang.Double.doubleToLongBits(x)))
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1), bb.array()),
+        s"packed bytes drift for $v")
+    }
+    // null element => null (the other vector expressions' fold semantics)
+    val nullRow = Seq(Tuple1(Seq[java.lang.Double](1.0, null))).toDF("a")
+      .select(VectorExpressions.packDoubles(col("a"))).collect()(0)
+    assert(nullRow.isNullAt(0))
+    // the digest use: md5(pack(v)) equal iff vectors byte-equal
+    val digs = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0), Seq(1.0, 2.0000000001))
+      .map(v => Tuple1(v)).toDF("a")
+      .select(md5(VectorExpressions.packDoubles(col("a")))).collect().map(_.getString(0))
+    assert(digs(0) == digs(1) && digs(0) != digs(2))
+  }
+
   test("ScaleRound == transform(x -> floor(x*scale + 0.5)), bit-for-bit; null-faithful") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

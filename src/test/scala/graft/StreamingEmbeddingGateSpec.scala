@@ -37,10 +37,11 @@ class StreamingEmbeddingGateSpec extends AnyFunSuite {
 
     val base = Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val mx = base.agg(max(col("vec_id"))).head().getLong(0)
     val twins = base.filter(col("vec_id") === 5)
-      .select(lit(2000000L).as("vec_id"), col("embedding"))
+      .select(lit(mx + 1).as("vec_id"), col("embedding"))
       .unionAll(base.filter(col("vec_id") === 7)
-        .select(lit(2000001L).as("vec_id"),
+        .select(lit(mx + 2).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0)).as("embedding")))
     val sigDir = Files.createTempDirectory("graft-embsigs-").toString
     StreamingEmbeddingGate.seedSignatures(base.filter(col("vec_id") < 400), sigDir)
