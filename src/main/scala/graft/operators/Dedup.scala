@@ -849,7 +849,81 @@ object Dedup extends QueryModule {
   def dupSpanCut(spark: SparkSession, dir: String): DataFrame =
     dupSpanCut(docsTable(spark, dir))
 
+  /** Signature rows for the TEXT ingest gate — the dedup-gate family's
+    * on-storage state ([[graft.streaming.StreamingDedup]] delegates here;
+    * one rule, two consumers, the q212/q214 discipline): one
+    * `("h", sha256)` row per doc plus one `("band", key)` row per LSH
+    * band ([[bandRows]], the exact keys batch q79 uses), each carrying
+    * `src` = the LOWEST doc_id that first recorded the key (deterministic
+    * provenance owner — VERDICT r17 #3: a review queue consuming the gate
+    * asks "duplicate of WHAT", and a (kind, sig)-only table cannot
+    * answer) and `pb` = the key's probe bucket
+    * ([[graft.streaming.GateLoop.pbOf]]) so a micro-batch probe opens
+    * only its own keys' partitions (VERDICT r17 #2). */
+  def gateSignatureRows(docs: DataFrame): DataFrame =
+    docs.select(lit("h").as("kind"), sha2(col("text"), 256).as("sig"),
+        col("doc_id").as("src"))
+      .union(bandRows(docs).select(lit("band").as("kind"),
+        col("band").as("sig"), col("doc_id").as("src")))
+      .groupBy(col("kind"), col("sig")).agg(min(col("src")).as("src"))
+      .withColumn("pb", graft.streaming.GateLoop.pbOf(col("kind"), col("sig")))
+
+  /** Classify `newDocs` against a signature snapshot → the gate family's
+    * shared delivery frame `(doc_id, status, matched_seed, score)`:
+    * `exact_dup` (content sha-256 seen; matched_seed = the sha key's
+    * owner, score = 1.0 — the one matching signature key), `near_dup`
+    * (shares ≥1 minhash LSH band; matched_seed = the owner holding the
+    * MOST shared bands, ties to the lowest owner — one max(struct)
+    * arg-max, never a sort; score = that shared-band count), else `new`
+    * (null provenance). Both probes are distinct-reduced equi-joins on
+    * uniform hash keys driven by the (small) new side — plan-identical
+    * to batch q79's corpus checks plus the provenance aggregates. */
+  def gateClassifyProvenance(newDocs: DataFrame, sigs: DataFrame): DataFrame = {
+    // defensive min per key: the gate invariant keeps one row per key
+    // (an accepted doc never shares a key with the existing table), but
+    // provenance must stay deterministic even over a hand-built snapshot
+    val owners = sigs.groupBy(col("kind"), col("sig")).agg(min(col("src")).as("src"))
+    val exact = newDocs.select(col("doc_id"), sha2(col("text"), 256).as("sig"))
+      .join(owners.filter(col("kind") === "h").select(col("sig"), col("src")),
+        Seq("sig"))
+      .groupBy(col("doc_id")).agg(min(col("src")).as("exact_seed"))
+    val near = bandRows(newDocs).select(col("doc_id"), col("band").as("sig"))
+      .join(owners.filter(col("kind") === "band").select(col("sig"), col("src")),
+        Seq("sig"))
+      .groupBy(col("doc_id"), col("src")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("n"), (-col("src")).as("nsrc"))).as("best"))
+      .select(col("doc_id"), (-col("best.nsrc")).as("near_seed"),
+        col("best.n").cast("double").as("near_score"))
+    newDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_seed").isNotNull, "exact_dup")
+          .when(col("near_seed").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        when(col("exact_seed").isNotNull, col("exact_seed"))
+          .otherwise(col("near_seed")).as("matched_seed"),
+        when(col("exact_seed").isNotNull, lit(1.0))
+          .otherwise(col("near_score")).as("score"))
+  }
+
+  /** q217 — TEXT GATE PROVENANCE (q79 answers "is it a dup?"; the review
+    * queue also asks "of WHAT" — q214's question on the text surface, and
+    * the oracle-checked batch twin of [[graft.streaming.StreamingDedup]]'s
+    * delivery frame): docs with doc_id ≥ 400 classify against the
+    * doc_id < 400 seed via [[gateClassifyProvenance]] over
+    * [[gateSignatureRows]] — exactly one streaming micro-batch against
+    * its seed, so the oracle pins the same rule the stream runs. */
+  def dedupGateProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTable(spark, dir)
+    gateClassifyProvenance(docs.filter(col("doc_id") >= 400),
+      gateSignatureRows(docs.filter(col("doc_id") < 400)))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q217_dedup_gate_provenance" -> (dedupGateProvenance(_, _)),
     "q40_dedup_exact" -> exactDedup _,
     "q41_dedup_minhash_sig" -> minhashSignatures _,
     "q42_dedup_lsh_pairs" -> lshNearDupPairs _,
@@ -1058,6 +1132,42 @@ object Dedup extends QueryModule {
          |        ORDER BY score DESC, tok) AS rnk FROM sc)
          |SELECT cluster_id, CAST(rnk AS INT) AS rnk, tok, tf, score
          |FROM r WHERE rnk <= 3 ORDER BY cluster_id, rnk""".stripMargin,
+    // q79's band CTEs + key-owner provenance: owner = min seed doc per
+    // band; near arg-max = most shared bands, ties to the lowest owner —
+    // the identical comparison keys to Spark's max(struct(n, -src))
+    "q217_dedup_gate_provenance" ->
+      s"""$shingleCte,
+         |m AS (SELECT doc_id,
+         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
+         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
+         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
+         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
+         |      FROM s),
+         |b AS (SELECT doc_id, '0:' || md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS band FROM m
+         |      UNION ALL
+         |      SELECT doc_id, '1:' || md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)) FROM m),
+         |own AS (SELECT band, min(doc_id) AS src FROM b WHERE doc_id < 400 GROUP BY 1),
+         |ex AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
+         |       FROM documents n JOIN documents c
+         |         ON c.doc_id < 400 AND n.doc_id >= 400 AND c.text = n.text
+         |       GROUP BY 1),
+         |nr0 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
+         |        FROM b bn JOIN own o USING (band)
+         |        WHERE bn.doc_id >= 400 GROUP BY 1, 2),
+         |nr AS (SELECT doc_id, src, n FROM (
+         |        SELECT doc_id, src, n,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
+         |        FROM nr0) WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+         |  CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr.src END AS matched_seed,
+         |  CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(nr.n AS DOUBLE) END AS score
+         |FROM documents d
+         |LEFT JOIN ex e ON e.doc_id = d.doc_id
+         |LEFT JOIN nr ON nr.doc_id = d.doc_id
+         |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin,
     "q79_dedup_incremental" ->
       s"""$shingleCte,
          |m AS (SELECT doc_id,

@@ -142,47 +142,70 @@ object Multimodal extends QueryModule {
     * delegates here; one rule, two consumers): one `("h", md5_hex, null)`
     * row per payload and one `("sh", band, sketch)` row per sketchable
     * payload (≥ 8 bytes — shorter blobs still exact-dedup by md5 but have
-    * no near check, q208's own filter). */
+    * no near check, q208's own filter). Each row carries `src` = the
+    * lowest doc_id that first recorded the key (the provenance owner,
+    * VERDICT r17 #3) and `pb` = [[graft.streaming.GateLoop.pbOf]] of the
+    * (kind, sig) join key so micro-batch probes partition-prune
+    * (VERDICT r17 #2 — pb deliberately EXCLUDES the sketch: the near
+    * probe joins on the band alone). */
   def gateSignatureRows(blobs: DataFrame): DataFrame = {
     val sk = byteSimhashSketch(blobs)
       .select(lit("sh").as("kind"),
-        shiftright(col("simhash"), 44).cast("string").as("sig"), col("simhash"))
+        shiftright(col("simhash"), 44).cast("string").as("sig"),
+        col("simhash"), col("doc_id").as("src"))
     blobs.filter(col("payload").isNotNull)
       .select(lit("h").as("kind"), md5(col("payload")).as("sig"),
-        lit(null).cast("long").as("simhash"))
+        lit(null).cast("long").as("simhash"), col("doc_id").as("src"))
       .union(sk)
-      .distinct()
+      .groupBy(col("kind"), col("sig"), col("simhash"))
+      .agg(min(col("src")).as("src"))
+      .withColumn("pb", graft.streaming.GateLoop.pbOf(col("kind"), col("sig")))
   }
 
-  /** Classify `newBlobs` against a signature snapshot → (doc_id, status):
-    * `exact_dup` (payload md5 seen), `near_dup` (shares a high-16-bit
-    * SimHash band AND verifies at `bit_count(xor) ≤ maxHamming` — q208's
-    * candidate+verify rule), else `new`. Precedence exact > near (an
-    * exact dup always also band-matches at Hamming 0). Both probes are
-    * distinct-reduced joins driven by the (small) new side. */
+  /** Classify `newBlobs` against a signature snapshot → the gate family's
+    * shared delivery frame `(doc_id, status, matched_seed, score)`:
+    * `exact_dup` (payload md5 seen; matched_seed = the md5 key's owner,
+    * score = 0.0 — Hamming distance of identical bytes), `near_dup`
+    * (shares a high-16-bit SimHash band AND verifies at `bit_count(xor)
+    * ≤ maxHamming` — q208's candidate+verify rule; matched_seed = the
+    * (hamming, owner)-minimal verified candidate via one min(struct)
+    * arg-min, q214's rule; score = that Hamming distance), else `new`
+    * (null provenance). Precedence exact > near (an exact dup always
+    * also band-matches at Hamming 0). Both probes are distinct-reduced
+    * joins driven by the (small) new side. */
   def gateClassify(newBlobs: DataFrame, sigs: DataFrame,
                    maxHamming: Int = 12): DataFrame = {
-    val exactHits = newBlobs
+    val exact = newBlobs
       .filter(col("payload").isNotNull)
       .select(col("doc_id"), md5(col("payload")).as("sig"))
-      .join(sigs.filter(col("kind") === "h").select(col("sig")).distinct(),
-        Seq("sig"), "left_semi")
-      .select(col("doc_id")).distinct().withColumn("exact", lit(1))
-    val nearHits = byteSimhashSketch(newBlobs)
+      .join(sigs.filter(col("kind") === "h")
+          .groupBy(col("sig")).agg(min(col("src")).as("src")),
+        Seq("sig"))
+      .groupBy(col("doc_id")).agg(min(col("src")).as("exact_seed"))
+    val near = byteSimhashSketch(newBlobs)
       .withColumn("band", shiftright(col("simhash"), 44).cast("string"))
       .join(sigs.filter(col("kind") === "sh")
-          .select(col("sig").as("band"), col("simhash").as("sh_seen")).distinct(),
+          .groupBy(col("sig").as("band"), col("simhash").as("sh_seen"))
+          .agg(min(col("src")).as("src")),
         Seq("band"))
-      .filter(bit_count(col("simhash").bitwiseXOR(col("sh_seen"))) <= maxHamming)
-      .select(col("doc_id")).distinct().withColumn("near", lit(1))
+      .withColumn("hamming",
+        bit_count(col("simhash").bitwiseXOR(col("sh_seen"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("hamming"), col("src"))).as("best"))
+      .select(col("doc_id"), col("best.src").as("near_seed"),
+        col("best.hamming").as("near_hamming"))
     newBlobs.select(col("doc_id"))
-      .join(exactHits, Seq("doc_id"), "left_outer")
-      .join(nearHits, Seq("doc_id"), "left_outer")
-      .withColumn("status",
-        when(col("exact").isNotNull, "exact_dup")
-          .when(col("near").isNotNull, "near_dup")
-          .otherwise("new"))
-      .select(col("doc_id"), col("status"))
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_seed").isNotNull, "exact_dup")
+          .when(col("near_seed").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        when(col("exact_seed").isNotNull, col("exact_seed"))
+          .otherwise(col("near_seed")).as("matched_seed"),
+        when(col("exact_seed").isNotNull, lit(0.0))
+          .otherwise(col("near_hamming").cast("double")).as("score"))
   }
 
   /** q212 — the multimodal ingest gate as a BATCH query (the r17
@@ -196,7 +219,8 @@ object Multimodal extends QueryModule {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     gateClassify(blobs.filter(col("doc_id") >= 400),
       gateSignatureRows(blobs.filter(col("doc_id") < 400)))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("status")) // q212 is the status readout;
+      .orderBy(col("doc_id"))               // provenance is q214's surface
   }
 
   /** q214 — gate PROVENANCE (q212 answers "is it a dup?", a dedup review

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import graft.FsTrees.listDir
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -8,7 +9,7 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * ingest gates ([[StreamingDedup]] text, [[StreamingMultimodalGate]]
   * opaque bytes, [[StreamingEmbeddingGate]] vectors) differ only in
   * their signature schema, signature derivation, and classify rule;
-  * the tricky part is identical and lives here once:
+  * the tricky parts are identical and live here once:
   *
   *   - the classification snapshot EXCLUDES the current batch's own
   *     `batch=<batchId>` partition (r17 review catch): foreachBatch is
@@ -19,34 +20,91 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   *     replay recomputes against exactly the pre-batch table, emits the
   *     original statuses, and rewrites the identical partition —
   *     exactly-once state under at-least-once execution;
+  *   - the snapshot is PROBE-BUCKET PRUNED (VERDICT r17 #2): signature
+  *     rows carry `pb` = [[pbOf]] of their join key and land
+  *     hive-partitioned `batch=<id>/pb=<b>/`, so each micro-batch reads
+  *     only the ≤[[NumBuckets]] partitions its own probe keys hash to —
+  *     the seed can be petabytes; a batch opens its buckets. Pruning is
+  *     sound because every probe is an EQUI-join on the key `pb` hashes:
+  *     a matching row necessarily lives in a probed bucket;
   *   - statuses are fixed (eager localCheckpoint) BEFORE the signature
   *     append lands, so the two consumers below never recompute;
-  *   - accepted (`new`) rows' signatures overwrite `batch=<batchId>`.
+  *   - accepted (`new`) rows' signatures overwrite `batch=<batchId>`;
+  *   - a FRESH CHECKPOINT against an existing signature table is
+  *     rejected (ADVICE r17): batchIds would restart at 0 and each
+  *     batch N would exclude-then-overwrite the HISTORICAL batch=N
+  *     partition, silently erasing prior signatures. `sigDir` and
+  *     `checkpointDir` must stay paired; to re-attach a fresh
+  *     checkpoint, run [[SignatureCompaction.compact]] first (folding
+  *     history into `batch=-1`, which is never excluded or overwritten).
+  *
+  * Deliveries carry the gate family's shared PROVENANCE frame
+  * (VERDICT r17 #3): `(key, status, matched_seed, score)` — the review
+  * queue learns "duplicate of WHAT" without a batch re-join. `deliver`
+  * remains at-least-once; the signature table is exactly-once.
   *
   * [[SignatureCompaction.compact]]'s single-writer contract composes:
   * compaction requires a CLEANLY-STOPPED gate (no uncommitted batch),
   * so no replay can ever see its own rows folded into `batch=-1`. */
 object GateLoop {
 
-  /** One micro-batch. Exposed (not just the lambda) so the replay
-    * contract is directly unit-testable. `sigSchema` is the DATA schema;
-    * the `batch` partition column is appended for the exclusion filter
-    * and dropped before `classify` sees the snapshot. */
+  /** Probe-bucket fan-out of every gate's signature table. Fixed across
+    * the table's lifetime (a resize is a rewrite — compaction's job);
+    * bounded so the per-batch pruning set collects at most this many
+    * ints onto the driver. */
+  val NumBuckets = 16
+
+  /** The ONE probe-bucket formula — signature writers and probe readers
+    * must agree bit-for-bit or pruning silently loses matches. */
+  def pbOf(keyCols: Column*): Column =
+    pmod(xxhash64(keyCols: _*), lit(NumBuckets)).cast("int")
+
+  /** The classification snapshot: the signature table minus the batch's
+    * own partition (replay exclusion), pruned to the probe buckets.
+    * Exposed so the pruning contract is directly testable — the file
+    * scan's selectedPartitions must stay within `probePbs`. */
+  def snapshot(spark: SparkSession, sigDir: String, sigSchema: String,
+               excludeBatchId: Long, probePbs: Seq[Int]): DataFrame = {
+    val pbPred =
+      if (probePbs.isEmpty) lit(false)
+      else col("pb").isin(probePbs.map(Int.box): _*)
+    spark.read.schema(s"$sigSchema, pb INT, batch BIGINT").parquet(sigDir)
+      .filter(col("batch") =!= excludeBatchId && pbPred)
+      .drop("batch", "pb")
+  }
+
+  /** One micro-batch. Exposed (not just the lambda) so the replay and
+    * pruning contracts are directly unit-testable. `sigSchema` is the
+    * DATA schema; the `batch`/`pb` partition columns are appended for
+    * the exclusion/pruning filters and dropped before `classify` sees
+    * the snapshot. `signatureRows` must emit the data columns plus
+    * `pb` ([[pbOf]] of the row's join key). */
   def processBatch(batch: DataFrame, batchId: Long, sigDir: String,
                    sigSchema: String, keyCol: String,
                    classify: (DataFrame, DataFrame) => DataFrame,
                    signatureRows: DataFrame => DataFrame,
                    deliver: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
-    val sigs = spark.read.schema(s"$sigSchema, batch BIGINT").parquet(sigDir)
-      .filter(col("batch") =!= batchId)
-      .drop("batch")
+    val maxBatch = listDir(java.nio.file.Paths.get(sigDir))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toLongOption)
+      .maxOption.getOrElse(-1L)
+    require(batchId >= maxBatch,
+      s"batch $batchId arrived below the table's max batch $maxBatch: " +
+        s"$sigDir was written by a LATER checkpoint — a fresh checkpoint " +
+        "would exclude-then-overwrite historical partitions and erase " +
+        "their signatures. Keep sigDir and checkpointDir paired, or run " +
+        "SignatureCompaction.compact before attaching a new checkpoint.")
+    val probePbs = signatureRows(batch).select(col("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded by NumBuckets
+    val sigs = snapshot(spark, sigDir, sigSchema, batchId, probePbs)
     val classified = classify(batch, sigs).localCheckpoint(true)
     val accepted = batch.join(
       classified.filter(col("status") === "new").select(col(keyCol)),
       Seq(keyCol), "left_semi")
     signatureRows(accepted).write.mode("overwrite")
-      .parquet(s"$sigDir/batch=$batchId")
+      .partitionBy("pb").parquet(s"$sigDir/batch=$batchId")
     deliver(classified, batchId)
   }
 
@@ -59,12 +117,13 @@ object GateLoop {
             trigger: Trigger): StreamingQuery = {
     require(stream.isStreaming,
       "stream must be a streaming DataFrame; use the gate's classify() for batch")
-    val w: DataStreamWriter[Row] = stream.writeStream.outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, sigDir, sigSchema, keyCol,
-          classify, signatureRows, deliver)
-      }
+    val w: DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream.outputMode("append")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, sigDir, sigSchema, keyCol,
+            classify, signatureRows, deliver)
+        }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()
   }

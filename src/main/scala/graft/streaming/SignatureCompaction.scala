@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import graft.FsTrees.{listDir, parquets, rmTree}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
@@ -11,30 +13,46 @@ import org.apache.spark.sql.types.StructType
   * `batch=<id>` partition forever, so a long-running gate accumulates
   * thousands of tiny files — the small-files problem the q185 index
   * solved with [[graft.operators.Pipeline.phraseIndexCompact]]. This op
-  * folds ALL batch partitions into ONE compacted, distinct `batch=-1`
-  * seed file. Classification answers are unchanged by construction:
-  * every gate's classify reduces the signature side to its DISTINCT
-  * keys, and distinct(union of all partitions) is exactly what the fold
-  * writes.
+  * folds ALL batch partitions into one compacted, distinct `batch=-1`
+  * seed, PRESERVING the `pb=<b>` probe-bucket sub-partitioning
+  * ([[GateLoop]]'s pruning layout — a fold that flattened it would
+  * silently un-prune every later micro-batch). Classification answers
+  * are unchanged by construction: every gate's classify reduces the
+  * signature side to its DISTINCT keys, and distinct(union of all
+  * partitions) is exactly what the fold writes.
+  *
+  * The fold is SIZE-BOUNDED, not single-task (VERDICT r17 #4): rows
+  * shuffle once on `pb` (one task per bucket — parallelism follows the
+  * bucket fan-out) and `maxRecordsPerFile` splits each bucket's output
+  * at a target file size estimated from the table's own measured
+  * bytes-per-row, so a petabyte seed folds as ≤buckets concurrent tasks
+  * writing bounded files instead of one task writing one file.
   *
   * Swap discipline is phraseIndexCompact's verbatim (single-writer
   * maintenance contract — run while the gate is CLEANLY stopped; a clean
   * stop also means no uncommitted batch is pending, so [[GateLoop]]'s
   * replay exclusion can never collide with rows folded into `batch=-1`):
-  * the compacted file is written to a dot-prefixed scratch dir UNDER THE
-  * TABLE ROOT (same filesystem → ATOMIC_MOVE holds; hidden from Spark's
-  * listing), moved into `batch=-1` under a unique name, and only then
-  * are the superseded files and folded batch dirs deleted; stale crash
-  * scratch is purged at entry and the per-run scratch is removed in a
-  * finally. */
+  * the compacted files are written to a dot-prefixed scratch dir UNDER
+  * THE TABLE ROOT (same filesystem → ATOMIC_MOVE holds; hidden from
+  * Spark's listing), moved into `batch=-1/pb=<b>/` under unique names,
+  * and only then are the superseded files and folded batch dirs deleted;
+  * stale crash scratch is purged at entry, the per-run scratch is
+  * removed in a finally, and the FileStatusCache is invalidated in the
+  * same finally (files may have moved even on an exception — ADVICE
+  * r17). After a compact the table's max batch id is -1, so
+  * [[GateLoop]]'s fresh-checkpoint guard permits re-attaching a new
+  * checkpoint. */
 object SignatureCompaction {
 
-  /** Fold every `batch=<id>` partition into one distinct `batch=-1`
-    * file. `schema` is the table's DATA schema (no `batch` column —
-    * it is the partition dir). @return number of batch partitions
-    * folded away (0 = nothing to do: the idempotence witness). */
-  def compact(spark: SparkSession, sigDir: String, schema: String): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+  /** Fold every `batch=<id>` partition into the distinct `batch=-1`
+    * seed. `schema` is the table's DATA schema (no `batch`/`pb` columns —
+    * they are partition dirs). `targetFileBytes` bounds output file
+    * size. @return number of batch partitions folded away (0 = nothing
+    * to fold: the idempotence witness; a seed fragmented past one file
+    * per bucket is still rewritten). */
+  def compact(spark: SparkSession, sigDir: String, schema: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    import java.nio.file.{Files, StandardCopyOption, Path, Paths}
     val root = Paths.get(sigDir)
     listDir(root)
       .filter(p => Files.isDirectory(p) &&
@@ -45,35 +63,65 @@ object SignatureCompaction {
         p.getFileName.toString.startsWith("batch="))
     val seedDir = root.resolve("batch=-1")
     val folded = batchDirs.filterNot(_ == seedDir)
-    val seedFiles = if (Files.exists(seedDir)) parquets(seedDir) else Nil
-    if (folded.isEmpty && seedFiles.length <= 1) return 0 // already compact
+    // seed parquet files live under pb=<b>/ sub-dirs (plus any flat
+    // stragglers from a pre-pb layout)
+    def seedFilesNow(): Seq[Path] =
+      if (!Files.exists(seedDir)) Nil
+      else parquets(seedDir) ++ listDir(seedDir)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("pb="))
+        .flatMap(parquets)
+    val seedFiles = seedFilesNow()
+    if (folded.isEmpty && seedFiles.length <= GateLoop.NumBuckets) return 0
     // parse the DDL properly — a split(",") phantom-columns any type
     // containing a comma (STRUCT<...>, DECIMAL(p,s)) (r17 review catch)
     val dataCols = StructType.fromDDL(schema).fieldNames.toSeq
+    // measured bytes-per-row → records per output file at the target size
+    val allFiles = batchDirs.flatMap { d =>
+      val w = Files.walk(d)
+      try w.iterator().asScala.toList finally w.close()
+    }.filter(_.getFileName.toString.endsWith(".parquet"))
+    val totalBytes = allFiles.map(Files.size(_)).sum
+    val df = spark.read.schema(s"$schema, pb INT").parquet(sigDir)
+      .select((dataCols :+ "pb").map(col): _*).distinct()
+    val totalRows = df.count()
+    val bytesPerRow = math.max(1.0,
+      totalBytes.toDouble / math.max(1L, totalRows).toDouble)
+    val recordsPerFile = math.max(1L, (targetFileBytes / bytesPerRow).toLong)
     val tmp = Files.createTempDirectory(root, ".graft-sig-compact-")
     try {
-      spark.read.schema(schema).parquet(sigDir)
-        .select(dataCols.map(col): _*).distinct()
-        .repartition(1)
-        .write.mode("overwrite").parquet(tmp.toString)
+      df.repartition(col("pb")) // one task per bucket: the parallel fold
+        .write.option("maxRecordsPerFile", recordsPerFile)
+        .mode("overwrite").partitionBy("pb").parquet(tmp.toString)
       Files.createDirectories(seedDir)
-      parquets(tmp).zipWithIndex.foreach { case (f, i) =>
-        Files.move(f, seedDir.resolve(
-          s"compacted-${java.util.UUID.randomUUID}-$i.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
+      val newPbDirs = listDir(tmp).filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("pb="))
+      newPbDirs.foreach { pbDir =>
+        val dst = seedDir.resolve(pbDir.getFileName.toString)
+        Files.createDirectories(dst)
+        parquets(pbDir).zipWithIndex.foreach { case (f, i) =>
+          Files.move(f, dst.resolve(
+            s"compacted-${java.util.UUID.randomUUID}-$i.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
       }
       seedFiles.foreach { f =>
         Files.deleteIfExists(f)
         Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
       }
+      // pb dirs whose every row folded elsewhere: drop if now empty
+      listDir(seedDir)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("pb=") &&
+          parquets(p).isEmpty)
+        .foreach(rmTree)
       folded.foreach(rmTree)
     } finally {
       rmTree(tmp)
       // Spark's shared FileStatusCache can otherwise serve the pre-swap
       // listing to the next reader of this path (FAILED_READ_FILE on the
-      // deleted parts) — invalidate it whenever files MAY have moved, so
-      // an exception mid-swap (after ATOMIC_MOVEs/deletes already mutated
-      // the table) cannot leave the cache stale (ADVICE r17)
+      // deleted parts) — invalidate it whenever files MAY have moved,
+      // exception paths included (ADVICE r17)
       spark.catalog.refreshByPath(sigDir)
     }
     folded.size

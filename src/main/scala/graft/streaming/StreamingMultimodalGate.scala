@@ -38,8 +38,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * is the band-distinct signature table. */
 object StreamingMultimodalGate {
 
-  /** Signature table schema — pinned so empty seeds/partitions read. */
-  val SigSchema = "kind STRING, sig STRING, simhash BIGINT"
+  /** Signature table DATA schema (the `pb`/`batch` partition columns are
+    * [[GateLoop]]'s) — pinned so empty seeds/partitions read. `src` is
+    * the provenance owner (VERDICT r17 #3). */
+  val SigSchema = "kind STRING, sig STRING, simhash BIGINT, src BIGINT"
 
   /** Signature rows for a (static) blob batch — the batch rule verbatim
     * ([[Multimodal.gateSignatureRows]]; one rule, two consumers). */
@@ -47,21 +49,25 @@ object StreamingMultimodalGate {
     Multimodal.gateSignatureRows(blobs)
 
   /** Materialize the corpus seed under `batch=-1` (shares the partitioned
-    * table with per-batch appends). */
+    * table — `pb` sub-partitioning included — with per-batch appends). */
   def seedSignatures(corpus: DataFrame, sigDir: String): Unit =
-    signatureRows(corpus).write.mode("overwrite").parquet(s"$sigDir/batch=-1")
+    signatureRows(corpus).write.mode("overwrite")
+      .partitionBy("pb").parquet(s"$sigDir/batch=-1")
 
-  /** Classify `newBlobs` against a signature snapshot → (doc_id, status)
-    * — the batch rule verbatim ([[Multimodal.gateClassify]], the
-    * oracle-checked q212): exact > near precedence, distinct-reduced
-    * joins driven by the (small) batch side. */
+  /** Classify `newBlobs` against a signature snapshot → the gate
+    * family's shared provenance frame `(doc_id, status, matched_seed,
+    * score)` — the batch rule verbatim ([[Multimodal.gateClassify]],
+    * whose status readout is the oracle-checked q212 and whose arg-min
+    * provenance is q214's): exact > near precedence, distinct-reduced
+    * joins driven by the (small) batch side; score = Hamming distance
+    * (0.0 for exact by definition). */
   def classify(newBlobs: DataFrame, sigs: DataFrame,
                maxHamming: Int = 12): DataFrame =
     Multimodal.gateClassify(newBlobs, sigs, maxHamming)
 
   /** Start the continuous gate ([[GateLoop]] — one copy of the replay-
-    * safe micro-batch discipline). `deliver` receives each batch's
-    * (doc_id, status), at-least-once; the signature table stays
+    * safe, probe-pruned micro-batch discipline). `deliver` receives each
+    * batch's provenance frame, at-least-once; the signature table stays
     * exactly-once via the loop's own-partition exclusion + overwrite. */
   def start(blobs: DataFrame, sigDir: String,
             deliver: (DataFrame, Long) => Unit,

@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.{StreamingDedup, StreamingEmbeddingGate, StreamingMultimodalGate}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The gate family's SHARED DELIVERY FRAME (VERDICT r17 #3/#6): every
+  * signature gate's classify emits `(key, status, matched_seed, score)`
+  * — one schema across text, bytes, and vectors, so a review-queue sink
+  * consumes any gate without a per-gate adapter and learns "duplicate of
+  * WHAT" without a batch re-join. Per-gate score semantics: text = the
+  * shared-signature-key count (1.0 for exact — the sha key), bytes =
+  * Hamming distance (0.0 for exact), vectors = cosine (1.0 for exact).
+  * Parity is asserted against each gate's ORACLE-CHECKED batch twin
+  * (q217 / q214 / q216) on real testdata. */
+class GateDeliverySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def frameOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Any)] =
+    df.schema.fields.map(f => f.name -> f.dataType).toSeq
+
+  test("all three gates deliver one frame: (key, status, matched_seed, score)") {
+    import spark.implicits._
+    val docs = Seq((500L, "one probe document body here")).toDF("doc_id", "text")
+    val blobs = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val vecs = Seq((500L, Seq.tabulate(64)(_.toDouble))).toDF("vec_id", "embedding")
+
+    val text = StreamingDedup.classify(docs,
+      StreamingDedup.signatureRows(docs).limit(0))
+    val bytes = StreamingMultimodalGate.classify(blobs,
+      StreamingMultimodalGate.signatureRows(blobs).limit(0))
+    val emb = StreamingEmbeddingGate.classify(vecs,
+      StreamingEmbeddingGate.signatureRows(vecs).limit(0))
+
+    val expectedTail = Seq("status" -> StringType,
+      "matched_seed" -> LongType, "score" -> DoubleType)
+    assert(frameOf(text) === ("doc_id" -> LongType) +: expectedTail)
+    assert(frameOf(bytes) === ("doc_id" -> LongType) +: expectedTail)
+    assert(frameOf(emb) === ("vec_id" -> LongType) +: expectedTail)
+  }
+
+  test("text gate delivery == batch q217, and near provenance is the " +
+      "independently-derived (most-shared-bands, lowest-owner) arg-max") {
+    val docs = Tables(spark, sf, "documents")
+    val seed = docs.filter(col("doc_id") < 400)
+    val incoming = docs.filter(col("doc_id") >= 400)
+    val delivered = StreamingDedup.classify(incoming,
+        StreamingDedup.signatureRows(seed)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val batch = Dedup.dedupGateProvenance(spark, sf).collect()
+    assert(batch.nonEmpty && batch.length == delivered.size)
+    batch.foreach { b =>
+      val d = delivered(b.getLong(0))
+      assert(d.getString(1) == b.getString(1) &&
+        (d.isNullAt(2) && b.isNullAt(2) || d.getLong(2) == b.getLong(2)) &&
+        (d.isNullAt(3) && b.isNullAt(3) || d.getDouble(3) == b.getDouble(3)),
+        s"doc ${b.getLong(0)}: stream $d != batch $b")
+    }
+
+    // independent recomputation of the near arg-max from the raw band rows
+    val owners = Dedup.bandRows(seed).groupBy(col("band"))
+      .agg(min(col("doc_id")).as("src")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val incBands = Dedup.bandRows(incoming).select(col("doc_id"), col("band"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nears = batch.filter(_.getString(1) == "near_dup")
+    assert(nears.nonEmpty, "no near_dup rows at this SF — test degenerate")
+    nears.foreach { r =>
+      val byOwner = incBands.filter(_._1 == r.getLong(0))
+        .flatMap(p => owners.get(p._2)).groupBy(identity)
+        .map { case (src, hits) => (hits.length, src) }
+      val best = byOwner.toSeq.map { case (n, src) => (-n, src) }.min
+      assert((r.getLong(2), r.getDouble(3)) == (best._2, -best._1.toDouble),
+        s"doc ${r.getLong(0)}: provenance != independent arg-max $best")
+    }
+    batch.filter(_.getString(1) == "new").foreach(r =>
+      assert(r.isNullAt(2) && r.isNullAt(3)))
+    batch.filter(_.getString(1) == "exact_dup").foreach(r =>
+      assert(r.getLong(2) < 400 && r.getDouble(3) == 1.0))
+  }
+
+  test("multimodal gate delivery == batch q214 (independent corpus-side derivation)") {
+    val blobs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val delivered = StreamingMultimodalGate.classify(
+        blobs.filter(col("doc_id") >= 400),
+        StreamingMultimodalGate.signatureRows(blobs.filter(col("doc_id") < 400)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // q214 derives provenance from the corpus directly (no signature
+    // table) — agreement is a genuine cross-check, not code identity
+    val q214 = Multimodal.multimodalGateProvenance(spark, sf).collect()
+    assert(q214.nonEmpty && q214.length == delivered.size)
+    assert(q214.exists(_.getString(1) == "near_dup"))
+    q214.foreach { b =>
+      val d = delivered(b.getLong(0))
+      assert(d.getString(1) == b.getString(1), s"status drift: $b vs $d")
+      if (b.isNullAt(2)) assert(d.isNullAt(2) && d.isNullAt(3), s"$b vs $d")
+      else assert(d.getLong(2) == b.getLong(2) &&
+        d.getDouble(3) == b.getInt(3).toDouble, s"$b vs $d")
+    }
+  }
+
+  test("embedding gate delivery == batch q216 (planted twins included)") {
+    val base = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val mx = base.agg(max(col("vec_id"))).head().getLong(0)
+    val twins = base.filter(col("vec_id") === 5)
+      .select(lit(mx + 1).as("vec_id"), col("embedding"))
+      .unionAll(base.filter(col("vec_id") === 7)
+        .select(lit(mx + 2).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0)).as("embedding")))
+    val delivered = StreamingEmbeddingGate.classify(
+        base.filter(col("vec_id") >= 400).unionAll(twins),
+        StreamingEmbeddingGate.signatureRows(base.filter(col("vec_id") < 400)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q216 = Similarity.embeddingGate(spark, sf).collect()
+    assert(q216.nonEmpty && q216.length == delivered.size)
+    assert(q216.exists(_.getString(1) == "exact_dup") &&
+      q216.exists(_.getString(1) == "near_dup"))
+    q216.foreach { b =>
+      val d = delivered(b.getLong(0))
+      assert(d.getString(1) == b.getString(1), s"status drift: $b vs $d")
+      if (b.isNullAt(2)) assert(d.isNullAt(2) && d.isNullAt(3), s"$b vs $d")
+      else assert(d.getLong(2) == b.getLong(2) &&
+        d.getDouble(3) == b.getDouble(3), s"$b vs $d")
+    }
+  }
+}

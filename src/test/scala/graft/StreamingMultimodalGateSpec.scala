@@ -136,12 +136,17 @@ class StreamingMultimodalGateSpec extends AnyFunSuite {
       spark, sigDir, StreamingMultimodalGate.SigSchema)
     assert(foldedN >= 2, s"expected >=2 batch partitions folded, got $foldedN")
     assert(classifyProbe() === before, "compaction changed classification")
-    // layout: only batch=-1 remains, with exactly one parquet file
+    // layout: only batch=-1 remains, probe-bucket sub-partitioned, with a
+    // BOUNDED file count (≤1 per pb dir here — tiny seed, huge target size)
     val dirs = new java.io.File(sigDir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
     assert(dirs.toSeq === Seq("batch=-1"), dirs.toSeq.toString)
-    assert(new java.io.File(s"$sigDir/batch=-1").listFiles()
-      .count(_.getName.endsWith(".parquet")) == 1)
+    val pbDirs = new java.io.File(s"$sigDir/batch=-1").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pb="))
+    assert(pbDirs.nonEmpty && pbDirs.length <= graft.streaming.GateLoop.NumBuckets)
+    pbDirs.foreach(d => assert(
+      d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+      s"${d.getName} not folded to one bounded file"))
     // rows stay distinct; rerun is a no-op
     val after = spark.read.schema(StreamingMultimodalGate.SigSchema)
       .parquet(sigDir).select("kind", "sig", "simhash")
