@@ -1343,50 +1343,75 @@ object TextStats extends QueryModule {
     * registry (gen 1 shares q206/q207's slice cache pattern, gen 2 IS
     * q203's table), so warm consumers pay two ≤rounds-row parquet reads
     * and one tiny join. */
-  /** The materialized two-generation store (gen 1 = pre-ingest 75 %
-    * slice, gen 2 = full corpus) shared by q209 and q215. */
+  /** The materialized THREE-generation store — a growing-corpus chain
+    * (gen 1 = 50 % slice, gen 2 = pre-ingest 75 % slice, gen 3 = full
+    * corpus; gen 1 ⊂ gen 2 ⊂ gen 3) shared by q209 and q215
+    * (VERDICT r17 #5: the 2-gen store exercised churn only for the
+    * latest pair, while `bpeVocabRetention` manages stores with many
+    * generations). */
+  private[graft] val VocabStoreGens = Seq(1, 2, 3)
   private def bpeVocabStoreDir(spark: SparkSession, dir: String): String = {
+    // materialize the slice trainings BEFORE entering the store's own
+    // parquetDir builder: bpeMergesCached is itself a Materialize entry,
+    // and a computeIfAbsent nested inside another on the same registry
+    // throws ConcurrentHashMap's "Recursive update" when the inner key is
+    // cold (latent in the r17 two-gen store, masked by warm-cache order)
+    val g1 = bpeMergesCached(spark, dir, "gen01of4", _.filter(col("doc_id") % 4 < 2))
+    val g2 = bpeMergesCached(spark, dir, "gen1of4", _.filter(col("doc_id") % 4 =!= 3))
+    val g3 = bpeTrain(spark, dir) // also Materialize-backed (q203's table)
     val snap = Materialize.snapshot(s"$dir/documents.parquet")
-    Materialize.parquetDir(s"bpe-vocab-gens:$dir@$snap",
+    Materialize.parquetDir(s"bpe-vocab-gens3:$dir@$snap",
       "graft-bpe-vocab-", partitionCols = Seq("gen")) {
-      bpeMergesCached(spark, dir, "gen1of4", _.filter(col("doc_id") % 4 =!= 3))
-        .withColumn("gen", lit(1))
-        .unionAll(bpeTrain(spark, dir).withColumn("gen", lit(2)))
+      g1.withColumn("gen", lit(1))
+        .unionAll(g2.withColumn("gen", lit(2)))
+        .unionAll(g3.withColumn("gen", lit(3)))
     }
   }
 
   def bpeVocabVersions(spark: SparkSession, dir: String): DataFrame = {
     val vocabDir = bpeVocabStoreDir(spark, dir)
-    bpeVocabDiff(bpeVocabGen(spark, vocabDir, 1), bpeVocabGen(spark, vocabDir, 2))
+    // the deploy review diffs the NEWEST pair: pre-ingest (gen 2) vs full
+    // (gen 3) — the same two trainings q209 has always compared
+    bpeVocabDiff(bpeVocabGen(spark, vocabDir, 2), bpeVocabGen(spark, vocabDir, 3))
   }
 
   /** q215 — VOCAB-STORE MANIFEST (the governance dashboard's index page):
     * one audit row per generation in the store — merge count, total
     * pair-mass share (pct summed in micro units: the q166/q199 integer
     * quantization, so the cross-engine double sum is order-free), and
-    * rank churn vs the previous generation (merges NOT present at the
+    * rank churn vs the PREVIOUS generation (merges NOT present at the
     * same step — added or re-ranked; null for the first generation).
-    * Every input is a ≤rounds-row artifact read; the corpus is never
-    * touched warm. */
+    * Generalized over the whole generation CHAIN (VERDICT r17 #5 — one
+    * consecutive-pair diff per generation, so a store
+    * `bpeVocabRetention` manages reads as N audit rows, not just the
+    * newest pair), gated at [[VocabStoreGens]] = 3 generations for
+    * oracle cost. Every input is a ≤rounds-row artifact read; the
+    * corpus is never touched warm, and each pairwise diff is a
+    * broadcast-trivial join of two ≤rounds-row tables at any corpus
+    * scale. */
   def bpeVocabManifest(spark: SparkSession, dir: String): DataFrame = {
     val vocabDir = bpeVocabStoreDir(spark, dir)
-    val g1 = bpeVocabGen(spark, vocabDir, 1)
-    val g2 = bpeVocabGen(spark, vocabDir, 2)
     def massCols(g: DataFrame) = g.agg(
       count(lit(1)).as("n_merges"),
       (round(sum(round(col("pct") * 1000000).cast("long")).cast("double")
         / 1000000, 6) + lit(0.0)).as("pct_mass"))
-    val churn2 = g2
-      .join(g1.select(col("p1"), col("p2"), col("step")).withColumn("hit", lit(1)),
-        Seq("p1", "p2", "step"), "left_outer")
-      .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("churn_vs_prev"))
-    massCols(g1)
-      .select(lit(1).as("gen"), col("n_merges"), col("pct_mass"),
-        lit(null).cast("long").as("churn_vs_prev"))
-      .unionAll(massCols(g2).crossJoin(churn2)
-        .select(lit(2).as("gen"), col("n_merges"), col("pct_mass"),
-          col("churn_vs_prev")))
-      .orderBy(col("gen"))
+    VocabStoreGens.map { g =>
+      val cur = bpeVocabGen(spark, vocabDir, g)
+      val base = massCols(cur)
+      if (g == VocabStoreGens.head)
+        base.select(lit(g).as("gen"), col("n_merges"), col("pct_mass"),
+          lit(null).cast("long").as("churn_vs_prev"))
+      else {
+        val churn = cur
+          .join(bpeVocabGen(spark, vocabDir, g - 1)
+              .select(col("p1"), col("p2"), col("step")).withColumn("hit", lit(1)),
+            Seq("p1", "p2", "step"), "left_outer")
+          .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("churn_vs_prev"))
+        base.crossJoin(churn)
+          .select(lit(g).as("gen"), col("n_merges"), col("pct_mass"),
+            col("churn_vs_prev"))
+      }
+    }.reduce(_ unionAll _).orderBy(col("gen"))
   }
 
   private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -1825,22 +1850,35 @@ FROM pk GROUP BY 1 ORDER BY 1"""
         s"SELECT step, p1, p2, round(CAST(n_occ AS DOUBLE) / total_pairs, 6) + 0.0 AS pct FROM ${px}m$k")
         .mkString(" UNION ALL ") + ")"
 
-  /** The q215 oracle: both chains' per-merge pct rows aggregated to one
-    * audit row per generation; pct mass summed in micro units (integer
-    * sum, order-free); churn = gen-2 merges with no same-step twin. */
+  /** The q215 oracle: all three chains' per-merge pct rows aggregated to
+    * one audit row per generation (gen 1 = 50 % slice `a_`, gen 2 = 75 %
+    * slice `o_`, gen 3 = full); pct mass summed in micro units (integer
+    * sum, order-free); churn = the generation's merges with no same-step
+    * twin in its PREDECESSOR — one consecutive-pair diff per generation
+    * (VERDICT r17 #5). */
   private def bpeVocabManifestOracle(rounds: Int): String =
     "WITH " +
       bpeChainCtes(rounds, withStats = true, rewriteLast = false,
+        px = "a_", where = " WHERE doc_id % 4 < 2") + ",\n" +
+      bpeChainCtes(rounds, withStats = true, rewriteLast = false,
         px = "o_", where = " WHERE doc_id % 4 <> 3") + ",\n" +
       bpeChainCtes(rounds, withStats = true, rewriteLast = false) + ",\n" +
+      bpeMergesPctCte(rounds, "a_") + ",\n" +
       bpeMergesPctCte(rounds, "o_") + ",\n" + bpeMergesPctCte(rounds, "") + """
 SELECT * FROM (
 SELECT 1 AS gen, CAST(count(*) AS BIGINT) AS n_merges,
   round(CAST(sum(CAST(round(pct * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) + 0.0 AS pct_mass,
   CAST(NULL AS BIGINT) AS churn_vs_prev
-FROM o_pcts
+FROM a_pcts
 UNION ALL
 SELECT 2 AS gen, CAST(count(*) AS BIGINT) AS n_merges,
+  round(CAST(sum(CAST(round(pct * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) + 0.0 AS pct_mass,
+  (SELECT CAST(count(*) AS BIGINT) FROM o_pcts n
+   WHERE NOT EXISTS (SELECT 1 FROM a_pcts o
+     WHERE o.p1 = n.p1 AND o.p2 = n.p2 AND o.step = n.step)) AS churn_vs_prev
+FROM o_pcts
+UNION ALL
+SELECT 3 AS gen, CAST(count(*) AS BIGINT) AS n_merges,
   round(CAST(sum(CAST(round(pct * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) + 0.0 AS pct_mass,
   (SELECT CAST(count(*) AS BIGINT) FROM pcts n
    WHERE NOT EXISTS (SELECT 1 FROM o_pcts o
