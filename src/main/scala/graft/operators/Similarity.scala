@@ -948,11 +948,14 @@ object Similarity extends QueryModule {
   def embeddingGate(spark: SparkSession, dir: String, tau: Double = 0.999): DataFrame = {
     val base = embTable(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val mx = base.agg(max(col("vec_id")).as("mx"))
-    val twins = base.filter(col("vec_id") === 5).crossJoin(broadcast(mx))
-      .select((col("mx") + 1).as("vec_id"), col("emb"))
-      .unionAll(base.filter(col("vec_id") === 7).crossJoin(broadcast(mx))
-        .select((col("mx") + 2).as("vec_id"),
+    // one-row driver staging (the PCA-iterate collect discipline): an
+    // in-plan crossJoin(broadcast(agg)) replicated the max subtree into
+    // every use of `all` below and cost ~2x the whole query at sf0.1
+    val mx = base.agg(max(col("vec_id"))).head().getLong(0)
+    val twins = base.filter(col("vec_id") === 5)
+      .select(lit(mx + 1).as("vec_id"), col("emb"))
+      .unionAll(base.filter(col("vec_id") === 7)
+        .select(lit(mx + 2).as("vec_id"),
           transform(col("emb"), x => x * lit(2.0)).as("emb")))
     val all = base.unionAll(twins)
     val incoming = all.filter(col("vec_id") >= 400)

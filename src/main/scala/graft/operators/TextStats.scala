@@ -1391,27 +1391,30 @@ object TextStats extends QueryModule {
     * scale. */
   def bpeVocabManifest(spark: SparkSession, dir: String): DataFrame = {
     val vocabDir = bpeVocabStoreDir(spark, dir)
-    def massCols(g: DataFrame) = g.agg(
+    // ONE scan of the whole store + one gen-shifted self-join: the plan
+    // is CONSTANT in the number of generations (a per-gen loop of
+    // reads/joins/unions grew linearly and tripled q215's latency when
+    // the store went from 2 to 3 gens), and every input is a
+    // ≤gens×rounds-row artifact — broadcast-trivial at any corpus scale
+    val store = spark.read.parquet(vocabDir)
+      .select(col("gen").cast("int").as("gen"), col("step"),
+        col("p1"), col("p2"), col("pct"))
+    val mass = store.groupBy(col("gen")).agg(
       count(lit(1)).as("n_merges"),
       (round(sum(round(col("pct") * 1000000).cast("long")).cast("double")
         / 1000000, 6) + lit(0.0)).as("pct_mass"))
-    VocabStoreGens.map { g =>
-      val cur = bpeVocabGen(spark, vocabDir, g)
-      val base = massCols(cur)
-      if (g == VocabStoreGens.head)
-        base.select(lit(g).as("gen"), col("n_merges"), col("pct_mass"),
-          lit(null).cast("long").as("churn_vs_prev"))
-      else {
-        val churn = cur
-          .join(bpeVocabGen(spark, vocabDir, g - 1)
-              .select(col("p1"), col("p2"), col("step")).withColumn("hit", lit(1)),
-            Seq("p1", "p2", "step"), "left_outer")
-          .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("churn_vs_prev"))
-        base.crossJoin(churn)
-          .select(lit(g).as("gen"), col("n_merges"), col("pct_mass"),
-            col("churn_vs_prev"))
-      }
-    }.reduce(_ unionAll _).orderBy(col("gen"))
+    val prevShifted = store
+      .select((col("gen") + 1).as("gen"), col("step"), col("p1"), col("p2"))
+      .withColumn("hit", lit(1))
+    val churn = store
+      .join(broadcast(prevShifted), Seq("gen", "p1", "p2", "step"), "left_outer")
+      .groupBy(col("gen"))
+      .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("churn_raw"))
+    mass.join(churn, Seq("gen"))
+      .select(col("gen"), col("n_merges"), col("pct_mass"),
+        when(col("gen") === lit(VocabStoreGens.head),
+          lit(null).cast("long")).otherwise(col("churn_raw")).as("churn_vs_prev"))
+      .orderBy(col("gen"))
   }
 
   private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
