@@ -62,6 +62,17 @@ object Materialize {
       entries.mkString("|").getBytes("UTF-8")).toString
   }
 
+  /** Whether `key` is already materialized in THIS process. Lets a
+    * builder that depends on other registry entries pre-warm them only
+    * on its own cold path: a computeIfAbsent nested inside another on
+    * this map throws ConcurrentHashMap's "Recursive update" when the
+    * inner key is absent (it must mutate mid-compute), but an inner hit
+    * is read-only and safe — so force dependencies BEFORE entering the
+    * outer builder, and only when the outer key is cold (doing it
+    * unconditionally puts 3 eager reader constructions on the warm path
+    * of every consumer — measured +0.17 s/run on q209/q215). */
+  def has(key: String): Boolean = cache.containsKey(key)
+
   /** The parquet dir holding `build`'s result for `key`, writing it on
     * first request. `partitionCols` hive-partitions the write (the q185
     * index layout); empty = plain parquet. */
