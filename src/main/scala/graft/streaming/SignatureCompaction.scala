@@ -126,4 +126,60 @@ object SignatureCompaction {
     }
     folded.size
   }
+
+  /** Windowed HISTORY FOLD — the metadata-only sibling of [[compact]]:
+    * move every `batch=<id>` partition older than the newest `keepLast`
+    * into the `batch=-1` seed by RENAMING its parquet files into the
+    * seed's matching `pb=<b>` dirs. No Spark job, no rewrite: the gate
+    * invariant (an accepted row never shares a key with the existing
+    * table, and in-batch rows are key-distinct) means the union of
+    * partitions is already distinct, so a pure file move preserves the
+    * table's rows AND the pb pruning layout exactly. At a petabyte seed
+    * this is O(moved files) metadata work where [[compact]] is a full
+    * rewrite — run foldHistory on a schedule to bound batch-dir count,
+    * [[compact]] rarely (file sizing). Crash-safe by move semantics: a
+    * partial fold never duplicates a row, and a re-run folds the
+    * remainder.
+    *
+    * Single-writer contract as [[compact]]: run while the gate is
+    * CLEANLY stopped. Folded rows lose per-batch attribution (their
+    * partition becomes -1) — keepLast retains the newest N batch dirs
+    * for provenance-by-batch. After a full fold (keepLast = 0) the max
+    * batch id is -1, re-admitting a fresh checkpoint ([[GateLoop]]'s
+    * guard). @return folded batch ids, ascending (empty = nothing to
+    * fold: the idempotence witness). */
+  def foldHistory(spark: SparkSession, sigDir: String, keepLast: Int): Seq[Long] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val root = Paths.get(sigDir)
+    val seedDir = root.resolve("batch=-1")
+    val batchIds = listDir(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("batch="))
+      .flatMap(_.getFileName.toString.stripPrefix("batch=").toLongOption)
+      .filter(_ >= 0L).sorted
+    val fold = batchIds.dropRight(keepLast)
+    if (fold.isEmpty) return Nil
+    try {
+      fold.foreach { id =>
+        val batchDir = root.resolve(s"batch=$id")
+        listDir(batchDir)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("pb="))
+          .foreach { pbDir =>
+            val dst = seedDir.resolve(pbDir.getFileName.toString)
+            Files.createDirectories(dst)
+            parquets(pbDir).zipWithIndex.foreach { case (f, i) =>
+              Files.deleteIfExists(
+                f.resolveSibling("." + f.getFileName.toString + ".crc"))
+              Files.move(f, dst.resolve(
+                s"folded-b$id-${java.util.UUID.randomUUID}-$i.parquet"),
+                StandardCopyOption.ATOMIC_MOVE)
+            }
+          }
+        rmTree(batchDir)
+      }
+    } finally spark.catalog.refreshByPath(sigDir)
+    fold
+  }
 }
