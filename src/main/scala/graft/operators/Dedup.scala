@@ -861,12 +861,19 @@ object Dedup extends QueryModule {
     * ([[graft.streaming.GateLoop.pbOf]]) so a micro-batch probe opens
     * only its own keys' partitions (VERDICT r17 #2). */
   def gateSignatureRows(docs: DataFrame): DataFrame =
+    gateSignatureData(docs)
+      .withColumn("pb", graft.streaming.GateLoop.pbOf(col("kind"), col("sig")))
+
+  /** [[gateSignatureRows]]'s DATA rows — everything but the `pb` probe
+    * bucket, which the typed [[graft.streaming.GateDescriptor]] path
+    * derives at the table's PINNED fan-out (a resized table hashes pb
+    * over more or fewer partitions than the default). */
+  def gateSignatureData(docs: DataFrame): DataFrame =
     docs.select(lit("h").as("kind"), sha2(col("text"), 256).as("sig"),
         col("doc_id").as("src"))
       .union(bandRows(docs).select(lit("band").as("kind"),
         col("band").as("sig"), col("doc_id").as("src")))
       .groupBy(col("kind"), col("sig")).agg(min(col("src")).as("src"))
-      .withColumn("pb", graft.streaming.GateLoop.pbOf(col("kind"), col("sig")))
 
   /** Classify `newDocs` against a signature snapshot → the gate family's
     * shared delivery frame `(doc_id, status, matched_seed, score)`:
@@ -922,7 +929,28 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q218 — GATE REVIEW-QUEUE SUMMARY (the operational readout of the
+    * delivery sink table, SURVEY §7.9 r19 #3): the q217 provenance frame
+    * rolled up per status — deliveries, distinct matched seeds, and the
+    * heaviest seed (most deliveries, ties to the lowest id) with its
+    * count: the "one document poisoning the ingest" alarm a review queue
+    * fires on. The rule is [[graft.streaming.GateDeliveries
+    * .reviewSummary]] — one rule, two consumers: this oracle-checked
+    * batch twin computes the frame in-plan; the streaming consumer runs
+    * the same summary over the sink table's parquet (GateDeliveriesSpec
+    * pins their equality). Aggregation is one (status, seed) partial agg
+    * + a per-status max(struct) arg-max — at 100 TB the frame reduces to
+    * ≤(statuses × seeds) rows before anything wide moves. */
+  def gateReviewQueue(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTable(spark, dir)
+    val frame = gateClassifyProvenance(docs.filter(col("doc_id") >= 400),
+      gateSignatureRows(docs.filter(col("doc_id") < 400)))
+    graft.streaming.GateDeliveries.reviewSummary(frame)
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q218_gate_review_queue" -> (gateReviewQueue(_, _)),
     "q217_dedup_gate_provenance" -> (dedupGateProvenance(_, _)),
     "q40_dedup_exact" -> exactDedup _,
     "q41_dedup_minhash_sig" -> minhashSignatures _,
@@ -967,6 +995,43 @@ object Dedup extends QueryModule {
        |    FROM tv GROUP BY doc_id),
        |shv AS (SELECT doc_id, $recompose AS simhash FROM bits)""".stripMargin
   }
+
+  /** The text gate's provenance frame as oracle CTEs ending in `fr` —
+    * q217 reads it straight, q218 aggregates it (one frame, two
+    * readouts, mirroring gateClassifyProvenance feeding both). */
+  private lazy val gateFrameCtes =
+    s"""$shingleCte,
+       |m AS (SELECT doc_id,
+       |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
+       |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
+       |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
+       |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
+       |      FROM s),
+       |b AS (SELECT doc_id, '0:' || md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS band FROM m
+       |      UNION ALL
+       |      SELECT doc_id, '1:' || md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)) FROM m),
+       |own AS (SELECT band, min(doc_id) AS src FROM b WHERE doc_id < 400 GROUP BY 1),
+       |ex AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
+       |       FROM documents n JOIN documents c
+       |         ON c.doc_id < 400 AND n.doc_id >= 400 AND c.text = n.text
+       |       GROUP BY 1),
+       |nr0 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
+       |        FROM b bn JOIN own o USING (band)
+       |        WHERE bn.doc_id >= 400 GROUP BY 1, 2),
+       |nr AS (SELECT doc_id, src, n FROM (
+       |        SELECT doc_id, src, n,
+       |               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
+       |        FROM nr0) WHERE rn = 1),
+       |fr AS (SELECT d.doc_id,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr.src END AS matched_seed,
+       |  CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |       ELSE CAST(nr.n AS DOUBLE) END AS score
+       |FROM documents d
+       |LEFT JOIN ex e ON e.doc_id = d.doc_id
+       |LEFT JOIN nr ON nr.doc_id = d.doc_id
+       |WHERE d.doc_id >= 400)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1136,38 +1201,27 @@ object Dedup extends QueryModule {
     // band; near arg-max = most shared bands, ties to the lowest owner —
     // the identical comparison keys to Spark's max(struct(n, -src))
     "q217_dedup_gate_provenance" ->
-      s"""$shingleCte,
-         |m AS (SELECT doc_id,
-         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
-         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
-         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
-         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
-         |      FROM s),
-         |b AS (SELECT doc_id, '0:' || md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS band FROM m
-         |      UNION ALL
-         |      SELECT doc_id, '1:' || md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)) FROM m),
-         |own AS (SELECT band, min(doc_id) AS src FROM b WHERE doc_id < 400 GROUP BY 1),
-         |ex AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
-         |       FROM documents n JOIN documents c
-         |         ON c.doc_id < 400 AND n.doc_id >= 400 AND c.text = n.text
-         |       GROUP BY 1),
-         |nr0 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
-         |        FROM b bn JOIN own o USING (band)
-         |        WHERE bn.doc_id >= 400 GROUP BY 1, 2),
-         |nr AS (SELECT doc_id, src, n FROM (
-         |        SELECT doc_id, src, n,
-         |               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
-         |        FROM nr0) WHERE rn = 1)
-         |SELECT d.doc_id,
-         |  CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
-         |       WHEN nr.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
-         |  CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr.src END AS matched_seed,
-         |  CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
-         |       ELSE CAST(nr.n AS DOUBLE) END AS score
-         |FROM documents d
-         |LEFT JOIN ex e ON e.doc_id = d.doc_id
-         |LEFT JOIN nr ON nr.doc_id = d.doc_id
-         |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin,
+      s"""$gateFrameCtes
+         |SELECT doc_id, status, matched_seed, score
+         |FROM fr ORDER BY doc_id""".stripMargin,
+    // the frame rolled up per status; top seed = most deliveries, ties
+    // to the lowest id — the identical keys to reviewSummary's
+    // max(struct(n, -matched_seed))
+    "q218_gate_review_queue" ->
+      s"""$gateFrameCtes,
+         |ps AS (SELECT status, matched_seed, CAST(count(*) AS BIGINT) AS n
+         |       FROM fr GROUP BY 1, 2),
+         |tp AS (SELECT status, matched_seed AS top_seed, n AS top_seed_n FROM (
+         |        SELECT status, matched_seed, n,
+         |               row_number() OVER (PARTITION BY status
+         |                 ORDER BY n DESC, matched_seed) AS rn
+         |        FROM ps WHERE matched_seed IS NOT NULL) WHERE rn = 1),
+         |ag AS (SELECT status, CAST(sum(n) AS BIGINT) AS n_docs,
+         |         CAST(count(CASE WHEN matched_seed IS NOT NULL THEN 1 END) AS BIGINT) AS n_seeds
+         |       FROM ps GROUP BY 1)
+         |SELECT ag.status, ag.n_docs, ag.n_seeds, tp.top_seed, tp.top_seed_n
+         |FROM ag LEFT JOIN tp USING (status)
+         |ORDER BY ag.status""".stripMargin,
     "q79_dedup_incremental" ->
       s"""$shingleCte,
          |m AS (SELECT doc_id,

@@ -148,7 +148,14 @@ object Multimodal extends QueryModule {
     * (kind, sig) join key so micro-batch probes partition-prune
     * (VERDICT r17 #2 — pb deliberately EXCLUDES the sketch: the near
     * probe joins on the band alone). */
-  def gateSignatureRows(blobs: DataFrame): DataFrame = {
+  def gateSignatureRows(blobs: DataFrame): DataFrame =
+    gateSignatureData(blobs)
+      .withColumn("pb", graft.streaming.GateLoop.pbOf(col("kind"), col("sig")))
+
+  /** [[gateSignatureRows]]'s DATA rows — everything but the `pb` probe
+    * bucket, which the typed [[graft.streaming.GateDescriptor]] path
+    * derives at the table's PINNED fan-out. */
+  def gateSignatureData(blobs: DataFrame): DataFrame = {
     val sk = byteSimhashSketch(blobs)
       .select(lit("sh").as("kind"),
         shiftright(col("simhash"), 44).cast("string").as("sig"),
@@ -159,7 +166,6 @@ object Multimodal extends QueryModule {
       .union(sk)
       .groupBy(col("kind"), col("sig"), col("simhash"))
       .agg(min(col("src")).as("src"))
-      .withColumn("pb", graft.streaming.GateLoop.pbOf(col("kind"), col("sig")))
   }
 
   /** Classify `newBlobs` against a signature snapshot → the gate family's

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The gates' review-queue SINK TABLE (SURVEY §7.9 r19 #3 — closing the
+  * operational loop the provenance frame exists for): every micro-batch's
+  * delivery frame `(key, status, matched_seed, score)` lands in a parquet
+  * table partitioned `batch=<id>/status=<s>/`, so the downstream review
+  * consumers partition-prune to exactly their slice — a near-dup triage
+  * UI opens only `status=near_dup` dirs, a backfill audits one batch dir.
+  *
+  * `deliver` itself is only at-least-once (GateLoop's contract), but this
+  * sink upgrades the TABLE to exactly-once by the same move that protects
+  * the signature table: each batch OVERWRITES its own `batch=<id>`
+  * partition, so a replayed batch rewrites identical rows instead of
+  * double-appending. (GateLoop fixes statuses via localCheckpoint before
+  * delivery, so the replayed frame is the original frame.)
+  *
+  * One frame, every gate: the key column's NAME differs (`doc_id` /
+  * `vec_id`), which [[read]] takes from the gate's descriptor so a
+  * mis-schema'd read is unrepresentable. */
+object GateDeliveries {
+
+  /** A `deliver` callback writing each batch's frame into the
+    * review-queue table at `deliveryDir` — pass to `GateTable.start` /
+    * `GateLoop.start`. */
+  def sink(deliveryDir: String): (DataFrame, Long) => Unit =
+    (frame, batchId) =>
+      frame.write.mode("overwrite").partitionBy("status")
+        .parquet(s"$deliveryDir/batch=$batchId")
+
+  /** The full review-queue table: `(key, status, matched_seed, score,
+    * batch)` — schema from the gate's descriptor (an empty or partially
+    * written table still reads). Filters on `status`/`batch` prune to
+    * partition dirs. */
+  def read(spark: SparkSession, deliveryDir: String,
+           desc: GateDescriptor): DataFrame =
+    spark.read
+      .schema(s"${desc.keyCol} BIGINT, matched_seed BIGINT, " +
+        "score DOUBLE, status STRING, batch BIGINT")
+      .parquet(deliveryDir)
+      .select(col(desc.keyCol), col("status"), col("matched_seed"),
+        col("score"), col("batch"))
+
+  /** The review queue's operational readout (q218's rule): per status —
+    * deliveries, distinct matched seeds, and the heaviest seed (most
+    * deliveries, ties to the lowest id) with its count. The heaviest
+    * seed is the "one document poisoning the ingest" alarm. One pass:
+    * a (status, seed) partial agg, then a per-status max(struct)
+    * arg-max — never a sort. */
+  def reviewSummary(deliveries: DataFrame): DataFrame = {
+    val perSeed = deliveries
+      .groupBy(col("status"), col("matched_seed"))
+      .agg(count(lit(1)).as("n"))
+    val top = perSeed.filter(col("matched_seed").isNotNull)
+      .groupBy(col("status"))
+      .agg(max(struct(col("n"), (-col("matched_seed")).as("nseed"))).as("b"))
+      .select(col("status"), (-col("b.nseed")).as("top_seed"),
+        col("b.n").as("top_seed_n"))
+    perSeed.groupBy(col("status"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(when(col("matched_seed").isNotNull, lit(1))).as("n_seeds"))
+      .join(top, Seq("status"), "left_outer")
+      .select(col("status"), col("n_docs"), col("n_seeds"),
+        col("top_seed"), col("top_seed_n"))
+  }
+}

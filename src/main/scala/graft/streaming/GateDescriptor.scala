@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** The typed identity of ONE ingest gate (SURVEY §7.9 r19 #1): its
+  * signature DATA schema, batch key column, the signature columns the
+  * probe-bucket hash covers, the signature-row derivation and the
+  * classify rule — bundled so a signature table can only ever be read,
+  * probed, compacted or resized with the SAME contract that wrote it.
+  * Before this, the three gates' schema strings, key columns and pb
+  * formulas traveled separately through [[GateLoop]] /
+  * [[SignatureCompaction]] call sites; a reader passing gate A's schema
+  * to gate B's table failed only at runtime (or worse, read garbage
+  * columns as null). The three shipped descriptors live on their gates:
+  * [[StreamingDedup.descriptor]] (text), [[StreamingMultimodalGate
+  * .descriptor]] (opaque bytes), [[StreamingEmbeddingGate.descriptor]]
+  * (vectors).
+  *
+  * `pbKeyCols` names the SIGNATURE columns hashed into `pb` — the one
+  * fact bucket-count evolution needs: [[SignatureCompaction]]'s resize
+  * rewrites `pb = GateLoop.pbOf(targetBuckets, pbKeyCols)` from the
+  * folded rows themselves, no re-derivation from raw batches. Writers
+  * ([[signatureRows]]) and the resize share the formula through
+  * [[GateLoop.pbOf]], so they agree bit-for-bit by construction.
+  *
+  * @param name       diagnostic label (error messages, delivery audit)
+  * @param sigSchema  signature DATA schema DDL — the `pb`/`batch`
+  *                   partition columns are [[GateLoop]]'s, never listed
+  * @param keyCol     the incoming batch's key column (`doc_id`/`vec_id`)
+  * @param pbKeyCols  signature columns hashed into the probe bucket
+  * @param dataRows   batch → signature DATA rows (everything but `pb`)
+  * @param classify   (batch, signature snapshot) → the gate family's
+  *                   provenance frame `(keyCol, status, matched_seed,
+  *                   score)` */
+final case class GateDescriptor(
+    name: String,
+    sigSchema: String,
+    keyCol: String,
+    pbKeyCols: Seq[String],
+    dataRows: DataFrame => DataFrame,
+    classify: (DataFrame, DataFrame) => DataFrame) {
+
+  /** Signature rows at a table's pinned fan-out: the data rows plus
+    * `pb` — THE one writer-side pb derivation for the typed path. */
+  def signatureRows(batch: DataFrame, buckets: Int): DataFrame =
+    dataRows(batch).withColumn("pb",
+      GateLoop.pbOf(buckets, pbKeyCols.map(col)))
+}
+
+/** A descriptor bound to its on-storage table — the typed handle every
+  * gate operation goes through: seeding, the streaming loop, snapshot
+  * reads, compaction and bucket-count evolution all take the ONE
+  * (descriptor, directory) pair, so schema/key/pb misuse across gates
+  * is unrepresentable rather than a runtime surprise. The table's
+  * probe-bucket fan-out is pinned at [[seed]] time in the
+  * [[GateLoop.BucketsMeta]] marker and honored everywhere — a gate
+  * resumed after a [[SignatureCompaction]] resize derives probes and
+  * new signatures at the RESIZED count automatically, which the
+  * string-typed [[GateLoop.processBatch]] path cannot (it guards and
+  * refuses instead). */
+final case class GateTable(desc: GateDescriptor, sigDir: String) {
+
+  /** The table's pinned probe-bucket fan-out. */
+  def buckets: Int = GateLoop.readBuckets(sigDir)
+
+  /** Materialize the corpus seed under `batch=-1` and pin the table's
+    * fan-out. The one-time choice: more buckets = finer micro-batch
+    * pruning but more driver-side probe ints and smaller files; evolve
+    * it later with [[resize]] as the seed grows. */
+  def seed(corpus: DataFrame, buckets: Int = GateLoop.NumBuckets): Unit = {
+    GateLoop.writeBuckets(sigDir, buckets)
+    desc.signatureRows(corpus, buckets).write.mode("overwrite")
+      .partitionBy("pb").parquet(s"$sigDir/batch=-1")
+  }
+
+  /** The full signature table (data columns only — `batch`/`pb`
+    * dropped), schema-applied so an empty table still reads. */
+  def read(spark: SparkSession): DataFrame =
+    GateLoop.snapshot(spark, sigDir, desc.sigSchema,
+      excludeBatchId = Long.MinValue, probePbs = 0 until buckets)
+
+  /** One-shot batch classification against the CURRENT table (every
+    * bucket, no replay exclusion) → the provenance frame. The batch
+    * twin of one micro-batch; nothing is written. */
+  def classifyNow(batch: DataFrame): DataFrame =
+    desc.classify(batch, read(batch.sparkSession))
+
+  /** One micro-batch under [[GateLoop]]'s discipline (replay-safe
+    * exactly-once signature append, probe-bucket pruned snapshot),
+    * with pb derived at the table's pinned fan-out. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   deliver: (DataFrame, Long) => Unit): Unit =
+    GateLoop.runBatch(batch, batchId, sigDir, desc.sigSchema, desc.keyCol,
+      desc.classify, desc.signatureRows(_, buckets), deliver)
+
+  /** Start the continuous gate (see [[GateLoop.start]]; this typed
+    * variant re-reads the pinned fan-out each micro-batch, so it also
+    * survives an offline resize between batches of one long-lived
+    * query). */
+  def start(stream: DataFrame, deliver: (DataFrame, Long) => Unit,
+            checkpointDir: Option[String] = None,
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    require(stream.isStreaming,
+      "stream must be a streaming DataFrame; use classifyNow for batch")
+    val w: DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream.outputMode("append")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, deliver)
+        }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
+  /** [[SignatureCompaction.compact]] with this table's contract. */
+  def compact(spark: SparkSession,
+              targetFileBytes: Long = 128L << 20): Int =
+    SignatureCompaction.compact(spark, sigDir, desc.sigSchema, targetFileBytes)
+
+  /** Bucket-count evolution (SURVEY §7.9 r19 #2):
+    * [[SignatureCompaction.resize]] — the full fold-and-rewrite under a
+    * new pb fan-out. */
+  def resize(spark: SparkSession, targetBuckets: Int,
+             targetFileBytes: Long = 128L << 20): Int =
+    SignatureCompaction.resize(spark, this, targetBuckets, targetFileBytes)
+
+  /** [[SignatureCompaction.foldHistory]] on this table. */
+  def foldHistory(spark: SparkSession, keepLast: Int): Seq[Long] =
+    SignatureCompaction.foldHistory(spark, sigDir, keepLast)
+}

@@ -48,16 +48,47 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * so no replay can ever see its own rows folded into `batch=-1`. */
 object GateLoop {
 
-  /** Probe-bucket fan-out of every gate's signature table. Fixed across
-    * the table's lifetime (a resize is a rewrite — compaction's job);
-    * bounded so the per-batch pruning set collects at most this many
-    * ints onto the driver. */
+  /** DEFAULT probe-bucket fan-out of a gate's signature table. A table's
+    * ACTUAL fan-out is pinned at seed time and recorded in its
+    * [[BucketsMeta]] marker; it evolves only through
+    * [[SignatureCompaction.compact]]'s `targetBuckets` rewrite (a live
+    * resize would split every key's rows across two layouts and silently
+    * un-prune matches). Bounded so the per-batch pruning set collects at
+    * most this many ints onto the driver. */
   val NumBuckets = 16
 
-  /** The ONE probe-bucket formula — signature writers and probe readers
-    * must agree bit-for-bit or pruning silently loses matches. */
-  def pbOf(keyCols: Column*): Column =
-    pmod(xxhash64(keyCols: _*), lit(NumBuckets)).cast("int")
+  /** The table-root marker recording the pb fan-out (`_`-prefixed so
+    * Spark's file listing ignores it). Absent on pre-r18 tables, which
+    * were all written at [[NumBuckets]]. */
+  val BucketsMeta = "_gate_buckets"
+
+  /** The ONE probe-bucket formula — signature writers, probe readers and
+    * the compaction rewrite must agree bit-for-bit or pruning silently
+    * loses matches. */
+  def pbOf(buckets: Int, keyCols: Seq[Column]): Column =
+    pmod(xxhash64(keyCols: _*), lit(buckets)).cast("int")
+
+  /** [[pbOf]] at the default fan-out (the pre-resize gate surface). */
+  def pbOf(keyCols: Column*): Column = pbOf(NumBuckets, keyCols)
+
+  /** The table's pinned bucket count ([[BucketsMeta]]; [[NumBuckets]]
+    * when the marker is absent — every pre-marker table was written at
+    * the default). */
+  def readBuckets(sigDir: String): Int = {
+    val p = java.nio.file.Paths.get(sigDir, BucketsMeta)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
+    else NumBuckets
+  }
+
+  /** Pin the table's bucket count (seed time, or compaction resize). */
+  def writeBuckets(sigDir: String, buckets: Int): Unit = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val root = java.nio.file.Paths.get(sigDir)
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.write(root.resolve(BucketsMeta),
+      buckets.toString.getBytes("UTF-8"))
+  }
 
   /** The classification snapshot: the signature table minus the batch's
     * own partition (replay exclusion), pruned to the probe buckets.
@@ -78,9 +109,33 @@ object GateLoop {
     * DATA schema; the `batch`/`pb` partition columns are appended for
     * the exclusion/pruning filters and dropped before `classify` sees
     * the snapshot. `signatureRows` must emit the data columns plus
-    * `pb` ([[pbOf]] of the row's join key). */
+    * `pb` ([[pbOf]] of the row's join key) — at the DEFAULT fan-out:
+    * this string-typed entry predates bucket evolution, so it guards
+    * against a resized table (whose pb layout its fixed-[[NumBuckets]]
+    * closure would mis-hash); gates on a resized table go through
+    * [[GateTable]], whose descriptor derives pb at the table's pinned
+    * count. */
   def processBatch(batch: DataFrame, batchId: Long, sigDir: String,
                    sigSchema: String, keyCol: String,
+                   classify: (DataFrame, DataFrame) => DataFrame,
+                   signatureRows: DataFrame => DataFrame,
+                   deliver: (DataFrame, Long) => Unit): Unit = {
+    val buckets = readBuckets(sigDir)
+    require(buckets == NumBuckets,
+      s"$sigDir is pinned at $buckets probe buckets but this entry point " +
+        s"derives pb at the default $NumBuckets — use the GateTable API " +
+        "(whose descriptor recomputes pb at the table's pinned count) " +
+        "for tables resized by SignatureCompaction.")
+    runBatch(batch, batchId, sigDir, sigSchema, keyCol,
+      classify, signatureRows, deliver)
+  }
+
+  /** The micro-batch discipline proper — `signatureRows` is already
+    * bound to the table's pinned bucket count by the caller (the legacy
+    * [[processBatch]] guard above, or [[GateTable.processBatch]]'s
+    * descriptor binding). */
+  private[streaming] def runBatch(batch: DataFrame, batchId: Long,
+                   sigDir: String, sigSchema: String, keyCol: String,
                    classify: (DataFrame, DataFrame) => DataFrame,
                    signatureRows: DataFrame => DataFrame,
                    deliver: (DataFrame, Long) => Unit): Unit = {
@@ -97,7 +152,7 @@ object GateLoop {
         "their signatures. Keep sigDir and checkpointDir paired, or run " +
         "SignatureCompaction.compact before attaching a new checkpoint.")
     val probePbs = signatureRows(batch).select(col("pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded by NumBuckets
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded by the fan-out
     val sigs = snapshot(spark, sigDir, sigSchema, batchId, probePbs)
     val classified = classify(batch, sigs).localCheckpoint(true)
     val accepted = batch.join(

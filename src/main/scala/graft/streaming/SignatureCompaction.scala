@@ -72,7 +72,7 @@ object SignatureCompaction {
           p.getFileName.toString.startsWith("pb="))
         .flatMap(parquets)
     val seedFiles = seedFilesNow()
-    if (folded.isEmpty && seedFiles.length <= GateLoop.NumBuckets) return 0
+    if (folded.isEmpty && seedFiles.length <= GateLoop.readBuckets(sigDir)) return 0
     // parse the DDL properly — a split(",") phantom-columns any type
     // containing a comma (STRUCT<...>, DECIMAL(p,s)) (r17 review catch)
     val dataCols = StructType.fromDDL(schema).fieldNames.toSeq
@@ -84,6 +84,91 @@ object SignatureCompaction {
     val totalBytes = allFiles.map(Files.size(_)).sum
     val df = spark.read.schema(s"$schema, pb INT").parquet(sigDir)
       .select((dataCols :+ "pb").map(col): _*).distinct()
+    swapIn(spark, sigDir, df, totalBytes, targetFileBytes,
+      seedFiles, folded, afterMoves = () => ())
+    folded.size
+  }
+
+  /** BUCKET-COUNT EVOLUTION (SURVEY §7.9 r19 #2): fold the whole table —
+    * seed and batch partitions — into `batch=-1` REWRITING every row's
+    * probe bucket under a new fan-out. A table's pb count is pinned for
+    * its lifetime ([[GateLoop.BucketsMeta]]) because writers and probe
+    * readers must hash identically; the only sound resize is therefore a
+    * compaction-shaped rewrite while the gate is cleanly stopped. Grow
+    * the fan-out as the seed grows (finer micro-batch pruning: a batch
+    * opens `probe keys / buckets` of the table), shrink it if tiny
+    * buckets fragment files. The new `pb` comes from the descriptor's
+    * `pbKeyCols` through the ONE [[GateLoop.pbOf]] formula the writers
+    * use, so post-resize probes agree bit-for-bit by construction;
+    * classification is unchanged for the same reason as [[compact]] —
+    * classify() distinct-reduces the signature side and the fold writes
+    * exactly distinct(union of partitions).
+    *
+    * Crash ordering (same single-writer contract as [[compact]]): new
+    * files MOVE in first, the meta marker flips second, superseded files
+    * delete last — a crash before the flip leaves the old layout intact
+    * under the old marker (new-layout leftovers are duplicate rows in
+    * never-probed dirs: classify's distinct-reduce ignores them); a
+    * crash after the flip leaves every key readable under the NEW
+    * marker with only harmless old-layout duplicates pending. Either
+    * way, RE-RUN resize before restarting the gate to finish the swap.
+    * @return number of batch partitions folded away. */
+  def resize(spark: SparkSession, table: GateTable, targetBuckets: Int,
+             targetFileBytes: Long = 128L << 20): Int = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.lit
+    require(targetBuckets > 0,
+      s"targetBuckets must be positive, got $targetBuckets")
+    val root = Paths.get(table.sigDir)
+    listDir(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(".graft-sig-compact-"))
+      .foreach(rmTree)
+    val batchDirs = listDir(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("batch="))
+    val seedDir = root.resolve("batch=-1")
+    val folded = batchDirs.filterNot(_ == seedDir)
+    // EVERY pre-resize file is superseded: the old layout's pb dirs are
+    // wrong under the new fan-out, so the seed's own files fold too
+    val seedFiles: Seq[java.nio.file.Path] =
+      if (!Files.exists(seedDir)) Nil
+      else parquets(seedDir) ++ listDir(seedDir)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("pb="))
+        .flatMap(parquets)
+    val allFiles = batchDirs.flatMap { d =>
+      val w = Files.walk(d)
+      try w.iterator().asScala.toList finally w.close()
+    }.filter(_.getFileName.toString.endsWith(".parquet"))
+    val totalBytes = allFiles.map(Files.size(_)).sum
+    val dataCols = StructType.fromDDL(table.desc.sigSchema).fieldNames.toSeq
+    // distinct over the DATA columns only — the old pb is layout, not
+    // data, and the new pb is a pure function of pbKeyCols
+    val df = spark.read.schema(table.desc.sigSchema).parquet(table.sigDir)
+      .select(dataCols.map(col): _*).distinct()
+      .withColumn("pb", GateLoop.pbOf(targetBuckets,
+        table.desc.pbKeyCols.map(col)))
+    swapIn(spark, table.sigDir, df, totalBytes, targetFileBytes,
+      seedFiles, folded,
+      afterMoves = () => GateLoop.writeBuckets(table.sigDir, targetBuckets))
+    folded.size
+  }
+
+  /** The shared swap: write `df` (data cols + `pb`) into same-FS dot
+    * scratch, ATOMIC_MOVE into `batch=-1/pb=<b>/`, run `afterMoves`
+    * (the resize's meta flip), then delete superseded files and folded
+    * batch dirs; scratch removal and FileStatusCache invalidation in
+    * the finally. */
+  private def swapIn(spark: SparkSession, sigDir: String,
+                     df: org.apache.spark.sql.DataFrame,
+                     totalBytes: Long, targetFileBytes: Long,
+                     seedFiles: Seq[java.nio.file.Path],
+                     folded: Seq[java.nio.file.Path],
+                     afterMoves: () => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(sigDir)
+    val seedDir = root.resolve("batch=-1")
     val totalRows = df.count()
     val bytesPerRow = math.max(1.0,
       totalBytes.toDouble / math.max(1L, totalRows).toDouble)
@@ -105,6 +190,7 @@ object SignatureCompaction {
             StandardCopyOption.ATOMIC_MOVE)
         }
       }
+      afterMoves()
       seedFiles.foreach { f =>
         Files.deleteIfExists(f)
         Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
@@ -124,7 +210,6 @@ object SignatureCompaction {
       // exception paths included (ADVICE r17)
       spark.catalog.refreshByPath(sigDir)
     }
-    folded.size
   }
 
   /** Windowed HISTORY FOLD — the metadata-only sibling of [[compact]]:

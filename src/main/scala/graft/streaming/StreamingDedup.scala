@@ -49,6 +49,17 @@ object StreamingDedup {
     * [[GateLoop]]'s) — pinned so empty seeds/partitions read. */
   val SigSchema = "kind STRING, sig STRING, src BIGINT"
 
+  /** The text gate's typed identity (SURVEY §7.9 r19 #1) — bind it to a
+    * directory with `GateTable(StreamingDedup.descriptor, sigDir)` for
+    * the misuse-proof surface (typed reads, resize-aware loop). */
+  val descriptor: GateDescriptor = GateDescriptor(
+    name = "text",
+    sigSchema = SigSchema,
+    keyCol = "doc_id",
+    pbKeyCols = Seq("kind", "sig"),
+    dataRows = Dedup.gateSignatureData,
+    classify = Dedup.gateClassifyProvenance)
+
   /** Signature rows for a (static) doc batch — the batch rule verbatim
     * ([[Dedup.gateSignatureRows]]): one `("h", sha256)` row per doc plus
     * one `("band", key)` row per LSH band, each with its first-seen owner

@@ -42,6 +42,19 @@ object StreamingEmbeddingGate {
   val SigSchema =
     "dig STRING, bucket BIGINT, nrm DOUBLE, emb ARRAY<DOUBLE>, src BIGINT"
 
+  /** The embedding gate's typed identity (SURVEY §7.9 r19 #1) — `pb`
+    * hashes the HYPERPLANE bucket, sound for both probes because
+    * byte-identical vectors share it (see [[signatureRows]]). `classify`
+    * at the default τ; a caller tuning the verify threshold builds its
+    * own descriptor copy. */
+  val descriptor: GateDescriptor = GateDescriptor(
+    name = "embedding",
+    sigSchema = SigSchema,
+    keyCol = "vec_id",
+    pbKeyCols = Seq("bucket"),
+    dataRows = signatureData,
+    classify = classify(_, _, 0.999))
+
   private def sketch(vecs: DataFrame): DataFrame =
     Similarity.bucketed(vecs, Similarity.DedupPlanes)
       .select(col("vec_id"), Similarity.vecDigest(col("emb")).as("dig"),
@@ -54,10 +67,15 @@ object StreamingEmbeddingGate {
     * bucket, so the exact probe's digest lookup always lands in the
     * probed partitions too. */
   def signatureRows(vecs: DataFrame): DataFrame =
+    signatureData(vecs).withColumn("pb", GateLoop.pbOf(col("bucket")))
+
+  /** [[signatureRows]]'s DATA rows — everything but `pb`, which the
+    * typed [[GateDescriptor]] path derives at the table's pinned
+    * fan-out. */
+  def signatureData(vecs: DataFrame): DataFrame =
     sketch(vecs)
       .groupBy(col("dig"), col("bucket"), col("nrm"), col("emb"))
       .agg(min(col("vec_id")).as("src"))
-      .withColumn("pb", GateLoop.pbOf(col("bucket")))
 
   /** Materialize the corpus seed under `batch=-1`. */
   def seedSignatures(corpus: DataFrame, sigDir: String): Unit =

@@ -43,6 +43,19 @@ object StreamingMultimodalGate {
     * the provenance owner (VERDICT r17 #3). */
   val SigSchema = "kind STRING, sig STRING, simhash BIGINT, src BIGINT"
 
+  /** The multimodal gate's typed identity (SURVEY §7.9 r19 #1) — the
+    * probe bucket hashes (kind, sig) only, never the sketch: the near
+    * probe joins on the band alone. `classify` at the default
+    * `maxHamming`; a caller tuning the verify threshold builds its own
+    * descriptor copy. */
+  val descriptor: GateDescriptor = GateDescriptor(
+    name = "multimodal",
+    sigSchema = SigSchema,
+    keyCol = "doc_id",
+    pbKeyCols = Seq("kind", "sig"),
+    dataRows = Multimodal.gateSignatureData,
+    classify = Multimodal.gateClassify(_, _, 12))
+
   /** Signature rows for a (static) blob batch — the batch rule verbatim
     * ([[Multimodal.gateSignatureRows]]; one rule, two consumers). */
   def signatureRows(blobs: DataFrame): DataFrame =

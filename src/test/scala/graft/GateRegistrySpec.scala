@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.{GateDeliveries, GateLoop, GateTable, StreamingDedup,
+  StreamingEmbeddingGate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The typed gate registry (SURVEY §7.9 r19 #1), bucket-count evolution
+  * (#2) and the review-queue sink table (#3): a [[GateTable]] binds one
+  * descriptor to one directory, so schema/key/pb misuse across gates is
+  * unrepresentable; `SignatureCompaction.resize` rewrites the pb layout
+  * under a new fan-out with classification provably unchanged; and
+  * [[GateDeliveries]] lands the provenance frame in an exactly-once
+  * parquet review queue. */
+class GateRegistrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def textTable(): GateTable = GateTable(StreamingDedup.descriptor,
+    Files.createTempDirectory("graft-registry-").toString)
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def statuses(frame: DataFrame): Map[Long, String] =
+    frame.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def pbDirs(sigDir: String): Seq[Int] = {
+    val w = Files.walk(Paths.get(sigDir))
+    val all = try w.iterator().asScala.toList finally w.close()
+    all.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("pb="))
+      .map(_.getFileName.toString.stripPrefix("pb=").toInt).distinct.sorted
+  }
+
+  test("typed seed/classifyNow match the legacy string-typed path exactly") {
+    val seed = docs(0L -> "the original seed corpus document",
+      1L -> "alpha bravo charlie delta echo")
+    val incoming = docs(10L -> "the original seed corpus document",
+      11L -> "a never seen probe document body")
+    val typed = textTable()
+    typed.seed(seed)
+    val legacyDir = Files.createTempDirectory("graft-registry-legacy-").toString
+    StreamingDedup.seedSignatures(seed, legacyDir)
+    val legacy = StreamingDedup.classify(incoming,
+      spark.read.schema(StreamingDedup.SigSchema).parquet(legacyDir))
+    assert(typed.classifyNow(incoming).collect().toSet ===
+      legacy.collect().toSet)
+    assert(typed.buckets === GateLoop.NumBuckets)
+  }
+
+  test("resize rewrites the pb layout under the new fan-out with " +
+      "classification unchanged, and the gate continues at the new count") {
+    val t = textTable()
+    t.seed(docs(0L -> "the original seed corpus document"))
+    var out: Map[Long, String] = Map.empty
+    def run(b: DataFrame, id: Long): Map[Long, String] = {
+      t.processBatch(b, id, (c, _) => out = statuses(c)); out
+    }
+    assert(run(docs(1L -> "the original seed corpus document",
+      2L -> "alpha bravo charlie delta"), 0L) ===
+      Map(1L -> "exact_dup", 2L -> "new"))
+    assert(run(docs(3L -> "echo foxtrot golf hotel"), 1L) ===
+      Map(3L -> "new"))
+
+    val probeDocs = docs(100L -> "alpha bravo charlie delta",
+      101L -> "echo foxtrot golf hotel",
+      102L -> "a never seen probe document")
+    val before = t.classifyNow(probeDocs).collect().toSet
+
+    // shrink 16 -> 4: every batch dir folds, layout fits the new range
+    assert(t.resize(spark, targetBuckets = 4) === 2)
+    assert(t.buckets === 4)
+    assert(pbDirs(t.sigDir).forall(b => b >= 0 && b < 4))
+    assert(new java.io.File(t.sigDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSeq === Seq("batch=-1"))
+    assert(t.classifyNow(probeDocs).collect().toSet === before,
+      "resize changed classification")
+
+    // the typed loop continues, deriving pb at the RESIZED count: a doc
+    // accepted post-resize must be findable by the next batch's probe
+    assert(run(docs(4L -> "india juliet kilo lima"), 0L) ===
+      Map(4L -> "new")) // fresh checkpoint legal: max batch is -1
+    assert(run(docs(5L -> "india juliet kilo lima",
+      6L -> "alpha bravo charlie delta"), 1L) ===
+      Map(5L -> "exact_dup", 6L -> "exact_dup"))
+    assert(pbDirs(t.sigDir).forall(b => b >= 0 && b < 4))
+
+    // grow 4 -> 32: same answers again
+    t.resize(spark, targetBuckets = 32)
+    assert(t.buckets === 32)
+    val after32 = t.classifyNow(probeDocs).collect().toSet
+    assert(after32.map(r => (r.getLong(0), r.getString(1))) ===
+      Set(100L -> "exact_dup", 101L -> "exact_dup", 102L -> "new"))
+  }
+
+  test("snapshots stay probe-pruned after a resize: a one-doc batch opens " +
+      "at most its own buckets of the 8-bucket layout") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables(spark, sf, "documents")
+    val t = textTable()
+    t.seed(corpus.filter(col("doc_id") < 400))
+    t.resize(spark, targetBuckets = 8)
+    val batch = corpus.filter(col("doc_id") === 450)
+    val probePbs = t.desc.signatureRows(batch, t.buckets)
+      .select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(probePbs.nonEmpty && probePbs.forall(b => b >= 0 && b < 8))
+    val snap = GateLoop.snapshot(spark, t.sigDir, t.desc.sigSchema,
+      excludeBatchId = 0L, probePbs = probePbs)
+    val opened = snap.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+    }.max
+    assert(opened <= probePbs.size,
+      s"opened $opened partitions for ${probePbs.size} probe buckets")
+    // soundness at the new fan-out: pruned == full
+    val incoming = corpus.filter(col("doc_id") >= 400)
+    val inPbs = t.desc.signatureRows(incoming, t.buckets)
+      .select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = StreamingDedup.classify(incoming, GateLoop.snapshot(
+      spark, t.sigDir, t.desc.sigSchema, 0L, inPbs)).collect().toSet
+    val full = StreamingDedup.classify(incoming,
+      t.read(spark)).collect().toSet
+    assert(pruned === full, "pruned snapshot drifted after resize")
+  }
+
+  test("the string-typed loop refuses a resized table instead of " +
+      "mis-hashing its probes") {
+    val t = textTable()
+    t.seed(docs(0L -> "the original seed corpus document"))
+    t.resize(spark, targetBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      GateLoop.processBatch(docs(1L -> "anything at all"), 0L, t.sigDir,
+        StreamingDedup.SigSchema, "doc_id", StreamingDedup.classify,
+        StreamingDedup.signatureRows, (_, _) => ())
+    }
+    assert(e.getMessage.contains("GateTable"))
+  }
+
+  test("the embedding descriptor's typed surface matches the gate's " +
+      "legacy path (pb over the hyperplane bucket)") {
+    import spark.implicits._
+    val seed = Seq((0L, Array(1.0, 0.0, 2.0, 1.0)),
+      (1L, Array(0.5, 1.5, -0.5, 2.0))).toDF("vec_id", "embedding")
+    val incoming = Seq((10L, Array(1.0, 0.0, 2.0, 1.0)),
+      (11L, Array(9.0, -3.0, 4.0, 0.1))).toDF("vec_id", "embedding")
+    val t = GateTable(StreamingEmbeddingGate.descriptor,
+      Files.createTempDirectory("graft-registry-emb-").toString)
+    t.seed(seed)
+    val got = statuses(t.classifyNow(incoming))
+    assert(got === Map(10L -> "exact_dup", 11L -> "new"))
+    t.resize(spark, targetBuckets = 2)
+    assert(statuses(t.classifyNow(incoming)) === got)
+  }
+
+  test("the delivery sink is an exactly-once review queue: a replayed " +
+      "batch rewrites identical rows, reads partition-prune by status, " +
+      "and the summary matches q218's rule") {
+    val t = textTable()
+    t.seed(docs(0L -> "the original seed corpus document",
+      1L -> "alpha bravo charlie delta echo"))
+    val qDir = Files.createTempDirectory("graft-review-queue-").toString
+    val sink = GateDeliveries.sink(qDir)
+    val b0 = docs(10L -> "the original seed corpus document",
+      11L -> "a never seen probe document body")
+    val expected = t.classifyNow(b0).collect().toSet
+    t.processBatch(b0, 0L, sink)
+    t.processBatch(docs(12L -> "a never seen probe document body"), 1L, sink)
+
+    def table() = GateDeliveries.read(spark, qDir, t.desc)
+    val rows = table().collect().toSet
+    assert(rows.size === 3)
+    assert(rows.filter(_.getLong(4) == 0L)
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3)))
+      === expected.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3))))
+
+    // at-least-once replay: re-delivering batch 0 must not double rows
+    // (GateLoop localCheckpoints statuses, so a replay re-sends the
+    // ORIGINAL frame — modeled here by re-sinking the expected rows)
+    val frameSchema = t.classifyNow(b0).schema
+    sink(spark.createDataFrame(
+      spark.sparkContext.parallelize(expected.toSeq), frameSchema), 0L)
+    assert(table().collect().toSet === rows, "replay double-appended")
+
+    // a status filter prunes to that partition's dirs
+    val near = table().filter(col("status") === "exact_dup")
+    val plan = near.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters:") && plan.contains("status"),
+      s"status filter did not reach the partition scan:\n$plan")
+
+    // the operational readout over the SINK TABLE = the q218 rule over
+    // the frames (reviewSummary is the shared rule)
+    val fromSink = GateDeliveries.reviewSummary(table())
+      .collect().map(_.toSeq).toSet
+    val direct = GateDeliveries.reviewSummary(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (expected + org.apache.spark.sql.Row(12L, "exact_dup", 11L, 1.0)).toSeq),
+        frameSchema))
+      .collect().map(_.toSeq).toSet
+    assert(fromSink === direct)
+  }
+}
