@@ -43,6 +43,60 @@ object GateDeliveries {
       .select(col(desc.keyCol), col("status"), col("matched_seed"),
         col("score"), col("batch"))
 
+  /** Windowed retention for the review queue — the delivery-side twin of
+    * [[SignatureCompaction.foldHistory]]: the sink appends one
+    * `batch=<id>` dir per micro-batch forever (the same small-files
+    * growth the signature tables have), so fold every batch older than
+    * the newest `keepLast` into the `batch=-1` archive by RENAMING its
+    * files into the matching `status=<s>` sub-dirs. Deliveries are plain
+    * appends — no distinctness to preserve — so a pure move is trivially
+    * row-preserving, keeps the status partition pruning intact, and is
+    * O(moved files) metadata work. Folded rows read back with
+    * `batch = -1` (per-batch attribution traded for file count, like the
+    * signature fold). Single-writer contract: run while the gate is
+    * CLEANLY stopped — a replay of a FOLDED batch id would re-create its
+    * dir beside the archived rows and double them, but replays only ever
+    * touch the newest (uncommitted) batch, which `keepLast >= 1`
+    * preserves. Crash-safe by move semantics; a re-run folds the
+    * remainder. @return folded batch ids, ascending. */
+  def foldHistory(spark: SparkSession, deliveryDir: String,
+                  keepLast: Int): Seq[Long] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.FsTrees.{listDir, parquets, rmTree}
+    require(keepLast >= 1,
+      s"keepLast must be >= 1 (the newest batch may still replay), got $keepLast")
+    val root = Paths.get(deliveryDir)
+    val archive = root.resolve("batch=-1")
+    val batchIds = listDir(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("batch="))
+      .flatMap(_.getFileName.toString.stripPrefix("batch=").toLongOption)
+      .filter(_ >= 0L).sorted
+    val fold = batchIds.dropRight(keepLast)
+    if (fold.isEmpty) return Nil
+    try {
+      fold.foreach { id =>
+        val batchDir = root.resolve(s"batch=$id")
+        listDir(batchDir)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("status="))
+          .foreach { stDir =>
+            val dst = archive.resolve(stDir.getFileName.toString)
+            Files.createDirectories(dst)
+            parquets(stDir).zipWithIndex.foreach { case (f, i) =>
+              Files.deleteIfExists(
+                f.resolveSibling("." + f.getFileName.toString + ".crc"))
+              Files.move(f, dst.resolve(
+                s"folded-b$id-${java.util.UUID.randomUUID}-$i.parquet"),
+                StandardCopyOption.ATOMIC_MOVE)
+            }
+          }
+        rmTree(batchDir)
+      }
+    } finally spark.catalog.refreshByPath(deliveryDir)
+    fold
+  }
+
   /** The review queue's operational readout (q218's rule): per status —
     * deliveries, distinct matched seeds, and the heaviest seed (most
     * deliveries, ties to the lowest id) with its count. The heaviest

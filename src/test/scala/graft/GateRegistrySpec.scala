@@ -159,6 +159,55 @@ class GateRegistrySpec extends AnyFunSuite {
     assert(statuses(t.classifyNow(incoming)) === got)
   }
 
+  test("the typed gate streams end-to-end on a RESIZED table: deliveries " +
+      "land in the review queue across a restart, and queue foldHistory " +
+      "archives old batches row-preservingly") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = Files.createTempDirectory("graft-e2e-src-").toString
+    val ckpt = Files.createTempDirectory("graft-e2e-ckpt-").toString
+    val qDir = Files.createTempDirectory("graft-e2e-queue-").toString
+    val t = textTable()
+    t.seed(docs(0L -> "seed corpus document body"))
+    t.resize(spark, 8) // the real loop must run at the pinned non-default fan-out
+    def src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    def append(rows: (Long, String)*): Unit =
+      docs(rows: _*).coalesce(1).write.mode("append").parquet(srcDir)
+
+    append(1L -> "seed corpus document body", 2L -> "first fresh document")
+    append(3L -> "first fresh document", 4L -> "second fresh document")
+    t.start(src, GateDeliveries.sink(qDir), Some(ckpt), Trigger.AvailableNow())
+      .awaitTermination(120000)
+    // restart from the checkpoint: doc 5 dups a run-1 accept
+    append(5L -> "second fresh document", 6L -> "another brand new document")
+    t.start(src, GateDeliveries.sink(qDir), Some(ckpt), Trigger.AvailableNow())
+      .awaitTermination(120000)
+
+    def tbl() = GateDeliveries.read(spark, qDir, t.desc)
+    def frame() = tbl().collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val expected = Set((1L, "exact_dup", 0L), (2L, "new", -1L),
+      (3L, "exact_dup", 2L), (4L, "new", -1L),
+      (5L, "exact_dup", 4L), (6L, "new", -1L))
+    assert(frame() === expected)
+    val batchesBefore = tbl().select(col("batch")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchesBefore === Seq(0L, 1L, 2L))
+    val summaryBefore = GateDeliveries.reviewSummary(tbl())
+      .collect().map(_.toSeq).toSet
+
+    assert(GateDeliveries.foldHistory(spark, qDir, keepLast = 1)
+      === Seq(0L, 1L))
+    assert(frame() === expected, "queue fold lost or changed rows")
+    assert(tbl().select(col("batch")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(-1L, 2L))
+    assert(GateDeliveries.reviewSummary(tbl())
+      .collect().map(_.toSeq).toSet === summaryBefore)
+    assert(GateDeliveries.foldHistory(spark, qDir, keepLast = 1) === Nil)
+  }
+
   test("the delivery sink is an exactly-once review queue: a replayed " +
       "batch rewrites identical rows, reads partition-prune by status, " +
       "and the summary matches q218's rule") {
