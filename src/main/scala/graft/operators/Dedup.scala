@@ -949,7 +949,44 @@ object Dedup extends QueryModule {
       .orderBy(col("status"))
   }
 
+  /** q219 — GATE BATCH CHAIN (the first ORACLE-CHECKED multi-batch state
+    * evolution; until now the cross-batch discipline — batch N classifies
+    * against seed + batches 0..N-1's ACCEPTS — lived only in specs):
+    * batch 0 = doc_id ∈ [400, 475) against the < 400 seed, batch 1 =
+    * doc_id ≥ 475 against seed ∪ batch-0 accepts, both frames unioned
+    * with their batch id. This is [[graft.streaming.GateLoop]]'s
+    * sequential semantics unrolled in ONE plan (exactly like the vocab
+    * family's unrolled training chains): accepts = the `new` rows,
+    * signatures of accepts union into the snapshot, owners stay the
+    * per-key min src. The signature frames checkpoint between stages —
+    * the chain is inherently sequential (stage N+1's snapshot depends on
+    * stage N's accepts), so the one thing to avoid is recomputing stage
+    * N's whole subtree inside stage N+1, the q203 delta-trainer lesson.
+    * At 100 TB the live path is the streaming gate; this query pins the
+    * state-threading rule against DuckDB. */
+  def gateBatchChain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTable(spark, dir)
+    val seed = docs.filter(col("doc_id") < 400)
+    // split at 475: the testdata plants near-dup pairs with BOTH members
+    // ≥ 400 straddling it (474/498 at sf0.001, 435/486 at sf0.01), so a
+    // batch-1 doc matches a batch-0 ACCEPT at every verify scale — the
+    // cross-batch threading is what the oracle pins, and a split where
+    // no pair straddles would never exercise it
+    val b0 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 475)
+    val b1 = docs.filter(col("doc_id") >= 475)
+    val sig0 = gateSignatureData(seed).localCheckpoint(true)
+    val fr0 = gateClassifyProvenance(b0, sig0).localCheckpoint(true)
+    val acc0 = b0.join(fr0.filter(col("status") === "new").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sig1 = sig0.unionByName(gateSignatureData(acc0))
+    val fr1 = gateClassifyProvenance(b1, sig1)
+    fr0.withColumn("batch", lit(0L))
+      .unionByName(fr1.withColumn("batch", lit(1L)))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q219_gate_batch_chain" -> (gateBatchChain(_, _)),
     "q218_gate_review_queue" -> (gateReviewQueue(_, _)),
     "q217_dedup_gate_provenance" -> (dedupGateProvenance(_, _)),
     "q40_dedup_exact" -> exactDedup _,
@@ -1204,6 +1241,75 @@ object Dedup extends QueryModule {
       s"""$gateFrameCtes
          |SELECT doc_id, status, matched_seed, score
          |FROM fr ORDER BY doc_id""".stripMargin,
+    // the two-batch chain unrolled: batch 1's owners/exact sources are
+    // seed ∪ batch-0 accepts — per-key min src over a union of key-sets
+    // that are DISJOINT by the gate rule itself (a batch-0 doc sharing
+    // any key with the seed was never accepted)
+    "q219_gate_batch_chain" ->
+      s"""$shingleCte,
+         |m AS (SELECT doc_id,
+         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
+         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
+         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
+         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
+         |      FROM s),
+         |b AS (SELECT doc_id, '0:' || md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS band FROM m
+         |      UNION ALL
+         |      SELECT doc_id, '1:' || md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)) FROM m),
+         |own0 AS (SELECT band, min(doc_id) AS src FROM b WHERE doc_id < 400 GROUP BY 1),
+         |ex0 AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
+         |        FROM documents n JOIN documents c
+         |          ON c.doc_id < 400 AND n.doc_id >= 400 AND n.doc_id < 475 AND c.text = n.text
+         |        GROUP BY 1),
+         |nr00 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
+         |         FROM b bn JOIN own0 o USING (band)
+         |         WHERE bn.doc_id >= 400 AND bn.doc_id < 475 GROUP BY 1, 2),
+         |nr0 AS (SELECT doc_id, src, n FROM (
+         |         SELECT doc_id, src, n,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
+         |         FROM nr00) WHERE rn = 1),
+         |fr0 AS (SELECT d.doc_id,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
+         |              WHEN nr0.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr0.src END AS matched_seed,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |              ELSE CAST(nr0.n AS DOUBLE) END AS score
+         |        FROM documents d
+         |        LEFT JOIN ex0 e ON e.doc_id = d.doc_id
+         |        LEFT JOIN nr0 ON nr0.doc_id = d.doc_id
+         |        WHERE d.doc_id >= 400 AND d.doc_id < 475),
+         |corp1 AS (SELECT doc_id FROM documents WHERE doc_id < 400
+         |          UNION ALL SELECT doc_id FROM fr0 WHERE status = 'new'),
+         |own1 AS (SELECT b.band, min(b.doc_id) AS src
+         |         FROM b JOIN corp1 c ON b.doc_id = c.doc_id GROUP BY 1),
+         |ex1 AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
+         |        FROM documents n
+         |        JOIN documents c ON c.text = n.text
+         |        JOIN corp1 cc ON c.doc_id = cc.doc_id
+         |        WHERE n.doc_id >= 475
+         |        GROUP BY 1),
+         |nr10 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
+         |         FROM b bn JOIN own1 o USING (band)
+         |         WHERE bn.doc_id >= 475 GROUP BY 1, 2),
+         |nr1 AS (SELECT doc_id, src, n FROM (
+         |         SELECT doc_id, src, n,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
+         |         FROM nr10) WHERE rn = 1),
+         |fr1 AS (SELECT d.doc_id,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
+         |              WHEN nr1.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr1.src END AS matched_seed,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |              ELSE CAST(nr1.n AS DOUBLE) END AS score
+         |        FROM documents d
+         |        LEFT JOIN ex1 e ON e.doc_id = d.doc_id
+         |        LEFT JOIN nr1 ON nr1.doc_id = d.doc_id
+         |        WHERE d.doc_id >= 475)
+         |SELECT doc_id, status, matched_seed, score, batch FROM (
+         |  SELECT fr0.*, CAST(0 AS BIGINT) AS batch FROM fr0
+         |  UNION ALL
+         |  SELECT fr1.*, CAST(1 AS BIGINT) AS batch FROM fr1)
+         |ORDER BY doc_id""".stripMargin,
     // the frame rolled up per status; top seed = most deliveries, ties
     // to the lowest id — the identical keys to reviewSummary's
     // max(struct(n, -matched_seed))

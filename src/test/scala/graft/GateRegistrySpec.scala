@@ -159,6 +159,32 @@ class GateRegistrySpec extends AnyFunSuite {
     assert(statuses(t.classifyNow(incoming)) === got)
   }
 
+  test("q219's unrolled batch chain is bit-identical to an actual two-batch " +
+      "GateLoop run on the same splits") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables(spark, sf, "documents")
+    val t = textTable()
+    t.seed(corpus.filter(col("doc_id") < 400))
+    var frames = List.empty[(Long, org.apache.spark.sql.Row)]
+    def deliver(c: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      frames ++= c.collect().map(id -> _)
+    t.processBatch(corpus.filter(col("doc_id") >= 400 && col("doc_id") < 475),
+      0L, deliver)
+    t.processBatch(corpus.filter(col("doc_id") >= 475), 1L, deliver)
+    val streamed = frames.map { case (id, r) => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1.0 else r.getDouble(3), id) }.toSet
+    val batch = graft.operators.Dedup.gateBatchChain(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getLong(4))).toSet
+    assert(streamed === batch)
+    // the chain's point: a batch-1 doc matched to a batch-0 ACCEPT
+    assert(batch.exists(r => r._5 == 1L && r._3 >= 400L),
+      "degenerate fixture: no cross-batch match — the split must straddle " +
+        "a planted near-dup pair with both members >= 400")
+  }
+
   test("the typed gate streams end-to-end on a RESIZED table: deliveries " +
       "land in the review queue across a restart, and queue foldHistory " +
       "archives old batches row-preservingly") {
