@@ -985,7 +985,51 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The gate's ACCEPTED docs (status = `new` in the q217 frame) — the
+    * curated corpus the pipeline's downstream trains on. */
+  private def acceptedDocs(docs: DataFrame): DataFrame = {
+    val frame = gateClassifyProvenance(docs.filter(col("doc_id") >= 400),
+      gateSignatureRows(docs.filter(col("doc_id") < 400)))
+    docs.filter(col("doc_id") >= 400)
+      .join(frame.filter(col("status") === "new").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+  }
+
+  /** q220 — CURATION EXPORT MANIFEST (the step AFTER the gate, closing
+    * ingest → gate → training shards end to end, SURVEY §7.9 refreshed
+    * candidate #3): the accepted (`status = new`) docs feed the q73/q168
+    * packing rule verbatim ([[Pipeline.packAssign]] — per-shard
+    * exclusive-prefix-sum div budget, one shuffle on the shard key, never
+    * a global cumsum) and the manifest reports each training shard's
+    * (shard, pack_id, n_docs, pack_tokens). Budget 512 so multiple packs
+    * exist per shard at the verify scales; [[curatedShardsWrite]] is the
+    * writer that lays the files out by the SAME assignment — spec pins
+    * manifest ≡ what was actually written. */
+  def curationExport(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.packSequences(acceptedDocs(docsTable(spark, dir)),
+      budget = 512, shards = 4)
+
+  /** The q220 manifest's writer: accepted docs land in
+    * `outDir/shard=<s>/pack_id=<p>/` — one partition dir per training
+    * pack, the layout a sequence-packing trainer mmaps shard-parallel.
+    * Partition pruning gives a trainer worker its shard's dirs for free;
+    * at 100 TB the write is one shuffle on (shard) for the window plus
+    * the partitioned write, no global order anywhere. */
+  def curatedShardsWrite(spark: SparkSession, dir: String, outDir: String,
+                         budget: Int = 512, shards: Int = 4): Unit = {
+    // checkpoint: the writer uses `accepted` twice (payloads + the
+    // window assignment) — don't classify the gate frame twice
+    val accepted = acceptedDocs(docsTable(spark, dir)).localCheckpoint(true)
+    accepted.join(
+        Pipeline.packAssign(accepted, budget, shards), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("n_tok"),
+        col("shard"), col("pack_id"))
+      .write.mode("overwrite").partitionBy("shard", "pack_id")
+      .parquet(outDir)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q220_curation_export" -> (curationExport(_, _)),
     "q219_gate_batch_chain" -> (gateBatchChain(_, _)),
     "q218_gate_review_queue" -> (gateReviewQueue(_, _)),
     "q217_dedup_gate_provenance" -> (dedupGateProvenance(_, _)),
@@ -1036,7 +1080,7 @@ object Dedup extends QueryModule {
   /** The text gate's provenance frame as oracle CTEs ending in `fr` —
     * q217 reads it straight, q218 aggregates it (one frame, two
     * readouts, mirroring gateClassifyProvenance feeding both). */
-  private lazy val gateFrameCtes =
+  private[operators] lazy val gateFrameCtes =
     s"""$shingleCte,
        |m AS (SELECT doc_id,
        |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
@@ -1241,6 +1285,21 @@ object Dedup extends QueryModule {
       s"""$gateFrameCtes
          |SELECT doc_id, status, matched_seed, score
          |FROM fr ORDER BY doc_id""".stripMargin,
+    // the accepted set through the q73 packing rule (shard cumsum)
+    "q220_curation_export" ->
+      s"""$gateFrameCtes,
+         |acc AS (SELECT d.doc_id, d.text FROM documents d
+         |        JOIN fr ON fr.doc_id = d.doc_id WHERE fr.status = 'new'),
+         |t2 AS (SELECT doc_id, doc_id % 4 AS shard,
+         |              len(string_split(text, ' ')) AS n_tok FROM acc),
+         |c AS (SELECT shard, doc_id, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                         ROWS UNBOUNDED PRECEDING) - n_tok AS prefix
+         |      FROM t2)
+         |SELECT shard, CAST(prefix // 512 AS BIGINT) AS pack_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the two-batch chain unrolled: batch 1's owners/exact sources are
     // seed ∪ batch-0 accepts — per-key min src over a union of key-sets
     // that are DISJOINT by the gate rule itself (a batch-0 doc sharing

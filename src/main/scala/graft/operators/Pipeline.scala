@@ -360,17 +360,24 @@ object Pipeline extends QueryModule {
     * a single global cumsum is the textbook anti-scale window). pack_id =
     * exclusive-prefix-tokens div budget: deterministic, one shuffle on the
     * shard key, per-shard state is one running sum. */
-  def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 8): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 8): DataFrame =
+    packAssign(docs, budget, shards)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("pack_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+
+  /** The per-doc half of [[packSequences]]: each doc's (shard, pack_id,
+    * n_tok) assignment — the manifest aggregates it; writers (the q220
+    * curation export) join it back to payloads and lay files out by it. */
+  def packAssign(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
         size(split(col("text"), " ")).as("n_tok"))
       .withColumn("prefix", sum(col("n_tok")).over(w) - col("n_tok"))
-      .select(col("shard"), expr(s"prefix div $budget").as("pack_id"), col("n_tok"))
-      .groupBy(col("shard"), col("pack_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("pack_tokens"))
-      .orderBy(col("shard"), col("pack_id"))
+      .select(col("doc_id"), col("shard"),
+        expr(s"prefix div $budget").as("pack_id"), col("n_tok"))
   }
 
   def packSequences(spark: SparkSession, dir: String): DataFrame =

@@ -999,7 +999,54 @@ object Similarity extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** q221 — JOINT CROSS-SURFACE GATE (SURVEY §7.9 refreshed candidate
+    * #2: a multimodal corpus ITEM is (text, embedding) with one id, and
+    * a real curation pipeline admits it only if EVERY surface accepts):
+    * the text gate's q217 frame and the vector gate's q216 rule
+    * ([[graft.streaming.StreamingEmbeddingGate.classify]] — one rule,
+    * three consumers now) evaluate the SAME ≥400 incoming ids
+    * independently, join on the id, and compose `joint_status` as the
+    * strongest signal across surfaces (exact > near > new) — the reject
+    * reason a review queue files the item under. Both per-surface
+    * probes are the distinct-reduced equi-joins their own queries run;
+    * the composition join keys on the id of the (small) incoming batch,
+    * broadcast at any corpus size. The testdata has no cross-split
+    * vector dups, so two vector twins are PLANTED at ids whose TEXT
+    * status is `new` at both verify scales (435 := seed vec 5's bytes —
+    * exact; 474 := 2 × seed vec 7 — cosine 1.0, not byte-equal), making
+    * both "embedding caught what text missed" compositions real; text
+    * catches its own planted near-dups the other way round. */
+  def jointGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingEmbeddingGate
+    val docs = Tables(spark, dir, "documents")
+    val text = Dedup.gateClassifyProvenance(
+        docs.filter(col("doc_id") >= 400),
+        Dedup.gateSignatureRows(docs.filter(col("doc_id") < 400)))
+      .select(col("doc_id"), col("status").as("text_status"))
+    val base = embTable(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // two-row driver staging (the q216 twin discipline)
+    val v5 = base.filter(col("vec_id") === 5).head().getSeq[Double](1)
+    val v7x2 = base.filter(col("vec_id") === 7).head().getSeq[Double](1).map(_ * 2.0)
+    import spark.implicits._
+    val planted = Seq((435L, v5), (474L, v7x2)).toDF("vec_id", "embedding")
+    val emb2 = base.filter(!col("vec_id").isin(435L, 474L)).unionByName(planted)
+    val vec = StreamingEmbeddingGate.classify(
+        emb2.filter(col("vec_id") >= 400),
+        StreamingEmbeddingGate.signatureData(emb2.filter(col("vec_id") < 400)))
+      .select(col("vec_id").as("doc_id"), col("status").as("emb_status"))
+    text.join(vec, Seq("doc_id"))
+      .select(col("doc_id"), col("text_status"), col("emb_status"),
+        when(col("text_status") === "exact_dup" ||
+          col("emb_status") === "exact_dup", "exact_dup")
+          .when(col("text_status") === "near_dup" ||
+            col("emb_status") === "near_dup", "near_dup")
+          .otherwise("new").as("joint_status"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q221_joint_gate" -> (jointGate(_, _)),
     "q176_sim_dim_deciles" -> (dimDeciles(_, _)),
     "q167_pca_power" -> ((s, dd) => pcaPower(s, dd)),
     "q159_sim_dim_stats" -> (dimStats(_, _)),
@@ -1102,7 +1149,52 @@ object Similarity extends QueryModule {
        |WHERE i.vec_id >= 400 ORDER BY i.vec_id""".stripMargin
   }
 
+  /** q221's oracle: the text frame CTEs (Dedup.gateFrameCtes → `fr`)
+    * composed with the vector chain (q216's bucket/verify rule, twins
+    * planted AT ids instead of appended past the corpus). */
+  private lazy val jointGateOracle: String = {
+    val bucketExpr = (0 until DedupPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ${planeWeightSql(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""${Dedup.gateFrameCtes},
+       |e0 AS (SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings),
+       |eu AS (SELECT vec_id, emb FROM e0 WHERE vec_id NOT IN (435, 474)
+       |       UNION ALL SELECT 435, emb FROM e0 WHERE vec_id = 5
+       |       UNION ALL SELECT 474, list_transform(emb, x -> x * 2.0)
+       |                 FROM e0 WHERE vec_id = 7),
+       |vn AS (SELECT vec_id, emb,
+       |         sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+       |         $bucketExpr AS bucket
+       |       FROM eu),
+       |vex AS (SELECT i.vec_id FROM eu i JOIN eu s
+       |          ON i.vec_id >= 400 AND s.vec_id < 400 AND i.emb = s.emb
+       |        GROUP BY 1),
+       |vnr AS (SELECT DISTINCT i.vec_id
+       |        FROM vn i JOIN vn s
+       |          ON i.vec_id >= 400 AND s.vec_id < 400 AND i.bucket = s.bucket
+       |        WHERE round(list_sum(list_transform(range(1, 65),
+       |                j -> i.emb[j] * s.emb[j])) / (i.nrm * s.nrm), 6) >= 0.999),
+       |vf AS (SELECT i.vec_id AS doc_id,
+       |         CASE WHEN vex.vec_id IS NOT NULL THEN 'exact_dup'
+       |              WHEN vnr.vec_id IS NOT NULL THEN 'near_dup'
+       |              ELSE 'new' END AS emb_status
+       |       FROM eu i
+       |       LEFT JOIN vex ON vex.vec_id = i.vec_id
+       |       LEFT JOIN vnr ON vnr.vec_id = i.vec_id
+       |       WHERE i.vec_id >= 400)
+       |SELECT fr.doc_id, fr.status AS text_status, vf.emb_status,
+       |  CASE WHEN fr.status = 'exact_dup' OR vf.emb_status = 'exact_dup'
+       |         THEN 'exact_dup'
+       |       WHEN fr.status = 'near_dup' OR vf.emb_status = 'near_dup'
+       |         THEN 'near_dup'
+       |       ELSE 'new' END AS joint_status
+       |FROM fr JOIN vf USING (doc_id) ORDER BY fr.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q221_joint_gate" -> jointGateOracle,
     "q216_embedding_gate" -> embeddingGateOracle,
     // integer-rank boundaries on the identical (x, vec_id) total order
     "q176_sim_dim_deciles" ->
