@@ -1020,9 +1020,8 @@ object Similarity extends QueryModule {
     import graft.streaming.StreamingEmbeddingGate
     val docs = Tables(spark, dir, "documents")
     val text = Dedup.gateClassifyProvenance(
-        docs.filter(col("doc_id") >= 400),
-        Dedup.gateSignatureRows(docs.filter(col("doc_id") < 400)))
-      .select(col("doc_id"), col("status").as("text_status"))
+      docs.filter(col("doc_id") >= 400),
+      Dedup.gateSignatureRows(docs.filter(col("doc_id") < 400)))
     val base = embTable(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     // two-row driver staging (the q216 twin discipline)
@@ -1032,16 +1031,10 @@ object Similarity extends QueryModule {
     val planted = Seq((435L, v5), (474L, v7x2)).toDF("vec_id", "embedding")
     val emb2 = base.filter(!col("vec_id").isin(435L, 474L)).unionByName(planted)
     val vec = StreamingEmbeddingGate.classify(
-        emb2.filter(col("vec_id") >= 400),
-        StreamingEmbeddingGate.signatureData(emb2.filter(col("vec_id") < 400)))
-      .select(col("vec_id").as("doc_id"), col("status").as("emb_status"))
-    text.join(vec, Seq("doc_id"))
-      .select(col("doc_id"), col("text_status"), col("emb_status"),
-        when(col("text_status") === "exact_dup" ||
-          col("emb_status") === "exact_dup", "exact_dup")
-          .when(col("text_status") === "near_dup" ||
-            col("emb_status") === "near_dup", "near_dup")
-          .otherwise("new").as("joint_status"))
+      emb2.filter(col("vec_id") >= 400),
+      StreamingEmbeddingGate.signatureData(emb2.filter(col("vec_id") < 400)))
+    // one compose rule, two consumers (the streaming joint gate is the other)
+    graft.streaming.StreamingJointGate.compose(text, vec)
       .orderBy(col("doc_id"))
   }
 

@@ -139,7 +139,22 @@ object GateLoop {
                    classify: (DataFrame, DataFrame) => DataFrame,
                    signatureRows: DataFrame => DataFrame,
                    deliver: (DataFrame, Long) => Unit): Unit = {
-    val spark = batch.sparkSession
+    val sigs = guardedSnapshot(batch, batchId, sigDir, sigSchema, signatureRows)
+    val classified = classify(batch, sigs).localCheckpoint(true)
+    val accepted = batch.join(
+      classified.filter(col("status") === "new").select(col(keyCol)),
+      Seq(keyCol), "left_semi")
+    appendSignatures(accepted, batchId, sigDir, signatureRows)
+    deliver(classified, batchId)
+  }
+
+  /** The read half of one micro-batch against one table: the fresh-
+    * checkpoint guard + the replay-excluded, probe-pruned snapshot.
+    * Factored out so composite gates (the joint gate probing TWO
+    * tables in one batch) reuse the exact discipline per table. */
+  private[streaming] def guardedSnapshot(batch: DataFrame, batchId: Long,
+                   sigDir: String, sigSchema: String,
+                   signatureRows: DataFrame => DataFrame): DataFrame = {
     val maxBatch = listDir(java.nio.file.Paths.get(sigDir))
       .map(_.getFileName.toString)
       .filter(_.startsWith("batch="))
@@ -153,15 +168,16 @@ object GateLoop {
         "SignatureCompaction.compact before attaching a new checkpoint.")
     val probePbs = signatureRows(batch).select(col("pb"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded by the fan-out
-    val sigs = snapshot(spark, sigDir, sigSchema, batchId, probePbs)
-    val classified = classify(batch, sigs).localCheckpoint(true)
-    val accepted = batch.join(
-      classified.filter(col("status") === "new").select(col(keyCol)),
-      Seq(keyCol), "left_semi")
+    snapshot(batch.sparkSession, sigDir, sigSchema, batchId, probePbs)
+  }
+
+  /** The write half: the accepted rows' signatures overwrite the
+    * batch's own partition — exactly-once under at-least-once replay. */
+  private[streaming] def appendSignatures(accepted: DataFrame, batchId: Long,
+                   sigDir: String,
+                   signatureRows: DataFrame => DataFrame): Unit =
     signatureRows(accepted).write.mode("overwrite")
       .partitionBy("pb").parquet(s"$sigDir/batch=$batchId")
-    deliver(classified, batchId)
-  }
 
   def start(stream: DataFrame, sigDir: String,
             sigSchema: String, keyCol: String,
