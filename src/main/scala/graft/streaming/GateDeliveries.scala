@@ -24,10 +24,13 @@ object GateDeliveries {
 
   /** A `deliver` callback writing each batch's frame into the
     * review-queue table at `deliveryDir` — pass to `GateTable.start` /
-    * `GateLoop.start`. */
-  def sink(deliveryDir: String): (DataFrame, Long) => Unit =
+    * `GateLoop.start`. `statusCol` names the partition column for
+    * frames whose status lives elsewhere (the joint gate's
+    * `joint_status`). */
+  def sink(deliveryDir: String,
+           statusCol: String = "status"): (DataFrame, Long) => Unit =
     (frame, batchId) =>
-      frame.write.mode("overwrite").partitionBy("status")
+      frame.write.mode("overwrite").partitionBy(statusCol)
         .parquet(s"$deliveryDir/batch=$batchId")
 
   /** The full review-queue table: `(key, status, matched_seed, score,

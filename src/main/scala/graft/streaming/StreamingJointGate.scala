@@ -80,9 +80,8 @@ object StreamingJointGate {
   /** Start the continuous joint gate. `deliver` receives each batch's
     * composed frame `(doc_id, text_status, emb_status, joint_status)`
     * (at-least-once; both signature tables exactly-once as above) —
-    * [[GateDeliveries.sink]] applies unchanged, partitioning the review
-    * queue by `joint_status`... via its `status` column name, so remap
-    * before sinking or consume directly. */
+    * `GateDeliveries.sink(dir, statusCol = "joint_status")` lands it in
+    * a review queue partitioned by the composed status. */
   def start(items: DataFrame, textTable: GateTable, vecTable: GateTable,
             deliver: (DataFrame, Long) => Unit,
             checkpointDir: Option[String] = None,
