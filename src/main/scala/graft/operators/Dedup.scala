@@ -1028,7 +1028,22 @@ object Dedup extends QueryModule {
       .parquet(outDir)
   }
 
+  /** q222 — GATE HEALTH (the dashboard over the gate's batch history,
+    * SURVEY §7.9 third-refresh candidate #3): per (batch, status) —
+    * deliveries and their share of the batch, over the q219 two-batch
+    * chain so the mix has a real batch axis. The rule is
+    * [[graft.streaming.GateDeliveries.batchMix]] — one rule, two
+    * consumers: operations runs the same readout over the review-queue
+    * sink table (whose `batch` column [[graft.streaming.GateDeliveries
+    * .read]] provides), this oracle-checked twin over the in-plan
+    * chain. A drifting exact_dup share across batches is the "ingest
+    * is re-sending the corpus" alarm. */
+  def gateHealth(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.GateDeliveries.batchMix(gateBatchChain(spark, dir))
+      .orderBy(col("batch"), col("status"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q222_gate_health" -> (gateHealth(_, _)),
     "q220_curation_export" -> (curationExport(_, _)),
     "q219_gate_batch_chain" -> (gateBatchChain(_, _)),
     "q218_gate_review_queue" -> (gateReviewQueue(_, _)),
@@ -1076,6 +1091,73 @@ object Dedup extends QueryModule {
        |    FROM tv GROUP BY doc_id),
        |shv AS (SELECT doc_id, $recompose AS simhash FROM bits)""".stripMargin
   }
+
+  /** The q219 two-batch chain as oracle CTEs ending in `ch`
+    * (doc_id, status, matched_seed, score, batch) — q219 reads it
+    * straight, q222 aggregates the per-batch status mix. */
+  private lazy val gateChainCtes =
+    s"""$shingleCte,
+         |m AS (SELECT doc_id,
+         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
+         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
+         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
+         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
+         |      FROM s),
+         |b AS (SELECT doc_id, '0:' || md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS band FROM m
+         |      UNION ALL
+         |      SELECT doc_id, '1:' || md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)) FROM m),
+         |own0 AS (SELECT band, min(doc_id) AS src FROM b WHERE doc_id < 400 GROUP BY 1),
+         |ex0 AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
+         |        FROM documents n JOIN documents c
+         |          ON c.doc_id < 400 AND n.doc_id >= 400 AND n.doc_id < 475 AND c.text = n.text
+         |        GROUP BY 1),
+         |nr00 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
+         |         FROM b bn JOIN own0 o USING (band)
+         |         WHERE bn.doc_id >= 400 AND bn.doc_id < 475 GROUP BY 1, 2),
+         |nr0 AS (SELECT doc_id, src, n FROM (
+         |         SELECT doc_id, src, n,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
+         |         FROM nr00) WHERE rn = 1),
+         |fr0 AS (SELECT d.doc_id,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
+         |              WHEN nr0.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr0.src END AS matched_seed,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |              ELSE CAST(nr0.n AS DOUBLE) END AS score
+         |        FROM documents d
+         |        LEFT JOIN ex0 e ON e.doc_id = d.doc_id
+         |        LEFT JOIN nr0 ON nr0.doc_id = d.doc_id
+         |        WHERE d.doc_id >= 400 AND d.doc_id < 475),
+         |corp1 AS (SELECT doc_id FROM documents WHERE doc_id < 400
+         |          UNION ALL SELECT doc_id FROM fr0 WHERE status = 'new'),
+         |own1 AS (SELECT b.band, min(b.doc_id) AS src
+         |         FROM b JOIN corp1 c ON b.doc_id = c.doc_id GROUP BY 1),
+         |ex1 AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
+         |        FROM documents n
+         |        JOIN documents c ON c.text = n.text
+         |        JOIN corp1 cc ON c.doc_id = cc.doc_id
+         |        WHERE n.doc_id >= 475
+         |        GROUP BY 1),
+         |nr10 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
+         |         FROM b bn JOIN own1 o USING (band)
+         |         WHERE bn.doc_id >= 475 GROUP BY 1, 2),
+         |nr1 AS (SELECT doc_id, src, n FROM (
+         |         SELECT doc_id, src, n,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
+         |         FROM nr10) WHERE rn = 1),
+         |fr1 AS (SELECT d.doc_id,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
+         |              WHEN nr1.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr1.src END AS matched_seed,
+         |         CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |              ELSE CAST(nr1.n AS DOUBLE) END AS score
+         |        FROM documents d
+         |        LEFT JOIN ex1 e ON e.doc_id = d.doc_id
+         |        LEFT JOIN nr1 ON nr1.doc_id = d.doc_id
+         |        WHERE d.doc_id >= 475),
+         |ch AS (SELECT fr0.*, CAST(0 AS BIGINT) AS batch FROM fr0
+         |       UNION ALL
+         |       SELECT fr1.*, CAST(1 AS BIGINT) AS batch FROM fr1)""".stripMargin
 
   /** The text gate's provenance frame as oracle CTEs ending in `fr` —
     * q217 reads it straight, q218 aggregates it (one frame, two
@@ -1305,70 +1387,21 @@ object Dedup extends QueryModule {
     // that are DISJOINT by the gate rule itself (a batch-0 doc sharing
     // any key with the seed was never accepted)
     "q219_gate_batch_chain" ->
-      s"""$shingleCte,
-         |m AS (SELECT doc_id,
-         |        list_min(list_transform(sh, x -> (1926525167 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 12345) % 4294967311)) AS mh0,
-         |        list_min(list_transform(sh, x -> (688951733 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 67890) % 4294967311)) AS mh1,
-         |        list_min(list_transform(sh, x -> (1223106847 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 24680) % 4294967311)) AS mh2,
-         |        list_min(list_transform(sh, x -> (582307621 * CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) + 13579) % 4294967311)) AS mh3
-         |      FROM s),
-         |b AS (SELECT doc_id, '0:' || md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS band FROM m
-         |      UNION ALL
-         |      SELECT doc_id, '1:' || md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)) FROM m),
-         |own0 AS (SELECT band, min(doc_id) AS src FROM b WHERE doc_id < 400 GROUP BY 1),
-         |ex0 AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
-         |        FROM documents n JOIN documents c
-         |          ON c.doc_id < 400 AND n.doc_id >= 400 AND n.doc_id < 475 AND c.text = n.text
-         |        GROUP BY 1),
-         |nr00 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
-         |         FROM b bn JOIN own0 o USING (band)
-         |         WHERE bn.doc_id >= 400 AND bn.doc_id < 475 GROUP BY 1, 2),
-         |nr0 AS (SELECT doc_id, src, n FROM (
-         |         SELECT doc_id, src, n,
-         |                row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
-         |         FROM nr00) WHERE rn = 1),
-         |fr0 AS (SELECT d.doc_id,
-         |         CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
-         |              WHEN nr0.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
-         |         CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr0.src END AS matched_seed,
-         |         CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
-         |              ELSE CAST(nr0.n AS DOUBLE) END AS score
-         |        FROM documents d
-         |        LEFT JOIN ex0 e ON e.doc_id = d.doc_id
-         |        LEFT JOIN nr0 ON nr0.doc_id = d.doc_id
-         |        WHERE d.doc_id >= 400 AND d.doc_id < 475),
-         |corp1 AS (SELECT doc_id FROM documents WHERE doc_id < 400
-         |          UNION ALL SELECT doc_id FROM fr0 WHERE status = 'new'),
-         |own1 AS (SELECT b.band, min(b.doc_id) AS src
-         |         FROM b JOIN corp1 c ON b.doc_id = c.doc_id GROUP BY 1),
-         |ex1 AS (SELECT n.doc_id, min(c.doc_id) AS exact_seed
-         |        FROM documents n
-         |        JOIN documents c ON c.text = n.text
-         |        JOIN corp1 cc ON c.doc_id = cc.doc_id
-         |        WHERE n.doc_id >= 475
-         |        GROUP BY 1),
-         |nr10 AS (SELECT bn.doc_id, o.src, CAST(count(*) AS BIGINT) AS n
-         |         FROM b bn JOIN own1 o USING (band)
-         |         WHERE bn.doc_id >= 475 GROUP BY 1, 2),
-         |nr1 AS (SELECT doc_id, src, n FROM (
-         |         SELECT doc_id, src, n,
-         |                row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, src) AS rn
-         |         FROM nr10) WHERE rn = 1),
-         |fr1 AS (SELECT d.doc_id,
-         |         CASE WHEN e.exact_seed IS NOT NULL THEN 'exact_dup'
-         |              WHEN nr1.src IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
-         |         CASE WHEN e.exact_seed IS NOT NULL THEN e.exact_seed ELSE nr1.src END AS matched_seed,
-         |         CASE WHEN e.exact_seed IS NOT NULL THEN CAST(1.0 AS DOUBLE)
-         |              ELSE CAST(nr1.n AS DOUBLE) END AS score
-         |        FROM documents d
-         |        LEFT JOIN ex1 e ON e.doc_id = d.doc_id
-         |        LEFT JOIN nr1 ON nr1.doc_id = d.doc_id
-         |        WHERE d.doc_id >= 475)
-         |SELECT doc_id, status, matched_seed, score, batch FROM (
-         |  SELECT fr0.*, CAST(0 AS BIGINT) AS batch FROM fr0
-         |  UNION ALL
-         |  SELECT fr1.*, CAST(1 AS BIGINT) AS batch FROM fr1)
-         |ORDER BY doc_id""".stripMargin,
+      s"""$gateChainCtes
+         |SELECT doc_id, status, matched_seed, score, batch
+         |FROM ch ORDER BY doc_id""".stripMargin,
+    // the chain's per-batch status mix — q222's rule (n and share per
+    // (batch, status))
+    "q222_gate_health" ->
+      s"""$gateChainCtes,
+         |per AS (SELECT batch, status, CAST(count(*) AS BIGINT) AS n_docs
+         |        FROM ch GROUP BY 1, 2),
+         |tot AS (SELECT batch, CAST(sum(n_docs) AS BIGINT) AS n_batch
+         |        FROM per GROUP BY 1)
+         |SELECT per.batch, per.status, per.n_docs,
+         |       round(CAST(per.n_docs AS DOUBLE) / tot.n_batch, 6) AS share
+         |FROM per JOIN tot USING (batch)
+         |ORDER BY per.batch, per.status""".stripMargin,
     // the frame rolled up per status; top seed = most deliveries, ties
     // to the lowest id — the identical keys to reviewSummary's
     // max(struct(n, -matched_seed))

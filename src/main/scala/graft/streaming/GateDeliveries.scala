@@ -100,6 +100,23 @@ object GateDeliveries {
     fold
   }
 
+  /** The gate-health readout (q222's rule — ONE rule, two consumers:
+    * the oracle-checked batch twin runs it over an in-plan frame union,
+    * operations runs it over [[read]]'s sink table): per (batch,
+    * status) — deliveries and their share of the batch. A drifting
+    * share (exact_dup share spiking across batches) is the "ingest is
+    * re-sending the corpus" alarm. One (batch, status) partial agg plus
+    * a per-batch total joined back broadcast — the readout reduces to
+    * ≤(batches × 3) rows before anything joins. */
+  def batchMix(deliveries: DataFrame): DataFrame = {
+    val per = deliveries.groupBy(col("batch"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.groupBy(col("batch")).agg(sum(col("n_docs")).as("n_batch"))
+    per.join(broadcast(tot), Seq("batch"))
+      .select(col("batch"), col("status"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_batch"), 6).as("share"))
+  }
+
   /** The review queue's operational readout (q218's rule): per status —
     * deliveries, distinct matched seeds, and the heaviest seed (most
     * deliveries, ties to the lowest id) with its count. The heaviest

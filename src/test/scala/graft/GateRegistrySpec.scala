@@ -272,6 +272,13 @@ class GateRegistrySpec extends AnyFunSuite {
 
     // the operational readout over the SINK TABLE = the q218 rule over
     // the frames (reviewSummary is the shared rule)
+    // the gate-health readout over the sink table: batch 0 = 1 exact +
+    // 1 new, batch 1 = 1 exact — shares per batch
+    assert(GateDeliveries.batchMix(table()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet ===
+      Set((0L, "exact_dup", 1L, 0.5), (0L, "new", 1L, 0.5),
+        (1L, "exact_dup", 1L, 1.0)))
+
     val fromSink = GateDeliveries.reviewSummary(table())
       .collect().map(_.toSeq).toSet
     val direct = GateDeliveries.reviewSummary(
