@@ -46,6 +46,20 @@ object GateDeliveries {
       .select(col(desc.keyCol), col("status"), col("matched_seed"),
         col("score"), col("batch"))
 
+  /** The JOINT gate's review queue (`sink(dir, statusCol =
+    * "joint_status")` — [[StreamingJointGate]]'s composed frame, whose
+    * shape differs from the single-surface descriptors'): `(doc_id,
+    * text_status, emb_status, joint_status, batch)`. The single-surface
+    * [[read]] applied to a joint queue would schema-mismatch into
+    * all-null columns — use the read that matches the sink. */
+  def readJoint(spark: SparkSession, deliveryDir: String): DataFrame =
+    spark.read
+      .schema("doc_id BIGINT, text_status STRING, emb_status STRING, " +
+        "joint_status STRING, batch BIGINT")
+      .parquet(deliveryDir)
+      .select(col("doc_id"), col("text_status"), col("emb_status"),
+        col("joint_status"), col("batch"))
+
   /** Windowed retention for the review queue — the delivery-side twin of
     * [[SignatureCompaction.foldHistory]]: the sink appends one
     * `batch=<id>` dir per micro-batch forever (the same small-files
@@ -62,42 +76,15 @@ object GateDeliveries {
     * touch the newest (uncommitted) batch, which `keepLast >= 1`
     * preserves. Crash-safe by move semantics; a re-run folds the
     * remainder. @return folded batch ids, ascending. */
-  def foldHistory(spark: SparkSession, deliveryDir: String,
-                  keepLast: Int): Seq[Long] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import graft.FsTrees.{listDir, parquets, rmTree}
+  def foldHistory(spark: SparkSession, deliveryDir: String, keepLast: Int,
+                  statusCol: String = "status"): Seq[Long] = {
     require(keepLast >= 1,
       s"keepLast must be >= 1 (the newest batch may still replay), got $keepLast")
-    val root = Paths.get(deliveryDir)
-    val archive = root.resolve("batch=-1")
-    val batchIds = listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("batch="))
-      .flatMap(_.getFileName.toString.stripPrefix("batch=").toLongOption)
-      .filter(_ >= 0L).sorted
-    val fold = batchIds.dropRight(keepLast)
-    if (fold.isEmpty) return Nil
-    try {
-      fold.foreach { id =>
-        val batchDir = root.resolve(s"batch=$id")
-        listDir(batchDir)
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("status="))
-          .foreach { stDir =>
-            val dst = archive.resolve(stDir.getFileName.toString)
-            Files.createDirectories(dst)
-            parquets(stDir).zipWithIndex.foreach { case (f, i) =>
-              Files.deleteIfExists(
-                f.resolveSibling("." + f.getFileName.toString + ".crc"))
-              Files.move(f, dst.resolve(
-                s"folded-b$id-${java.util.UUID.randomUUID}-$i.parquet"),
-                StandardCopyOption.ATOMIC_MOVE)
-            }
-          }
-        rmTree(batchDir)
-      }
-    } finally spark.catalog.refreshByPath(deliveryDir)
-    fold
+    // the shared move discipline; statusCol must match the [[sink]] the
+    // queue was written with (a joint queue is `joint_status`) — a wrong
+    // prefix ABORTS before deleting anything (the helper's leftover guard)
+    SignatureCompaction.foldBatchPartitions(spark, deliveryDir, keepLast,
+      subPrefix = s"$statusCol=")
   }
 
   /** The gate-health readout (q222's rule — ONE rule, two consumers:
@@ -108,8 +95,10 @@ object GateDeliveries {
     * re-sending the corpus" alarm. One (batch, status) partial agg plus
     * a per-batch total joined back broadcast — the readout reduces to
     * ≤(batches × 3) rows before anything joins. */
-  def batchMix(deliveries: DataFrame): DataFrame = {
-    val per = deliveries.groupBy(col("batch"), col("status"))
+  def batchMix(deliveries: DataFrame,
+               statusCol: String = "status"): DataFrame = {
+    val per = deliveries
+      .groupBy(col("batch"), col(statusCol).as("status"))
       .agg(count(lit(1)).as("n_docs"))
     val tot = per.groupBy(col("batch")).agg(sum(col("n_docs")).as("n_batch"))
     per.join(broadcast(tot), Seq("batch"))

@@ -68,8 +68,24 @@ final case class GateTable(desc: GateDescriptor, sigDir: String) {
   /** Materialize the corpus seed under `batch=-1` and pin the table's
     * fan-out. The one-time choice: more buckets = finer micro-batch
     * pruning but more driver-side probe ints and smaller files; evolve
-    * it later with [[resize]] as the seed grows. */
+    * it later with [[resize]] as the seed grows. Refused when live
+    * `batch=<id>` partitions exist (review catch): re-pinning the
+    * fan-out would leave them laid out under the OLD hash and silently
+    * un-prune their matches — fold or [[resize]] the whole table
+    * instead. */
   def seed(corpus: DataFrame, buckets: Int = GateLoop.NumBuckets): Unit = {
+    val root = java.nio.file.Paths.get(sigDir)
+    val live = (if (java.nio.file.Files.exists(root))
+        graft.FsTrees.listDir(root) else Nil)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toLongOption)
+      .filter(_ >= 0L)
+    require(live.isEmpty,
+      s"$sigDir already holds live batch partitions (${live.sorted.mkString(",")}) " +
+        "pinned at the CURRENT fan-out; re-seeding would re-pin the bucket " +
+        "marker under them and mis-hash every later probe. Fold them " +
+        "(SignatureCompaction) or resize the whole table instead.")
     GateLoop.writeBuckets(sigDir, buckets)
     desc.signatureRows(corpus, buckets).write.mode("overwrite")
       .partitionBy("pb").parquet(s"$sigDir/batch=-1")
@@ -96,9 +112,11 @@ final case class GateTable(desc: GateDescriptor, sigDir: String) {
       desc.classify, desc.signatureRows(_, buckets), deliver)
 
   /** Start the continuous gate (see [[GateLoop.start]]; this typed
-    * variant re-reads the pinned fan-out each micro-batch, so it also
-    * survives an offline resize between batches of one long-lived
-    * query). */
+    * variant re-reads the pinned fan-out each micro-batch, so a gate
+    * RESTARTED after an offline [[resize]] picks the new count up
+    * automatically — but the resize itself requires the query STOPPED,
+    * [[SignatureCompaction]]'s single-writer contract: a trigger firing
+    * mid-swap would read a half-moved table). */
   def start(stream: DataFrame, deliver: (DataFrame, Long) => Unit,
             checkpointDir: Option[String] = None,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {

@@ -234,10 +234,28 @@ object SignatureCompaction {
     * guard). @return folded batch ids, ascending (empty = nothing to
     * fold: the idempotence witness). */
   def foldHistory(spark: SparkSession, sigDir: String, keepLast: Int): Seq[Long] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
-    val root = Paths.get(sigDir)
-    val seedDir = root.resolve("batch=-1")
+    foldBatchPartitions(spark, sigDir, keepLast, subPrefix = "pb=")
+  }
+
+  /** The ONE move-into-archive discipline, shared by the signature fold
+    * above (`pb=` sub-partitions) and the review queue's
+    * [[GateDeliveries.foldHistory]] (`status=`/`joint_status=` — the
+    * sink's partition column is caller-chosen, so the prefix must be
+    * too; a hardcoded prefix here silently moved NOTHING on a
+    * joint-status queue and then deleted the batch dirs — the review
+    * catch that forced this extraction). Defense in depth: after the
+    * matching sub-dirs' files move, the batch dir must hold NO parquet
+    * file anywhere — any remainder (an unexpected layout, a foreign
+    * partition column) aborts loudly BEFORE the rmTree instead of
+    * deleting unmoved data; the partial fold heals on re-run after the
+    * operator fixes the prefix. */
+  private[streaming] def foldBatchPartitions(spark: SparkSession,
+      rootDir: String, keepLast: Int, subPrefix: String): Seq[Long] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(rootDir)
+    val archive = root.resolve("batch=-1")
     val batchIds = listDir(root)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("batch="))
@@ -250,11 +268,11 @@ object SignatureCompaction {
         val batchDir = root.resolve(s"batch=$id")
         listDir(batchDir)
           .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("pb="))
-          .foreach { pbDir =>
-            val dst = seedDir.resolve(pbDir.getFileName.toString)
+            p.getFileName.toString.startsWith(subPrefix))
+          .foreach { subDir =>
+            val dst = archive.resolve(subDir.getFileName.toString)
             Files.createDirectories(dst)
-            parquets(pbDir).zipWithIndex.foreach { case (f, i) =>
+            parquets(subDir).zipWithIndex.foreach { case (f, i) =>
               Files.deleteIfExists(
                 f.resolveSibling("." + f.getFileName.toString + ".crc"))
               Files.move(f, dst.resolve(
@@ -262,9 +280,19 @@ object SignatureCompaction {
                 StandardCopyOption.ATOMIC_MOVE)
             }
           }
+        val w = Files.walk(batchDir)
+        val leftover = try w.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        finally w.close()
+        require(leftover.isEmpty,
+          s"$batchDir still holds ${leftover.size} parquet file(s) outside " +
+            s"'$subPrefix*' sub-dirs (e.g. ${leftover.head}) — wrong " +
+            "sub-partition prefix for this table's layout? Refusing to " +
+            "delete unmoved data; already-moved files are safe, re-run " +
+            "with the right prefix to finish the fold.")
         rmTree(batchDir)
       }
-    } finally spark.catalog.refreshByPath(sigDir)
+    } finally spark.catalog.refreshByPath(rootDir)
     fold
   }
 }

@@ -159,6 +159,60 @@ class GateRegistrySpec extends AnyFunSuite {
     assert(statuses(t.classifyNow(incoming)) === got)
   }
 
+  test("seeding over live batch partitions is refused (re-pinning the " +
+      "fan-out would mis-hash their probes)") {
+    val t = textTable()
+    t.seed(docs(0L -> "the original seed corpus document"))
+    t.processBatch(docs(1L -> "alpha bravo charlie delta"), 0L, (_, _) => ())
+    val e = intercept[IllegalArgumentException] {
+      t.seed(docs(9L -> "a replacement corpus"))
+    }
+    assert(e.getMessage.contains("live batch partitions"))
+    // after folding history the re-seed is legal again
+    t.foldHistory(spark, keepLast = 0)
+    t.seed(docs(9L -> "a replacement corpus"))
+    assert(statuses(t.classifyNow(docs(10L -> "a replacement corpus")))
+      === Map(10L -> "exact_dup"))
+  }
+
+  test("a joint-status review queue folds under its own partition column, " +
+      "and a WRONG prefix refuses loudly instead of deleting unmoved data") {
+    import spark.implicits._
+    val qDir = Files.createTempDirectory("graft-joint-queue-").toString
+    val sink = GateDeliveries.sink(qDir, statusCol = "joint_status")
+    def frame(rows: (Long, String, String, String)*) =
+      rows.toSeq.toDF("doc_id", "text_status", "emb_status", "joint_status")
+    sink(frame((1L, "new", "new", "new"),
+      (2L, "exact_dup", "new", "exact_dup")), 0L)
+    sink(frame((3L, "new", "near_dup", "near_dup")), 1L)
+    def rows() = GateDeliveries.readJoint(spark, qDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val before = rows()
+    assert(before.map(r => (r._1, r._4)) ===
+      Set(1L -> "new", 2L -> "exact_dup", 3L -> "near_dup"))
+
+    // the single-surface default prefix matches nothing in this layout:
+    // the fold must ABORT before deleting anything
+    val e = intercept[IllegalArgumentException] {
+      GateDeliveries.foldHistory(spark, qDir, keepLast = 1)
+    }
+    assert(e.getMessage.contains("Refusing to delete"))
+    assert(rows() === before, "refused fold still lost rows")
+
+    // the right column folds batch 0 into the archive, rows preserved
+    assert(GateDeliveries.foldHistory(spark, qDir, keepLast = 1,
+      statusCol = "joint_status") === Seq(0L))
+    assert(rows().map(r => (r._1, r._2, r._3, r._4)) ===
+      before.map(r => (r._1, r._2, r._3, r._4)))
+    assert(rows().map(_._5) === Set(-1L, 1L))
+    // the health readout over the archived joint queue
+    assert(GateDeliveries.batchMix(
+      GateDeliveries.readJoint(spark, qDir), statusCol = "joint_status")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ===
+      Set((-1L, "new", 1L), (-1L, "exact_dup", 1L), (1L, "near_dup", 1L)))
+  }
+
   test("q219's unrolled batch chain is bit-identical to an actual two-batch " +
       "GateLoop run on the same splits") {
     val sf = "/root/testdata/sf0.001"
