@@ -1009,6 +1009,28 @@ object Dedup extends QueryModule {
     Pipeline.packSequences(acceptedDocs(docsTable(spark, dir)),
       budget = 512, shards = 4)
 
+  /** q223 — TOKENIZER-TRUE CURATION EXPORT (SURVEY §7.9 third-refresh
+    * candidate #2: q220 bills its packs in whitespace tokens, but a pack
+    * budget is a TRAINER budget — sequence positions under the deployed
+    * vocab — so a whitespace-billed pack over-fills by the vocab's
+    * compression ratio): the same gate-accepted set, `n_tok` = the
+    * BPE-ENCODED token count under the corpus-trained vocab
+    * ([[TextStats.bpeTokenCounts]] — the q205 encode fold read per doc:
+    * merge table pivots to one broadcast row, ten chained codegen'd
+    * replaces in one map-side projection, zero shuffles before the pack
+    * window), then the identical q73/q220 packing rule
+    * ([[Pipeline.packAssignTok]]). Same budget/shards as q220, so the
+    * manifests diff directly: fewer packs per shard IS the compression
+    * dividend, the tokens the vocab buys back from the training budget.
+    * This ties the vocab-store chain into the export chain — the
+    * manifest bills in the same tokens the trainer consumes. */
+  def curationExportBpe(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextStats.bpeTokenCounts(
+      acceptedDocs(docsTable(spark, dir)),
+      graft.operators.TextStats.bpeTrain(spark, dir))
+    Pipeline.manifestOf(Pipeline.packAssignTok(toks, budget = 512, shards = 4))
+  }
+
   /** The q220 manifest's writer: accepted docs land in
     * `outDir/shard=<s>/pack_id=<p>/` — one partition dir per training
     * pack, the layout a sequence-packing trainer mmaps shard-parallel.
@@ -1042,7 +1064,26 @@ object Dedup extends QueryModule {
     graft.streaming.GateDeliveries.batchMix(gateBatchChain(spark, dir))
       .orderBy(col("batch"), col("status"))
 
+  /** q224 — GATE MIX DRIFT (the queue-side drift rule SURVEY §7.9 left
+    * open after q222: the share table SHOWS the mix, an alert needs one
+    * scalar): per consecutive batch pair of the q219 chain, the
+    * Jensen-Shannon divergence between the batches' delivery
+    * composition over `status:matched_seed` keys — rising jsd = the
+    * ingest's composition is moving (a status flip, a new dominant
+    * seed), q199's quantized-integer JSD discipline verbatim
+    * ([[graft.streaming.GateDeliveries.mixDrift]] — one rule, two
+    * consumers: operations runs it over the review-queue sink table).
+    * At 100 TB: each delivery feeds two (pair, key) contributions into
+    * uniform-key partial aggs; the frame reduces to ≤(batches × keys)
+    * rows before the ≤batches-row broadcast join — nothing wide ever
+    * moves. */
+  def gateMixDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.GateDeliveries.mixDrift(gateBatchChain(spark, dir))
+      .orderBy(col("batch"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q224_gate_mix_drift" -> (gateMixDrift(_, _)),
+    "q223_curation_export_bpe" -> (curationExportBpe(_, _)),
     "q222_gate_health" -> (gateHealth(_, _)),
     "q220_curation_export" -> (curationExport(_, _)),
     "q219_gate_batch_chain" -> (gateBatchChain(_, _)),
@@ -1382,6 +1423,27 @@ object Dedup extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q220's accepted set billed in BPE tokens: the q205 unrolled train
+    // chain's final rewrite r10 IS the encoded corpus, its per-doc token
+    // count feeds the identical shard-cumsum pack window
+    "q223_curation_export_bpe" ->
+      s"""$gateFrameCtes,
+         |${TextStats.bpeChainCtes(TextStats.BpeTrainRounds,
+              withStats = false, rewriteLast = true)},
+         |acc AS (SELECT d.doc_id FROM documents d
+         |        JOIN fr ON fr.doc_id = d.doc_id WHERE fr.status = 'new'),
+         |t2 AS (SELECT a.doc_id, a.doc_id % 4 AS shard,
+         |         len(string_split(substring(r.seq, 2, length(r.seq) - 2),
+         |             chr(2) || chr(1))) AS n_tok
+         |       FROM acc a JOIN r${TextStats.BpeTrainRounds} r USING (doc_id)),
+         |pw AS (SELECT shard, doc_id, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                         ROWS UNBOUNDED PRECEDING) - n_tok AS prefix
+         |      FROM t2)
+         |SELECT shard, CAST(prefix // 512 AS BIGINT) AS pack_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         |FROM pw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the two-batch chain unrolled: batch 1's owners/exact sources are
     // seed ∪ batch-0 accepts — per-key min src over a union of key-sets
     // that are DISJOINT by the gate rule itself (a batch-0 doc sharing
@@ -1390,6 +1452,40 @@ object Dedup extends QueryModule {
       s"""$gateChainCtes
          |SELECT doc_id, status, matched_seed, score, batch
          |FROM ch ORDER BY doc_id""".stripMargin,
+    // the chain's consecutive-pair composition drift — q224's rule:
+    // q199's quantized micro-nat JSD over status:seed delivery keys;
+    // boundary pairs drop via the two-sided HAVING, exactly the Spark
+    // filter
+    "q224_gate_mix_drift" ->
+      s"""$gateChainCtes,
+         |ky AS (SELECT batch,
+         |         status || ':' || coalesce(CAST(matched_seed AS VARCHAR), '-') AS k
+         |       FROM ch),
+         |pc AS (SELECT batch + 1 AS batch, TRUE AS in_a, k FROM ky
+         |       UNION ALL SELECT batch, FALSE AS in_a, k FROM ky),
+         |cnt AS (SELECT batch, k,
+         |          CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |          CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+         |        FROM pc GROUP BY 1, 2),
+         |tot AS (SELECT batch, CAST(sum(a) AS BIGINT) AS atot,
+         |          CAST(sum(b) AS BIGINT) AS btot,
+         |          CAST(count(*) AS BIGINT) AS n_keys
+         |        FROM cnt GROUP BY 1 HAVING sum(a) > 0 AND sum(b) > 0),
+         |qd AS (SELECT cnt.batch,
+         |         CASE WHEN a > 0 THEN a * CAST(round(ln(2.0 / (1.0
+         |           + (CAST(b AS DOUBLE) / a) * (CAST(atot AS DOUBLE) / btot)))
+         |           * 1000000) AS BIGINT) ELSE 0 END AS klp_q,
+         |         CASE WHEN b > 0 THEN b * CAST(round(ln(2.0 / (1.0
+         |           + (CAST(a AS DOUBLE) / b) * (CAST(btot AS DOUBLE) / atot)))
+         |           * 1000000) AS BIGINT) ELSE 0 END AS klq_q,
+         |         atot, btot, n_keys
+         |       FROM cnt JOIN tot ON cnt.batch = tot.batch)
+         |SELECT batch, min(n_keys) AS n_keys, min(atot) AS n_prev,
+         |       min(btot) AS n_cur,
+         |       round((CAST(sum(klp_q) AS DOUBLE) / 1000000 / min(atot)
+         |         + CAST(sum(klq_q) AS DOUBLE) / 1000000 / min(btot)) / 2, 6)
+         |         + 0.0 AS jsd
+         |FROM qd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the chain's per-batch status mix — q222's rule (n and share per
     // (batch, status))
     "q222_gate_health" ->

@@ -361,7 +361,12 @@ object Pipeline extends QueryModule {
     * exclusive-prefix-tokens div budget: deterministic, one shuffle on the
     * shard key, per-shard state is one running sum. */
   def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 8): DataFrame =
-    packAssign(docs, budget, shards)
+    manifestOf(packAssign(docs, budget, shards))
+
+  /** The (shard, pack_id) manifest of a pack assignment — n_docs and
+    * pack_tokens per training pack, the shared readout of q73/q220/q223. */
+  def manifestOf(assign: DataFrame): DataFrame =
+    assign
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("pack_tokens"))
       .orderBy(col("shard"), col("pack_id"))
@@ -369,12 +374,21 @@ object Pipeline extends QueryModule {
   /** The per-doc half of [[packSequences]]: each doc's (shard, pack_id,
     * n_tok) assignment — the manifest aggregates it; writers (the q220
     * curation export) join it back to payloads and lay files out by it. */
-  def packAssign(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
+  def packAssign(docs: DataFrame, budget: Int, shards: Int): DataFrame =
+    packAssignTok(docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tok")), budget, shards)
+
+  /** [[packAssign]] over a frame already carrying `(doc_id, n_tok)` —
+    * the token counter is the caller's choice (whitespace here,
+    * BPE-encoded in the q223 tokenizer-true export); the window rule
+    * (per-shard exclusive-prefix-sum div budget, one shuffle on the
+    * shard key) is the ONE shared packing discipline. */
+  def packAssignTok(toks: DataFrame, budget: Int, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    toks
       .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
-        size(split(col("text"), " ")).as("n_tok"))
+        col("n_tok"))
       .withColumn("prefix", sum(col("n_tok")).over(w) - col("n_tok"))
       .select(col("doc_id"), col("shard"),
         expr(s"prefix div $budget").as("pack_id"), col("n_tok"))

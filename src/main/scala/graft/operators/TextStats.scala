@@ -1088,6 +1088,25 @@ object TextStats extends QueryModule {
   def bpeApply(spark: SparkSession, dir: String): DataFrame =
     bpeApply(docsTable(spark, dir), bpeTrain(spark, dir))
 
+  /** Per-doc token count under a trained merge table — the q205 encode
+    * fold read per document instead of per language: the broadcast wide
+    * merge row + the chained-replace fold in one map-side projection,
+    * `n_tok` = the ENCODED token count. The tokenizer-true billing unit
+    * the q223 curation export packs by (a pack budget is a TRAINER
+    * budget — sequence positions — so billing it in whitespace tokens
+    * over-fills every pack by the vocab's compression ratio). */
+  def bpeTokenCounts(docs: DataFrame, merges: DataFrame,
+                     rounds: Int = BpeTrainRounds): DataFrame = {
+    val wide = mergeWide(merges, rounds)
+    val seq0 = concat(lit(BpeSot),
+      replace(col("text"), lit(" "), lit(BpeEot + BpeSot)), lit(BpeEot))
+    docs.crossJoin(broadcast(wide))
+      .withColumn("seq", applyMerges(seq0, rounds))
+      .select(col("doc_id"),
+        size(split(expr("substring(seq, 2, length(seq) - 2)"),
+          BpeEot + BpeSot)).as("n_tok"))
+  }
+
   /** q211 — VOCAB ROLLOUT A/B (the readout q209's governance diff gates
     * on): encode the SAME corpus with the outgoing and incoming vocab
     * generations in ONE map-side pass — both merge tables pivot into one
@@ -1745,7 +1764,7 @@ FROM r$rounds r JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""
     * (optionally filtered) corpus, each round counts pairs ({px}c),
     * argmaxes ({px}b), optionally emits the merge row ({px}m, with the
     * round's total pair mass) and rewrites ({px}r). */
-  private def bpeChainCtes(rounds: Int, withStats: Boolean,
+  private[operators] def bpeChainCtes(rounds: Int, withStats: Boolean,
                            rewriteLast: Boolean, px: String = "",
                            where: String = ""): String = {
     val head =

@@ -106,6 +106,64 @@ object GateDeliveries {
         round(col("n_docs").cast("double") / col("n_batch"), 6).as("share"))
   }
 
+  /** The queue-side DRIFT readout (q224's rule — one rule, two
+    * consumers: the oracle-checked batch twin runs it over the q219
+    * chain, operations over [[read]]'s sink table): per consecutive
+    * batch pair, the Jensen-Shannon divergence between the two batches'
+    * delivery COMPOSITION — the distribution over `status:matched_seed`
+    * keys (or status alone with `seedCol = None`, the joint queue's
+    * shape). q222's share table shows the mix; this folds each pair's
+    * shift into ONE scalar an alerting threshold can sit on — rising
+    * jsd = the ingest's composition is moving (new dominant seeds, a
+    * status flip), the "what we're admitting changed" alarm.
+    *
+    * Exactness discipline is q199's verbatim: with integer counts a, b
+    * and pair totals A, B, each key's log term is ONE identical double
+    * expression quantized to micro-nat BIGINTs and weighted by the
+    * INTEGER count, so both KL sums are order-independent integer sums —
+    * the only terminal doubles are two divisions and the average. A key
+    * absent from one side contributes ln 2 to the present side only.
+    * Each delivery row feeds two (pair, side) contributions, so the
+    * whole readout is one union + two uniform-key aggregates — boundary
+    * pairs (nothing before the first batch, nothing after the last)
+    * drop via the A > 0 AND B > 0 filter, never a driver-side range. */
+  def mixDrift(deliveries: DataFrame, statusCol: String = "status",
+               seedCol: Option[String] = Some("matched_seed")): DataFrame = {
+    val k = seedCol match {
+      case Some(sc) => concat_ws(":", col(statusCol),
+        coalesce(col(sc).cast("string"), lit("-")))
+      case None => col(statusCol).cast("string")
+    }
+    val keyed = deliveries.select(col("batch"), k.as("k"))
+    val contrib = keyed
+      .select((col("batch") + 1).as("batch"), lit(true).as("in_a"), col("k"))
+      .unionByName(keyed.select(col("batch"), lit(false).as("in_a"), col("k")))
+    val cnt = contrib.groupBy(col("batch"), col("k"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
+    val tot = cnt.groupBy(col("batch"))
+      .agg(sum(col("a")).as("atot"), sum(col("b")).as("btot"),
+        count(lit(1)).as("n_keys"))
+      .filter(col("atot") > 0 && col("btot") > 0)
+    cnt.join(broadcast(tot), Seq("batch"))
+      .withColumn("klp_q", when(col("a") > 0, col("a") * expr(
+        "cast(round(ln(2.0 / (1.0 + (cast(b as double) / a) * " +
+          "(cast(atot as double) / btot))) * 1000000) as bigint)"))
+        .otherwise(0L))
+      .withColumn("klq_q", when(col("b") > 0, col("b") * expr(
+        "cast(round(ln(2.0 / (1.0 + (cast(a as double) / b) * " +
+          "(cast(btot as double) / atot))) * 1000000) as bigint)"))
+        .otherwise(0L))
+      .groupBy(col("batch"))
+      .agg(min(col("n_keys")).as("n_keys"),
+        min(col("atot")).as("n_prev"), min(col("btot")).as("n_cur"),
+        sum(col("klp_q")).as("sp"), sum(col("klq_q")).as("sq"))
+      .select(col("batch"), col("n_keys"), col("n_prev"), col("n_cur"),
+        (round((col("sp").cast("double") / 1e6 / col("n_prev")
+          + col("sq").cast("double") / 1e6 / col("n_cur")) / 2, 6)
+          + lit(0.0)).as("jsd"))
+  }
+
   /** The review queue's operational readout (q218's rule): per status —
     * deliveries, distinct matched seeds, and the heaviest seed (most
     * deliveries, ties to the lowest id) with its count. The heaviest

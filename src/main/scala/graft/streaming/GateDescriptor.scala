@@ -25,22 +25,34 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * ([[signatureRows]]) and the resize share the formula through
   * [[GateLoop.pbOf]], so they agree bit-for-bit by construction.
   *
-  * @param name       diagnostic label (error messages, delivery audit)
-  * @param sigSchema  signature DATA schema DDL — the `pb`/`batch`
-  *                   partition columns are [[GateLoop]]'s, never listed
-  * @param keyCol     the incoming batch's key column (`doc_id`/`vec_id`)
-  * @param pbKeyCols  signature columns hashed into the probe bucket
-  * @param dataRows   batch → signature DATA rows (everything but `pb`)
-  * @param classify   (batch, signature snapshot) → the gate family's
-  *                   provenance frame `(keyCol, status, matched_seed,
-  *                   score)` */
+  * @param name        diagnostic label (error messages, delivery audit)
+  * @param sigSchema   signature DATA schema DDL — the `pb`/`batch`
+  *                    partition columns are [[GateLoop]]'s, never listed
+  * @param keyCol      the incoming batch's key column (`doc_id`/`vec_id`)
+  * @param pbKeyCols   signature columns hashed into the probe bucket
+  * @param payloadCols the batch PAYLOAD columns `dataRows`/`classify`
+  *                    consume besides `keyCol` (`text`, `embedding`,
+  *                    `payload`) — what a multi-surface composer
+  *                    ([[StreamingJointGate]]) needs to carve each
+  *                    surface's slice out of one shared item frame
+  * @param dataRows    batch → signature DATA rows (everything but `pb`)
+  * @param classify    (batch, signature snapshot) → the gate family's
+  *                    provenance frame `(keyCol, status, matched_seed,
+  *                    score)` */
 final case class GateDescriptor(
     name: String,
     sigSchema: String,
     keyCol: String,
     pbKeyCols: Seq[String],
+    payloadCols: Seq[String],
     dataRows: DataFrame => DataFrame,
     classify: (DataFrame, DataFrame) => DataFrame) {
+
+  /** This surface's slice of a shared multi-surface item frame: the
+    * item id column renamed to this gate's `keyCol`, plus exactly the
+    * payload columns its rules consume. */
+  def sliceOf(items: DataFrame, itemKey: String): DataFrame =
+    items.select(col(itemKey).as(keyCol) +: payloadCols.map(col): _*)
 
   /** Signature rows at a table's pinned fan-out: the data rows plus
     * `pb` — THE one writer-side pb derivation for the typed path. */
@@ -68,24 +80,40 @@ final case class GateTable(desc: GateDescriptor, sigDir: String) {
   /** Materialize the corpus seed under `batch=-1` and pin the table's
     * fan-out. The one-time choice: more buckets = finer micro-batch
     * pruning but more driver-side probe ints and smaller files; evolve
-    * it later with [[resize]] as the seed grows. Refused when live
-    * `batch=<id>` partitions exist (review catch): re-pinning the
-    * fan-out would leave them laid out under the OLD hash and silently
-    * un-prune their matches — fold or [[resize]] the whole table
-    * instead. */
-  def seed(corpus: DataFrame, buckets: Int = GateLoop.NumBuckets): Unit = {
+    * it later with [[resize]] as the seed grows.
+    *
+    * Seeding REPLACES the whole table: `batch=-1` is overwritten
+    * wholesale, so any previously folded history ([[foldHistory]] /
+    * [[SignatureCompaction]] archive everything INTO `batch=-1`) is
+    * discarded with it. Two guards make that explicit (review catches):
+    *   - refused while live `batch=<id>` partitions exist — re-pinning
+    *     the fan-out would leave them laid out under the OLD hash and
+    *     silently un-prune their matches; [[resize]] the whole table to
+    *     keep its state, or fold-then-re-seed ONLY to start over;
+    *   - once `batch=-1` exists, a re-seed requires `replace = true` —
+    *     an operator who just folded live batches in to satisfy the
+    *     first guard must confirm they mean to drop that folded state
+    *     too, not merely "unblock the seed". */
+  def seed(corpus: DataFrame, buckets: Int = GateLoop.NumBuckets,
+           replace: Boolean = false): Unit = {
     val root = java.nio.file.Paths.get(sigDir)
-    val live = (if (java.nio.file.Files.exists(root))
+    val parts = (if (java.nio.file.Files.exists(root))
         graft.FsTrees.listDir(root) else Nil)
       .map(_.getFileName.toString)
       .filter(_.startsWith("batch="))
       .flatMap(_.stripPrefix("batch=").toLongOption)
-      .filter(_ >= 0L)
+    val live = parts.filter(_ >= 0L)
     require(live.isEmpty,
       s"$sigDir already holds live batch partitions (${live.sorted.mkString(",")}) " +
         "pinned at the CURRENT fan-out; re-seeding would re-pin the bucket " +
-        "marker under them and mis-hash every later probe. Fold them " +
-        "(SignatureCompaction) or resize the whole table instead.")
+        "marker under them and mis-hash every later probe. To KEEP the " +
+        "table's state, resize the whole table instead; to START OVER, " +
+        "fold them (SignatureCompaction) and re-seed with replace = true " +
+        "— a re-seed REPLACES batch=-1 wholesale, folded history included.")
+    require(replace || !parts.contains(-1L),
+      s"$sigDir is already seeded (batch=-1 exists, possibly holding " +
+        "folded accepted-batch history); seed() REPLACES the entire " +
+        "table. Pass replace = true to confirm discarding it.")
     GateLoop.writeBuckets(sigDir, buckets)
     desc.signatureRows(corpus, buckets).write.mode("overwrite")
       .partitionBy("pb").parquet(s"$sigDir/batch=-1")

@@ -106,12 +106,18 @@ object SignatureCompaction {
     *
     * Crash ordering (same single-writer contract as [[compact]]): new
     * files MOVE in first, the meta marker flips second, superseded files
-    * delete last — a crash before the flip leaves the old layout intact
-    * under the old marker (new-layout leftovers are duplicate rows in
-    * never-probed dirs: classify's distinct-reduce ignores them); a
-    * crash after the flip leaves every key readable under the NEW
-    * marker with only harmless old-layout duplicates pending. Either
-    * way, RE-RUN resize before restarting the gate to finish the swap.
+    * delete last. The invariant that makes either crash side readable is
+    * NOT directory disjointness — the old and new pb ranges overlap
+    * (16→32 shares pb=0..15), so leftover files from the other layout
+    * CAN sit in dirs the surviving marker's probe opens — it is that
+    * both layouts hold the same distinct signature rows and every
+    * classify rule distinct-reduces / arg-maxes its signature side
+    * (the same rationale as [[compact]]): a crash before the flip reads
+    * the complete old layout plus possible new-layout duplicate rows; a
+    * crash after the flip reads the complete new layout plus possible
+    * old-layout duplicate rows; duplicates change no classification.
+    * Either way, RE-RUN resize before restarting the gate to finish the
+    * swap and drop the leftovers.
     * @return number of batch partitions folded away. */
   def resize(spark: SparkSession, table: GateTable, targetBuckets: Int,
              targetFileBytes: Long = 128L << 20): Int = {

@@ -57,6 +57,7 @@ object StreamingDedup {
     sigSchema = SigSchema,
     keyCol = "doc_id",
     pbKeyCols = Seq("kind", "sig"),
+    payloadCols = Seq("text"),
     dataRows = Dedup.gateSignatureData,
     classify = Dedup.gateClassifyProvenance)
 

@@ -52,6 +52,7 @@ object StreamingEmbeddingGate {
     sigSchema = SigSchema,
     keyCol = "vec_id",
     pbKeyCols = Seq("bucket"),
+    payloadCols = Seq("embedding"),
     dataRows = signatureData,
     classify = classify(_, _, 0.999))
 

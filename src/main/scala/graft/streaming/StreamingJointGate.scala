@@ -35,26 +35,43 @@ object StreamingJointGate {
 
   /** The worst-of composition — ONE rule, two consumers (batch q221
     * delegates here): inner-join the two per-surface provenance frames
-    * on the item id and take the strongest status. */
-  def compose(textFrame: DataFrame, vecFrame: DataFrame): DataFrame =
-    textFrame.select(col("doc_id"), col("status").as("text_status"))
-      .join(vecFrame.select(col("vec_id").as("doc_id"),
-        col("status").as("emb_status")), Seq("doc_id"))
-      .select(col("doc_id"), col("text_status"), col("emb_status"),
+    * on the item id and take the strongest status. Each frame is keyed
+    * by its OWN gate's key column (review catch: hardcoding
+    * `doc_id`/`vec_id` here made any other descriptor pair fail with
+    * an unresolved-column error, not the "unrepresentable" the typed
+    * registry promises) — pass each surface's `desc.keyCol`; the output
+    * id column is `outKey`. Output status columns keep the shipped
+    * first-surface/second-surface names `text_status`/`emb_status`
+    * regardless of descriptor (one delivery schema across consumers —
+    * q221's oracle and the `GateDeliveries` review-queue layout). */
+  def compose(textFrame: DataFrame, vecFrame: DataFrame,
+              textKey: String = "doc_id", vecKey: String = "vec_id",
+              outKey: String = "doc_id"): DataFrame =
+    textFrame.select(col(textKey).as(outKey), col("status").as("text_status"))
+      .join(vecFrame.select(col(vecKey).as(outKey),
+        col("status").as("emb_status")), Seq(outKey))
+      .select(col(outKey), col("text_status"), col("emb_status"),
         when(col("text_status") === "exact_dup" ||
           col("emb_status") === "exact_dup", "exact_dup")
           .when(col("text_status") === "near_dup" ||
             col("emb_status") === "near_dup", "near_dup")
           .otherwise("new").as("joint_status"))
 
-  /** One micro-batch of `(doc_id, text, embedding)` items against the
-    * (text, vector) table pair. Exposed for direct unit testing, like
+  /** One micro-batch of multi-surface items against ANY two-table pair:
+    * `itemKey` names the batch's shared id column, and each surface's
+    * slice (id renamed to that gate's `keyCol`, plus its declared
+    * `payloadCols`) is carved by [[GateDescriptor.sliceOf]] — the
+    * descriptor, not this composer, says which columns its rules
+    * consume. Exposed for direct unit testing, like
     * [[GateTable.processBatch]]. */
   def processBatch(batch: DataFrame, batchId: Long,
                    textTable: GateTable, vecTable: GateTable,
-                   deliver: (DataFrame, Long) => Unit): Unit = {
-    val docsB = batch.select(col("doc_id"), col("text"))
-    val vecsB = batch.select(col("doc_id").as("vec_id"), col("embedding"))
+                   deliver: (DataFrame, Long) => Unit,
+                   itemKey: String = "doc_id"): Unit = {
+    val textKey = textTable.desc.keyCol
+    val vecKey = vecTable.desc.keyCol
+    val docsB = textTable.desc.sliceOf(batch, itemKey)
+    val vecsB = vecTable.desc.sliceOf(batch, itemKey)
     val textRows: DataFrame => DataFrame =
       textTable.desc.signatureRows(_, textTable.buckets)
     val vecRows: DataFrame => DataFrame =
@@ -64,15 +81,17 @@ object StreamingJointGate {
     val vecSigs = GateLoop.guardedSnapshot(vecsB, batchId,
       vecTable.sigDir, vecTable.desc.sigSchema, vecRows)
     val joint = compose(textTable.desc.classify(docsB, textSigs),
-      vecTable.desc.classify(vecsB, vecSigs)).localCheckpoint(true)
+      vecTable.desc.classify(vecsB, vecSigs),
+      textKey, vecKey, itemKey).localCheckpoint(true)
     val acceptedIds = joint.filter(col("joint_status") === "new")
-      .select("doc_id")
+      .select(itemKey)
     GateLoop.appendSignatures(
-      docsB.join(acceptedIds, Seq("doc_id"), "left_semi"),
+      docsB.join(acceptedIds.select(col(itemKey).as(textKey)),
+        Seq(textKey), "left_semi"),
       batchId, textTable.sigDir, textRows)
     GateLoop.appendSignatures(
-      vecsB.join(acceptedIds.select(col("doc_id").as("vec_id")),
-        Seq("vec_id"), "left_semi"),
+      vecsB.join(acceptedIds.select(col(itemKey).as(vecKey)),
+        Seq(vecKey), "left_semi"),
       batchId, vecTable.sigDir, vecRows)
     deliver(joint, batchId)
   }
@@ -85,14 +104,15 @@ object StreamingJointGate {
   def start(items: DataFrame, textTable: GateTable, vecTable: GateTable,
             deliver: (DataFrame, Long) => Unit,
             checkpointDir: Option[String] = None,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+            itemKey: String = "doc_id"): StreamingQuery = {
     require(items.isStreaming,
       "items must be a streaming DataFrame; use processBatch for batch")
     val w: DataStreamWriter[org.apache.spark.sql.Row] =
       items.writeStream.outputMode("append")
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          processBatch(batch, batchId, textTable, vecTable, deliver)
+          processBatch(batch, batchId, textTable, vecTable, deliver, itemKey)
         }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()

@@ -53,6 +53,7 @@ object StreamingMultimodalGate {
     sigSchema = SigSchema,
     keyCol = "doc_id",
     pbKeyCols = Seq("kind", "sig"),
+    payloadCols = Seq("payload"),
     dataRows = Multimodal.gateSignatureData,
     classify = Multimodal.gateClassify(_, _, 12))
 

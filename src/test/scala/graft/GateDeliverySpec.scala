@@ -128,4 +128,52 @@ class GateDeliverySpec extends AnyFunSuite {
         d.getDouble(3) == b.getDouble(3), s"$b vs $d")
     }
   }
+
+  test("mixDrift pins the pairwise JSD by hand, drops boundary pairs, " +
+      "and reads identically over the sink table (one rule, two consumers)") {
+    import spark.implicits._
+    import graft.streaming.GateDeliveries
+    // batches 0 and 1 identical mixes -> jsd 0; batch 2 disjoint -> ln 2
+    def frame(rows: (Long, String, Option[Long], Double)*) =
+      rows.toSeq.map(r => (r._1, r._2, r._3.map(Long.box).orNull, r._4))
+        .toDF("doc_id", "status", "matched_seed", "score")
+        .select(col("doc_id"), col("status"),
+          col("matched_seed").cast("long"), col("score"))
+    val b0 = frame((1L, "new", None, 0.0), (2L, "new", None, 0.0))
+    val b1 = frame((3L, "new", None, 0.0), (4L, "new", None, 0.0))
+    val b2 = frame((5L, "exact_dup", Some(7L), 1.0),
+      (6L, "near_dup", Some(9L), 2.0))
+    val union = b0.withColumn("batch", lit(0L))
+      .unionByName(b1.withColumn("batch", lit(1L)))
+      .unionByName(b2.withColumn("batch", lit(2L)))
+    val got = GateDeliveries.mixDrift(union).orderBy(col("batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // pair 1: one shared key, identical -> 0.0; pair 2: 3 disjoint keys,
+    // each side's per-key term is ln 2 -> jsd = ln 2 quantized = 0.693147
+    assert(got.toSeq === Seq((1L, 1L, 2L, 2L, 0.0),
+      (2L, 3L, 2L, 2L, 0.693147)))
+
+    // the sink-table consumer computes the identical readout
+    val qDir = java.nio.file.Files.createTempDirectory("graft-drift-q-").toString
+    val sink = GateDeliveries.sink(qDir)
+    sink(b0, 0L); sink(b1, 1L); sink(b2, 2L)
+    val overTable = GateDeliveries.mixDrift(
+        GateDeliveries.read(spark, qDir, StreamingDedup.descriptor))
+      .orderBy(col("batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(overTable.toSeq === got.toSeq)
+
+    // a joint queue drifts on the composed status alone (no seed column)
+    val joint = Seq((1L, "new", "new", "new", 0L),
+        (2L, "new", "new", "new", 0L),
+        (3L, "exact_dup", "new", "exact_dup", 1L),
+        (4L, "new", "near_dup", "near_dup", 1L))
+      .toDF("doc_id", "text_status", "emb_status", "joint_status", "batch")
+    val jd = GateDeliveries.mixDrift(joint, statusCol = "joint_status",
+      seedCol = None).collect()
+    assert(jd.length === 1 && jd.head.getLong(0) === 1L &&
+      jd.head.getDouble(4) === 0.693147)
+  }
 }

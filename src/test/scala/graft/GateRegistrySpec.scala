@@ -168,11 +168,25 @@ class GateRegistrySpec extends AnyFunSuite {
       t.seed(docs(9L -> "a replacement corpus"))
     }
     assert(e.getMessage.contains("live batch partitions"))
-    // after folding history the re-seed is legal again
+    // folding history satisfies the first guard, but a re-seed REPLACES
+    // batch=-1 wholesale — folded accepted-batch state included — so it
+    // still demands an explicit replace = true (advice r18 catch: the
+    // old message's "fold them" path silently discarded what the fold
+    // had just archived)
     t.foldHistory(spark, keepLast = 0)
-    t.seed(docs(9L -> "a replacement corpus"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.seed(docs(9L -> "a replacement corpus"))
+    }
+    assert(e2.getMessage.contains("replace = true"))
+    // the folded batch-0 signature is still probed — nothing was lost
+    assert(statuses(t.classifyNow(docs(10L -> "alpha bravo charlie delta")))
+      === Map(10L -> "exact_dup"))
+    t.seed(docs(9L -> "a replacement corpus"), replace = true)
     assert(statuses(t.classifyNow(docs(10L -> "a replacement corpus")))
       === Map(10L -> "exact_dup"))
+    // ...and the confirmed replacement really did drop the folded state
+    assert(statuses(t.classifyNow(docs(11L -> "alpha bravo charlie delta")))
+      === Map(11L -> "new"))
   }
 
   test("a joint-status review queue folds under its own partition column, " +

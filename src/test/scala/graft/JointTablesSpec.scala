@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{GateTable, JointTables, StreamingDedup,
+  StreamingEmbeddingGate}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[JointTables]] — the joint gate's table pair as one maintenance
+  * unit: every pair op refuses on batch-set misalignment (the
+  * crash-between-appends state only a gate replay may repair) and
+  * sequences both tables inside one window otherwise. */
+class JointTablesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pair(): JointTables = JointTables(
+    GateTable(StreamingDedup.descriptor,
+      Files.createTempDirectory("graft-jt-text-").toString),
+    GateTable(StreamingEmbeddingGate.descriptor,
+      Files.createTempDirectory("graft-jt-vec-").toString))
+
+  private def items(rows: (Long, String, Array[Double])*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text", "embedding")
+
+  private val eA = Array(1.0, 2.0, -1.0, 0.5)
+  private val eB = Array(-3.0, 0.25, 4.0, 1.0)
+  private val eC = Array(0.1, -0.2, 0.3, 9.0)
+  private val eD = Array(5.0, 5.0, -5.0, 0.0)
+
+  private def frameSet(df: DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+  test("pair seed slices one item frame per descriptor, and maintenance " +
+      "ops preserve joint classification across compact/fold/resize") {
+    val jt = pair()
+    jt.seed(items((0L, "seed corpus document body", eA)))
+    var frames = Map.empty[Long, Set[(Long, String, String, String)]]
+    jt.processBatch(items((1L, "first fresh document body", eB)), 0L,
+      (f, i) => frames += i -> frameSet(f))
+    assert(frames(0L) === Set((1L, "new", "new", "new")))
+
+    // the probe whose answer must survive every maintenance op: 2 dups
+    // the seed text, 3 dups batch-0's accepted embedding, 4 fresh
+    val probe = items(
+      (2L, "seed corpus document body", eC),
+      (3L, "completely different words", eB),
+      (4L, "another genuinely new doc", eC))
+    def classifyProbe(): Set[(Long, String, String, String)] =
+      frameSet(graft.streaming.StreamingJointGate.compose(
+        jt.text.classifyNow(jt.text.desc.sliceOf(probe, "doc_id")),
+        jt.vec.classifyNow(jt.vec.desc.sliceOf(probe, "doc_id")),
+        jt.text.desc.keyCol, jt.vec.desc.keyCol))
+    val before = classifyProbe()
+    assert(before === Set(
+      (2L, "exact_dup", "new", "exact_dup"),
+      (3L, "new", "exact_dup", "exact_dup"),
+      (4L, "new", "new", "new")))
+
+    assert(jt.compact(spark) === (1, 1))
+    assert(classifyProbe() === before)
+    jt.processBatch(items((5L, "yet another new document", eC)), 1L,
+      (_, _) => ())
+    jt.processBatch(items((6L, "and one more fresh document", eD)), 2L,
+      (_, _) => ())
+    // keepLast = 1: batch 1 folds into the seed, batch 2 (replayable) stays
+    assert(jt.foldHistory(spark, keepLast = 1) === (Seq(1L), Seq(1L)))
+    val afterFold = classifyProbe()
+    assert(afterFold !== before) // eC accepted in batch 1
+    jt.resize(spark, textBuckets = 8, vecBuckets = 4)
+    assert(jt.text.buckets === 8 && jt.vec.buckets === 4)
+    assert(classifyProbe() === afterFold)
+  }
+
+  test("a batch-misaligned pair (crash between the two appends) refuses " +
+      "maintenance until the gate's replay reconverges it") {
+    val jt = pair()
+    jt.seed(items((0L, "seed corpus document body", eA)))
+    jt.processBatch(items((1L, "first fresh document body", eB)), 0L,
+      (_, _) => ())
+    // simulate the crash: batch 1 lands on the TEXT table only
+    jt.text.processBatch(
+      Seq((2L, "completely different words")).toDF("doc_id", "text"),
+      1L, (_, _) => ())
+    val e = intercept[IllegalArgumentException] { jt.compact(spark) }
+    assert(e.getMessage.contains("batch-misaligned"))
+    assert(intercept[IllegalArgumentException] {
+      jt.foldHistory(spark, keepLast = 0)
+    }.getMessage.contains("batch-misaligned"))
+    assert(intercept[IllegalArgumentException] {
+      jt.resize(spark, 8, 8)
+    }.getMessage.contains("batch-misaligned"))
+    // the gate's replay of batch 1 (at-least-once) reconverges the pair...
+    jt.processBatch(items((2L, "completely different words", eC)), 1L,
+      (_, _) => ())
+    // ...and the same maintenance op now runs over both tables
+    assert(jt.compact(spark) === (2, 2))
+  }
+}

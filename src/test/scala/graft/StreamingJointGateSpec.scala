@@ -94,4 +94,34 @@ class StreamingJointGateSpec extends AnyFunSuite {
     assert(frames(2L) === Set((5L, "new", "new", "new")))
     assert(tableRows(textT) === txtRows && tableRows(vecT) === vecRows)
   }
+
+  test("any descriptor pair composes — text + multimodal (both keyed " +
+      "doc_id), the pair the hardcoded doc_id/vec_id renames refused") {
+    import spark.implicits._
+    val textT = GateTable(StreamingDedup.descriptor,
+      Files.createTempDirectory("graft-joint-text2-").toString)
+    val mmT = GateTable(graft.streaming.StreamingMultimodalGate.descriptor,
+      Files.createTempDirectory("graft-joint-mm-").toString)
+    def blob(s: String): Array[Byte] =
+      Array.tabulate[Byte](256)(i => ((s.hashCode + i * 131) & 0xff).toByte)
+    def items(rows: (Long, String, Array[Byte])*): DataFrame =
+      rows.toSeq.toDF("doc_id", "text", "payload")
+    textT.seed(Seq((0L, "seed corpus document body")).toDF("doc_id", "text"))
+    mmT.seed(Seq((0L, blob("seed-blob"))).toDF("doc_id", "payload"))
+
+    var frames = Map.empty[Long, Set[(Long, String, String, String)]]
+    def run(b: DataFrame, id: Long): Unit =
+      StreamingJointGate.processBatch(b, id, textT, mmT,
+        (f, i) => frames += i -> f.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
+
+    run(items((1L, "first fresh document body", blob("fresh-1"))), 0L)
+    assert(frames(0L) === Set((1L, "new", "new", "new")))
+    // each surface's batch-0 accept is probed independently in batch 1
+    run(items((2L, "first fresh document body", blob("fresh-2")),
+      (3L, "other words entirely here", blob("fresh-1"))), 1L)
+    assert(frames(1L) === Set(
+      (2L, "exact_dup", "new", "exact_dup"),
+      (3L, "new", "exact_dup", "exact_dup")))
+  }
 }
