@@ -1042,13 +1042,29 @@ object Dedup extends QueryModule {
     // checkpoint: the writer uses `accepted` twice (payloads + the
     // window assignment) — don't classify the gate frame twice
     val accepted = acceptedDocs(docsTable(spark, dir)).localCheckpoint(true)
-    accepted.join(
-        Pipeline.packAssign(accepted, budget, shards), Seq("doc_id"))
+    writeShards(accepted, Pipeline.packAssign(accepted, budget, shards), outDir)
+  }
+
+  /** The q223 manifest's writer — [[curatedShardsWrite]] with the packs
+    * cut by BPE-encoded token counts, so the files on disk are the packs
+    * the tokenizer-true manifest bills (spec pins layout ≡ q223). */
+  def curatedShardsWriteBpe(spark: SparkSession, dir: String, outDir: String,
+                            budget: Int = 512, shards: Int = 4): Unit = {
+    val accepted = acceptedDocs(docsTable(spark, dir)).localCheckpoint(true)
+    val toks = graft.operators.TextStats.bpeTokenCounts(accepted,
+      graft.operators.TextStats.bpeTrain(spark, dir))
+    writeShards(accepted, Pipeline.packAssignTok(toks, budget, shards), outDir)
+  }
+
+  /** Shared layout writer: accepted payloads joined to a pack assignment,
+    * landed `shard=<s>/pack_id=<p>/` — the mmap-parallel trainer layout. */
+  private def writeShards(accepted: DataFrame, assign: DataFrame,
+                          outDir: String): Unit =
+    accepted.join(assign, Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("n_tok"),
         col("shard"), col("pack_id"))
       .write.mode("overwrite").partitionBy("shard", "pack_id")
       .parquet(outDir)
-  }
 
   /** q222 — GATE HEALTH (the dashboard over the gate's batch history,
     * SURVEY §7.9 third-refresh candidate #3): per (batch, status) —
@@ -1061,7 +1077,10 @@ object Dedup extends QueryModule {
     * chain. A drifting exact_dup share across batches is the "ingest
     * is re-sending the corpus" alarm. */
   def gateHealth(spark: SparkSession, dir: String): DataFrame =
-    graft.streaming.GateDeliveries.batchMix(gateBatchChain(spark, dir))
+    // checkpoint: batchMix's per⋈tot join references the chain twice
+    // (q224/q225's lesson applied back; measured 4.35 s → 3.65 s at 32×)
+    graft.streaming.GateDeliveries.batchMix(
+        gateBatchChain(spark, dir).localCheckpoint(true))
       .orderBy(col("batch"), col("status"))
 
   /** q224 — GATE MIX DRIFT (the queue-side drift rule SURVEY §7.9 left
@@ -1078,10 +1097,33 @@ object Dedup extends QueryModule {
     * rows before the ≤batches-row broadcast join — nothing wide ever
     * moves. */
   def gateMixDrift(spark: SparkSession, dir: String): DataFrame =
-    graft.streaming.GateDeliveries.mixDrift(gateBatchChain(spark, dir))
+    // checkpoint: mixDrift's pair-contribution union references the
+    // chain TWICE — without this the whole q219 subtree evaluates twice
+    // (measured 7.1 s → 4.1 s at 32×, the §6.13 plan-growth lesson)
+    graft.streaming.GateDeliveries.mixDrift(
+        gateBatchChain(spark, dir).localCheckpoint(true))
       .orderBy(col("batch"))
 
+  /** q225 — GATE MIX ANOMALY (round-20 candidate #1 pulled forward:
+    * q224 emits the per-pair drift scalar, this turns the queue's batch
+    * history into the ALERT — q131's robust median/MAD flag over the
+    * per-(status, batch) delivery counts, [[graft.streaming
+    * .GateDeliveries.mixAnomaly]]; one rule, two consumers, the
+    * sink-table reader being the operational one). The chain twin's two
+    * batches pin the whole arithmetic (medians, MAD, the modified-z and
+    * both flag branches land in the frame) while no flag can fire from
+    * two points by construction — a two-point series has |z| = 0.6745
+    * under MAD > 0 and c = med under MAD = 0; the alarm's firing
+    * behavior over a real history is spec-pinned on an 8-batch sink
+    * table (GateDeliverySpec). */
+  def gateMixAnomaly(spark: SparkSession, dir: String): DataFrame =
+    // same twice-referenced-chain checkpoint as q224
+    graft.streaming.GateDeliveries.mixAnomaly(
+        gateBatchChain(spark, dir).localCheckpoint(true))
+      .orderBy(col("batch"), col("status"))
+
   val queries: Map[String, QueryFn] = Map(
+    "q225_gate_mix_anomaly" -> (gateMixAnomaly(_, _)),
     "q224_gate_mix_drift" -> (gateMixDrift(_, _)),
     "q223_curation_export_bpe" -> (curationExportBpe(_, _)),
     "q222_gate_health" -> (gateHealth(_, _)),
@@ -1452,6 +1494,29 @@ object Dedup extends QueryModule {
       s"""$gateChainCtes
          |SELECT doc_id, status, matched_seed, score, batch
          |FROM ch ORDER BY doc_id""".stripMargin,
+    // q131's median/MAD flag over the chain's per-(status, batch)
+    // counts — q225's rule; quantile_cont ≡ Spark percentile, the q131
+    // oracle discipline verbatim
+    "q225_gate_mix_anomaly" ->
+      s"""$gateChainCtes,
+         |per AS (SELECT status, batch, CAST(count(*) AS BIGINT) AS n_docs
+         |        FROM ch GROUP BY 1, 2),
+         |med AS (SELECT status, quantile_cont(n_docs, 0.5) AS med
+         |        FROM per GROUP BY 1),
+         |wm AS (SELECT p.batch, p.status, p.n_docs, m.med
+         |       FROM per p JOIN med m USING (status)),
+         |md AS (SELECT status, quantile_cont(abs(n_docs - med), 0.5) AS mad
+         |       FROM wm GROUP BY 1)
+         |SELECT wm.batch, wm.status, wm.n_docs,
+         |       round(wm.med, 4) AS median_n, round(md.mad, 4) AS mad_n,
+         |       CASE WHEN md.mad > 0
+         |            THEN round(0.6745 * (wm.n_docs - wm.med) / md.mad, 4) + 0.0 END
+         |         AS robust_z,
+         |       CASE WHEN md.mad > 0
+         |            THEN abs(round(0.6745 * (wm.n_docs - wm.med) / md.mad, 4) + 0.0) > 3.5
+         |            ELSE wm.n_docs <> wm.med END AS is_anomaly
+         |FROM wm JOIN md USING (status)
+         |ORDER BY wm.batch, wm.status""".stripMargin,
     // the chain's consecutive-pair composition drift — q224's rule:
     // q199's quantized micro-nat JSD over status:seed delivery keys;
     // boundary pairs drop via the two-sided HAVING, exactly the Spark

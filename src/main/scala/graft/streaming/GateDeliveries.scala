@@ -164,6 +164,42 @@ object GateDeliveries {
           + lit(0.0)).as("jsd"))
   }
 
+  /** The queue-side ANOMALY flag (q225's rule — q131's robust
+    * median/MAD detector pointed at the queue's batch axis; one rule,
+    * two consumers: the oracle-checked chain twin pins the arithmetic,
+    * operations runs it over [[read]]'s sink table where the batch
+    * history is long enough for the flag to mean something): per
+    * (status, batch) delivery counts, flag the batches whose count is
+    * an Iglewicz–Hoaglin modified-z outlier within its status series
+    * (|0.6745·(c−med)/MAD| > 3.5) — "batch 17 delivered 60 exact_dups
+    * against a median of 2" is the re-sent-corpus alarm as ONE boolean.
+    * Median-based so the anomalous batches can't poison the baseline;
+    * zero-MAD (over half the batches identical) falls back to flagging
+    * any c ≠ median. Scale: the queue reduces to ≤(batches × statuses)
+    * rows before the two exact-median passes — both medians and the
+    * join-backs run on that tiny aggregate, broadcast. */
+  def mixAnomaly(deliveries: DataFrame,
+                 statusCol: String = "status"): DataFrame = {
+    val per = deliveries
+      .groupBy(col(statusCol).as("status"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"))
+    val med = per.groupBy(col("status"))
+      .agg(expr("percentile(n_docs, 0.5)").as("med"))
+    val withMed = per.join(broadcast(med), "status")
+    val mad = withMed.groupBy(col("status"))
+      .agg(expr("percentile(abs(n_docs - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "status")
+      .withColumn("robust_z", when(col("mad") > 0,
+        round(lit(0.6745) * (col("n_docs") - col("med")) / col("mad"), 4)
+          + lit(0.0)))
+      .withColumn("is_anomaly",
+        when(col("mad") > 0, abs(col("robust_z")) > 3.5)
+          .otherwise(col("n_docs") =!= col("med")))
+      .select(col("batch"), col("status"), col("n_docs"),
+        round(col("med"), 4).as("median_n"), round(col("mad"), 4).as("mad_n"),
+        col("robust_z"), col("is_anomaly"))
+  }
+
   /** The review queue's operational readout (q218's rule): per status —
     * deliveries, distinct matched seeds, and the heaviest seed (most
     * deliveries, ties to the lowest id) with its count. The heaviest

@@ -155,8 +155,22 @@ object GateLoop {
   private[streaming] def guardedSnapshot(batch: DataFrame, batchId: Long,
                    sigDir: String, sigSchema: String,
                    signatureRows: DataFrame => DataFrame): DataFrame = {
-    val maxBatch = listDir(java.nio.file.Paths.get(sigDir))
+    val entries = listDir(java.nio.file.Paths.get(sigDir))
       .map(_.getFileName.toString)
+    // mid-swap guard (the resize scaladoc's "re-run before restarting
+    // the gate" remediation ENFORCED): a pending `.graft-sig-compact-*`
+    // work dir means a compact/resize crashed mid-swap (or is running
+    // right now, which the single-writer contract forbids). The table
+    // IS still readable on either side of the crash, but batches run
+    // against it would interleave with the finishing re-run's moves —
+    // refuse until the swap completes.
+    val pending = entries.filter(_.startsWith(".graft-sig-compact-"))
+    require(pending.isEmpty,
+      s"$sigDir holds an unfinished compaction/resize swap " +
+        s"(${pending.mkString(", ")}): re-run SignatureCompaction.compact " +
+        "or .resize to finish the swap (its startup sweep clears the " +
+        "pending work dir) before running the gate.")
+    val maxBatch = entries
       .filter(_.startsWith("batch="))
       .flatMap(_.stripPrefix("batch=").toLongOption)
       .maxOption.getOrElse(-1L)

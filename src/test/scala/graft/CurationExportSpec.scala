@@ -51,4 +51,37 @@ class CurationExportSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters:") && plan.contains("shard"),
       s"shard filter did not reach the partition scan:\n$plan")
   }
+
+  test("the BPE-billed writer's layout is exactly the q223 manifest, " +
+      "with n_tok the encoded count under the trained vocab") {
+    import graft.operators.TextStats
+    val out = Files.createTempDirectory("graft-curated-bpe-").toString
+    Dedup.curatedShardsWriteBpe(spark, sf, out)
+    val written = spark.read.parquet(out)
+
+    val fromFiles = written
+      .groupBy(col("shard").cast("long"), col("pack_id").cast("long"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("pack_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val manifest = Dedup.curationExportBpe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fromFiles === manifest)
+
+    // n_tok really is the BPE-encoded count (not whitespace): recompute
+    // independently over the same docs with the same trained vocab
+    val docs = Tables(spark, sf, "documents")
+    val expected = TextStats.bpeTokenCounts(
+        docs.join(written.select("doc_id"), Seq("doc_id"), "left_semi"),
+        TextStats.bpeTrain(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val drift = written.select(col("doc_id"), col("n_tok")).collect()
+      .count(r => expected(r.getLong(0)) != r.getInt(1))
+    assert(drift === 0)
+    // and it differs from the whitespace billing somewhere (the
+    // compression the variant exists to capture)
+    val wsSame = written
+      .join(docs.select(col("doc_id"), col("text").as("orig_text")), Seq("doc_id"))
+      .filter(size(split(col("orig_text"), " ")) =!= col("n_tok")).count()
+    assert(wsSame > 0L)
+  }
 }

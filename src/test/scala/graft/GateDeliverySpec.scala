@@ -176,4 +176,55 @@ class GateDeliverySpec extends AnyFunSuite {
     assert(jd.length === 1 && jd.head.getLong(0) === 1L &&
       jd.head.getDouble(4) === 0.693147)
   }
+
+  test("mixAnomaly fires q131's flag on a real 8-batch history — MAD " +
+      "path and zero-MAD fallback — and reads identically over the sink") {
+    import spark.implicits._
+    import graft.streaming.GateDeliveries
+    // per batch 0..7: 'new' counts [1,2,1,3,1,2,1,60] -> med 1.5,
+    // MAD 0.5 -> batch 7 z = 0.6745*58.5/0.5 = 78.9 flagged, batch 3
+    // z = 2.0235 not; 'exact_dup' counts [2,2,2,2,2,2,2,5] -> MAD 0 ->
+    // fallback flags exactly the c != median batch
+    val newCounts = Seq(1, 2, 1, 3, 1, 2, 1, 60)
+    val dupCounts = Seq(2, 2, 2, 2, 2, 2, 2, 5)
+    var id = 0L
+    def batchFrame(b: Int) = {
+      val rows =
+        Seq.fill(newCounts(b))("new").map { s => id += 1; (id, s, None: Option[Long], 0.0) } ++
+        Seq.fill(dupCounts(b))("exact_dup").map { s => id += 1; (id, s, Some(7L), 1.0) }
+      rows.map(r => (r._1, r._2, r._3.map(Long.box).orNull, r._4))
+        .toDF("doc_id", "status", "matched_seed", "score")
+        .select(col("doc_id"), col("status"),
+          col("matched_seed").cast("long"), col("score"))
+    }
+    val frames = (0 until 8).map(b => batchFrame(b).withColumn("batch", lit(b.toLong)))
+    val union = frames.reduce(_ unionByName _)
+    val got = GateDeliveries.mixAnomaly(union)
+      .orderBy(col("batch"), col("status"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(6)))).toMap
+    // the one MAD-path flag and the one fallback flag, nothing else
+    assert(got((7L, "new")) === (60L, true))
+    assert(got((7L, "exact_dup")) === (5L, true))
+    assert(got.count(_._2._2) === 2)
+    assert(got((3L, "new")) === (3L, false)) // z = 2.0235, under 3.5
+    // z spot-check on the flagged batch
+    val z = GateDeliveries.mixAnomaly(union)
+      .filter(col("batch") === 7 && col("status") === "new")
+      .head().getDouble(5)
+    assert(z === 78.9165)
+
+    // sink-table consumer computes the identical frame
+    val qDir = java.nio.file.Files.createTempDirectory("graft-anom-q-").toString
+    val sink = GateDeliveries.sink(qDir)
+    frames.zipWithIndex.foreach { case (f, b) =>
+      sink(f.drop("batch"), b.toLong)
+    }
+    val overTable = GateDeliveries.mixAnomaly(
+        GateDeliveries.read(spark, qDir, StreamingDedup.descriptor))
+      .orderBy(col("batch"), col("status"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(6)))).toMap
+    assert(overTable === got)
+  }
 }

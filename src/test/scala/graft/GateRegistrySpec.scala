@@ -39,6 +39,28 @@ class GateRegistrySpec extends AnyFunSuite {
       .map(_.getFileName.toString.stripPrefix("pb=").toInt).distinct.sorted
   }
 
+  test("a pending compaction/resize work dir refuses the gate until the " +
+      "swap finishes (the scaladoc's re-run remediation, enforced)") {
+    val t = textTable()
+    t.seed(docs(0L -> "the original seed corpus document"))
+    t.processBatch(docs(1L -> "alpha bravo charlie delta"), 0L, (_, _) => ())
+    // simulate a hard crash mid-swap: the work dir survives (the success
+    // and exception paths both rmTree it — only a killed JVM leaves it)
+    val leftover = Paths.get(t.sigDir).resolve(".graft-sig-compact-crash")
+    Files.createDirectory(leftover)
+    val e = intercept[IllegalArgumentException] {
+      t.processBatch(docs(2L -> "some further document"), 1L, (_, _) => ())
+    }
+    assert(e.getMessage.contains("unfinished compaction/resize swap"))
+    // the documented remediation: re-run compact — its startup sweep
+    // clears the leftover and the gate resumes
+    t.compact(spark)
+    var got = Map.empty[Long, String]
+    t.processBatch(docs(2L -> "alpha bravo charlie delta"), 1L,
+      (f, _) => got = statuses(f))
+    assert(got === Map(2L -> "exact_dup")) // batch-0 state survived it all
+  }
+
   test("typed seed/classifyNow match the legacy string-typed path exactly") {
     val seed = docs(0L -> "the original seed corpus document",
       1L -> "alpha bravo charlie delta echo")
