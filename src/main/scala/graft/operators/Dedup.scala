@@ -1104,6 +1104,22 @@ object Dedup extends QueryModule {
         gateBatchChain(spark, dir).localCheckpoint(true))
       .orderBy(col("batch"))
 
+  /** q226 — GATE SEED DRILL-DOWN (round-20 candidate #3 pulled forward —
+    * the step AFTER a q225 flag fires: q218's heaviest-seed readout
+    * scoped to the batch axis, [[graft.streaming.GateDeliveries
+    * .reviewSummaryBy]] over (batch, status) — per flagged cell the
+    * drill-down names deliveries, distinct seeds, and the heaviest seed
+    * with its count, turning "batch 1's near_dups spiked" into the
+    * document to go look at. Same one-pass (group, seed) partial agg +
+    * max(struct) arg-max as q218, never a sort; one rule, two consumers
+    * (the sink-table reader is the operational one). */
+  def gateSeedDrilldown(spark: SparkSession, dir: String): DataFrame =
+    // same twice-referenced-chain checkpoint as q224/q225
+    graft.streaming.GateDeliveries.reviewSummaryBy(
+        gateBatchChain(spark, dir).localCheckpoint(true),
+        Seq("batch", "status"))
+      .orderBy(col("batch"), col("status"))
+
   /** q225 — GATE MIX ANOMALY (round-20 candidate #1 pulled forward:
     * q224 emits the per-pair drift scalar, this turns the queue's batch
     * history into the ALERT — q131's robust median/MAD flag over the
@@ -1123,6 +1139,7 @@ object Dedup extends QueryModule {
       .orderBy(col("batch"), col("status"))
 
   val queries: Map[String, QueryFn] = Map(
+    "q226_gate_seed_drilldown" -> (gateSeedDrilldown(_, _)),
     "q225_gate_mix_anomaly" -> (gateMixAnomaly(_, _)),
     "q224_gate_mix_drift" -> (gateMixDrift(_, _)),
     "q223_curation_export_bpe" -> (curationExportBpe(_, _)),
@@ -1494,6 +1511,27 @@ object Dedup extends QueryModule {
       s"""$gateChainCtes
          |SELECT doc_id, status, matched_seed, score, batch
          |FROM ch ORDER BY doc_id""".stripMargin,
+    // q218's heaviest-seed readout scoped per (batch, status) — q226's
+    // drill-down; row_number arg-max on the identical (n DESC, seed)
+    // keys to Spark's max(struct)
+    "q226_gate_seed_drilldown" ->
+      s"""$gateChainCtes,
+         |ps AS (SELECT batch, status, matched_seed,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM ch GROUP BY 1, 2, 3),
+         |tp AS (SELECT batch, status, matched_seed AS top_seed,
+         |              n AS top_seed_n FROM (
+         |        SELECT batch, status, matched_seed, n,
+         |               row_number() OVER (PARTITION BY batch, status
+         |                 ORDER BY n DESC, matched_seed) AS rn
+         |        FROM ps WHERE matched_seed IS NOT NULL) WHERE rn = 1),
+         |ag AS (SELECT batch, status, CAST(sum(n) AS BIGINT) AS n_docs,
+         |         CAST(count(CASE WHEN matched_seed IS NOT NULL THEN 1 END) AS BIGINT) AS n_seeds
+         |       FROM ps GROUP BY 1, 2)
+         |SELECT ag.batch, ag.status, ag.n_docs, ag.n_seeds,
+         |       tp.top_seed, tp.top_seed_n
+         |FROM ag LEFT JOIN tp USING (batch, status)
+         |ORDER BY ag.batch, ag.status""".stripMargin,
     // q131's median/MAD flag over the chain's per-(status, batch)
     // counts — q225's rule; quantile_cont ≡ Spark percentile, the q131
     // oracle discipline verbatim

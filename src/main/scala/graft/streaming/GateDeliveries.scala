@@ -206,20 +206,32 @@ object GateDeliveries {
     * seed is the "one document poisoning the ingest" alarm. One pass:
     * a (status, seed) partial agg, then a per-status max(struct)
     * arg-max — never a sort. */
-  def reviewSummary(deliveries: DataFrame): DataFrame = {
+  def reviewSummary(deliveries: DataFrame): DataFrame =
+    reviewSummaryBy(deliveries, Seq("status"))
+
+  /** [[reviewSummary]] under ARBITRARY grouping — q226's drill-down
+    * rides the batch axis (`Seq("batch", "status")`): when q225 flags a
+    * (status, batch) as anomalous, this names the seeds that drove it —
+    * "batch 17's 60 exact_dups are 58× seed 104" turns the alarm into
+    * the document to go look at. Same one-pass discipline at any
+    * grouping: a (group, seed) partial agg, then a per-group max(struct)
+    * arg-max — never a sort. */
+  def reviewSummaryBy(deliveries: DataFrame,
+                      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val perSeed = deliveries
-      .groupBy(col("status"), col("matched_seed"))
+      .groupBy(g :+ col("matched_seed"): _*)
       .agg(count(lit(1)).as("n"))
     val top = perSeed.filter(col("matched_seed").isNotNull)
-      .groupBy(col("status"))
+      .groupBy(g: _*)
       .agg(max(struct(col("n"), (-col("matched_seed")).as("nseed"))).as("b"))
-      .select(col("status"), (-col("b.nseed")).as("top_seed"),
-        col("b.n").as("top_seed_n"))
-    perSeed.groupBy(col("status"))
+      .select(g :+ (-col("b.nseed")).as("top_seed")
+        :+ col("b.n").as("top_seed_n"): _*)
+    perSeed.groupBy(g: _*)
       .agg(sum(col("n")).as("n_docs"),
         count(when(col("matched_seed").isNotNull, lit(1))).as("n_seeds"))
-      .join(top, Seq("status"), "left_outer")
-      .select(col("status"), col("n_docs"), col("n_seeds"),
-        col("top_seed"), col("top_seed_n"))
+      .join(top, groupCols, "left_outer")
+      .select(g :+ col("n_docs") :+ col("n_seeds")
+        :+ col("top_seed") :+ col("top_seed_n"): _*)
   }
 }

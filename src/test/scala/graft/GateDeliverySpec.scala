@@ -227,4 +227,45 @@ class GateDeliverySpec extends AnyFunSuite {
         (r.getLong(2), r.getBoolean(6)))).toMap
     assert(overTable === got)
   }
+
+  test("reviewSummaryBy drills a (batch, status) cell down to its driving " +
+      "seeds — hand-pinned arg-max, status-only parity, sink agreement") {
+    import spark.implicits._
+    import graft.streaming.GateDeliveries
+    def frame(rows: (Long, String, Option[Long], Double)*) =
+      rows.toSeq.map(r => (r._1, r._2, r._3.map(Long.box).orNull, r._4))
+        .toDF("doc_id", "status", "matched_seed", "score")
+        .select(col("doc_id"), col("status"),
+          col("matched_seed").cast("long"), col("score"))
+    // batch 0: near_dups 3× seed 5 + 1× seed 9, one new; batch 1:
+    // exact_dups 4× seed 2 (the "one document poisoning the ingest")
+    val b0 = frame((1L, "near_dup", Some(5L), 2.0),
+      (2L, "near_dup", Some(5L), 1.0), (3L, "near_dup", Some(5L), 3.0),
+      (4L, "near_dup", Some(9L), 1.0), (5L, "new", None, 0.0))
+    val b1 = frame((6L, "exact_dup", Some(2L), 1.0),
+      (7L, "exact_dup", Some(2L), 1.0), (8L, "exact_dup", Some(2L), 1.0),
+      (9L, "exact_dup", Some(2L), 1.0))
+    val union = b0.withColumn("batch", lit(0L))
+      .unionByName(b1.withColumn("batch", lit(1L)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("batch"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq
+    val got = rows(GateDeliveries.reviewSummaryBy(union, Seq("batch", "status")))
+    assert(got === Seq(
+      (0L, "near_dup", 4L, 2L, 5L, 3L),
+      (0L, "new", 1L, 0L, -1L, -1L),
+      (1L, "exact_dup", 4L, 1L, 2L, 4L)))
+    // the status-only grouping IS q218's reviewSummary
+    assert(GateDeliveries.reviewSummaryBy(union, Seq("status")).collect().toSet
+      === GateDeliveries.reviewSummary(union).collect().toSet)
+    // sink-table consumer computes the identical drill-down
+    val qDir = java.nio.file.Files.createTempDirectory("graft-drill-q-").toString
+    val sink = GateDeliveries.sink(qDir)
+    sink(b0, 0L); sink(b1, 1L)
+    assert(rows(GateDeliveries.reviewSummaryBy(
+      GateDeliveries.read(spark, qDir, StreamingDedup.descriptor),
+      Seq("batch", "status"))) === got)
+  }
 }
