@@ -134,7 +134,11 @@ object GateDeliveries {
         coalesce(col(sc).cast("string"), lit("-")))
       case None => col(statusCol).cast("string")
     }
-    val keyed = deliveries.select(col("batch"), k.as("k"))
+    // batch -1 is the retention fold's ARCHIVE, not a batch: scoring it
+    // as one would pair it against batch 0 with the sum of all folded
+    // batches' deliveries (review catch, shared with mixAnomaly)
+    val keyed = deliveries.filter(col("batch") >= 0)
+      .select(col("batch"), k.as("k"))
     val contrib = keyed
       .select((col("batch") + 1).as("batch"), lit(true).as("in_a"), col("k"))
       .unionByName(keyed.select(col("batch"), lit(false).as("in_a"), col("k")))
@@ -180,7 +184,11 @@ object GateDeliveries {
     * join-backs run on that tiny aggregate, broadcast. */
   def mixAnomaly(deliveries: DataFrame,
                  statusCol: String = "status"): DataFrame = {
-    val per = deliveries
+    // batch -1 is the retention fold's ARCHIVE (the sum of every folded
+    // batch): scored as a batch it is a standing spurious is_anomaly row
+    // and skews the median/MAD baseline on short histories (review
+    // catch) — the alert runs over the LIVE batch axis only
+    val per = deliveries.filter(col("batch") >= 0)
       .groupBy(col(statusCol).as("status"), col("batch"))
       .agg(count(lit(1)).as("n_docs"))
     val med = per.groupBy(col("status"))

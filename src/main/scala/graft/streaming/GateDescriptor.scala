@@ -96,12 +96,19 @@ final case class GateTable(desc: GateDescriptor, sigDir: String) {
     *     too, not merely "unblock the seed". */
   def seed(corpus: DataFrame, buckets: Int = GateLoop.NumBuckets,
            replace: Boolean = false): Unit = {
-    val root = java.nio.file.Paths.get(sigDir)
-    val parts = (if (java.nio.file.Files.exists(root))
-        graft.FsTrees.listDir(root) else Nil)
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("batch="))
-      .flatMap(_.stripPrefix("batch=").toLongOption)
+    requireSeedable(replace)
+    GateLoop.writeBuckets(sigDir, buckets)
+    desc.signatureRows(corpus, buckets).write.mode("overwrite")
+      .partitionBy("pb").parquet(s"$sigDir/batch=-1")
+  }
+
+  /** [[seed]]'s guards alone, no write — exposed so a PAIR seed
+    * ([[JointTables.seed]]) validates BOTH tables before EITHER
+    * destructive overwrite (review catch: sequential validate-and-write
+    * let the first table's seed be destroyed before the second table's
+    * guard refused, leaving a silently divergent pair). */
+  def requireSeedable(replace: Boolean = false): Unit = {
+    val parts = GateLoop.batchIds(sigDir)
     val live = parts.filter(_ >= 0L)
     require(live.isEmpty,
       s"$sigDir already holds live batch partitions (${live.sorted.mkString(",")}) " +
@@ -114,9 +121,6 @@ final case class GateTable(desc: GateDescriptor, sigDir: String) {
       s"$sigDir is already seeded (batch=-1 exists, possibly holding " +
         "folded accepted-batch history); seed() REPLACES the entire " +
         "table. Pass replace = true to confirm discarding it.")
-    GateLoop.writeBuckets(sigDir, buckets)
-    desc.signatureRows(corpus, buckets).write.mode("overwrite")
-      .partitionBy("pb").parquet(s"$sigDir/batch=-1")
   }
 
   /** The full signature table (data columns only — `batch`/`pb`

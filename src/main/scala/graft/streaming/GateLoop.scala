@@ -81,6 +81,19 @@ object GateLoop {
     else NumBuckets
   }
 
+  /** The table's `batch=<id>` partition ids, seed (-1) included; a
+    * missing table directory reads as empty. THE canonical parse of the
+    * batch-partition layout — shared by the pair wrapper's alignment
+    * guard and the seed guards (review catch: the idiom had grown four
+    * copies with drifting existence checks). */
+  def batchIds(sigDir: String): Seq[Long] = {
+    val root = java.nio.file.Paths.get(sigDir)
+    (if (java.nio.file.Files.exists(root)) listDir(root) else Nil)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toLongOption)
+  }
+
   /** Pin the table's bucket count (seed time, or compaction resize). */
   def writeBuckets(sigDir: String, buckets: Int): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")

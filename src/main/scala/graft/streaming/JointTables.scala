@@ -25,39 +25,57 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * pair wrapper exists. */
 final case class JointTables(text: GateTable, vec: GateTable) {
 
-  private def liveBatches(t: GateTable): Set[Long] = {
-    val root = java.nio.file.Paths.get(t.sigDir)
-    (if (java.nio.file.Files.exists(root)) graft.FsTrees.listDir(root)
-     else Nil)
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("batch="))
-      .flatMap(_.stripPrefix("batch=").toLongOption)
-      .filter(_ >= 0L).toSet
-  }
+  private def liveBatches(t: GateTable): Set[Long] =
+    GateLoop.batchIds(t.sigDir).filter(_ >= 0L).toSet
 
-  /** Refuse pair maintenance while the two tables' live batch sets
-    * differ — the half-written state only the gate's own replay may
-    * repair. */
+  /** Guard every pair op crosses, distinguishing the two misalignment
+    * states (review catch — the original refused both identically, and
+    * its gate-replay remediation can never repair the second kind,
+    * wedging the pair permanently):
+    *
+    *   - **crash between the two APPENDS** — the sets differ in exactly
+    *     the newest batch id, present on one side only. The gate's own
+    *     replay reconverges it; maintenance is REFUSED with that
+    *     remediation (a fold/compact here would archive the half-written
+    *     batch on one side permanently, and the replay would then
+    *     classify against the enriched snapshot and accept a different
+    *     set than the folded side embodies).
+    *   - **crash between the two per-table MAINTENANCE ops** — OLDER
+    *     batches differ (one side already folded/compacted/resized
+    *     them). No replay can re-create folded dirs; the re-run of the
+    *     SAME pair op is the remediation, and it converges because every
+    *     per-table op is idempotent — the completed side no-ops, the
+    *     lagging side catches up. Allowed to proceed. */
   def requireAligned(): Unit = {
     val (lt, lv) = (liveBatches(text), liveBatches(vec))
-    require(lt == lv,
-      s"joint pair is batch-misaligned: text table ${text.sigDir} holds " +
-        s"batches ${lt.toSeq.sorted.mkString("[", ",", "]")} but vector table " +
-        s"${vec.sigDir} holds ${lv.toSeq.sorted.mkString("[", ",", "]")} — a crash " +
-        "between the pair's two appends leaves this state, and ONLY a gate " +
-        "replay reconverges it. Restart the joint gate from its checkpoint " +
-        "(the incomplete batch replays onto both tables), stop it cleanly, " +
-        "then retry the maintenance operation.")
+    if (lt == lv) return
+    val diff = (lt union lv) diff (lt intersect lv)
+    val newest = (lt union lv).max
+    require(diff != Set(newest),
+      s"joint pair is batch-misaligned at the NEWEST batch $newest: text " +
+        s"table ${text.sigDir} holds ${lt.toSeq.sorted.mkString("[", ",", "]")}, " +
+        s"vector table ${vec.sigDir} holds ${lv.toSeq.sorted.mkString("[", ",", "]")} " +
+        "— a crash between the pair's two appends leaves this state, and " +
+        "ONLY a gate replay reconverges it. Restart the joint gate from " +
+        "its checkpoint (the incomplete batch replays onto both tables), " +
+        "stop it cleanly, then retry the maintenance operation.")
+    // older-batch drift = a half-completed pair maintenance op: proceed —
+    // re-running the same op on both tables converges them.
   }
 
   /** Seed BOTH surfaces from one multi-surface item frame — each
     * table's slice carved by its own descriptor
     * ([[GateDescriptor.sliceOf]]), fan-outs pinned per table. Same
-    * replace discipline as [[GateTable.seed]]. */
+    * replace discipline as [[GateTable.seed]]; BOTH tables' guards are
+    * validated before EITHER destructive overwrite (review catch:
+    * sequential validate-and-write destroyed the text seed before the
+    * vector guard refused, silently diverging the pair). */
   def seed(items: DataFrame, itemKey: String = "doc_id",
            textBuckets: Int = GateLoop.NumBuckets,
            vecBuckets: Int = GateLoop.NumBuckets,
            replace: Boolean = false): Unit = {
+    text.requireSeedable(replace)
+    vec.requireSeedable(replace)
     text.seed(text.desc.sliceOf(items, itemKey), textBuckets, replace)
     vec.seed(vec.desc.sliceOf(items, itemKey), vecBuckets, replace)
   }

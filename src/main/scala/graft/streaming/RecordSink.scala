@@ -114,7 +114,8 @@ final class KinesisFileSink(dir: String, streamName: String,
       finally out.close()
     } catch {
       case e: java.io.IOException =>
-        System.err.println(s"[KinesisFileSink] send failed: ${e.getMessage}")
+        // kinesis.go:109-111's shape: log-and-drop, structured
+        JsonLog.error("send failed", "error" -> String.valueOf(e.getMessage))
     }
   }
 }

@@ -219,6 +219,10 @@ object RelayMain {
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // main.go:88's startup line, same shape (JsonLog — the zap-parity
+    // JSON encoder), so a reference deployment's log tooling keeps working
+    JsonLog.info("starting prometheus_remote_kinesis",
+      "stream-name" -> streamName, "in" -> inDir, "out" -> outDir)
 
     val region = opts.getOrElse("--region", RecordSink.defaultRegion)
     val sink: RecordSink = opts.getOrElse("--delivery", "at-most-once") match {
@@ -236,6 +240,7 @@ object RelayMain {
     val frontend = opts.get("--listen-addr").map { port =>
       val f = new graft.sources.HttpFrontend(inDir, port.toInt)
       f.start()
+      JsonLog.info(s"start http server on port $port") // main.go:103
       f
     }
 
@@ -278,6 +283,7 @@ object RelayMain {
         spark.streams.awaitAnyTermination()
       }
     } finally {
+      JsonLog.warn("shutting down") // main.go:119
       frontend.foreach(_.stop())
       spark.stop()
     }

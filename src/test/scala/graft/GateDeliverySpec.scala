@@ -226,6 +226,23 @@ class GateDeliverySpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getString(1)),
         (r.getLong(2), r.getBoolean(6)))).toMap
     assert(overTable === got)
+
+    // the retention fold's batch=-1 archive is NOT a batch (review
+    // catch): a folded queue — the archive holding the SUM of folded
+    // batches — changes neither the anomaly series nor the drift pairs
+    val folded = union.unionByName(
+      (1 to 500).map(i => (1000L + i, "new", 0.0))
+        .toDF("doc_id", "status", "score")
+        .select(col("doc_id"), col("status"),
+          lit(null).cast("long").as("matched_seed"), col("score"),
+          lit(-1L).as("batch")))
+    val gotFolded = GateDeliveries.mixAnomaly(folded)
+      .orderBy(col("batch"), col("status"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(6)))).toMap
+    assert(gotFolded === got)
+    assert(GateDeliveries.mixDrift(folded).collect().toSet
+      === GateDeliveries.mixDrift(union).collect().toSet)
   }
 
   test("reviewSummaryBy drills a (batch, status) cell down to its driving " +

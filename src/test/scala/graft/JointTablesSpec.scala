@@ -97,4 +97,56 @@ class JointTablesSpec extends AnyFunSuite {
     // ...and the same maintenance op now runs over both tables
     assert(jt.compact(spark) === (2, 2))
   }
+
+  test("a crash between the two per-table MAINTENANCE halves is not a " +
+      "wedge: re-running the same pair op converges the pair (review catch)") {
+    val jt = pair()
+    jt.seed(items((0L, "seed corpus document body", eA)))
+    jt.processBatch(items((1L, "first fresh document body", eB)), 0L, (_, _) => ())
+    jt.processBatch(items((2L, "second fresh document here", eC)), 1L, (_, _) => ())
+    jt.processBatch(items((3L, "third fresh document text", eD)), 2L, (_, _) => ())
+    // crash after the TEXT half of jt.foldHistory(keepLast = 1)
+    jt.text.foldHistory(spark, keepLast = 1)
+    // older batches differ (text {2}, vec {0,1,2}) — NOT the append-crash
+    // state, and no replay could re-create text's folded dirs: the re-run
+    // of the SAME op proceeds and the lagging vector table catches up
+    assert(jt.foldHistory(spark, keepLast = 1) === (Seq(), Seq(0L, 1L)))
+    assert(graft.streaming.GateLoop.batchIds(jt.text.sigDir).filter(_ >= 0).sorted
+      === graft.streaming.GateLoop.batchIds(jt.vec.sigDir).filter(_ >= 0).sorted)
+    // classification survived the whole dance: all three accepts probed
+    val probe = items((9L, "second fresh document here", eD))
+    val frame = graft.streaming.StreamingJointGate.compose(
+      jt.text.classifyNow(jt.text.desc.sliceOf(probe, "doc_id")),
+      jt.vec.classifyNow(jt.vec.desc.sliceOf(probe, "doc_id")))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(frame === Seq(("exact_dup", "exact_dup")))
+    // same resumability for a half-completed pair compact — with TWO live
+    // batches, so the half-compacted state (text {}, vec {3,4}) differs in
+    // MORE than the newest id and is provably maintenance drift. (A
+    // single-live-batch pair compact crash IS ambiguous with the
+    // append-crash state and stays conservatively refused until the next
+    // batch lands — the guard errs on the safe side there.)
+    jt.processBatch(items((4L, "fourth fresh document body", eB)), 3L, (_, _) => ())
+    jt.processBatch(items((5L, "fifth and final document", eA)), 4L, (_, _) => ())
+    jt.text.compact(spark)
+    assert(jt.compact(spark) === (0, 3))
+  }
+
+  test("pair seed validates BOTH tables before either destructive write " +
+      "(review catch: the text seed must survive the vector guard's refusal)") {
+    import spark.implicits._
+    val jt = pair()
+    // vector table pre-seeded; text table fresh
+    jt.vec.seed(Seq((0L, eA)).toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      jt.seed(items((5L, "a replacement corpus", eB)))
+    }
+    assert(e.getMessage.contains("replace = true"))
+    // the refusal happened BEFORE any write: text is still unseeded
+    assert(graft.streaming.GateLoop.batchIds(jt.text.sigDir).isEmpty)
+    // and the confirmed pair seed then replaces both
+    jt.seed(items((5L, "a replacement corpus", eB)), replace = true)
+    assert(graft.streaming.GateLoop.batchIds(jt.text.sigDir) === Seq(-1L))
+    assert(graft.streaming.GateLoop.batchIds(jt.vec.sigDir) === Seq(-1L))
+  }
 }

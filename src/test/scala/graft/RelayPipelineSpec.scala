@@ -24,13 +24,15 @@ class RelayPipelineSpec extends AnyFunSuite {
     val stream = MemoryStream[Array[Byte]]
     val sink = new CollectingSink
 
-    val q = RelayPipeline.start(spark, stream.toDF().toDF("body"), sink,
-      trigger = Trigger.AvailableNow())
-
+    // data BEFORE start — AvailableNow latches the end offset at query
+    // init, so post-start addData is a race it only wins on a warm
+    // session (cold isolated runs lost it; full-suite runs masked it)
     stream.addData(
       body(TimeSeries(Map("__name__" -> "cpu", "host" -> "a"),
         Seq(Sample(0.5, 1000L), Sample(0.6, 2000L)))),
       body(TimeSeries(Map("__name__" -> "mem"), Nil)))
+    val q = RelayPipeline.start(spark, stream.toDF().toDF("body"), sink,
+      trigger = Trigger.AvailableNow())
     q.processAllAvailable()
     q.stop()
 
@@ -50,9 +52,9 @@ class RelayPipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val stream = MemoryStream[Array[Byte]]
     val sink = new CollectingSink
+    stream.addData(body(TimeSeries(Map("__name__" -> "x"), Seq(Sample(1.0, 1L)))))
     val q = RelayPipeline.start(spark, stream.toDF().toDF("body"), sink,
       firehose = true, trigger = Trigger.AvailableNow())
-    stream.addData(body(TimeSeries(Map("__name__" -> "x"), Seq(Sample(1.0, 1L)))))
     q.processAllAvailable()
     q.stop()
     assert(sink.allBatches.flatten.forall(_.partitionKey.isEmpty))
