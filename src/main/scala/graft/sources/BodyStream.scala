@@ -238,7 +238,15 @@ object BodySeqOffset {
       BodySeqOffset(seq.toLong,
         hwm.replace("\\\"", "\"").replace("\\\\", "\\"),
         Option(base).map(_.toLong).getOrElse(0L))
-    case legacy => BodySeqOffset(legacy.toLong, "")
+    // the legacy plain-number form ONLY — anything else (a future field,
+    // reordered keys) must fail as "unrecognized offset", not as an
+    // opaque NumberFormatException from toLong (review catch)
+    case legacy if legacy.nonEmpty && legacy.forall(_.isDigit) =>
+      BodySeqOffset(legacy.toLong, "")
+    case other => throw new IllegalArgumentException(
+      s"unrecognized body-stream offset format: '$other' — expected " +
+        """{"seq":N,"hwm":"...","base":N} or a legacy plain number; """ +
+        "was the checkpoint written by a newer version?")
   }
 }
 
@@ -365,6 +373,13 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[BodySeqOffset]
     if (e.hwm.nonEmpty) {
+      // sweep temp files a crashed prior commit left behind (review
+      // catch: dot-prefixed, so list() hides them and nothing else ever
+      // cleans them) — commit is driver-side single-writer, no race
+      graft.FsTrees.listDir(Paths.get(dir))
+        .filter { p => val n = p.getFileName.toString
+          n.startsWith(".floor-") && n.endsWith(".tmp") }
+        .foreach(p => Files.deleteIfExists(p))
       val tmp = Files.createTempFile(Paths.get(dir), ".floor-", ".tmp")
       Files.write(tmp, e.json().getBytes("UTF-8"))
       Files.move(tmp, Paths.get(dir, "_archive_floor"),

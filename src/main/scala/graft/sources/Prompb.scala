@@ -68,8 +68,21 @@ object Prompb {
       v
     }
 
+    /** A length varint, range-checked BEFORE the Long→Int narrowing: a
+      * corrupt length that is a multiple of 2^32 would otherwise wrap to
+      * 0 via `.toInt`, pass `need(0)`, and silently re-parse the payload
+      * bytes as tags instead of raising the typed DecodeError (review
+      * catch; lengths in [2^31, 2^32) only happened to be caught because
+      * the narrowing went negative). */
+    def readLen(): Int = {
+      val len = readVarint()
+      if (len < 0 || len > Int.MaxValue)
+        throw new DecodeError(s"length varint out of range: $len at $pos")
+      len.toInt
+    }
+
     def readLenDelim(): Reader = {
-      val len = readVarint().toInt
+      val len = readLen()
       need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len
@@ -77,7 +90,7 @@ object Prompb {
     }
 
     def readString(): String = {
-      val len = readVarint().toInt
+      val len = readLen()
       need(len)
       val s = new String(buf, pos, len, java.nio.charset.StandardCharsets.UTF_8)
       pos += len
@@ -87,7 +100,7 @@ object Prompb {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => need(8); pos += 8
-      case 2 => val len = readVarint().toInt; need(len); pos += len
+      case 2 => val len = readLen(); need(len); pos += len
       case 5 => need(4); pos += 4
       case w => throw new DecodeError(s"unsupported wire type $w")
     }

@@ -7,7 +7,11 @@ import java.nio.charset.StandardCharsets
   * Firehose entries carry no partition key, `firehose.go:165-167`).
   */
 final case class SinkEntry(partitionKey: Option[String], data: Array[Byte]) {
-  def size: Int = data.length + partitionKey.map(_.length).getOrElse(0)
+  /** AWS accounting: data bytes + partition-key UTF-8 BYTES (review
+    * catch: `.length` counted UTF-16 chars, undercounting non-ASCII keys
+    * against the 4.5 MB limit the reference computes in bytes). */
+  def size: Int = data.length +
+    partitionKey.map(_.getBytes(StandardCharsets.UTF_8).length).getOrElse(0)
 }
 
 /** Batch chunker enforcing the AWS `PutRecords`/`PutRecordBatch` API limits
@@ -32,6 +36,7 @@ object Chunker {
       private val in = it.buffered
       def hasNext: Boolean = in.hasNext
       def next(): Seq[T] = {
+        if (!in.hasNext) throw new NoSuchElementException("Chunker exhausted")
         val batch = Seq.newBuilder[T]
         var n = 0
         var bytes = 0L
@@ -94,29 +99,49 @@ object RecordSink {
 
 /** Kinesis `PutRecords` emulation: each `send` = one API call = one file,
   * entries as JSON lines (payloads already newline-terminated). Partition
-  * keys are recorded alongside, mirroring shard-key affinity
-  * (`kinesis.go:174`).
+  * keys ARE recorded, mirroring shard-key affinity (`kinesis.go:174`): a
+  * dot-prefixed sidecar (`.<file>.keys` — hidden from Spark globs, so
+  * the stream dir still reads as a clean jsonl table) holds one JSON value
+  * per entry, the key string or `null`, in entry order. Review catch:
+  * without it the kinesis and firehose emulations produced byte-identical
+  * output and the documented distinction was unobservable.
   */
 final class KinesisFileSink(dir: String, streamName: String,
                             val region: String = RecordSink.defaultRegion)
     extends RecordSink {
   def send(batch: Seq[SinkEntry]): Unit = {
     if (batch.isEmpty) return
-    val d = new java.io.File(dir, streamName)
-    d.mkdirs()
-    val f = java.io.File.createTempFile("putrecords-", ".jsonl", d)
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
-    // close() flushes the buffered bytes, so it must sit INSIDE the catch:
-    // a disk-full error surfacing at close is still a delivery error and the
-    // contract is log-and-drop (at-most-once, kinesis.go:109-111).
+    // EVERYTHING I/O sits inside the catch (review catch: mkdirs /
+    // createTempFile / open used to throw BEFORE it, failing the task —
+    // while the same disk-full error one line later was correctly
+    // dropped): the contract is log-and-drop, at-most-once
+    // (kinesis.go:109-111), and close() flushes so it stays inside too.
     try {
+      val d = new java.io.File(dir, streamName)
+      d.mkdirs()
+      val f = java.io.File.createTempFile("putrecords-", ".jsonl", d)
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
       try batch.foreach(e => out.write(e.data))
       finally out.close()
+      KinesisFileSink.writeKeys(new java.io.File(d, "." + f.getName + ".keys"), batch)
     } catch {
       case e: java.io.IOException =>
-        // kinesis.go:109-111's shape: log-and-drop, structured
         JsonLog.error("send failed", "error" -> String.valueOf(e.getMessage))
     }
+  }
+}
+
+object KinesisFileSink {
+  /** The keys sidecar: one JSON value per entry (string or null). */
+  private[streaming] def writeKeys(f: java.io.File, batch: Seq[SinkEntry]): Unit = {
+    val out = new java.io.PrintStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)),
+      false, "UTF-8")
+    try batch.foreach { e =>
+      out.println(e.partitionKey
+        .map(k => "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .getOrElse("null"))
+    } finally out.close()
   }
 }
 
@@ -166,7 +191,21 @@ final class ExactlyOnceFileSink(dir: String, streamName: String,
     * partitions, newly-empty partitions) that the per-partition self-heal
     * in [[sendAt]] cannot reach. Runs driver-side, so it cannot race the
     * partition tasks it precedes. */
+  /** Whole-batch clear, plus the guard making the per-partition
+    * self-heal's assumption EXPLICIT: [[sendAt]]'s chunk-0 delete runs on
+    * executors with no mutual exclusion, so a concurrently-running second
+    * attempt of the same partition (speculative task, or a zombie after a
+    * network blip) could delete chunks a finished attempt already moved
+    * into place (review catch). Single-attempt execution is therefore a
+    * REQUIREMENT, enforced here: speculation must be off for the
+    * exactly-once sink — refused loudly, not corrupted silently. */
   override def beginBatch(batchId: Long): Unit = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      require(!s.conf.get("spark.speculation", "false").toBoolean,
+        "ExactlyOnceFileSink requires spark.speculation=false: a " +
+          "speculative second attempt races the per-partition chunk-0 " +
+          "self-heal and can delete a finished attempt's committed chunks")
+    }
     val batchDir = new java.io.File(new java.io.File(dir, streamName), f"batch=$batchId%d")
     if (batchDir.isDirectory) {
       Option(batchDir.listFiles()).foreach(_.foreach(f =>
@@ -181,18 +220,27 @@ final class ExactlyOnceFileSink(dir: String, streamName: String,
     val batchDir = new java.io.File(new java.io.File(dir, streamName), f"batch=$batchId%d")
     batchDir.mkdirs()
     if (chunkIdx == 0) {
-      // replay self-healing: drop every chunk this partition wrote before
-      val mine = batchDir.listFiles((_, n) => n.startsWith(f"p$partitionId%05d-"))
+      // replay self-healing: drop every chunk (and keys sidecar) this
+      // partition wrote before
+      val prefix = f"p$partitionId%05d-"
+      val mine = batchDir.listFiles((_, n) =>
+        n.startsWith(prefix) || n.startsWith("." + prefix))
       Option(mine).foreach(_.foreach(f => if (!f.delete()) throw new java.io.IOException(
         s"cannot clear stale chunk ${f.getPath}")))
     }
     val target = new java.io.File(batchDir, f"p$partitionId%05d-c$chunkIdx%05d.jsonl")
-    val tmp = java.io.File.createTempFile(target.getName + ".", ".tmp", batchDir)
+    val tmp = java.io.File.createTempFile("." + target.getName + ".", ".tmp", batchDir)
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
     try {
       val payload = if (firehose) batch.map(_.copy(partitionKey = None)) else batch
       try payload.foreach(e => out.write(e.data))
       finally out.close()
+      // keys sidecar first (dot-prefixed — invisible to Spark globs, so
+      // batch=* still reads as a clean table), then the atomic data move:
+      // a crash between the two leaves a sidecar the next attempt's
+      // self-heal or beginBatch clears
+      KinesisFileSink.writeKeys(
+        new java.io.File(batchDir, "." + target.getName + ".keys"), payload)
       java.nio.file.Files.move(tmp.toPath, target.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -215,6 +263,10 @@ final class CollectingSink extends RecordSink {
   def allBatches: Seq[Seq[SinkEntry]] = queue.asScala.toSeq
   def allLines: Seq[String] = allBatches.flatten
     .flatMap(e => new String(e.data, StandardCharsets.UTF_8).split("\n", -1).filter(_.nonEmpty))
+  /** Drop this sink's queue from the JVM-static registry — without it
+    * every instance's collected payloads stay reachable for the JVM
+    * lifetime (review catch; long test suites only). */
+  def close(): Unit = CollectingSink.registry.remove(id)
 }
 
 object CollectingSink {

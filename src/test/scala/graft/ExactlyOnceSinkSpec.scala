@@ -18,7 +18,9 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
       .selectExpr("name", "time", "value", "map('__name__', name) AS labels")
   }
 
-  /** file name → sha256 of content for every file under the stream dir. */
+  /** file name → sha256 of content for every file under the stream dir
+    * (keys sidecars included — replays must rewrite those byte-identically
+    * too). */
   private def snapshot(dir: String): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     Files.walk(Paths.get(dir)).iterator().asScala
@@ -27,6 +29,19 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
         val h = MessageDigest.getInstance("SHA-256").digest(Files.readAllBytes(p))
         Paths.get(dir).relativize(p).toString -> h.map("%02x".format(_)).mkString
       }.toMap
+  }
+
+  /** The DATA view — what a Spark glob reads: dot-prefixed keys sidecars
+    * excluded. */
+  private def dataFiles(dir: String): Set[String] =
+    snapshot(dir).keySet.filterNot(
+      Paths.get(_).getFileName.toString.startsWith("."))
+
+  private def dataLines(batchDir: java.nio.file.Path): Int = {
+    import scala.jdk.CollectionConverters._
+    Files.list(batchDir).iterator().asScala
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map(p => Files.readAllLines(p).size).sum
   }
 
   test("replaying the same micro-batch rewrites identical bytes, no duplicates") {
@@ -58,7 +73,7 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     Files.write(batchDir.resolve("p00000-c00041.jsonl"), "stale\n".getBytes)
 
     RelayPipeline.deliver(records(10).coalesce(1), sink, batchId = 3L)
-    val files = snapshot(dir).keySet
+    val files = dataFiles(dir)
     assert(files === Set(Paths.get("metrics", "batch=3", "p00000-c00000.jsonl").toString),
       s"stale chunk must be cleared, got $files")
   }
@@ -73,30 +88,29 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     val sink = new ExactlyOnceFileSink(dir, "metrics")
     val df = records(40)
     RelayPipeline.deliver(df.repartition(4), sink, batchId = 5L)
-    assert(snapshot(dir).keySet.map(Paths.get(_).getFileName.toString) ===
+    assert(dataFiles(dir).map(Paths.get(_).getFileName.toString) ===
       (0 until 4).map(p => f"p$p%05d-c00000.jsonl").toSet)
 
     RelayPipeline.deliver(df.repartition(2), sink, batchId = 5L) // narrower replay
-    val after = snapshot(dir).keySet.map(Paths.get(_).getFileName.toString)
+    val after = dataFiles(dir).map(Paths.get(_).getFileName.toString)
     assert(after === Set("p00000-c00000.jsonl", "p00001-c00000.jsonl"),
       s"orphans from the 4-partition attempt must not survive, got $after")
+    // ...and the wider attempt's keys sidecars were cleared with them
+    assert(snapshot(dir).keySet.map(Paths.get(_).getFileName.toString) ===
+      after ++ after.map("." + _ + ".keys"))
 
     // total payload is conserved across the re-partitioned replay
-    val lines = Files.list(Paths.get(dir, "metrics", "batch=5")).toArray.map(_.toString)
-      .map(p => Files.readAllLines(Paths.get(p)).size).sum
-    assert(lines === 40)
+    assert(dataLines(Paths.get(dir, "metrics", "batch=5")) === 40)
   }
 
   test("chunk limits produce deterministically numbered sibling files") {
     val dir = Files.createTempDirectory("eo-chunks-").toString
     val sink = new ExactlyOnceFileSink(dir, "metrics")
     RelayPipeline.deliver(records(600).coalesce(1), sink, batchId = 0L)
-    val names = snapshot(dir).keySet.map(Paths.get(_).getFileName.toString)
+    val names = dataFiles(dir).map(Paths.get(_).getFileName.toString)
     assert(names === Set("p00000-c00000.jsonl", "p00000-c00001.jsonl"),
       "600 entries through the 500-entry chunker = chunks c0 (500) + c1 (100)")
-    val lines = Files.list(Paths.get(dir, "metrics", "batch=0")).toArray.map(_.toString)
-      .map(p => Files.readAllLines(Paths.get(p)).size).sum
-    assert(lines === 600)
+    assert(dataLines(Paths.get(dir, "metrics", "batch=0")) === 600)
   }
 
   test("the coordinate-free send path is refused, not silently duplicated") {

@@ -52,4 +52,17 @@ class PrompbCodecSpec extends AnyFunSuite {
       Seq(Sample(1.0, Long.MaxValue), Sample(2.0, -1L), Sample(3.0, 0L))))
     assert(roundTrip(in) == in)
   }
+
+  test("a length varint of 2^32 raises DecodeError instead of wrapping to 0 " +
+      "and silently re-parsing the payload (review catch)") {
+    // field 1, wire 2 (the timeseries field), length = 2^32 — the old
+    // `.toInt` narrowing wrapped it to 0, passed need(0), and the payload
+    // bytes re-parsed as tags; now the range check rejects it typed
+    val evil = Array[Byte]((1 << 3 | 2).toByte,
+      0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x10,
+      // "payload" bytes that would otherwise decode as a valid empty series
+      (1 << 3 | 2).toByte, 0)
+    val e = intercept[Prompb.DecodeError](Prompb.decode(evil))
+    assert(e.getMessage.contains("out of range"))
+  }
 }

@@ -67,12 +67,18 @@ class RelayPipelineSpec extends AnyFunSuite {
     val df = RelayPipeline.records(Seq(
       body(TimeSeries(Map("__name__" -> "disk"), Seq(Sample(9.0, 99L))))).toDF("body"))
     RelayPipeline.deliver(df, new KinesisFileSink(dir, "test-stream"))
-    val files = new java.io.File(dir, "test-stream").listFiles()
+    val all = new java.io.File(dir, "test-stream").listFiles()
+    // data files are clean jsonl; partition keys live in the dot-prefixed
+    // sidecar a Spark glob never sees (kinesis.go:174 shard-key parity)
+    val (sidecars, files) = all.partition(_.getName.startsWith("."))
     assert(files.nonEmpty)
     val content = files.map(f =>
       new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
     assert(content ==
       """{"name":"disk","time":99,"value":9.0,"labels":{"__name__":"disk"}}""" + "\n")
+    assert(sidecars.map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+      == "\"disk\"\n")
   }
 
   test("chunking: >500 records in one micro-batch split into ≤500-entry sends") {
