@@ -240,8 +240,13 @@ object BodySeqOffset {
         Option(base).map(_.toLong).getOrElse(0L))
     // the legacy plain-number form ONLY — anything else (a future field,
     // reordered keys) must fail as "unrecognized offset", not as an
-    // opaque NumberFormatException from toLong (review catch)
-    case legacy if legacy.nonEmpty && legacy.forall(_.isDigit) =>
+    // opaque NumberFormatException from toLong (review catch). ADVICE r19:
+    // ASCII digits only (Character.isDigit admits Unicode digit classes
+    // that toLong rejects) and overflow routed through toLongOption, so a
+    // 20-digit number fails as "unrecognized offset" too, never as a raw
+    // NumberFormatException.
+    case legacy if legacy.nonEmpty && legacy.forall(c => c >= '0' && c <= '9')
+        && legacy.toLongOption.isDefined =>
       BodySeqOffset(legacy.toLong, "")
     case other => throw new IllegalArgumentException(
       s"unrecognized body-stream offset format: '$other' — expected " +

@@ -45,13 +45,30 @@ final case class JointTables(text: GateTable, vec: GateTable) {
     *     them). No replay can re-create folded dirs; the re-run of the
     *     SAME pair op is the remediation, and it converges because every
     *     per-table op is idempotent — the completed side no-ops, the
-    *     lagging side catches up. Allowed to proceed. */
+    *     lagging side catches up. Allowed to proceed.
+    *
+    * The boundary between the two (ADVICE r19): the guard keys on whether
+    * the NEWEST live id is part of the drift at all — not on whether it is
+    * the WHOLE drift — because the compound state (older maintenance drift
+    * PLUS an append crash at the newest id) and the half-completed pair
+    * COMPACT (which folds the newest id away on the finished side) are
+    * indistinguishable by batch sets, and proceeding in the former folds a
+    * half-appended batch permanently. Both therefore refuse; a
+    * half-compacted pair re-admits maintenance once the next joint batch
+    * lands on both sides (re-aligning the newest id). */
   def requireAligned(): Unit = {
     val (lt, lv) = (liveBatches(text), liveBatches(vec))
     if (lt == lv) return
     val diff = (lt union lv) diff (lt intersect lv)
     val newest = (lt union lv).max
-    require(diff != Set(newest),
+    // ADVICE r19: refuse whenever the NEWEST batch is part of the drift,
+    // not only when it is the WHOLE drift — in the compound state (older
+    // batches drifted by a half-completed pair maintenance op PLUS a crash
+    // between the gate's two appends at the newest id) the newest batch
+    // still needs a gate replay before any fold/compact may touch it;
+    // `diff == Set(newest)` let that state through and folded the
+    // half-appended batch into one side permanently.
+    require(!diff.contains(newest),
       s"joint pair is batch-misaligned at the NEWEST batch $newest: text " +
         s"table ${text.sigDir} holds ${lt.toSeq.sorted.mkString("[", ",", "]")}, " +
         s"vector table ${vec.sigDir} holds ${lv.toSeq.sorted.mkString("[", ",", "]")} " +

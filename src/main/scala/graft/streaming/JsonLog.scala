@@ -37,7 +37,11 @@ object JsonLog {
   def warn(msg: String, fields: (String, String)*): Unit = write("WARN", msg, fields)
   def error(msg: String, fields: (String, String)*): Unit = write("ERROR", msg, fields)
 
-  private def esc(s: String): String = s.flatMap {
+  /** Shared with [[KinesisFileSink.writeKeys]] — the keys sidecar and the
+    * log stream are both one-JSON-value-per-line formats and must escape
+    * identically (ADVICE r19: the sidecar emitted raw control characters,
+    * corrupting line/entry correspondence). */
+  private[streaming] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case c if c < ' ' => f"\\u${c.toInt}%04x"

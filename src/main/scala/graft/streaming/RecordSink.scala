@@ -132,17 +132,29 @@ final class KinesisFileSink(dir: String, streamName: String,
 }
 
 object KinesisFileSink {
-  /** The keys sidecar: one JSON value per entry (string or null). */
-  private[streaming] def writeKeys(f: java.io.File, batch: Seq[SinkEntry]): Unit = {
-    val out = new java.io.PrintStream(
-      new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)),
-      false, "UTF-8")
-    try batch.foreach { e =>
-      out.println(e.partitionKey
-        .map(k => "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .getOrElse("null"))
-    } finally out.close()
+  /** The keys sidecar: one JSON value per entry (string or null).
+    *
+    * ADVICE r19 (both findings here): (1) this used a PrintStream, which
+    * swallows IOExceptions behind an internal error flag — a disk error
+    * left ExactlyOnceFileSink committing a data chunk with a
+    * missing/truncated sidecar that no self-heal ever repairs, and
+    * KinesisFileSink dropped the batch without even logging. A Writer
+    * propagates, so the exactly-once path now fails the task (replay is
+    * idempotent) and the at-most-once path logs the drop. (2) keys with
+    * control characters (newline!) were emitted raw, corrupting the
+    * one-value-per-line format; [[JsonLog.esc]] is now shared. */
+  private[graft] def writeKeys(f: java.io.File, batch: Seq[SinkEntry]): Unit = {
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(f), StandardCharsets.UTF_8))
+    try writeKeysTo(out, batch) finally out.close()
   }
+
+  /** Encoder seam (tests inject a failing Writer to pin propagation). */
+  private[graft] def writeKeysTo(out: java.io.Writer, batch: Seq[SinkEntry]): Unit =
+    batch.foreach { e =>
+      out.write(e.partitionKey.map(k => "\"" + JsonLog.esc(k) + "\"").getOrElse("null"))
+      out.write("\n")
+    }
 }
 
 /** Firehose `PutRecordBatch` emulation — identical shape, no partition key

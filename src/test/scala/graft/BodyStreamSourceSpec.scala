@@ -84,6 +84,14 @@ class BodyStreamSourceSpec extends AnyFunSuite {
     assert(BodySeqOffset.parse(o.json()) == o)
     assert(BodySeqOffset.parse("42") == BodySeqOffset(42L, "")) // pre-hwm checkpoint
     assert(BodySeqOffset.parse(BodySeqOffset(0L, "").json()) == BodySeqOffset(0L, ""))
+    // ADVICE r19: the legacy guard must route Unicode digits (isDigit
+    // accepts them, toLong does not) and Long overflow through the TYPED
+    // "unrecognized offset" error, never a raw NumberFormatException
+    for (bad <- Seq("٤٢" /* Arabic-Indic 42 */,
+                    "99999999999999999999" /* > Long.MaxValue */)) {
+      val e = intercept[IllegalArgumentException](BodySeqOffset.parse(bad))
+      assert(e.getMessage.contains("unrecognized"), s"for input '$bad': $e")
+    }
   }
 
   private def threeBodies(dir: String): Unit =

@@ -118,4 +118,34 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException](
       sink.send(Seq(SinkEntry(None, "x\n".getBytes))))
   }
+
+  test("keys sidecar escapes control characters — one JSON value per line " +
+      "even for keys containing newlines (ADVICE r19)") {
+    import graft.streaming.KinesisFileSink
+    val dir = Files.createTempDirectory("eo-keys-esc-")
+    val f = dir.resolve("x.keys").toFile
+    KinesisFileSink.writeKeys(f, Seq(
+      SinkEntry(Some("line1\nline2"), Array[Byte]()),
+      SinkEntry(Some("tab\there, quote\" and back\\slash"), Array[Byte]()),
+      SinkEntry(None, Array[Byte]())))
+    val lines = Files.readAllLines(dir.resolve("x.keys"))
+    assert(lines.size === 3,
+      "a raw newline inside a key must not break entry-order line correspondence")
+    assert(lines.get(0) === "\"line1\\u000aline2\"")
+    assert(lines.get(1) === "\"tab\\u0009here, quote\\\" and back\\\\slash\"")
+    assert(lines.get(2) === "null")
+  }
+
+  test("keys sidecar I/O errors PROPAGATE (ADVICE r19: the PrintStream " +
+      "encoder swallowed them, committing data chunks with lost sidecars)") {
+    import graft.streaming.KinesisFileSink
+    val boom = new java.io.Writer {
+      def write(cbuf: Array[Char], off: Int, len: Int): Unit =
+        throw new java.io.IOException("disk error")
+      def flush(): Unit = ()
+      def close(): Unit = ()
+    }
+    intercept[java.io.IOException](KinesisFileSink.writeKeysTo(boom,
+      Seq(SinkEntry(Some("k"), Array[Byte]()))))
+  }
 }

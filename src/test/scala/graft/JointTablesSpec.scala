@@ -120,16 +120,50 @@ class JointTablesSpec extends AnyFunSuite {
       jt.vec.classifyNow(jt.vec.desc.sliceOf(probe, "doc_id")))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     assert(frame === Seq(("exact_dup", "exact_dup")))
-    // same resumability for a half-completed pair compact — with TWO live
-    // batches, so the half-compacted state (text {}, vec {3,4}) differs in
-    // MORE than the newest id and is provably maintenance drift. (A
-    // single-live-batch pair compact crash IS ambiguous with the
-    // append-crash state and stays conservatively refused until the next
-    // batch lands — the guard errs on the safe side there.)
+    // A half-completed pair COMPACT is different: compact folds the NEWEST
+    // batch id away on the finished side, and (ADVICE r19) that state is
+    // indistinguishable by batch sets from older maintenance drift PLUS a
+    // crash between the two appends of the newest batch — where proceeding
+    // would fold a half-appended batch into one side permanently. So the
+    // guard stays conservatively refused until the newest id re-aligns:
+    // the next joint batch through the gate lands on both sides, after
+    // which the re-run of the pair compact converges the older drift.
     jt.processBatch(items((4L, "fourth fresh document body", eB)), 3L, (_, _) => ())
     jt.processBatch(items((5L, "fifth and final document", eA)), 4L, (_, _) => ())
-    jt.text.compact(spark)
-    assert(jt.compact(spark) === (0, 3))
+    jt.text.compact(spark) // the crash: text half done, vec untouched
+    assert(intercept[IllegalArgumentException] {
+      jt.compact(spark)
+    }.getMessage.contains("batch-misaligned"))
+    jt.processBatch(items((6L, "one more to realign them", eC)), 5L, (_, _) => ())
+    // text folds its one live batch {5}; vec catches up folding {2,3,4,5}
+    assert(jt.compact(spark) === (1, 4))
+  }
+
+  test("COMPOUND misalignment — older maintenance drift PLUS a half-appended " +
+      "newest batch — still refuses until the gate replay lands (ADVICE r19)") {
+    val jt = pair()
+    jt.seed(items((0L, "seed corpus document body", eA)))
+    jt.processBatch(items((1L, "first fresh document body", eB)), 0L, (_, _) => ())
+    jt.processBatch(items((2L, "second fresh document here", eC)), 1L, (_, _) => ())
+    jt.processBatch(items((3L, "third fresh document text", eD)), 2L, (_, _) => ())
+    // half-completed pair maintenance: only the TEXT half folded (older drift)
+    jt.text.foldHistory(spark, keepLast = 1)
+    // ...PLUS a crash between the pair's two appends of batch 3 (text only):
+    // diff is now {0,1,3} — the old guard (diff == Set(newest)) PASSED this
+    // state and folded the half-appended batch 3 into text permanently
+    jt.text.processBatch(
+      Seq((4L, "fourth fresh document body")).toDF("doc_id", "text"),
+      3L, (_, _) => ())
+    assert(intercept[IllegalArgumentException] {
+      jt.foldHistory(spark, keepLast = 1)
+    }.getMessage.contains("batch-misaligned"))
+    // the gate replay reconverges the NEWEST id on both tables...
+    jt.processBatch(items((4L, "fourth fresh document body", eB)), 3L, (_, _) => ())
+    // ...after which only older maintenance drift remains and the re-run of
+    // the SAME pair op converges it (text already folded {0,1}; vec catches up)
+    assert(jt.foldHistory(spark, keepLast = 1) === (Seq(2L), Seq(0L, 1L, 2L)))
+    assert(graft.streaming.GateLoop.batchIds(jt.text.sigDir).filter(_ >= 0).sorted
+      === graft.streaming.GateLoop.batchIds(jt.vec.sigDir).filter(_ >= 0).sorted)
   }
 
   test("pair seed validates BOTH tables before either destructive write " +
