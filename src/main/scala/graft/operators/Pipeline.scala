@@ -289,41 +289,35 @@ object Pipeline extends QueryModule {
     * @return the compacted bucket ids (empty = nothing passed threshold) */
   def phraseIndexCompact(spark: SparkSession, indexDir: String,
                          maxFiles: Int = 4): Seq[Int] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import graft.FsTrees.{listDir, parquets, rmTree}
-    val root = Paths.get(indexDir)
+    import graft.Tfs
+    val fs = Tfs.of(indexDir)
     // purge scratch left by a previous crashed compaction (a crash between
     // the parquet write and the cleanup walk would otherwise leave the
     // half-written tree under the index root forever) — safe under this
     // op's single-writer maintenance contract
-    listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(".graft-phrase-compact-"))
-      .foreach(rmTree)
-    val bucketDirs = listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("bucket=")).sortBy(_.toString)
+    fs.dirsWithPrefix(indexDir, ".graft-phrase-compact-").foreach(fs.rmTree)
+    val bucketDirs = fs.dirsWithPrefix(indexDir, "bucket=").sorted
     val compacted = Seq.newBuilder[Int]
     bucketDirs.foreach { bd =>
-      val old = parquets(bd)
+      val old = fs.parquets(bd)
       if (old.length > maxFiles) {
-        val bucketId = bd.getFileName.toString.stripPrefix("bucket=").toInt
-        // same-filesystem scratch (ATOMIC_MOVE guarantee), hidden from
-        // Spark's listing by the dot prefix
-        val tmp = Files.createTempDirectory(root, ".graft-phrase-compact-")
+        val bucketId = Tfs.name(bd).stripPrefix("bucket=").toInt
+        // same-filesystem scratch (the Tfs move contract holds), hidden
+        // from Spark's listing by the dot prefix
+        val tmp = fs.mkScratch(indexDir, ".graft-phrase-compact-")
         try {
-          spark.read.parquet(bd.toString)
+          spark.read.parquet(bd)
             .repartition(1).sortWithinPartitions("tok", "doc_id", "pos")
-            .write.mode("overwrite").parquet(tmp.toString)
-          parquets(tmp).zipWithIndex.foreach { case (nf, i) =>
-            Files.move(nf, bd.resolve(s"compacted-${java.util.UUID.randomUUID}-$i.parquet"),
-              StandardCopyOption.ATOMIC_MOVE)
+            .write.mode("overwrite").parquet(tmp)
+          fs.parquets(tmp).zipWithIndex.foreach { case (nf, i) =>
+            fs.move(nf, Tfs.child(bd,
+              s"compacted-${java.util.UUID.randomUUID}-$i.parquet"))
           }
           old.foreach { f =>
-            Files.deleteIfExists(f)
-            Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
+            fs.deleteIfExists(f)
+            fs.deleteIfExists(Tfs.crcSibling(f))
           }
-        } finally rmTree(tmp) // scratch never outlives the bucket's attempt
+        } finally fs.rmTree(tmp) // scratch never outlives the bucket's attempt
         compacted += bucketId
       }
     }

@@ -1285,8 +1285,8 @@ object TextStats extends QueryModule {
     // enforce the publish-once contract (ADVICE r17): mode("append") into
     // an EXISTING gen dir would silently double its rows, and
     // bpeVocabGen/mergeWide consumers would then mix two merge tables
-    require(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(vocabDir).resolve(s"gen=$gen")),
+    require(!graft.Tfs.of(vocabDir).exists(
+      graft.Tfs.child(vocabDir, s"gen=$gen")),
       s"generation $gen already published in $vocabDir — " +
         "published generations are immutable (publish a new gen instead)")
     merges.withColumn("gen", lit(gen))
@@ -1314,17 +1314,14 @@ object TextStats extends QueryModule {
     * construction. Callers pin deployment to a surviving gen before
     * running retention, exactly like any warehouse snapshot-expiry. */
   def bpeVocabRetention(vocabDir: String, keepLast: Int): Seq[Int] = {
-    import java.nio.file.{Files, Paths}
-    import graft.FsTrees.{listDir, rmTree}
+    import graft.Tfs
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val root = Paths.get(vocabDir)
-    val gens = listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("gen="))
-      .flatMap(p => p.getFileName.toString.stripPrefix("gen=").toIntOption)
+    val fs = Tfs.of(vocabDir)
+    val gens = fs.dirsWithPrefix(vocabDir, "gen=")
+      .flatMap(p => Tfs.name(p).stripPrefix("gen=").toIntOption)
       .sorted
     val purge = gens.dropRight(keepLast)
-    purge.foreach(g => rmTree(root.resolve(s"gen=$g")))
+    purge.foreach(g => fs.rmTree(Tfs.child(vocabDir, s"gen=$g")))
     purge
   }
 

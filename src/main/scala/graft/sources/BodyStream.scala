@@ -381,10 +381,9 @@ class BodyMicroBatchStream(dir: String, maxFilesPerTrigger: Int, filesPerPartiti
       // sweep temp files a crashed prior commit left behind (review
       // catch: dot-prefixed, so list() hides them and nothing else ever
       // cleans them) — commit is driver-side single-writer, no race
-      graft.FsTrees.listDir(Paths.get(dir))
-        .filter { p => val n = p.getFileName.toString
-          n.startsWith(".floor-") && n.endsWith(".tmp") }
-        .foreach(p => Files.deleteIfExists(p))
+      graft.Tfs.local.list(dir)
+        .filter(e => e.name.startsWith(".floor-") && e.name.endsWith(".tmp"))
+        .foreach(e => Files.deleteIfExists(Paths.get(e.path)))
       val tmp = Files.createTempFile(Paths.get(dir), ".floor-", ".tmp")
       Files.write(tmp, e.json().getBytes("UTF-8"))
       Files.move(tmp, Paths.get(dir, "_archive_floor"),

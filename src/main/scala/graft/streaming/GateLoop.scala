@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.FsTrees.listDir
+import graft.Tfs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -75,10 +75,9 @@ object GateLoop {
     * when the marker is absent — every pre-marker table was written at
     * the default). */
   def readBuckets(sigDir: String): Int = {
-    val p = java.nio.file.Paths.get(sigDir, BucketsMeta)
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
-    else NumBuckets
+    val fs = Tfs.of(sigDir)
+    val p = Tfs.child(sigDir, BucketsMeta)
+    if (fs.exists(p)) fs.readUtf8(p).trim.toInt else NumBuckets
   }
 
   /** The table's `batch=<id>` partition ids, seed (-1) included; a
@@ -87,9 +86,8 @@ object GateLoop {
     * guard and the seed guards (review catch: the idiom had grown four
     * copies with drifting existence checks). */
   def batchIds(sigDir: String): Seq[Long] = {
-    val root = java.nio.file.Paths.get(sigDir)
-    (if (java.nio.file.Files.exists(root)) listDir(root) else Nil)
-      .map(_.getFileName.toString)
+    Tfs.of(sigDir).list(sigDir)
+      .map(_.name)
       .filter(_.startsWith("batch="))
       .flatMap(_.stripPrefix("batch=").toLongOption)
   }
@@ -97,10 +95,9 @@ object GateLoop {
   /** Pin the table's bucket count (seed time, or compaction resize). */
   def writeBuckets(sigDir: String, buckets: Int): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    val root = java.nio.file.Paths.get(sigDir)
-    java.nio.file.Files.createDirectories(root)
-    java.nio.file.Files.write(root.resolve(BucketsMeta),
-      buckets.toString.getBytes("UTF-8"))
+    val fs = Tfs.of(sigDir)
+    fs.mkdirs(sigDir)
+    fs.writeUtf8(Tfs.child(sigDir, BucketsMeta), buckets.toString)
   }
 
   /** The classification snapshot: the signature table minus the batch's
@@ -168,8 +165,7 @@ object GateLoop {
   private[streaming] def guardedSnapshot(batch: DataFrame, batchId: Long,
                    sigDir: String, sigSchema: String,
                    signatureRows: DataFrame => DataFrame): DataFrame = {
-    val entries = listDir(java.nio.file.Paths.get(sigDir))
-      .map(_.getFileName.toString)
+    val entries = Tfs.of(sigDir).list(sigDir).map(_.name)
     // mid-swap guard (the resize scaladoc's "re-run before restarting
     // the gate" remediation ENFORCED): a pending `.graft-sig-compact-*`
     // work dir means a compact/resize crashed mid-swap (or is running

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
-
-import graft.FsTrees.{listDir, parquets, rmTree}
+import graft.{Tfs, TfsEntry}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
@@ -33,15 +31,23 @@ import org.apache.spark.sql.types.StructType
   * stop also means no uncommitted batch is pending, so [[GateLoop]]'s
   * replay exclusion can never collide with rows folded into `batch=-1`):
   * the compacted files are written to a dot-prefixed scratch dir UNDER
-  * THE TABLE ROOT (same filesystem → ATOMIC_MOVE holds; hidden from
-  * Spark's listing), moved into `batch=-1/pb=<b>/` under unique names,
-  * and only then are the superseded files and folded batch dirs deleted;
-  * stale crash scratch is purged at entry, the per-run scratch is
-  * removed in a finally, and the FileStatusCache is invalidated in the
-  * same finally (files may have moved even on an exception — ADVICE
-  * r17). After a compact the table's max batch id is -1, so
-  * [[GateLoop]]'s fresh-checkpoint guard permits re-attaching a new
-  * checkpoint. */
+  * THE TABLE ROOT (same filesystem → the [[graft.Tfs]] move contract
+  * holds; hidden from Spark's listing), moved into `batch=-1/pb=<b>/`
+  * under unique names, and only then are the superseded files and folded
+  * batch dirs deleted; stale crash scratch is purged at entry, the
+  * per-run scratch is removed in a finally, and the FileStatusCache is
+  * invalidated in the same finally (files may have moved even on an
+  * exception — ADVICE r17). After a compact the table's max batch id is
+  * -1, so [[GateLoop]]'s fresh-checkpoint guard permits re-attaching a
+  * new checkpoint.
+  *
+  * ALL file moves/listings/deletes go through the [[graft.Tfs]] seam
+  * (VERDICT r19 #1): plain paths behave exactly as before (nio), while
+  * scheme'd table roots (`s3a://…`, `hdfs://…`, `file:/…`) run the SAME
+  * maintenance against Hadoop `FileSystem` — the object-store story a
+  * 100 TB signature table needs. The seam's move contract (atomic
+  * destination visibility, crash tolerance via unique names +
+  * idempotent re-run) is documented at [[graft.Tfs]]. */
 object SignatureCompaction {
 
   /** Fold every `batch=<id>` partition into the distinct `batch=-1`
@@ -52,36 +58,21 @@ object SignatureCompaction {
     * per bucket is still rewritten). */
   def compact(spark: SparkSession, sigDir: String, schema: String,
               targetFileBytes: Long = 128L << 20): Int = {
-    import java.nio.file.{Files, StandardCopyOption, Path, Paths}
-    val root = Paths.get(sigDir)
-    listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(".graft-sig-compact-"))
-      .foreach(rmTree)
-    val batchDirs = listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("batch="))
-    val seedDir = root.resolve("batch=-1")
-    val folded = batchDirs.filterNot(_ == seedDir)
+    val fs = Tfs.of(sigDir)
+    fs.dirsWithPrefix(sigDir, ".graft-sig-compact-").foreach(fs.rmTree)
+    val batchDirs = fs.dirsWithPrefix(sigDir, "batch=")
+    val seedDir = Tfs.child(sigDir, "batch=-1")
+    val folded = batchDirs.filterNot(Tfs.name(_) == "batch=-1")
     // seed parquet files live under pb=<b>/ sub-dirs (plus any flat
     // stragglers from a pre-pb layout)
-    def seedFilesNow(): Seq[Path] =
-      if (!Files.exists(seedDir)) Nil
-      else parquets(seedDir) ++ listDir(seedDir)
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("pb="))
-        .flatMap(parquets)
-    val seedFiles = seedFilesNow()
+    val seedFiles = seedFilesOf(fs, seedDir)
     if (folded.isEmpty && seedFiles.length <= GateLoop.readBuckets(sigDir)) return 0
     // parse the DDL properly — a split(",") phantom-columns any type
     // containing a comma (STRUCT<...>, DECIMAL(p,s)) (r17 review catch)
     val dataCols = StructType.fromDDL(schema).fieldNames.toSeq
     // measured bytes-per-row → records per output file at the target size
-    val allFiles = batchDirs.flatMap { d =>
-      val w = Files.walk(d)
-      try w.iterator().asScala.toList finally w.close()
-    }.filter(_.getFileName.toString.endsWith(".parquet"))
-    val totalBytes = allFiles.map(Files.size(_)).sum
+    val totalBytes = batchDirs.flatMap(fs.walkFiles)
+      .filter(_.path.endsWith(".parquet")).map(_.size).sum
     val df = spark.read.schema(s"$schema, pb INT").parquet(sigDir)
       .select((dataCols :+ "pb").map(col): _*).distinct()
     swapIn(spark, sigDir, df, totalBytes, targetFileBytes,
@@ -121,33 +112,18 @@ object SignatureCompaction {
     * @return number of batch partitions folded away. */
   def resize(spark: SparkSession, table: GateTable, targetBuckets: Int,
              targetFileBytes: Long = 128L << 20): Int = {
-    import java.nio.file.{Files, Paths}
-    import org.apache.spark.sql.functions.lit
     require(targetBuckets > 0,
       s"targetBuckets must be positive, got $targetBuckets")
-    val root = Paths.get(table.sigDir)
-    listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(".graft-sig-compact-"))
-      .foreach(rmTree)
-    val batchDirs = listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("batch="))
-    val seedDir = root.resolve("batch=-1")
-    val folded = batchDirs.filterNot(_ == seedDir)
+    val fs = Tfs.of(table.sigDir)
+    fs.dirsWithPrefix(table.sigDir, ".graft-sig-compact-").foreach(fs.rmTree)
+    val batchDirs = fs.dirsWithPrefix(table.sigDir, "batch=")
+    val seedDir = Tfs.child(table.sigDir, "batch=-1")
+    val folded = batchDirs.filterNot(Tfs.name(_) == "batch=-1")
     // EVERY pre-resize file is superseded: the old layout's pb dirs are
     // wrong under the new fan-out, so the seed's own files fold too
-    val seedFiles: Seq[java.nio.file.Path] =
-      if (!Files.exists(seedDir)) Nil
-      else parquets(seedDir) ++ listDir(seedDir)
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("pb="))
-        .flatMap(parquets)
-    val allFiles = batchDirs.flatMap { d =>
-      val w = Files.walk(d)
-      try w.iterator().asScala.toList finally w.close()
-    }.filter(_.getFileName.toString.endsWith(".parquet"))
-    val totalBytes = allFiles.map(Files.size(_)).sum
+    val seedFiles = seedFilesOf(fs, seedDir)
+    val totalBytes = batchDirs.flatMap(fs.walkFiles)
+      .filter(_.path.endsWith(".parquet")).map(_.size).sum
     val dataCols = StructType.fromDDL(table.desc.sigSchema).fieldNames.toSeq
     // distinct over the DATA columns only — the old pb is layout, not
     // data, and the new pb is a pure function of pbKeyCols
@@ -161,55 +137,56 @@ object SignatureCompaction {
     folded.size
   }
 
+  /** The seed's parquet files: under its `pb=<b>` sub-dirs plus any
+    * flat stragglers from a pre-pb layout. */
+  private def seedFilesOf(fs: Tfs, seedDir: String): Seq[String] =
+    if (!fs.exists(seedDir)) Nil
+    else fs.parquets(seedDir) ++
+      fs.dirsWithPrefix(seedDir, "pb=").flatMap(fs.parquets)
+
   /** The shared swap: write `df` (data cols + `pb`) into same-FS dot
-    * scratch, ATOMIC_MOVE into `batch=-1/pb=<b>/`, run `afterMoves`
-    * (the resize's meta flip), then delete superseded files and folded
-    * batch dirs; scratch removal and FileStatusCache invalidation in
-    * the finally. */
+    * scratch, move into `batch=-1/pb=<b>/`, run `afterMoves` (the
+    * resize's meta flip), then delete superseded files and folded batch
+    * dirs; scratch removal and FileStatusCache invalidation in the
+    * finally. */
   private def swapIn(spark: SparkSession, sigDir: String,
                      df: org.apache.spark.sql.DataFrame,
                      totalBytes: Long, targetFileBytes: Long,
-                     seedFiles: Seq[java.nio.file.Path],
-                     folded: Seq[java.nio.file.Path],
+                     seedFiles: Seq[String],
+                     folded: Seq[String],
                      afterMoves: () => Unit): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Paths.get(sigDir)
-    val seedDir = root.resolve("batch=-1")
+    val fs = Tfs.of(sigDir)
+    val seedDir = Tfs.child(sigDir, "batch=-1")
     val totalRows = df.count()
     val bytesPerRow = math.max(1.0,
       totalBytes.toDouble / math.max(1L, totalRows).toDouble)
     val recordsPerFile = math.max(1L, (targetFileBytes / bytesPerRow).toLong)
-    val tmp = Files.createTempDirectory(root, ".graft-sig-compact-")
+    val tmp = fs.mkScratch(sigDir, ".graft-sig-compact-")
     try {
       df.repartition(col("pb")) // one task per bucket: the parallel fold
         .write.option("maxRecordsPerFile", recordsPerFile)
-        .mode("overwrite").partitionBy("pb").parquet(tmp.toString)
-      Files.createDirectories(seedDir)
-      val newPbDirs = listDir(tmp).filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("pb="))
-      newPbDirs.foreach { pbDir =>
-        val dst = seedDir.resolve(pbDir.getFileName.toString)
-        Files.createDirectories(dst)
-        parquets(pbDir).zipWithIndex.foreach { case (f, i) =>
-          Files.move(f, dst.resolve(
-            s"compacted-${java.util.UUID.randomUUID}-$i.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
+        .mode("overwrite").partitionBy("pb").parquet(tmp)
+      fs.mkdirs(seedDir)
+      fs.dirsWithPrefix(tmp, "pb=").foreach { pbDir =>
+        val dst = Tfs.child(seedDir, Tfs.name(pbDir))
+        fs.mkdirs(dst)
+        fs.parquets(pbDir).zipWithIndex.foreach { case (f, i) =>
+          fs.move(f, Tfs.child(dst,
+            s"compacted-${java.util.UUID.randomUUID}-$i.parquet"))
         }
       }
       afterMoves()
       seedFiles.foreach { f =>
-        Files.deleteIfExists(f)
-        Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
+        fs.deleteIfExists(f)
+        fs.deleteIfExists(Tfs.crcSibling(f))
       }
       // pb dirs whose every row folded elsewhere: drop if now empty
-      listDir(seedDir)
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("pb=") &&
-          parquets(p).isEmpty)
-        .foreach(rmTree)
-      folded.foreach(rmTree)
+      fs.dirsWithPrefix(seedDir, "pb=")
+        .filter(fs.parquets(_).isEmpty)
+        .foreach(fs.rmTree)
+      folded.foreach(fs.rmTree)
     } finally {
-      rmTree(tmp)
+      fs.rmTree(tmp)
       // Spark's shared FileStatusCache can otherwise serve the pre-swap
       // listing to the next reader of this path (FAILED_READ_FILE on the
       // deleted parts) — invalidate it whenever files MAY have moved,
@@ -258,45 +235,34 @@ object SignatureCompaction {
     * operator fixes the prefix. */
   private[streaming] def foldBatchPartitions(spark: SparkSession,
       rootDir: String, keepLast: Int, subPrefix: String): Seq[Long] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(rootDir)
-    val archive = root.resolve("batch=-1")
-    val batchIds = listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("batch="))
-      .flatMap(_.getFileName.toString.stripPrefix("batch=").toLongOption)
+    val fs = Tfs.of(rootDir)
+    val archive = Tfs.child(rootDir, "batch=-1")
+    val batchIds = fs.dirsWithPrefix(rootDir, "batch=")
+      .flatMap(d => Tfs.name(d).stripPrefix("batch=").toLongOption)
       .filter(_ >= 0L).sorted
     val fold = batchIds.dropRight(keepLast)
     if (fold.isEmpty) return Nil
     try {
       fold.foreach { id =>
-        val batchDir = root.resolve(s"batch=$id")
-        listDir(batchDir)
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(subPrefix))
-          .foreach { subDir =>
-            val dst = archive.resolve(subDir.getFileName.toString)
-            Files.createDirectories(dst)
-            parquets(subDir).zipWithIndex.foreach { case (f, i) =>
-              Files.deleteIfExists(
-                f.resolveSibling("." + f.getFileName.toString + ".crc"))
-              Files.move(f, dst.resolve(
-                s"folded-b$id-${java.util.UUID.randomUUID}-$i.parquet"),
-                StandardCopyOption.ATOMIC_MOVE)
-            }
+        val batchDir = Tfs.child(rootDir, s"batch=$id")
+        fs.dirsWithPrefix(batchDir, subPrefix).foreach { subDir =>
+          val dst = Tfs.child(archive, Tfs.name(subDir))
+          fs.mkdirs(dst)
+          fs.parquets(subDir).zipWithIndex.foreach { case (f, i) =>
+            fs.deleteIfExists(Tfs.crcSibling(f))
+            fs.move(f, Tfs.child(dst,
+              s"folded-b$id-${java.util.UUID.randomUUID}-$i.parquet"))
           }
-        val w = Files.walk(batchDir)
-        val leftover = try w.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toList
-        finally w.close()
+        }
+        val leftover = fs.walkFiles(batchDir)
+          .filter(_.path.endsWith(".parquet"))
         require(leftover.isEmpty,
           s"$batchDir still holds ${leftover.size} parquet file(s) outside " +
-            s"'$subPrefix*' sub-dirs (e.g. ${leftover.head}) — wrong " +
+            s"'$subPrefix*' sub-dirs (e.g. ${leftover.head.path}) — wrong " +
             "sub-partition prefix for this table's layout? Refusing to " +
             "delete unmoved data; already-moved files are safe, re-run " +
             "with the right prefix to finish the fold.")
-        rmTree(batchDir)
+        fs.rmTree(batchDir)
       }
     } finally spark.catalog.refreshByPath(rootDir)
     fold

@@ -117,8 +117,8 @@ object JointChainProps extends Properties("JointChain") {
       var preFrame = Set.empty[(Long, String, String, String)]
       jt.processBatch(bx, n, (f, _) => preFrame = frameSet(f))
       val (preText, preVec) = (tableRows(jt.text), tableRows(jt.vec))
-      graft.FsTrees.rmTree(
-        java.nio.file.Paths.get(jt.vec.sigDir).resolve(s"batch=$n"))
+      graft.Tfs.local.rmTree(
+        graft.Tfs.child(jt.vec.sigDir, s"batch=$n"))
       spark.catalog.refreshByPath(jt.vec.sigDir)
       val refused =
         try { jt.compact(spark); false }

@@ -60,6 +60,24 @@ SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out"
 # gate's tee, per the r12 judge's archival ask.
 python3 tools/check.py "$SF_VERIFY" /tmp/verify_out --self-test || exit 1
 
+echo "== gate: SURVEY tally vs declared inventory (VERDICT r19 #2) =="
+# The §2.6 tally shipped stale two rounds running; it is now ONE canonical
+# sentence ("Round-N tally: X declared queries / Y oracle-matched") that
+# this check compares against ground truth: X = result dirs Verify just
+# wrote, Y = entries in the oracle_sql.json it dumped.
+declared=$(ls /tmp/verify_out | grep -c '^q')  # one result dir per query
+matched=$(python3 -c "import json;print(len(json.load(open('/tmp/verify_out/oracle_sql.json'))))")
+tally=$(grep -oE 'Round-[0-9]+ tally: [0-9]+ declared queries / [0-9]+ oracle-matched' SURVEY.md | tail -1)
+tally_d=$(echo "$tally" | grep -oE '[0-9]+' | sed -n '2p')
+tally_m=$(echo "$tally" | grep -oE '[0-9]+' | sed -n '3p')
+if [ "$tally_d" != "$declared" ] || [ "$tally_m" != "$matched" ]; then
+  echo "gate: FAIL — SURVEY §2.6 tally says '${tally:-<no canonical tally line found>}'"
+  echo "gate:        but Verify declared $declared queries with $matched oracle entries."
+  echo "gate:        Update the tally sentence in SURVEY.md §2.6."
+  exit 1
+fi
+echo "gate: SURVEY tally ok ($declared declared / $matched oracle-matched)"
+
 echo "== gate: cross-scale oracle sweep (sf0.001 leg; VERDICT r16 #6) =="
 # The r16 sweep caught two latent verify-SF-specific oracle defects
 # (q182's fixpoint precondition, q01's scale-2 rounding tie) that the
