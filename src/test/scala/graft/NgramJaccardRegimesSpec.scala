@@ -34,6 +34,23 @@ class NgramJaccardRegimesSpec extends AnyFunSuite {
     assert(capped.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("registry path (q88's entry): materialized sets + prefix index " +
+      "answer identically to the in-memory build, and the second call " +
+      "reuses both artifacts (VERDICT r19 #3)") {
+    import graft.operators.Materialize
+    val dir = "/root/testdata/sf0.001"
+    val direct = pairs(Dedup.ngramJaccardPairsExact(
+      graft.Tables(spark, dir, "documents")))
+    val viaRegistry = pairs(Dedup.ngramJaccardPairsExact(spark, dir))
+    assert(viaRegistry === direct)
+    // both artifacts are registered under the corpus snapshot key...
+    val snap = Materialize.snapshot(s"$dir/documents.parquet")
+    assert(Materialize.has(s"ppjoin-sets:$dir@$snap"))
+    assert(Materialize.has(s"ppjoin-prefix:$dir@$snap:t0.5"))
+    // ...and the warm re-run answers from them, unchanged
+    assert(pairs(Dedup.ngramJaccardPairsExact(spark, dir)) === direct)
+  }
+
   test("over-cap duplication: the cap misses what the exact variant finds") {
     import spark.implicits._
     // five verbatim copies — every shared shingle has df 5; with the cap
