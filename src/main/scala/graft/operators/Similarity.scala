@@ -1022,14 +1022,7 @@ object Similarity extends QueryModule {
     val text = Dedup.gateClassifyProvenance(
       docs.filter(col("doc_id") >= 400),
       Dedup.gateSignatureRows(docs.filter(col("doc_id") < 400)))
-    val base = embTable(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    // two-row driver staging (the q216 twin discipline)
-    val v5 = base.filter(col("vec_id") === 5).head().getSeq[Double](1)
-    val v7x2 = base.filter(col("vec_id") === 7).head().getSeq[Double](1).map(_ * 2.0)
-    import spark.implicits._
-    val planted = Seq((435L, v5), (474L, v7x2)).toDF("vec_id", "embedding")
-    val emb2 = base.filter(!col("vec_id").isin(435L, 474L)).unionByName(planted)
+    val emb2 = plantedEmbTable(spark, dir)
     val vec = StreamingEmbeddingGate.classify(
       emb2.filter(col("vec_id") >= 400),
       StreamingEmbeddingGate.signatureData(emb2.filter(col("vec_id") < 400)))
@@ -1038,8 +1031,76 @@ object Similarity extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The q221/q227 vector table: embeddings with the two vector twins
+    * PLANTED at ids whose TEXT status is `new` at both verify scales
+    * (435 := seed vec 5's bytes — exact; 474 := 2 × seed vec 7 — cosine
+    * 1.0, not byte-equal), making the "embedding caught what text
+    * missed" compositions real. Two-row driver staging, the q216 twin
+    * discipline. */
+  private[graft] def plantedEmbTable(spark: SparkSession, dir: String): DataFrame = {
+    val base = embTable(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val v5 = base.filter(col("vec_id") === 5).head().getSeq[Double](1)
+    val v7x2 = base.filter(col("vec_id") === 7).head().getSeq[Double](1).map(_ * 2.0)
+    import spark.implicits._
+    val planted = Seq((435L, v5), (474L, v7x2)).toDF("vec_id", "embedding")
+    base.filter(!col("vec_id").isin(435L, 474L)).unionByName(planted)
+  }
+
+  /** The JOINT two-batch chain — [[Dedup.gateBatchChain]]'s unroll run
+    * through the joint gate's semantics (VERDICT r19 #4's remainder:
+    * q222's rule was oracle-checked over the TEXT chain only): batch 0 =
+    * ids [400, 475) composed across BOTH surfaces against the < 400
+    * seeds; the batch's JOINT accepts (joint_status = `new` — the rule
+    * [[graft.streaming.StreamingJointGate.processBatch]] appends by)
+    * extend BOTH signature sides; batch 1 = ids ≥ 475 against the
+    * extended pair. Joint-accept threading is the pair's defining
+    * difference from two independent per-surface chains: a doc text
+    * accepts but the vector rejects joins NEITHER corpus. Checkpoints on
+    * the twice-referenced frames (each batch frame feeds the accept
+    * filter AND the union; each sig side feeds classify AND the next
+    * union) — the §6.13 plan-growth rule. */
+  def jointBatchChain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamingEmbeddingGate, StreamingJointGate}
+    val docs = Tables(spark, dir, "documents")
+    val emb2 = plantedEmbTable(spark, dir)
+    val tSig0 = Dedup.gateSignatureData(docs.filter(col("doc_id") < 400))
+      .localCheckpoint(true)
+    val vSig0 = StreamingEmbeddingGate.signatureData(
+      emb2.filter(col("vec_id") < 400)).localCheckpoint(true)
+    val tb0 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 475)
+    val vb0 = emb2.filter(col("vec_id") >= 400 && col("vec_id") < 475)
+    val j0 = StreamingJointGate.compose(
+      Dedup.gateClassifyProvenance(tb0, tSig0),
+      StreamingEmbeddingGate.classify(vb0, vSig0)).localCheckpoint(true)
+    val acc0 = j0.filter(col("joint_status") === "new").select("doc_id")
+    val tSig1 = tSig0.unionByName(Dedup.gateSignatureData(
+      tb0.join(acc0, Seq("doc_id"), "left_semi")))
+    val vSig1 = vSig0.unionByName(StreamingEmbeddingGate.signatureData(
+      vb0.join(acc0.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")))
+    val j1 = StreamingJointGate.compose(
+      Dedup.gateClassifyProvenance(docs.filter(col("doc_id") >= 475), tSig1),
+      StreamingEmbeddingGate.classify(emb2.filter(col("vec_id") >= 475), vSig1))
+    j0.withColumn("batch", lit(0L))
+      .unionByName(j1.withColumn("batch", lit(1L)))
+  }
+
+  /** q227 — JOINT GATE HEALTH (VERDICT r19 #4's open half: q222 runs
+    * [[graft.streaming.GateDeliveries.batchMix]] over the TEXT chain;
+    * the joint review queue's `batch=<id>/joint_status=<s>/` sink needed
+    * the same rule oracle-checked over `joint_status`): per (batch,
+    * joint_status) — deliveries and their share of the batch, over the
+    * joint two-batch chain. One rule, THREE consumers now: the text
+    * chain twin (q222), the sink-table reader, and this joint twin. */
+  def gateHealthJoint(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.GateDeliveries.batchMix(
+        jointBatchChain(spark, dir).localCheckpoint(true),
+        statusCol = "joint_status")
+      .orderBy(col("batch"), col("status"))
+
   val queries: Map[String, QueryFn] = Map(
     "q221_joint_gate" -> (jointGate(_, _)),
+    "q227_gate_health_joint" -> (gateHealthJoint(_, _)),
     "q176_sim_dim_deciles" -> (dimDeciles(_, _)),
     "q167_pca_power" -> ((s, dd) => pcaPower(s, dd)),
     "q159_sim_dim_stats" -> (dimStats(_, _)),
@@ -1186,8 +1247,122 @@ object Similarity extends QueryModule {
        |FROM fr JOIN vf USING (doc_id) ORDER BY fr.doc_id""".stripMargin
   }
 
+  /** q227's oracle: the joint two-batch chain unrolled in SQL — per-batch
+    * text CTEs (sha-equality exact, band-share near — status-equivalent
+    * to the owner rule since a shared band has SOME owner) and vector
+    * CTEs (q216's bucket/verify rule), composed worst-of per batch, with
+    * batch 1's BOTH corpora extended by batch 0's JOINT accepts; then the
+    * q222 mix aggregation over joint_status. Reuses gateFrameCtes for the
+    * shingle/band CTEs (its fr tail is simply unused). */
+  private lazy val jointHealthOracle: String = {
+    val bucketExpr = (0 until DedupPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ${planeWeightSql(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val cos = "round(list_sum(list_transform(range(1, 65), " +
+      "j -> i.emb[j] * s.emb[j])) / (i.nrm * s.nrm), 6) >= 0.999"
+    s"""${Dedup.gateFrameCtes},
+       |e0 AS (SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings),
+       |eu AS (SELECT vec_id, emb FROM e0 WHERE vec_id NOT IN (435, 474)
+       |       UNION ALL SELECT 435, emb FROM e0 WHERE vec_id = 5
+       |       UNION ALL SELECT 474, list_transform(emb, x -> x * 2.0)
+       |                 FROM e0 WHERE vec_id = 7),
+       |vn AS (SELECT vec_id, emb,
+       |         sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+       |         $bucketExpr AS bucket
+       |       FROM eu),
+       |tex0 AS (SELECT DISTINCT n.doc_id FROM documents n JOIN documents c
+       |           ON c.doc_id < 400 AND c.text = n.text
+       |         WHERE n.doc_id >= 400 AND n.doc_id < 475),
+       |tnr0 AS (SELECT DISTINCT bn.doc_id FROM b bn JOIN b bs ON bn.band = bs.band
+       |         WHERE bs.doc_id < 400 AND bn.doc_id >= 400 AND bn.doc_id < 475),
+       |tf0 AS (SELECT d.doc_id,
+       |          CASE WHEN tex0.doc_id IS NOT NULL THEN 'exact_dup'
+       |               WHEN tnr0.doc_id IS NOT NULL THEN 'near_dup'
+       |               ELSE 'new' END AS ts
+       |        FROM documents d
+       |        LEFT JOIN tex0 ON tex0.doc_id = d.doc_id
+       |        LEFT JOIN tnr0 ON tnr0.doc_id = d.doc_id
+       |        WHERE d.doc_id >= 400 AND d.doc_id < 475),
+       |vex0 AS (SELECT DISTINCT i.vec_id FROM eu i JOIN eu s
+       |           ON s.vec_id < 400 AND i.emb = s.emb
+       |         WHERE i.vec_id >= 400 AND i.vec_id < 475),
+       |vnr0 AS (SELECT DISTINCT i.vec_id FROM vn i JOIN vn s
+       |           ON s.vec_id < 400 AND i.bucket = s.bucket
+       |         WHERE i.vec_id >= 400 AND i.vec_id < 475 AND $cos),
+       |vf0 AS (SELECT i.vec_id AS doc_id,
+       |          CASE WHEN vex0.vec_id IS NOT NULL THEN 'exact_dup'
+       |               WHEN vnr0.vec_id IS NOT NULL THEN 'near_dup'
+       |               ELSE 'new' END AS vs
+       |        FROM eu i
+       |        LEFT JOIN vex0 ON vex0.vec_id = i.vec_id
+       |        LEFT JOIN vnr0 ON vnr0.vec_id = i.vec_id
+       |        WHERE i.vec_id >= 400 AND i.vec_id < 475),
+       |j0 AS (SELECT tf0.doc_id,
+       |         CASE WHEN ts = 'exact_dup' OR vs = 'exact_dup' THEN 'exact_dup'
+       |              WHEN ts = 'near_dup' OR vs = 'near_dup' THEN 'near_dup'
+       |              ELSE 'new' END AS joint_status
+       |       FROM tf0 JOIN vf0 USING (doc_id)),
+       |jacc0 AS (SELECT doc_id FROM j0 WHERE joint_status = 'new'),
+       |tcorp1 AS (SELECT doc_id FROM documents WHERE doc_id < 400
+       |           UNION ALL SELECT doc_id FROM jacc0),
+       |vcorp1 AS (SELECT vec_id AS doc_id FROM eu WHERE vec_id < 400
+       |           UNION ALL SELECT doc_id FROM jacc0),
+       |tex1 AS (SELECT DISTINCT n.doc_id FROM documents n
+       |         JOIN documents c ON c.text = n.text
+       |         JOIN tcorp1 cc ON cc.doc_id = c.doc_id
+       |         WHERE n.doc_id >= 475),
+       |tnr1 AS (SELECT DISTINCT bn.doc_id FROM b bn
+       |         JOIN b bs ON bn.band = bs.band
+       |         JOIN tcorp1 cc ON cc.doc_id = bs.doc_id
+       |         WHERE bn.doc_id >= 475),
+       |tf1 AS (SELECT d.doc_id,
+       |          CASE WHEN tex1.doc_id IS NOT NULL THEN 'exact_dup'
+       |               WHEN tnr1.doc_id IS NOT NULL THEN 'near_dup'
+       |               ELSE 'new' END AS ts
+       |        FROM documents d
+       |        LEFT JOIN tex1 ON tex1.doc_id = d.doc_id
+       |        LEFT JOIN tnr1 ON tnr1.doc_id = d.doc_id
+       |        WHERE d.doc_id >= 475),
+       |vex1 AS (SELECT DISTINCT i.vec_id FROM eu i
+       |         JOIN eu s ON i.emb = s.emb
+       |         JOIN vcorp1 cc ON cc.doc_id = s.vec_id
+       |         WHERE i.vec_id >= 475),
+       |vnr1 AS (SELECT DISTINCT i.vec_id FROM vn i
+       |         JOIN vn s ON i.bucket = s.bucket
+       |         JOIN vcorp1 cc ON cc.doc_id = s.vec_id
+       |         WHERE i.vec_id >= 475 AND $cos),
+       |vf1 AS (SELECT i.vec_id AS doc_id,
+       |          CASE WHEN vex1.vec_id IS NOT NULL THEN 'exact_dup'
+       |               WHEN vnr1.vec_id IS NOT NULL THEN 'near_dup'
+       |               ELSE 'new' END AS vs
+       |        FROM eu i
+       |        LEFT JOIN vex1 ON vex1.vec_id = i.vec_id
+       |        LEFT JOIN vnr1 ON vnr1.vec_id = i.vec_id
+       |        WHERE i.vec_id >= 475),
+       |j1 AS (SELECT tf1.doc_id,
+       |         CASE WHEN ts = 'exact_dup' OR vs = 'exact_dup' THEN 'exact_dup'
+       |              WHEN ts = 'near_dup' OR vs = 'near_dup' THEN 'near_dup'
+       |              ELSE 'new' END AS joint_status
+       |       FROM tf1 JOIN vf1 USING (doc_id)),
+       |jch AS (SELECT doc_id, joint_status, CAST(0 AS BIGINT) AS batch FROM j0
+       |        UNION ALL
+       |        SELECT doc_id, joint_status, CAST(1 AS BIGINT) FROM j1),
+       |per AS (SELECT batch, joint_status AS status,
+       |          CAST(count(*) AS BIGINT) AS n_docs
+       |        FROM jch GROUP BY 1, 2),
+       |tot AS (SELECT batch, CAST(sum(n_docs) AS BIGINT) AS n_batch
+       |        FROM per GROUP BY 1)
+       |SELECT per.batch, per.status, per.n_docs,
+       |       round(CAST(per.n_docs AS DOUBLE) / tot.n_batch, 6) AS share
+       |FROM per JOIN tot USING (batch)
+       |ORDER BY per.batch, per.status""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q221_joint_gate" -> jointGateOracle,
+    "q227_gate_health_joint" -> jointHealthOracle,
     "q216_embedding_gate" -> embeddingGateOracle,
     // integer-rank boundaries on the identical (x, vec_id) total order
     "q176_sim_dim_deciles" ->

@@ -129,6 +129,51 @@ class GateDeliverySpec extends AnyFunSuite {
     }
   }
 
+  test("q227's joint chain twin == the REAL joint pair loop on testdata, " +
+      "and batchMix over the joint sink == over the chain frames " +
+      "(VERDICT r19 #4: the health rule oracle-checked over joint_status)") {
+    import java.nio.file.Files
+    import graft.streaming.{GateDeliveries, GateTable, JointTables,
+      StreamingDedup, StreamingEmbeddingGate}
+    val docs = graft.Tables(spark, sf, "documents")
+    val emb2 = Similarity.plantedEmbTable(spark, sf)
+    val items = docs.join(
+      emb2.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val jt = JointTables(
+      GateTable(StreamingDedup.descriptor,
+        Files.createTempDirectory("graft-jh-text-").toString),
+      GateTable(StreamingEmbeddingGate.descriptor,
+        Files.createTempDirectory("graft-jh-vec-").toString))
+    // per-surface seeds from the FULL tables (the chain's seed sets —
+    // jt.seed would seed both surfaces from the docs∩emb slice)
+    jt.text.seed(docs.filter(col("doc_id") < 400))
+    jt.vec.seed(emb2.filter(col("vec_id") < 400))
+    val qDir = Files.createTempDirectory("graft-jh-queue-").toString
+    val deliver = GateDeliveries.sink(qDir, statusCol = "joint_status")
+    jt.processBatch(items.filter(col("doc_id") >= 400 && col("doc_id") < 475),
+      0L, deliver)
+    jt.processBatch(items.filter(col("doc_id") >= 475), 1L, deliver)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text_status", "emb_status", "joint_status", "batch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val chain = Similarity.jointBatchChain(spark, sf).localCheckpoint(true)
+    assert(rows(chain) === rows(GateDeliveries.readJoint(spark, qDir)),
+      "the unrolled chain twin must reproduce the real pair loop exactly")
+
+    def mix(df: org.apache.spark.sql.DataFrame) = GateDeliveries
+      .batchMix(df, statusCol = "joint_status")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val overSink = mix(GateDeliveries.readJoint(spark, qDir))
+    assert(overSink === mix(chain),
+      "one rule, two consumers: mix over the sink == mix over the frames")
+    assert(overSink === Similarity.gateHealthJoint(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet)
+  }
+
   test("mixDrift pins the pairwise JSD by hand, drops boundary pairs, " +
       "and reads identically over the sink table (one rule, two consumers)") {
     import spark.implicits._
