@@ -68,6 +68,64 @@ object PlanHash {
     s"joins=[$joins] shuffles=$shuffles broadcasts=$bcasts"
   }
 
+  /** Twice-referenced-subtree detector (VERDICT r19 #6): the q215/q216/
+    * q222/q224 plan-growth class — a builder referencing an expensive
+    * frame twice (self-join, union, broadcast-back) without
+    * `localCheckpoint` duplicates its WHOLE subtree in the plan and
+    * Spark recomputes it once per reference — recurred four times across
+    * two rounds and was only ever caught by the 32× probe's wall clock.
+    * This catches it statically: group the optimized logical plan's
+    * subtrees by canonicalized form; ≥2 occurrences of a form with
+    * ≥ `minNodes` nodes is a repeated non-checkpointed subtree (a
+    * checkpointed one collapses to a LogicalRDD leaf, a persisted one to
+    * InMemoryRelation — both size 1, never flagged). Only MAXIMAL groups
+    * report (a duplicated subtree duplicates all its descendants).
+    * Two qualifiers separate the expensive class from designed reuse:
+    * the duplicated form must span ≥ `minNodes` nodes (a self-joined
+    * scan+filter+project is legitimate and cheap) AND contain a real
+    * FILE SCAN — re-running a scan pipeline twice is the q222 defect;
+    * re-aggregating a few checkpoint-fed rows twice (q224's designed
+    * per⋈tot shape, whose leaves are all LogicalRDD) is not.
+    * Reported as a gate WARNING, not a failure: a large repeated subtree
+    * over a tiny frame can be fine — the warning tells the round where
+    * to point the probe. */
+  private[graft] def repeatedSubtrees(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      minNodes: Int = 8): Seq[String] = {
+    type LP = org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def size(p: LP): Int = 1 + p.children.map(size(_)).sum
+    def readsFiles(p: LP): Boolean = p.exists {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    // occurrences carry their tree path: canonicalization collapses
+    // alias-only unary nodes, so a parent and its own child can
+    // canonicalize EQUAL — an ancestor/descendant "pair" is one
+    // occurrence, not a duplicate (false-positive caught on q174). A
+    // group is real only if two occurrences lie on DISJOINT branches
+    // (neither path a prefix of the other).
+    val all = scala.collection.mutable.ArrayBuffer.empty[(LP, String)]
+    def walk(p: LP, path: String): Unit = {
+      all += ((p, path))
+      p.children.zipWithIndex.foreach { case (c, i) => walk(c, s"$path/$i") }
+    }
+    walk(plan, "")
+    def disjoint(a: String, b: String): Boolean =
+      !a.startsWith(b + "/") && !b.startsWith(a + "/") && a != b
+    val groups = all.groupBy(_._1.canonicalized)
+      .collect { case (c, occ)
+          if size(c) >= minNodes && readsFiles(c) &&
+            occ.exists(x => occ.exists(y => disjoint(x._2, y._2))) =>
+        c -> occ.map(_._1)
+      }
+    val forms = groups.keys.toSeq.sortBy(c => (-size(c), c.nodeName))
+    val maximal = forms.filterNot { c =>
+      forms.exists(bigger => (bigger ne c) && size(bigger) > size(c) &&
+        bigger.exists(sub => (sub ne bigger) && sub == c))
+    }
+    maximal.map(c => s"${c.nodeName}[${size(c)} nodes]x${groups(c).size}")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/plan_fingerprints.json")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
@@ -83,10 +141,14 @@ object PlanHash {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var unstable = List.empty[String]
+    var dupWarnings = List.empty[String]
     val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def render() = canonical(
         fn(spark, sfDir).queryExecution.explainString(FormattedMode))
       val (ta, tb) = (render(), render())
+      val dups = repeatedSubtrees(fn(spark, sfDir).queryExecution.optimizedPlan)
+      if (dups.nonEmpty)
+        dupWarnings ::= s"$name: ${dups.mkString("; ")}"
       // a few plans have genuinely nondeterministic TEXT (the
       // multi-distinct-aggregate rewrite orders its Expand branches from
       // hash iteration — semantically identical plans, different print);
@@ -111,6 +173,10 @@ object PlanHash {
         s" (${unstable.size} text-nondeterministic, recorded as unstable: " +
           s"${unstable.sorted.mkString(",")})"
       else ""))
+    // the twice-referenced-subtree watch (VERDICT r19 #6) — WARNING, not
+    // failure; lands in GATE_r*.txt via the gate's tee
+    dupWarnings.sorted.foreach(w =>
+      println(s"plan WARNING repeated non-checkpointed subtree: $w"))
     spark.stop()
   }
 }

@@ -229,6 +229,11 @@ object Dedup extends QueryModule {
     */
   def snmNearDupPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.5,
                       topK: Int = 20): DataFrame = {
+    // DELIBERATELY not pinned (r20 dup-subtree audit): the signature
+    // frame drives both sort passes, but the recompute is a codegen'd
+    // md5 minhash over a columnar scan — same-box best-of-5 measured
+    // persist at 1.99 s vs recompute at 1.68 s; materialization costs
+    // more than the hash
     val sigs = signatures(docs)
     def passPairs(kA: String, kB: String): DataFrame = {
       val d = sigs.withColumn("bucket", floor(col(kA) / lit(1L << 24)))
@@ -747,7 +752,12 @@ object Dedup extends QueryModule {
       .select(col("label").as("cluster_id"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
+    // checkpointed: tf feeds the cluster totals, the corpus frequencies
+    // AND the scored join — the docs⋈labels explode otherwise re-runs
+    // once per branch (r20 static dup-subtree catch); (cluster, tok)
+    // counts are the post-reduction frame
     val tf = toks.groupBy(col("cluster_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val ct = tf.groupBy(col("cluster_id")).agg(sum(col("tf")).as("ctot"))
     val cf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("f"))
     val amean = ct.agg((sum(col("ctot")).cast("double") / count(lit(1))).as("abig"))

@@ -235,6 +235,10 @@ object ProductAnalytics extends QueryModule {
         struct((col("e_h") + 1).as("hour_no"), lit(-1L).as("d")))).as("x"))
       .select(col("x.hour_no"), col("x.d"))
       .groupBy(col("hour_no")).agg(sum(col("d")).as("d"))
+      // checkpointed: deltas feeds the span probe AND the dense grid
+      // join — the whole sessionize subtree otherwise re-runs per branch
+      // (r20 static dup-subtree catch); one row per delta hour is tiny
+      .localCheckpoint(true)
     // dense hour grid (delta hours alone would skip mid-session hours)
     val span = deltas.agg(min(col("hour_no")).as("h0"), max(col("hour_no")).as("h1"))
     val grid = span.select(explode(expr("sequence(h0, h1)")).as("hour_no"))

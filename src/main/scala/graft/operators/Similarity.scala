@@ -202,16 +202,26 @@ object Similarity extends QueryModule {
     * engine-portable, so the oracle derives the same sample (its m comes
     * from a scalar subquery over the same table). */
   def annIvf(embeddings: DataFrame, probePred: Column): DataFrame = {
+    // persisted (lazy, columnar): the normed table feeds centroid selection, both
+    // nearest-centroid passes, the corpus and the probes — five branches
+    // each re-running the scan+norm without the pin (r20 static
+    // dup-subtree catch); at real scale this is the pre-materialized
+    // normed view an IVF build reads anyway
     val n = normed(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row: m = max(1, N div max(16, floor(sqrt(N)))) — the exact
     // integer arithmetic of the DuckDB oracle's params CTE
     val params = embeddings.agg(count(lit(1)).as("cnt")).select(
       greatest(lit(1L),
         expr("cnt div greatest(16L, cast(floor(sqrt(cast(cnt as double))) as bigint))")).as("m"))
+    // checkpointed: cents feeds BOTH nearest-centroid passes — the
+    // params count scan + filter otherwise re-runs per pass (r20 static
+    // dup-subtree catch); the centroid table is ~sqrt(N) rows
     val cents = n.crossJoin(broadcast(params))
       .filter(
         expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % m") === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+      .localCheckpoint(true)
     def nearestCentroids(src: DataFrame, idCol: String, k: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("cent_id"))
@@ -265,9 +275,13 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val twins = base.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("emb"), x => x * lit(2.0)).as("emb"))
+    // persisted (lazy, columnar): the bucketed union is BOTH sides of the pair
+    // self-join — without the pin the scan+twin-synthesis+bucketing runs
+    // once per side (r20 static dup-subtree catch)
     val all = base.unionAll(twins)
       .select(col("vec_id"), col("emb").as("embedding"))
       .transform(bucketed(_, DedupPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = all.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"),
       col("bucket"))
     val r = all.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"),

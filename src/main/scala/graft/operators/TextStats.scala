@@ -287,8 +287,13 @@ object TextStats extends QueryModule {
     */
   def tokenPmi(docs: DataFrame, dfMin: Int = 5, dfMaxFrac: Double = 0.85,
                minPairDocs: Int = 5, topK: Int = 30): DataFrame = {
+    // persisted (lazy, columnar): the tokenized corpus feeds the df counts, the doc
+    // total AND the pruned pair generation — three scan+tokenize re-runs
+    // without the pin (r20 static dup-subtree catch); at real scale this
+    // is the materialized tokenized view, tokenize-once by design
     val docToks = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokDf = docToks.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val total = docToks.agg(count(lit(1)).as("n_docs"))
@@ -558,8 +563,12 @@ object TextStats extends QueryModule {
     * any two labelers: model vs heuristic, two annotators, old vs new
     * model version. Same exact-integer arithmetic as the query form. */
   def agreementReport(pairs: DataFrame): DataFrame = {
+    // checkpointed: conf feeds the totals AND both marginal rollups — the
+    // upstream scoring subtree otherwise re-runs once per branch (r20
+    // static dup-subtree catch); the ≤|labels|² matrix is driver-tiny
     val conf = pairs
       .groupBy(col("pred_a"), col("pred_b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = conf.agg(sum(col("n")).as("n_docs"),
       sum(when(col("pred_a") === col("pred_b"), col("n"))
         .otherwise(0L)).as("n_agree"))
@@ -600,9 +609,12 @@ object TextStats extends QueryModule {
       .select(col("doc_id"), col("lang"), col("model_lang").as("pred_a"))
     val heur = langIdPerDoc(docs.filter(col("doc_id") % 5 === 0))
       .select(col("doc_id"), col("predicted").as("pred_b"))
+    // checkpointed for the same reason as agreementReport's conf (three
+    // downstream branches; ≤|langs|³ rows)
     val conf = nb.join(heur, "doc_id")
       .groupBy(col("lang"), col("pred_a"), col("pred_b"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_docs"),
       sum(when(col("pred_a") === col("pred_b"), col("n"))
         .otherwise(0L)).as("n_agree"))
@@ -646,6 +658,10 @@ object TextStats extends QueryModule {
       .select(col("lang"), col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       .filter(col("tok") =!= "")
+    // DELIBERATELY not pinned (r20 dup-subtree audit): `a` feeds both
+    // the cells join and the `t` rollup, but the explode+count recompute
+    // beat both pin forms same-box best-of-5 (recompute 0.45 s vs
+    // checkpoint/persist 0.52 s)
     val a = pres.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("a"))
     val t = a.groupBy(col("tok")).agg(sum(col("a")).as("t"))
     val langs = train.groupBy(col("lang")).agg(count(lit(1)).as("ldocs"))

@@ -232,10 +232,13 @@ object WarehouseOps extends QueryModule {
     * purchases in one period → n_a·n_b = 0, ADVICE r13) emit no row, in
     * both engines identically. */
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    // persisted (lazy, columnar): p feeds the date bounds AND the period tagging —
+    // two event scans without the pin (r20 static dup-subtree catch)
     val p = Tables(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(to_date(col("ts")).as("day"),
         round(col("value") * 100, 0).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = p.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val tagged = p.crossJoin(broadcast(bounds))
       .withColumn("period",
@@ -340,11 +343,21 @@ object WarehouseOps extends QueryModule {
     * shared by the triangle census (q147) and the k-hop BFS (q148). */
   /** Distinct (user, item) touches — the base relation of the graph and
     * rule queries. */
+  /** The distinct user-item table, MATERIALIZED once per events snapshot
+    * (r20: the static dup-subtree detector caught q152 recomputing this
+    * scan+distinct three times in one plan, and the co-occurrence family
+    * re-derived it per query; a distinct user-item table is exactly the
+    * pre-materialized view a warehouse keeps — the q117/q119 codebook
+    * discipline applied here). */
   private def userItems(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull).distinct()
+    spark.read.parquet(Materialize.parquetDir(
+      s"user-items:$dir@${Materialize.snapshot(s"$dir/events.parquet")}",
+      "graft-user-items-") {
+      Tables(spark, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull).distinct()
+    })
 
   /** Canonically-oriented (a < b) co-occurrence pairs with their distinct-
     * user support count, from per-row pair generation (no item self-join). */
@@ -1010,11 +1023,16 @@ object WarehouseOps extends QueryModule {
   def lorenzSegment(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    // checkpointed: rev feeds the in-bucket window, the offsets grid AND
+    // the segment totals — without the pin the orders scan + aggregate
+    // ran once per branch (r20 static dup-subtree catch); per-customer
+    // revenue is the post-reduction frame
     val rev = Tables(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("segment"), col("o_custkey").as("cust"), col("rev"))
+      .localCheckpoint(true)
     val bucketed = rev.withColumn("vb", shiftright(col("rev"), 16))
     val inb = Window.partitionBy(col("segment"), col("vb"))
       .orderBy(col("rev"), col("cust"))
@@ -1186,8 +1204,15 @@ object WarehouseOps extends QueryModule {
         cents.as("cents"))
     val w = Window.partitionBy(col("segment"))
       .orderBy(col("cents"), col("o_orderkey"))
+    // checkpointed: the ranked frame feeds the fence pick AND the final
+    // aggregate (and seg additionally feeds the per-segment counts) — the
+    // orders⋈customer scan + rank window otherwise re-runs per branch
+    // (r20 static dup-subtree catch)
     val ranked = seg.withColumn("rnk", row_number().over(w))
-    val n = seg.groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // counts derive from the checkpointed frame (same rows as seg), so
+    // the join subtree is never re-scanned
+    val n = ranked.groupBy(col("segment")).agg(count(lit(1)).as("n"))
       .withColumn("lo_rank", (col("n") * 5).divide(100).cast("long") + 1)
       .withColumn("hi_rank", (col("n") * 95).divide(100).cast("long"))
     val fences = ranked.join(broadcast(n), "segment")

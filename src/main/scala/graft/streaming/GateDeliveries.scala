@@ -227,9 +227,14 @@ object GateDeliveries {
   def reviewSummaryBy(deliveries: DataFrame,
                       groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
+    // checkpointed: perSeed feeds BOTH the arg-max and the totals — the
+    // r20 static dup-subtree detector caught q218 recomputing the whole
+    // classify frame (10 parquet scans) once per branch; perSeed is the
+    // ≤(groups × seeds)-row reduction, the cheapest thing to pin
     val perSeed = deliveries
       .groupBy(g :+ col("matched_seed"): _*)
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val top = perSeed.filter(col("matched_seed").isNotNull)
       .groupBy(g: _*)
       .agg(max(struct(col("n"), (-col("matched_seed")).as("nseed"))).as("b"))

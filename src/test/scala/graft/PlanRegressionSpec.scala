@@ -21,6 +21,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     SparkEntry.queries(name)(TestSpark.spark, dir)
       .queryExecution.explainString(FormattedMode)
 
+  test("repeated-subtree detector (VERDICT r19 #6): flags a deliberately " +
+      "un-checkpointed q224 twin, clean on the shipped checkpointed query") {
+    val spark = TestSpark.spark
+    // the exact defect class the 32x probe kept catching (q215/q216 r18,
+    // q222/q224 r19): mixDrift references its input twice, so WITHOUT the
+    // chain checkpoint the whole q219 subtree duplicates in the plan
+    val bad = graft.streaming.GateDeliveries.mixDrift(
+      graft.operators.Dedup.gateBatchChain(spark, dir))
+    val flagged = PlanHash.repeatedSubtrees(bad.queryExecution.optimizedPlan)
+    assert(flagged.nonEmpty,
+      "the un-checkpointed twice-referenced gate chain must be flagged")
+    // the shipped q224 checkpoints the chain: the duplicate collapses to
+    // two LogicalRDD leaves and the detector stays quiet
+    val good = graft.operators.Dedup.gateMixDrift(spark, dir)
+    assert(PlanHash.repeatedSubtrees(good.queryExecution.optimizedPlan).isEmpty)
+  }
+
   test("q10: dimension joins stay broadcast hash joins (fact side never shuffles)") {
     val p = plan("q10_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
