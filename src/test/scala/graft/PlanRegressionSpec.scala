@@ -38,6 +38,43 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(PlanHash.repeatedSubtrees(good.queryExecution.optimizedPlan).isEmpty)
   }
 
+  test("pre-r10 join family: equi-join physical forms only — no accidental " +
+      "CartesianProduct or BroadcastNestedLoopJoin (r20 fresh-eyes pins; " +
+      "q15 is the DECLARED cross join and q44's broadcast probes are by design)") {
+    for (q <- Seq("q12_join_left_outer", "q13_join_semi", "q14_join_anti",
+        "q16_join_range", "q17_join_asof", "q57_join_asof_bucketed",
+        "q58_join_asof_sorted", "q63_join_asof_native", "q80_join_full_outer",
+        "q91_join_range_bucketed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("pre-r10 aggregate family: map-side partial aggregation present " +
+      "(two aggregate levels around the exchange; r20 fresh-eyes pins)") {
+    for (q <- Seq("q00_flagship_hourly", "q18_agg_moments", "q20_agg_stats",
+        "q22_agg_rollup", "q23_agg_cube", "q24_agg_grouping_sets",
+        "q54_agg_salted", "q56_agg_percentiles")) {
+      val p = plan(q)
+      val aggs = "(?m)^\\s*\\(\\d+\\)\\s+\\S*(HashAggregate|SortAggregate|ObjectHashAggregate)"
+        .r.findAllIn(p).size
+      assert(aggs >= 2, s"$q: expected partial+final aggregation, saw $aggs")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("pre-r10 dedup family: candidates come from banded/keyed equi-joins, " +
+      "never a cartesian (r20 fresh-eyes pins)") {
+    for (q <- Seq("q40_dedup_exact", "q41_dedup_minhash_sig", "q42_dedup_lsh_pairs",
+        "q43_dedup_simhash", "q52_dedup_simhash_pairs", "q60_dedup_ngram_jaccard",
+        "q61_dedup_embedding_cosine")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("q10: dimension joins stay broadcast hash joins (fact side never shuffles)") {
     val p = plan("q10_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
