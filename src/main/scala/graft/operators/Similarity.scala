@@ -202,13 +202,15 @@ object Similarity extends QueryModule {
     * engine-portable, so the oracle derives the same sample (its m comes
     * from a scalar subquery over the same table). */
   def annIvf(embeddings: DataFrame, probePred: Column): DataFrame = {
-    // persisted (lazy, columnar): the normed table feeds centroid selection, both
+    // checkpointed: the normed table feeds centroid selection, both
     // nearest-centroid passes, the corpus and the probes — five branches
     // each re-running the scan+norm without the pin (r20 static
-    // dup-subtree catch); at real scale this is the pre-materialized
-    // normed view an IVF build reads anyway
-    val n = normed(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dup-subtree catch). localCheckpoint, NOT persist: a persist
+    // registers the subplan in the session CacheManager, which then
+    // SUBSTITUTES it into every other query containing the same subtree
+    // (q45's probe filter stopped pushing to parquet — caught by its
+    // plan pin); the checkpoint stays local to this plan
+    val n = normed(embeddings).localCheckpoint(true)
     // one row: m = max(1, N div max(16, floor(sqrt(N)))) — the exact
     // integer arithmetic of the DuckDB oracle's params CTE
     val params = embeddings.agg(count(lit(1)).as("cnt")).select(
@@ -275,13 +277,14 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val twins = base.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("emb"), x => x * lit(2.0)).as("emb"))
-    // persisted (lazy, columnar): the bucketed union is BOTH sides of the pair
+    // checkpointed: the bucketed union is BOTH sides of the pair
     // self-join — without the pin the scan+twin-synthesis+bucketing runs
-    // once per side (r20 static dup-subtree catch)
+    // once per side (r20 static dup-subtree catch; localCheckpoint, not
+    // persist — see annIvf's note on CacheManager cross-query leakage)
     val all = base.unionAll(twins)
       .select(col("vec_id"), col("emb").as("embedding"))
       .transform(bucketed(_, DedupPlanes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val l = all.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"),
       col("bucket"))
     val r = all.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"),

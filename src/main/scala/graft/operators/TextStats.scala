@@ -287,13 +287,14 @@ object TextStats extends QueryModule {
     */
   def tokenPmi(docs: DataFrame, dfMin: Int = 5, dfMaxFrac: Double = 0.85,
                minPairDocs: Int = 5, topK: Int = 30): DataFrame = {
-    // persisted (lazy, columnar): the tokenized corpus feeds the df counts, the doc
+    // checkpointed: the tokenized corpus feeds the df counts, the doc
     // total AND the pruned pair generation — three scan+tokenize re-runs
     // without the pin (r20 static dup-subtree catch); at real scale this
     // is the materialized tokenized view, tokenize-once by design
+    // (localCheckpoint, not persist — CacheManager leakage, see annIvf)
     val docToks = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val tokDf = docToks.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val total = docToks.agg(count(lit(1)).as("n_docs"))

@@ -232,13 +232,14 @@ object WarehouseOps extends QueryModule {
     * purchases in one period → n_a·n_b = 0, ADVICE r13) emit no row, in
     * both engines identically. */
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
-    // persisted (lazy, columnar): p feeds the date bounds AND the period tagging —
-    // two event scans without the pin (r20 static dup-subtree catch)
+    // checkpointed: p feeds the date bounds AND the period tagging —
+    // two event scans without the pin (r20 static dup-subtree catch;
+    // localCheckpoint, not persist — CacheManager leakage, see annIvf)
     val p = Tables(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(to_date(col("ts")).as("day"),
         round(col("value") * 100, 0).cast("long").as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bounds = p.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val tagged = p.crossJoin(broadcast(bounds))
       .withColumn("period",
