@@ -375,8 +375,32 @@ object WarehouseOps extends QueryModule {
   private def coEdges(spark: SparkSession, dir: String, minUsers: Int): DataFrame =
     coEdgesCounted(spark, dir, minUsers).select(col("a"), col("b"))
 
+  /** Broadcast gate for the iterative graph family's O(nodes)/O(edges)
+    * frames (q147's closure probe, q148's frontier/visited, q153's label
+    * frame, q182's survivor set — the VERDICT r19 watch item on q153):
+    * these are item-CATALOG-sized on this schema, so broadcasting them
+    * keeps the cached edge list streaming map-side with zero per-round
+    * shuffles — but a deployment whose node set GROWS with the corpus
+    * (user graphs, web graphs) must not broadcast an unbounded frame
+    * through the driver. The choice is therefore measured, not assumed:
+    * every caller gates the hint on an actual row count it already has
+    * (or reads off a just-materialized checkpoint — metadata-cheap), and
+    * above the limit falls back to a plain equi-join, pre-partitioning
+    * the big edge side ONCE on the join key where the loop re-joins it
+    * per round (the cached hash partitioning satisfies EnsureRequirements,
+    * so the fallback still never re-shuffles edges per round). 5M rows
+    * ≈ 80 MB broadcast at 16 B/row — comfortably inside a cluster
+    * driver/executor budget; deployments tune per call. */
+  private[graft] val GraphBroadcastRowLimit: Long = 5L * 1000 * 1000
+
+  /** `broadcast(df)` when `rows` (a measured count, never an estimate)
+    * fits `limit`; `df` untouched otherwise — see [[GraphBroadcastRowLimit]]. */
+  private[graft] def hintBySize(df: DataFrame, rows: Long, limit: Long): DataFrame =
+    if (rows <= limit) broadcast(df) else df
+
   def graphTriangles(spark: SparkSession, dir: String, minUsers: Int = 5,
-                     topK: Int = 20): DataFrame = {
+                     topK: Int = 20,
+                     broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
     // three plan references (both wedge sides + the closure probe):
     // materialize the support-filtered backbone ONCE instead of re-deriving
     // pairs 3x. localCheckpoint (eager) rather than persist(): the returned
@@ -386,11 +410,18 @@ object WarehouseOps extends QueryModule {
     // (VERDICT r13 #3). Checkpoint blocks are ContextCleaner-reclaimed when
     // the plan is dropped.
     val edges = coEdges(spark, dir, minUsers).localCheckpoint(true)
+    // measured off the materialized checkpoint — the closure probe
+    // broadcasts the WHOLE backbone, so the hint is size-gated
+    // ([[GraphBroadcastRowLimit]]); above the limit the closure check is a
+    // plain (x, z) equi-join and AQE picks the physical strategy off the
+    // wedge side's runtime size
+    val nEdges = edges.count()
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val tri = wedges.join(
-      broadcast(edges.select(col("a").as("x"), col("b").as("z"))), Seq("x", "z"))
+      hintBySize(edges.select(col("a").as("x"), col("b").as("z")),
+        nEdges, broadcastRowLimit), Seq("x", "z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("n_tri").desc, col("item"))
@@ -414,7 +445,8 @@ object WarehouseOps extends QueryModule {
     * (Verify clears the cache after every query).
     */
   def graphKhop(spark: SparkSession, dir: String, minUsers: Int = 5,
-                maxHops: Int = 4): DataFrame = {
+                maxHops: Int = 4,
+                broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
     // cache the backbone (the union below references it twice) AND the
     // undirected view (one reference per hop plus the seed aggregate);
     // both are unpersisted in the finally below (VERDICT r13 #3) — safe
@@ -423,6 +455,9 @@ object WarehouseOps extends QueryModule {
     // references either cached frame.
     val edges = coEdges(spark, dir, minUsers).persist()
     val und = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    // the big-graph fallback pre-partitions the undirected view ONCE on
+    // the per-hop join key, so the hop joins still never re-shuffle edges
+    var undJ: DataFrame = null
     try {
       val seed = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("a")).limit(1)
@@ -431,18 +466,33 @@ object WarehouseOps extends QueryModule {
       // level's lineage: without it every level re-plans the whole chain and
       // the loop cost is planning, not data
       var dist = seed.localCheckpoint(true)
+      // |frontier| and |visited| are ≤ |nodes| ≤ |und| — the seed aggregate
+      // just materialized the cache, so this count is a cache scan
+      val nUnd = und.count()
+      val small = nUnd <= broadcastRowLimit
+      val undHop = if (small) und else {
+        undJ = und.repartition(col("a")).persist(); undJ
+      }
       for (h <- 1 to maxHops) {
-        // frontier and visited-set are ≤|nodes| — broadcast both so the
-        // cached edge list streams map-side and never re-shuffles per hop
-        val next = broadcast(dist.filter(col("dist") === h - 1))
-          .join(und, col("item") === col("a"))
+        // frontier and visited-set are ≤|nodes| — broadcast both (when the
+        // measured graph is catalog-sized, [[GraphBroadcastRowLimit]]) so
+        // the cached edge list streams map-side and never re-shuffles per
+        // hop; above the limit the hop join reads undHop's cached hash
+        // partitioning instead, still shuffle-free on the edge side
+        val frontier = hintBySize(dist.filter(col("dist") === h - 1), nUnd, broadcastRowLimit)
+        val next = frontier
+          .join(undHop, col("item") === col("a"))
           .select(col("b").as("item")).distinct()
-          .join(broadcast(dist.select(col("item"))), Seq("item"), "left_anti")
+          .join(hintBySize(dist.select(col("item")), nUnd, broadcastRowLimit),
+            Seq("item"), "left_anti")
           .withColumn("dist", lit(h))
         dist = dist.union(next).localCheckpoint(true)
       }
       dist.orderBy(col("dist"), col("item"))
-    } finally { und.unpersist(); edges.unpersist() }
+    } finally {
+      if (undJ != null) undJ.unpersist()
+      und.unpersist(); edges.unpersist()
+    }
   }
 
   /** q182 — K-CORE decomposition of the co-occurrence graph, peeled to
@@ -470,21 +520,24 @@ object WarehouseOps extends QueryModule {
     * literal and mismatched at sf0.001, caught by a cross-scale sweep);
     * data needing more than 8 rounds hash-mismatches as the alarm, not a
     * silent pass. Per round: one
-    * degree aggregate + two semi-join filters against the BROADCAST
-    * survivor set (item-catalog-sized, the q153 justification), lineage
+    * degree aggregate + two semi-join filters against the survivor set —
+    * broadcast when the measured edge count is catalog-sized
+    * ([[GraphBroadcastRowLimit]]), a plain equi-join above it — lineage
     * truncated per round; the edge list itself never re-shuffles. The
     * per-round count() driving convergence reads the just-materialized
     * checkpoint — metadata-cheap, and the price of not running blind. */
   def graphKcore(spark: SparkSession, dir: String, k: Int = 3,
-                 minUsers: Int = 5, maxRounds: Int = 64): DataFrame = {
+                 minUsers: Int = 5, maxRounds: Int = 64,
+                 broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
     val edges = coEdges(spark, dir, minUsers)
-    graphKcoreEdges(edges, k, maxRounds)
+    graphKcoreEdges(edges, k, maxRounds, broadcastRowLimit)
   }
 
   /** Fixpoint peel on an explicit (a, b) edge list — q182's core, shared
     * with the deep-peel convergence spec. */
   private[graft] def graphKcoreEdges(edges: DataFrame, k: Int,
-                                     maxRounds: Int = 64): DataFrame = {
+                                     maxRounds: Int = 64,
+                                     broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
     var und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     var nEdges = und.count()
@@ -493,9 +546,12 @@ object WarehouseOps extends QueryModule {
     while (!converged && roundsUsed < maxRounds) {
       val alive = und.groupBy(col("a")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("a"))
+      // |alive| ≤ |und| = nEdges, re-counted every round anyway — the
+      // survivor-set broadcast is size-gated on it ([[GraphBroadcastRowLimit]])
       val next = und
-        .join(broadcast(alive), Seq("a"))
-        .join(broadcast(alive.select(col("a").as("b"))), Seq("b"))
+        .join(hintBySize(alive, nEdges, broadcastRowLimit), Seq("a"))
+        .join(hintBySize(alive.select(col("a").as("b")), nEdges, broadcastRowLimit),
+          Seq("b"))
         .select(col("a"), col("b"))
         .localCheckpoint(true)
       val m = next.count()
@@ -879,23 +935,38 @@ object WarehouseOps extends QueryModule {
     * label and adopts its neighbors' MOST FREQUENT label each round,
     * ties to the smallest label — no RNG, no asynchrony, so both engines
     * run the identical fixed-point prefix. Per round: one equi-join of the
-    * cached undirected edges against the current labels, a (node, label)
-    * count, and a max_by pick — the same Pregel-shaped iteration as
-    * q118/q148, lineage-truncated per round.
+    * cached undirected edges against the current labels (broadcast when
+    * the measured node count is catalog-sized, shuffle otherwise —
+    * [[GraphBroadcastRowLimit]]), a (node, label) count, and a max_by
+    * pick — the same Pregel-shaped iteration as q118/q148,
+    * lineage-truncated per round.
     */
   def graphLabelProp(spark: SparkSession, dir: String, minUsers: Int = 5,
-                     rounds: Int = 4): DataFrame = {
+                     rounds: Int = 4,
+                     broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
     // unpersisted in the finally (VERDICT r13 #3): the eager per-round
     // localCheckpoints mean the returned plan references only the final
     // materialized `labels`, never the cached edge frames.
     val edges = coEdgesCounted(spark, dir, minUsers).select(col("a"), col("b")).persist()
     val und = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    var undJ: DataFrame = null
     try {
       var labels = und.select(col("a").as("item")).distinct()
         .withColumn("lbl", col("item")).localCheckpoint(true)
+      // the label frame is one row per node EVERY round, so one count off
+      // the just-materialized round-0 checkpoint decides the join strategy
+      // for the whole loop: catalog-sized → broadcast (zero per-round
+      // shuffles of the edge side); corpus-growing → plain equi-join
+      // against the edge view pre-partitioned ONCE on the join key
+      // ([[GraphBroadcastRowLimit]] — the VERDICT r19 watch item)
+      val nNodes = labels.count()
+      val small = nNodes <= broadcastRowLimit
+      val undHop = if (small) und else {
+        undJ = und.repartition(col("b")).persist(); undJ
+      }
       for (_ <- 1 to rounds) {
-        labels = und
-          .join(broadcast(labels.select(col("item"), col("lbl"))),
+        labels = undHop
+          .join(hintBySize(labels.select(col("item"), col("lbl")), nNodes, broadcastRowLimit),
             col("b") === col("item"))
           .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("a"))
@@ -907,7 +978,10 @@ object WarehouseOps extends QueryModule {
           min(col("item")).as("min_item"))
         .select(col("lbl").as("community"), col("size"), col("min_item"))
         .orderBy(col("size").desc, col("community"))
-    } finally { und.unpersist(); edges.unpersist() }
+    } finally {
+      if (undJ != null) undJ.unpersist()
+      und.unpersist(); edges.unpersist()
+    }
   }
 
   /** q190 — BENFORD first-digit audit of the purchase-value ledger: the
