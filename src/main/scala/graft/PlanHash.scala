@@ -112,18 +112,27 @@ object PlanHash {
     walk(plan, "")
     def disjoint(a: String, b: String): Boolean =
       !a.startsWith(b + "/") && !b.startsWith(a + "/") && a != b
+    // the reported xN counts DISJOINT occurrences only (review catch: the
+    // raw group size also counts the ancestor/descendant canonical-equal
+    // occurrences the disjointness rule deems a single one, overstating
+    // the duplication factor the operator probes by): greedily keep each
+    // path not prefix-related to an already-kept one.
+    def disjointCount(paths: Seq[String]): Int =
+      paths.sorted.foldLeft(List.empty[String]) { (kept, p) =>
+        if (kept.exists(q => !disjoint(p, q))) kept else p :: kept
+      }.size
     val groups = all.groupBy(_._1.canonicalized)
       .collect { case (c, occ)
           if size(c) >= minNodes && readsFiles(c) &&
             occ.exists(x => occ.exists(y => disjoint(x._2, y._2))) =>
-        c -> occ.map(_._1)
+        c -> occ.map(_._2).toSeq
       }
     val forms = groups.keys.toSeq.sortBy(c => (-size(c), c.nodeName))
     val maximal = forms.filterNot { c =>
       forms.exists(bigger => (bigger ne c) && size(bigger) > size(c) &&
         bigger.exists(sub => (sub ne bigger) && sub == c))
     }
-    maximal.map(c => s"${c.nodeName}[${size(c)} nodes]x${groups(c).size}")
+    maximal.map(c => s"${c.nodeName}[${size(c)} nodes]x${disjointCount(groups(c))}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -143,10 +152,18 @@ object PlanHash {
     var unstable = List.empty[String]
     var dupWarnings = List.empty[String]
     val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def render() = canonical(
-        fn(spark, sfDir).queryExecution.explainString(FormattedMode))
-      val (ta, tb) = (render(), render())
-      val dups = repeatedSubtrees(fn(spark, sfDir).queryExecution.optimizedPlan)
+      // query CONSTRUCTION is the expensive part here (eager
+      // localCheckpoints / Materialize builds run real jobs at build time)
+      // — construct twice for the determinism self-check and feed the dup
+      // detector off the first QueryExecution instead of building a third
+      // time (review catch)
+      def render() = {
+        val qe = fn(spark, sfDir).queryExecution
+        (canonical(qe.explainString(FormattedMode)), qe)
+      }
+      val (ta, qeA) = render()
+      val tb = render()._1
+      val dups = repeatedSubtrees(qeA.optimizedPlan)
       if (dups.nonEmpty)
         dupWarnings ::= s"$name: ${dups.mkString("; ")}"
       // a few plans have genuinely nondeterministic TEXT (the

@@ -177,12 +177,19 @@ private object NioTfs extends Tfs {
   * path. The FS instance is resolved per call from the path's scheme
   * (Hadoop caches instances internally), against the active Spark
   * session's Hadoop configuration so `s3a://` credentials/endpoints
-  * configured on the session apply here too. */
+  * configured on the session apply here too. The configuration itself
+  * resolves ONCE per Tfs instance (review catch: `newHadoopConf()` clones
+  * the full SparkConf + Hadoop property set — ~1000 entries — and a
+  * compact over a few hundred files issues O(files) Tfs calls, each of
+  * which paid that clone for nothing, since `FileSystem.CACHE` keys on
+  * (scheme, authority, ugi) and ignores the conf on cache hits anyway;
+  * instances are created per maintenance op by [[Tfs.of]], so the config
+  * is still read fresh at every op's start). */
 final class HadoopTfs(confOverride: Option[org.apache.hadoop.conf.Configuration] = None)
     extends Tfs {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-  private def conf: org.apache.hadoop.conf.Configuration =
+  private lazy val conf: org.apache.hadoop.conf.Configuration =
     confOverride.getOrElse(
       org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sessionState.newHadoopConf())

@@ -212,8 +212,12 @@ object Similarity extends QueryModule {
     // plan pin); the checkpoint stays local to this plan
     val n = normed(embeddings).localCheckpoint(true)
     // one row: m = max(1, N div max(16, floor(sqrt(N)))) — the exact
-    // integer arithmetic of the DuckDB oracle's params CTE
-    val params = embeddings.agg(count(lit(1)).as("cnt")).select(
+    // integer arithmetic of the DuckDB oracle's params CTE. Counted off
+    // the checkpoint, not the raw table: normed() is a pure projection
+    // (count-preserving), and the raw aggregate was the one branch still
+    // re-running the parquet scan after the r20 dup-subtree pin
+    // (review catch)
+    val params = n.agg(count(lit(1)).as("cnt")).select(
       greatest(lit(1L),
         expr("cnt div greatest(16L, cast(floor(sqrt(cast(cnt as double))) as bigint))")).as("m"))
     // checkpointed: cents feeds BOTH nearest-centroid passes — the

@@ -107,7 +107,11 @@ object RecordSink {
   * output and the documented distinction was unobservable.
   */
 final class KinesisFileSink(dir: String, streamName: String,
-                            val region: String = RecordSink.defaultRegion)
+                            val region: String = RecordSink.defaultRegion,
+                            // test seam: the torn-batch spec injects a failing
+                            // writer to pin the whole-batch cleanup below
+                            keysWriter: (java.io.File, Seq[SinkEntry]) => Unit =
+                              KinesisFileSink.writeKeys)
     extends RecordSink {
   def send(batch: Seq[SinkEntry]): Unit = {
     if (batch.isEmpty) return
@@ -116,16 +120,27 @@ final class KinesisFileSink(dir: String, streamName: String,
     // while the same disk-full error one line later was correctly
     // dropped): the contract is log-and-drop, at-most-once
     // (kinesis.go:109-111), and close() flushes so it stays inside too.
+    var f: java.io.File = null
+    var k: java.io.File = null
     try {
       val d = new java.io.File(dir, streamName)
       d.mkdirs()
-      val f = java.io.File.createTempFile("putrecords-", ".jsonl", d)
+      f = java.io.File.createTempFile("putrecords-", ".jsonl", d)
+      k = new java.io.File(d, "." + f.getName + ".keys")
       val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
       try batch.foreach(e => out.write(e.data))
       finally out.close()
-      KinesisFileSink.writeKeys(new java.io.File(d, "." + f.getName + ".keys"), batch)
+      keysWriter(k, batch)
     } catch {
       case e: java.io.IOException =>
+        // at-most-once drops the WHOLE batch: a data file without its keys
+        // sidecar (or a torn data file from a mid-write error) is a
+        // half-DELIVERED batch, not a dropped one — remove both halves
+        // before accounting the drop (review catch: the sidecar was written
+        // after the data file with no cleanup, so a sidecar-write failure
+        // published every entry of a batch the log recorded as dropped)
+        if (k != null) k.delete()
+        if (f != null) f.delete()
         JsonLog.error("send failed", "error" -> String.valueOf(e.getMessage))
     }
   }

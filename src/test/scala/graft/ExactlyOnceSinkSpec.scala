@@ -136,6 +136,25 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(lines.get(2) === "null")
   }
 
+  test("at-most-once drops the WHOLE batch on a sidecar failure — no " +
+      "orphan data file (review catch: the data chunk committed before " +
+      "writeKeys, so a sidecar error half-DELIVERED a batch the log " +
+      "recorded as dropped)") {
+    import graft.streaming.KinesisFileSink
+    val dir = Files.createTempDirectory("amo-torn-").toString
+    val boom = new KinesisFileSink(dir, "s",
+      keysWriter = (_, _) => throw new java.io.IOException("disk full"))
+    boom.send(Seq(SinkEntry(Some("k"), "x\n".getBytes)))   // must NOT throw
+    val left = Option(new java.io.File(dir, "s").listFiles()).toSeq.flatten
+    assert(left.isEmpty,
+      s"a failed send must leave nothing behind, found: ${left.mkString(", ")}")
+    // and the happy path still writes the pair
+    new KinesisFileSink(dir, "s").send(Seq(SinkEntry(Some("k"), "x\n".getBytes)))
+    val names = new java.io.File(dir, "s").listFiles().map(_.getName).toSeq
+    assert(names.count(_.endsWith(".jsonl")) === 1)
+    assert(names.count(n => n.startsWith(".") && n.endsWith(".keys")) === 1)
+  }
+
   test("keys sidecar I/O errors PROPAGATE (ADVICE r19: the PrintStream " +
       "encoder swallowed them, committing data chunks with lost sidecars)") {
     import graft.streaming.KinesisFileSink

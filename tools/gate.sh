@@ -51,6 +51,11 @@ sbt -batch test || { echo "gate: FAIL — sbt test red (compile or assertion)"; 
 echo "== gate: correctness (Verify @ $SF_VERIFY vs DuckDB oracle, CPUS=32) =="
 # CPUS=32 for driver parity (VERDICT r09 #4): an order-sensitive float bug
 # that only manifests at the driver's local[32] must fail HERE, not there.
+# Clean slate (review catch): Verify overwrites per-query but never clears
+# the dir, so a renamed/removed query's stale result dir survives and
+# corrupts the tally check's `declared` ground truth below — a false FAIL
+# on a correct SURVEY, or a stale dir masking a genuinely stale tally.
+rm -rf /tmp/verify_out
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" || exit 1
 # --self-test: the r12 incident (HUGEINT vs BIGINT invisible to a
 # width-blind fetchall() compare) ships a canary — widen one BIGINT
