@@ -120,27 +120,41 @@ final class KinesisFileSink(dir: String, streamName: String,
     // while the same disk-full error one line later was correctly
     // dropped): the contract is log-and-drop, at-most-once
     // (kinesis.go:109-111), and close() flushes so it stays inside too.
-    var f: java.io.File = null
+    //
+    // Publication is ATOMIC (review catch, two rounds of it): a send is
+    // visible to `*.jsonl` readers either completely — data file AND keys
+    // sidecar — or not at all. The sidecar (dot-prefixed, invisible to
+    // globs) writes FIRST, the data writes to a dot-prefixed temp, and one
+    // same-directory atomic rename publishes. A reader can never list a
+    // torn or soon-to-be-retracted data file (the first fix wrote data in
+    // place at its final name and deleted it on sidecar failure — leaving
+    // a mid-write/mid-retraction window, and a kill -9 between the two
+    // writes published a permanently keyless batch), and every crash or
+    // error window leaves only hidden files behind.
+    var tmp: java.io.File = null
     var k: java.io.File = null
     try {
       val d = new java.io.File(dir, streamName)
       d.mkdirs()
-      f = java.io.File.createTempFile("putrecords-", ".jsonl", d)
-      k = new java.io.File(d, "." + f.getName + ".keys")
-      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      tmp = java.io.File.createTempFile(".putrecords-", ".jsonl.tmp", d)
+      val published = tmp.getName.stripPrefix(".").stripSuffix(".tmp")
+      k = new java.io.File(d, "." + published + ".keys")
+      keysWriter(k, batch)
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
       try batch.foreach(e => out.write(e.data))
       finally out.close()
-      keysWriter(k, batch)
+      java.nio.file.Files.move(tmp.toPath, new java.io.File(d, published).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch {
       case e: java.io.IOException =>
-        // at-most-once drops the WHOLE batch: a data file without its keys
-        // sidecar (or a torn data file from a mid-write error) is a
-        // half-DELIVERED batch, not a dropped one — remove both halves
-        // before accounting the drop (review catch: the sidecar was written
-        // after the data file with no cleanup, so a sidecar-write failure
-        // published every entry of a batch the log recorded as dropped)
-        if (k != null) k.delete()
-        if (f != null) f.delete()
+        // both halves are still hidden here (the rename is the last step),
+        // so cleanup failures can't publish anything — but log them: a
+        // silently-ignored delete return would leave the leak unobservable
+        // (review catch)
+        for (h <- Seq(Option(k), Option(tmp)).flatten)
+          if (h.exists() && !h.delete())
+            JsonLog.warn("send cleanup left a hidden temp file",
+              "path" -> h.getPath)
         JsonLog.error("send failed", "error" -> String.valueOf(e.getMessage))
     }
   }

@@ -148,6 +148,15 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     val left = Option(new java.io.File(dir, "s").listFiles()).toSeq.flatten
     assert(left.isEmpty,
       s"a failed send must leave nothing behind, found: ${left.mkString(", ")}")
+    // same when the sidecar was already created before the failure
+    val late = new KinesisFileSink(dir, "s", keysWriter = (f, _) => {
+      new java.io.FileOutputStream(f).close()
+      throw new java.io.IOException("disk full after create")
+    })
+    late.send(Seq(SinkEntry(Some("k"), "x\n".getBytes)))
+    val left2 = Option(new java.io.File(dir, "s").listFiles()).toSeq.flatten
+    assert(left2.isEmpty,
+      s"a failed send must retract the created sidecar too, found: ${left2.mkString(", ")}")
     // and the happy path still writes the pair
     new KinesisFileSink(dir, "s").send(Seq(SinkEntry(Some("k"), "x\n".getBytes)))
     val names = new java.io.File(dir, "s").listFiles().map(_.getName).toSeq
