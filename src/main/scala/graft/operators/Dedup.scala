@@ -94,7 +94,7 @@ object Dedup extends QueryModule {
     val d = docsTable(spark, dir).select(col("doc_id"), col("lang"), col("text"))
     d.unionAll(d)
       .groupBy(col("lang"), sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .agg(count(lit(1)).as("n_copies"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_unique"),
         sum(col("n_copies") - 1).as("n_removed"))
@@ -404,29 +404,32 @@ object Dedup extends QueryModule {
     * Everything shuffles on uniform keys (shingle, then pair). */
   private val MaxDf = 50
 
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        maxDf: Int = MaxDf): DataFrame = {
-    // Postings keyed by the shingle's 64-bit hash, not the ~30-char string
-    // — and the hashes come straight from the codegen'd [[ShingleHashes]]
-    // expression (one pass: tokenize → FNV per n-gram → dedupe), so no
-    // shingle strings are ever materialized. (Join keys are engine-internal
-    // — the oracle joins raw strings; only the final (a, b, jaccard) rows
-    // must match.) Each posting carries its doc's set size, so Jaccard
-    // needs NO join back to the corpus — the whole query is one pass over
-    // the text: hash → one shuffle on shingle hash → per-list pair explode
-    // → one shuffle on pair.
+  /** The shared q60/q161 pair frame `(a, b, sa, sb, ninter)` from the
+    * df-capped shingle postings — one pipeline, two scorers (review catch:
+    * the two operators carried verbatim copies that could silently drift).
+    *
+    * Postings keyed by the shingle's 64-bit hash, not the ~30-char string
+    * — and the hashes come straight from the codegen'd [[ShingleHashes]]
+    * expression (one pass: tokenize → FNV per n-gram → dedupe), so no
+    * shingle strings are ever materialized. (Join keys are engine-internal
+    * — the oracle joins raw strings; only the final scored rows must
+    * match.) Each posting carries its doc's set size, so the scorers need
+    * NO join back to the corpus — the whole query is one pass over the
+    * text: hash → one shuffle on shingle hash → per-list pair explode →
+    * one shuffle on pair. Group to a df-capped posting list, then emit
+    * each list's pairs with a double explode — same Σ df² pair work as a
+    * posting self-join but without shuffling the postings twice or
+    * re-deriving the shingles for each join side. Per-group state is
+    * bounded by maxDf (doc_id, sz) structs. sa/sb ride in the grouping
+    * key; they are functionally determined by (a, b) so the key stays as
+    * selective as (a, b) alone. */
+  private def cappedPostingPairs(docs: DataFrame, maxDf: Int): DataFrame = {
     val sets = docs
       .withColumn("shh", graft.functions.TextExpressions.shingleHashes(col("text"), 3))
       .filter(size(col("shh")) > 0)
     val post = sets.select(
       struct(col("doc_id"), size(col("shh")).as("sz")).as("d"),
       explode(col("shh")).as("sh"))
-    // Group to a df-capped posting list, then emit each list's pairs with a
-    // double explode — same Σ df² pair work as a posting self-join but
-    // without shuffling the postings twice or re-deriving the shingles for
-    // each join side. Per-group state is bounded by MaxDf (doc_id, sz)
-    // structs. sa/sb ride in the grouping key; they are functionally
-    // determined by (a, b) so the key stays as selective as (a, b) alone.
     post.groupBy(col("sh"))
       .agg(collect_list(col("d")).as("docs"))
       .filter(size(col("docs")).between(2, maxDf))
@@ -436,12 +439,16 @@ object Dedup extends QueryModule {
       .groupBy(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
         col("da.sz").as("sa"), col("db.sz").as("sb"))
       .agg(count(lit(1)).as("ninter"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        maxDf: Int = MaxDf): DataFrame =
+    cappedPostingPairs(docs, maxDf)
       .withColumn("jaccard", round(col("ninter").cast("double") /
         (col("sa") + col("sb") - col("ninter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
-  }
 
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(docsTable(spark, dir))
@@ -456,22 +463,8 @@ object Dedup extends QueryModule {
     * per pair.
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
-                       maxDf: Int = MaxDf): DataFrame = {
-    val sets = docs
-      .withColumn("shh", graft.functions.TextExpressions.shingleHashes(col("text"), 3))
-      .filter(size(col("shh")) > 0)
-    val post = sets.select(
-      struct(col("doc_id"), size(col("shh")).as("sz")).as("d"),
-      explode(col("shh")).as("sh"))
-    post.groupBy(col("sh"))
-      .agg(collect_list(col("d")).as("docs"))
-      .filter(size(col("docs")).between(2, maxDf))
-      .select(explode(col("docs")).as("da"), col("docs"))
-      .select(col("da"), explode(col("docs")).as("db"))
-      .filter(col("da.doc_id") < col("db.doc_id"))
-      .groupBy(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
-        col("da.sz").as("sa"), col("db.sz").as("sb"))
-      .agg(count(lit(1)).as("ninter"))
+                       maxDf: Int = MaxDf): DataFrame =
+    cappedPostingPairs(docs, maxDf)
       .withColumn("containment", round(col("ninter").cast("double") /
         least(col("sa"), col("sb")), 6))
       .filter(col("containment") >= threshold)
@@ -479,7 +472,6 @@ object Dedup extends QueryModule {
         (col("sa") + col("sb") - col("ninter")), 6))
       .select(col("a"), col("b"), col("containment"), col("jaccard"))
       .orderBy(col("containment").desc, col("a"), col("b"))
-  }
 
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(docsTable(spark, dir))
@@ -587,7 +579,13 @@ object Dedup extends QueryModule {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      // prefix length at the MARGINED threshold (review catch; the snm
+      // prune's ADVICE r14 rule applied here): the final filter keeps
+      // jaccard ROUNDED to 6 decimals ≥ t, so a pair with true
+      // J ∈ [t − 5e-7, t) passes verify — its prefix property is only
+      // guaranteed at t − 5e-7, and pruning at raw t could drop it before
+      // verify ever sees it. Margining only WIDENS the prefix.
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * (threshold - 5e-7)) + 1)
       .select(col("doc_id"), col("sz"), col("sh"))
   }
 
@@ -598,8 +596,12 @@ object Dedup extends QueryModule {
     val cand = prefixes.select(col("doc_id").as("a"), col("sz").as("sa0"), col("sh"))
       .join(prefixes.select(col("doc_id").as("b"), col("sz").as("sb0"), col("sh")), "sh")
       .filter(col("a") < col("b"))
-      // PPJoin length filter: J >= t forces t·max(|x|,|y|) <= min(|x|,|y|)
-      .filter(greatest(col("sa0"), col("sb0")) * threshold <= least(col("sa0"), col("sb0")))
+      // PPJoin length filter: J >= t forces t·max(|x|,|y|) <= min(|x|,|y|) —
+      // at the MARGINED t (review catch, the snm rule): the verify filter
+      // keeps round(J, 6) ≥ t, so a boundary pair with true J just below t
+      // must survive the prune for verify to decide it
+      .filter(greatest(col("sa0"), col("sb0")) * (threshold - 5e-7) <=
+        least(col("sa0"), col("sb0")))
       .select(col("a"), col("b"))
       // the dedup shuffle's fan-out is PINNED (an explicit user count is
       // exempt from AQE coalescing): the pair stream is tiny in BYTES, so
@@ -1368,7 +1370,7 @@ object Dedup extends QueryModule {
     "q40_dedup_exact" ->
       """SELECT lang, count(*) AS n_unique,
         |       CAST(sum(n_copies - 1) AS BIGINT) AS n_removed
-        |FROM (SELECT lang, sha256(text) AS h, min(doc_id) AS keep_id,
+        |FROM (SELECT lang, sha256(text) AS h,
         |             count(*) AS n_copies
         |      FROM (SELECT doc_id, lang, text FROM documents
         |            UNION ALL SELECT doc_id, lang, text FROM documents)

@@ -111,8 +111,16 @@ object TextStats extends QueryModule {
     * variants) + distinct-gram count. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs
+      // the sub-8-char guard is LOAD-BEARING (review catch): Spark's
+      // two-arg sequence(start, stop) auto-descends when start > stop, so
+      // an unguarded sequence(1, length-7) on a 7-char text yields [1, 0]
+      // and fabricates two phantom "8-grams" (substr position 0 ≡ 1),
+      // where the oracle's range(1, len-6) is simply empty — short docs
+      // must produce (fp NULL, 0 distinct grams) in both engines
       .withColumn("grams", expr(
-        "transform(sequence(1, length(text)-7), i -> substr(text, i, 8))"))
+        "CASE WHEN length(text) >= 8 " +
+          "THEN transform(sequence(1, length(text)-7), i -> substr(text, i, 8)) " +
+          "ELSE CAST(array() AS array<string>) END"))
       .select(col("doc_id"),
         array_min(expr("transform(grams, g -> md5(g))")).as("fp"),
         array_min(expr("transform(grams, g -> md5(concat('w:', g)))")).as("fp_salted"),
@@ -158,11 +166,17 @@ object TextStats extends QueryModule {
     * to predicates. Single narrow scan, per-row O(len) regex/token work,
     * one tiny (lang × reason) map-side-combined shuffle. */
   def filterFunnel(docs: DataFrame): DataFrame = {
-    val lt = length(col("text"))
-    val nt = size(split(col("text"), " "))
-    val al = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    // LONG, not the Int these builtins return (review catch): the
+    // cross-multiplied predicates below compute products like lt·81 and
+    // al·100, which wrap 32-bit silently (non-ANSI Multiply) once a doc
+    // passes ~21 M chars — exactly the huge-junk-doc class this funnel
+    // exists to catch — while the oracle's len() is BIGINT and classifies
+    // correctly. Cast once; every product below is then 64-bit.
+    val lt = length(col("text")).cast("long")
+    val nt = size(split(col("text"), " ")).cast("long")
+    val al = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
     val st = size(filter(split(col("text"), " "),
-      t => t.isin("the", "a", "of", "to", "and")))
+      t => t.isin("the", "a", "of", "to", "and"))).cast("long")
     // mean token length = (chars minus the nt-1 separators) / nt > 4.8
     val reason = when(col("n_chars") < 120, "too_short")
       .when(al * 100 < lt * 81, "low_alpha")
@@ -582,8 +596,15 @@ object TextStats extends QueryModule {
         (round(col("n_agree").cast("double") / col("n_docs"), 6) + lit(0.0)).as("po"),
         (round(col("pe_num").cast("double")
           / (col("n_docs") * col("n_docs")), 6) + lit(0.0)).as("pe"),
-        (round((col("n_agree") * col("n_docs") - col("pe_num")).cast("double")
-          / (col("n_docs") * col("n_docs") - col("pe_num")), 6) + lit(0.0)).as("kappa"))
+        // κ is UNDEFINED when both labelers collapse to one identical
+        // marginal (pₑ = 1 ⇒ zero denominator) — NULL, the same guard
+        // kappaBySegment applies, not a divide-by-zero artifact whose
+        // value differs across engines (review catch: Spark's non-ANSI
+        // divide yields NULL, an IEEE engine yields ±Inf/NaN)
+        when(col("n_docs") * col("n_docs") > col("pe_num"),
+          round((col("n_agree") * col("n_docs") - col("pe_num")).cast("double")
+            / (col("n_docs") * col("n_docs") - col("pe_num")), 6) + lit(0.0))
+          .as("kappa"))
   }
 
   def kappaAgreement(spark: SparkSession, dir: String): DataFrame =
@@ -1932,6 +1953,44 @@ FROM pcts) ORDER BY gen"""
       (1 to rounds).map(k => s"SELECT step, p1, p2 FROM ${px}m$k")
         .mkString(" UNION ALL ") + ")"
 
+  /** The shared NB-model oracle chain — q166's trained classifier,
+    * consumed verbatim by the q189/q196/q188/q172 oracles (review
+    * catch: five hand-maintained copies had to stay bit-identical;
+    * the engine side already serves all five from one scoring
+    * artifact). CTEs tok -> tk -> train/test -> cnt/tot/vocab ->
+    * dtrain/dall -> stats -> model -> sums, ending in
+    * `sums(doc_id, lang, model_lang, tok_q)` and
+    * `stats(model_lang, dflt_q, prior_q)`. */
+  private val nbModelCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tk AS (SELECT * FROM tok WHERE tok <> ''),
+      |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+      |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+      |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
+      |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
+      |dtrain AS (SELECT lang, count(*) AS nd FROM documents
+      |           WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
+      |stats AS (
+      |  SELECT t.model_lang,
+      |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
+      |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
+      |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
+      |  CROSS JOIN vocab CROSS JOIN dall),
+      |model AS (
+      |  SELECT c.model_lang, c.tok,
+      |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
+      |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
+      |sums AS (
+      |  SELECT te.doc_id, te.lang, s.model_lang,
+      |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
+      |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
+      |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // N unrolled CTE rounds (the q163 discipline) — see bpeTrainOracle
     "q203_bpe_train" -> bpeTrainOracle(BpeTrainRounds),
@@ -2246,34 +2305,7 @@ FROM pcts) ORDER BY gen"""
     // same fixed-point NB model: integer micro-nat scores make the argmax
     // order-independent, so both engines agree bit-for-bit
     "q166_nb_classifier" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |tk AS (SELECT * FROM tok WHERE tok <> ''),
-        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
-        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
-        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
-        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
-        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
-        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
-        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
-        |stats AS (
-        |  SELECT t.model_lang,
-        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
-        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
-        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
-        |  CROSS JOIN vocab CROSS JOIN dall),
-        |model AS (
-        |  SELECT c.model_lang, c.tok,
-        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
-        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
-        |sums AS (
-        |  SELECT te.doc_id, te.lang, s.model_lang,
-        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
-        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
-        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
-        |  GROUP BY 1, 2, 3),
+      s"""$nbModelCtes,
         |pred AS (
         |  SELECT doc_id, lang, model_lang,
         |         row_number() OVER (PARTITION BY doc_id
@@ -2288,34 +2320,7 @@ FROM pcts) ORDER BY gen"""
     // q189's chain grouped by the TRUE label; a segment with pe = 1 emits
     // kappa NULL (undefined), identically in both engines
     "q196_kappa_by_segment" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |tk AS (SELECT * FROM tok WHERE tok <> ''),
-        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
-        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
-        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
-        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
-        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
-        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
-        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
-        |stats AS (
-        |  SELECT t.model_lang,
-        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
-        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
-        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
-        |  CROSS JOIN vocab CROSS JOIN dall),
-        |model AS (
-        |  SELECT c.model_lang, c.tok,
-        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
-        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
-        |sums AS (
-        |  SELECT te.doc_id, te.lang, s.model_lang,
-        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
-        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
-        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
-        |  GROUP BY 1, 2, 3),
+      s"""$nbModelCtes,
         |nbp AS (
         |  SELECT doc_id, lang, model_lang AS pred_a FROM (
         |    SELECT doc_id, lang, model_lang,
@@ -2358,34 +2363,7 @@ FROM pcts) ORDER BY gen"""
     // per doc, then Cohen's kappa as one division of integer
     // cross-products: (n_agree*N - pe_num) / (N^2 - pe_num)
     "q189_kappa_agreement" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |tk AS (SELECT * FROM tok WHERE tok <> ''),
-        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
-        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
-        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
-        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
-        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
-        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
-        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
-        |stats AS (
-        |  SELECT t.model_lang,
-        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
-        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
-        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
-        |  CROSS JOIN vocab CROSS JOIN dall),
-        |model AS (
-        |  SELECT c.model_lang, c.tok,
-        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
-        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
-        |sums AS (
-        |  SELECT te.doc_id, te.lang, s.model_lang,
-        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
-        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
-        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
-        |  GROUP BY 1, 2, 3),
+      s"""$nbModelCtes,
         |nbp AS (
         |  SELECT doc_id, model_lang AS nb_pred FROM (
         |    SELECT doc_id, model_lang,
@@ -2418,40 +2396,14 @@ FROM pcts) ORDER BY gen"""
         |SELECT n_docs, n_agree,
         |       round(CAST(n_agree AS DOUBLE) / n_docs, 6) + 0.0 AS po,
         |       round(CAST(pe_num AS DOUBLE) / (n_docs * n_docs), 6) + 0.0 AS pe,
-        |       round(CAST(n_agree * n_docs - pe_num AS DOUBLE)
-        |             / (n_docs * n_docs - pe_num), 6) + 0.0 AS kappa
+        |       CASE WHEN n_docs * n_docs > pe_num THEN
+        |         round(CAST(n_agree * n_docs - pe_num AS DOUBLE)
+        |               / (n_docs * n_docs - pe_num), 6) + 0.0 END AS kappa
         |FROM t2 CROSS JOIN pe""".stripMargin,
     // q166's model chain, then Mann-Whitney with integer midranks
     // (2*rank + |tie| - 1); one final double division
     "q188_calibration" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |tk AS (SELECT * FROM tok WHERE tok <> ''),
-        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
-        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
-        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
-        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
-        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
-        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
-        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
-        |stats AS (
-        |  SELECT t.model_lang,
-        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
-        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
-        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
-        |  CROSS JOIN vocab CROSS JOIN dall),
-        |model AS (
-        |  SELECT c.model_lang, c.tok,
-        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
-        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
-        |sums AS (
-        |  SELECT te.doc_id, te.lang, s.model_lang,
-        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
-        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
-        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
-        |  GROUP BY 1, 2, 3),
+      s"""$nbModelCtes,
         |sc AS (
         |  SELECT su.doc_id, su.lang, su.model_lang,
         |         su.tok_q + st.prior_q AS score,
@@ -2474,34 +2426,7 @@ FROM pcts) ORDER BY gen"""
         |               AS DOUBLE) / count(*), 6) + 0.0 AS accuracy
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_classifier_auc" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |tk AS (SELECT * FROM tok WHERE tok <> ''),
-        |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
-        |test  AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
-        |cnt AS (SELECT lang AS model_lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
-        |tot AS (SELECT lang AS model_lang, count(*) AS tot FROM train GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
-        |dtrain AS (SELECT lang, count(*) AS nd FROM documents
-        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
-        |dall AS (SELECT count(*) AS ndall FROM documents WHERE doc_id % 5 <> 0),
-        |stats AS (
-        |  SELECT t.model_lang,
-        |         CAST(round(ln(1.0 / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS dflt_q,
-        |         CAST(round(ln(CAST(d.nd AS DOUBLE) / dall.ndall) * 1000000) AS BIGINT) AS prior_q
-        |  FROM tot t JOIN dtrain d ON d.lang = t.model_lang
-        |  CROSS JOIN vocab CROSS JOIN dall),
-        |model AS (
-        |  SELECT c.model_lang, c.tok,
-        |         CAST(round(ln((c.c + 1.0) / (t.tot + vocab.v)) * 1000000) AS BIGINT) AS ll_q
-        |  FROM cnt c JOIN tot t USING (model_lang) CROSS JOIN vocab),
-        |sums AS (
-        |  SELECT te.doc_id, te.lang, s.model_lang,
-        |         sum(coalesce(m.ll_q, s.dflt_q)) AS tok_q
-        |  FROM test te CROSS JOIN (SELECT model_lang, dflt_q FROM stats) s
-        |  LEFT JOIN model m ON m.model_lang = s.model_lang AND m.tok = te.tok
-        |  GROUP BY 1, 2, 3),
+      s"""$nbModelCtes,
         |sc AS (
         |  SELECT CASE WHEN su.lang = 'en' THEN 1 ELSE 0 END AS y,
         |         su.tok_q + st.prior_q AS score

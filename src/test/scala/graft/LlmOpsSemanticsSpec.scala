@@ -247,6 +247,50 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
       s"got $r")
   }
 
+  test("agreementReport: degenerate single-label agreement emits kappa NULL " +
+      "(pe = 1, zero denominator), the kappaBySegment guard (review catch)") {
+    import spark.implicits._
+    val r = operators.TextStats.agreementReport(
+      Seq.fill(7)(("x", "x")).toDF("pred_a", "pred_b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((7L, 7L)))
+    assert((r.getDouble(2), r.getDouble(3)) == ((1.0, 1.0)))
+    assert(r.isNullAt(4), s"kappa must be NULL when pe = 1, got ${r.get(4)}")
+  }
+
+  test("fingerprint: sub-8-char docs produce NULL fp and 0 grams — Spark's " +
+      "two-arg sequence auto-descends on start > stop and would otherwise " +
+      "fabricate phantom 8-grams (review catch)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    Seq(
+      (1L, "abc def", "en", "s", 7L),      // 7 chars: sequence(1,0) trap
+      (2L, "exactly8", "en", "s", 8L),     // boundary: exactly one gram
+      (3L, "", "en", "s", 0L))             // empty text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextStats.fingerprint(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.get(1)), x.getInt(3)))).toMap
+    assert(r(1L) == ((None, 0)), s"7-char doc: ${r(1L)}")
+    assert(r(3L) == ((None, 0)), s"empty doc: ${r(3L)}")
+    assert(r(2L)._1.isDefined && r(2L)._2 == 1, s"8-char doc: ${r(2L)}")
+  }
+
+  test("filterFunnel: a >21M-char doc classifies by 64-bit products — the " +
+      "cross-multiplied Int predicates wrapped negative on exactly the " +
+      "huge-junk-doc class the funnel exists to catch (review catch)") {
+    import spark.implicits._
+    // 25M alphabetic chars, one token: al·100 = 2.5e9 overflows Int, so the
+    // unfixed low_alpha predicate saw wrapped garbage and misfiled the doc;
+    // the true cascade answer is low_stopword (alpha ratio 1.0, no stopwords)
+    val huge = "z" * 25000000
+    val r = operators.TextStats.filterFunnel(
+      Seq((1L, huge, "en", "s", huge.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(x => (x.getString(1), x.getLong(2))).toMap
+    assert(r == Map("low_stopword" -> 1L), s"got $r")
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val sh = operators.Dedup.simhash(spark, docsDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

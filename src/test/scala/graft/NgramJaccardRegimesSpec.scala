@@ -66,4 +66,23 @@ class NgramJaccardRegimesSpec extends AnyFunSuite {
     assert(exact.map(p => (p._1, p._2)) ===
       (for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)).toSet)
   }
+
+  test("boundary pair whose true J sits in [t-5e-7, t) survives the " +
+      "margined prunes (review catch: the prefix length and length filter " +
+      "used the raw threshold while verify keeps round(J,6) >= t)") {
+    import spark.implicits._
+    // A = 2 shingles, B = 3 shingles, A fully contained: true J = 2/3 =
+    // 0.666666..., which ROUNDS to 0.666667 — kept by verify at
+    // t = 0.666667 even though true J < t. Unmargined, B's prefix length
+    // was 3 - ceil(3*t) + 1 = 1 (the df=1 unique shingle only), so the
+    // pair was never even generated; margined it is 2 and the shared
+    // rarest shingle bridges the candidate join, then the margined length
+    // filter keeps it for verify to decide.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w4 w5")
+    ).toDF("doc_id", "text")
+    val got = pairs(Dedup.ngramJaccardPairsExact(docs, threshold = 0.666667))
+    assert(got === Set((1L, 2L, 0.666667)))
+  }
 }
