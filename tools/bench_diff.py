@@ -19,8 +19,12 @@ the IDENTICAL code measured 0.62s; the next gate then flagged +79..92%
 "regressions" in code that had not changed, and they survived the warm
 best-of-5 because the snapshot itself was lucky, not the new run noisy.
 A true code regression is slower than BOTH witnesses of the old code; a
-flagged query within 1.3x of the witness value is re-classified as
-snapshot drift and does not fail the gate.
+flagged query within 1.3x OR within the 0.15s noise floor of the witness
+value is re-classified as snapshot drift and does not fail the gate. The
+absolute floor mirrors the flagging rule above (pct AND >0.15s): without
+it a 0.13s wobble on a 0.4s query — a delta too small to ever be FLAGGED
+— could still fail the witness ratio and the gate (round-20 incident:
+q105 at 0.55s vs witness 0.417s for bit-identical code, ratio 1.32).
 """
 import json
 import re
@@ -116,10 +120,11 @@ def main():
         kept = []
         for q, o, n, pct in regressions:
             w = witness.get(q)
-            if w and n <= w * 1.3:
+            if w and (n <= w * 1.3 or n - w <= 0.15):
                 print(f"  {q}: snapshot drift, not code — new {n:.2f}s is "
-                      f"within 1.3x of the driver's {w:.2f}s for the same "
-                      f"old code (snapshot said {o:.2f}s)")
+                      f"within 1.3x or the 0.15s noise floor of the "
+                      f"driver's {w:.2f}s for the same old code "
+                      f"(snapshot said {o:.2f}s)")
             else:
                 kept.append((q, o, n, pct))
         regressions = kept
