@@ -59,13 +59,24 @@ def main():
     p.add_argument("new", nargs="?", default="bench_out.json")
     p.add_argument("--tol", type=float, default=50.0,
                    help="regression threshold in percent (default 50)")
-    p.add_argument("--witness", default=None,
+    p.add_argument("--witness", action="append", default=None,
                    help="second measurement of the OLD code (driver run); "
                         "flags within 1.3x of it are snapshot drift")
     ns = p.parse_args()
     tol = ns.tol
     old, new = load_queries(ns.old), load_queries(ns.new)
-    witness = load_queries(ns.witness) if ns.witness else {}
+    # Multiple --witness files compose per-query by MAX: each file is an
+    # independent measurement of the SAME old code, and the doctrine above
+    # is "a true code regression is slower than BOTH witnesses" — i.e. a
+    # flag survives only if it exceeds the slowest same-code measurement.
+    # (Round-20 incident: the gate's final adjudication passed ONLY the
+    # auto-witness, silently dropping the driver witness that had cleared
+    # two of the flagged queries in the step before.)
+    witness = {}
+    for wf in ns.witness or []:
+        for q, v in load_queries(wf).items():
+            if v is not None:
+                witness[q] = max(witness.get(q, 0.0), v)
     # failed queries are recorded as null — exclude from comparison, but report
     for q in sorted(k for k, v in new.items() if v is None):
         print(f"{q}: FAILED in new run (null timing)")

@@ -145,9 +145,13 @@ if [ $rc -ne 0 ]; then
     if [ -f "$prev_commit_file" ] && ! grep -q dirty "$prev_commit_file"; then
       prev_commit=$(cat "$prev_commit_file")
       echo "== gate: auto-witness — re-measuring UNCHANGED $prev_commit for [$flagged2] =="
+      # BOTH witnesses: the auto-witness only measured $flagged2, so the
+      # driver witness that cleared the OTHER flagged queries in the step
+      # above must ride along or they re-fail here with no witness at all
+      # (bench_diff composes repeated --witness per-query by max)
       if tools/witness.sh "$prev_commit" "$flagged2" /tmp/witness_auto.json && \
          python3 tools/bench_diff.py "$PREV" /tmp/bench_flagged.json \
-           --witness /tmp/witness_auto.json; then
+           --witness /tmp/witness_auto.json $WITNESS_ARG; then
         echo "gate: surviving flags adjudicated as snapshot drift (same code, same speed now)"
       else
         echo "gate: FAIL — regression survives the same-code witness; fix before snapshot"
