@@ -87,6 +87,36 @@ object Tables {
     })
 }
 
+/** Scale-adaptive map-side fan-out (optimization r20, guide §2.5 "input
+  * skew: one huge unsplittable file" + §1.2 "choose a partitioning that
+  * avoids skew").
+  *
+  * The driver's testdata ships each table as ONE parquet file with ONE row
+  * group, so every scan is a single task and everything narrow above it —
+  * tokenize/shingle/md5 minhash, sha-256, protobuf+snappy encode — runs on
+  * one core regardless of `local[N]` (stage-profiled: the dedup family's
+  * minhash pass single-threads at ~1 s/query at sf0.1 on local[32]).
+  *
+  * `fanOut` repartitions to the session's default parallelism ONLY when the
+  * planned scan has fewer partitions than that — the condition is derived
+  * from the input, not tuned to this box. At production scale a 100 TB
+  * table scans as thousands of row-group splits, the condition is false,
+  * and the frame passes through untouched — no extra shuffle is ever
+  * introduced where the scan already parallelizes (the guide's §2.4 rule:
+  * a `repartition(n)` added "for parallelism" is exactly the accidental
+  * exchange to avoid — unless the input genuinely cannot be split).
+  *
+  * Streaming frames pass through untouched (`.rdd` is undefined on them;
+  * micro-batches arrive pre-partitioned by the source). */
+object Par {
+  def fanOut(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+}
+
 /** A bundle of named queries plus their DuckDB oracle SQL.
   *
   * `SparkEntry` concatenates the modules; the driver's Verify harness runs

@@ -147,8 +147,10 @@ object Dedup extends QueryModule {
       .limit(topK)
   }
 
+  // adapter-level fanOut (opt r20, graft.Par): ONE heavy scan pass per
+  // query — parallelize the unsplittable-testdata scan; no-op at scale.
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    lshNearDupPairs(docsTable(spark, dir))
+    lshNearDupPairs(graft.Par.fanOut(docsTable(spark, dir)))
 
   /** 60-bit SimHash per document from per-token md5s — ONE codegen'd
     * expression per row ([[graft.functions.SimHash64]]), zero shuffle.
@@ -185,8 +187,10 @@ object Dedup extends QueryModule {
       .orderBy(col("hamming"), col("a"), col("b"))
   }
 
+  // adapter-level fanOut (opt r20, graft.Par): ONE heavy scan pass per
+  // query — parallelize the unsplittable-testdata scan; no-op at scale.
   def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashHammingPairs(docsTable(spark, dir))
+    simhashHammingPairs(graft.Par.fanOut(docsTable(spark, dir)))
 
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD'95) —
     * the record-linkage alternative to LSH banding (q42): sort the corpus
@@ -371,8 +375,11 @@ object Dedup extends QueryModule {
       .limit(topK)
   }
 
+  // adapter-level fanOut (opt r20, graft.Par): the deletion-signature
+  // explode is the heavy map pass and runs twice (both join sides) at the
+  // unsplittable scan's 1-task parallelism; no-op at scale.
   def entityMatchPairs(spark: SparkSession, dir: String): DataFrame =
-    entityMatchPairs(Tables(spark, dir, "customer"))
+    entityMatchPairs(graft.Par.fanOut(Tables(spark, dir, "customer")))
 
   /** N-gram Jaccard dedup via inverted-index posting lists — the
     * sketch-free sibling of [[lshNearDupPairs]]: instead of minhash
@@ -450,8 +457,10 @@ object Dedup extends QueryModule {
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
 
+  // adapter-level fanOut (opt r20, graft.Par): ONE heavy scan pass per
+  // query — parallelize the unsplittable-testdata scan; no-op at scale.
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(docsTable(spark, dir))
+    ngramJaccardPairs(graft.Par.fanOut(docsTable(spark, dir)))
 
   /** q161 — asymmetric CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|)
     * over the same df-capped shingle postings as q60. Jaccard's symmetric
@@ -473,8 +482,10 @@ object Dedup extends QueryModule {
       .select(col("a"), col("b"), col("containment"), col("jaccard"))
       .orderBy(col("containment").desc, col("a"), col("b"))
 
+  // adapter-level fanOut (opt r20, graft.Par): ONE heavy scan pass per
+  // query — parallelize the unsplittable-testdata scan; no-op at scale.
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(docsTable(spark, dir))
+    containmentPairs(graft.Par.fanOut(docsTable(spark, dir)))
 
   /** EXACT n-gram Jaccard pairs via PPJoin prefix filtering (Xiao et al.,
     * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08) —
@@ -845,7 +856,10 @@ object Dedup extends QueryModule {
     * table); ubiquitous-boilerplate hashes (df in the millions) are
     * bounded because each (doc,h) pair appears once post-aggregation. */
   def dupSpanCoverage(docs: DataFrame, k: Int = 8, topN: Int = 50): DataFrame = {
-    val toks = docs
+    // fanOut (opt r20): the md5-per-window span grid below is the heavy
+    // map-side pass and otherwise runs at the unsplittable scan's 1-task
+    // parallelism; no-op when the scan already splits (graft.Par scaladoc)
+    val toks = graft.Par.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= k)
     val spans = toks.select(col("doc_id"),
@@ -895,7 +909,10 @@ object Dedup extends QueryModule {
     * counted — at most token-linear even when the whole corpus is
     * boilerplate. Everything keys on uniform hashes. */
   def dupSpanCut(docs: DataFrame, k: Int = 8, topN: Int = 100): DataFrame = {
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // fanOut (opt r20): same reason as [[dupSpanCoverage]] — the span
+    // grid's md5 pass must not run at the 1-task scan parallelism
+    val base = graft.Par.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val toks = base.filter(size(col("toks")) >= k)
     val spans = toks.select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
@@ -1013,8 +1030,13 @@ object Dedup extends QueryModule {
     * ≤(statuses × seeds) rows before anything wide moves. */
   def gateReviewQueue(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsTable(spark, dir)
+    // checkpointed: reviewSummary references its input twice (arg-max +
+    // totals), and the caller owns the pin (the r20 dup-subtree rule) —
+    // pinning the FRAME here replaces the rule-internal perSeed
+    // checkpoint, which cost every readout a serial barrier (opt r20)
     val frame = gateClassifyProvenance(docs.filter(col("doc_id") >= 400),
       gateSignatureRows(docs.filter(col("doc_id") < 400)))
+      .localCheckpoint(true)
     graft.streaming.GateDeliveries.reviewSummary(frame)
       .orderBy(col("status"))
   }

@@ -35,9 +35,15 @@ object RelayRoundtrip extends QueryModule {
 
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bodies = Tables(spark, dir, "events")
-      .select(col("event_type"), unix_millis(col("ts")).as("tms"),
-        col("user_id"), col("value"))
+    // fan-out (opt r20, graft.Par): the testdata's events table is one
+    // single-row-group file, so without this the whole encode→decode loop
+    // runs as ONE task (stage-profiled ~1.5 s single-core at sf0.1 on
+    // local[32]); at production scale the scan splits naturally and
+    // fanOut is a no-op — the zero-shuffle shape the scaladoc promises
+    // is preserved exactly where it matters
+    val bodies = graft.Par.fanOut(Tables(spark, dir, "events")
+        .select(col("event_type"), unix_millis(col("ts")).as("tms"),
+          col("user_id"), col("value")))
       .as[(String, Long, Long, Double)]
       .mapPartitions { it =>
         // One body per 500 series — the shape of a remote-write POST batch.

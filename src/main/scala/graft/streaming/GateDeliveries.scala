@@ -227,14 +227,19 @@ object GateDeliveries {
   def reviewSummaryBy(deliveries: DataFrame,
                       groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    // checkpointed: perSeed feeds BOTH the arg-max and the totals — the
-    // r20 static dup-subtree detector caught q218 recomputing the whole
-    // classify frame (10 parquet scans) once per branch; perSeed is the
-    // ≤(groups × seeds)-row reduction, the cheapest thing to pin
+    // perSeed feeds BOTH the arg-max and the totals. The r20 dup-subtree
+    // rule (q218 recomputing the whole classify frame once per branch)
+    // is honored at the CALLER: every consumer hands this rule a
+    // materialized frame (q218/q226 checkpoint it, the sink readers scan
+    // a pruned parquet dir), so the double reference recomputes only a
+    // ≤(groups × seeds)-row aggregate off materialized rows. An eager
+    // checkpoint HERE added a serial job barrier per readout — measured
+    // 0.3–0.5 s per query at sf0.1/local[32] — for work smaller than the
+    // barrier itself (optimization r20, guide §2.4: remove the exchange-
+    // and-materialize step, not just shrink it).
     val perSeed = deliveries
       .groupBy(g :+ col("matched_seed"): _*)
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
     val top = perSeed.filter(col("matched_seed").isNotNull)
       .groupBy(g: _*)
       .agg(max(struct(col("n"), (-col("matched_seed")).as("nseed"))).as("b"))
