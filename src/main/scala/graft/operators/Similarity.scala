@@ -490,6 +490,17 @@ object Similarity extends QueryModule {
         n.crossJoin(broadcast(n.select(col("vec_id").as("src"),
           col("emb").as("pemb"), col("nrm").as("pnrm"))))
       }
+    // Loop discipline rewritten to the graph-family shape (opt r20 — this
+    // was the last iterative operator still unrolling its whole recurrence
+    // into ONE plan: 19 shuffles / 9 SortMergeJoins / 4 BNLJ at sf0.1,
+    // every rank join planned blind). Now: edge list checkpointed once,
+    // per-round lineage truncation, and the node-sized frames (ranks /
+    // contrib / degree tables) broadcast when a MEASURED count fits
+    // [[WarehouseOps.GraphBroadcastRowLimit]] — one rank-mass shuffle per
+    // round, exactly the scaladoc's promise. The fixed-point arithmetic is
+    // UNCHANGED expression-for-expression (lit(nNodes) replaces the
+    // broadcast nn column in the identical double chain), so ranks stay
+    // bit-identical — oracle-verified at both scales.
     val edges = pairsWide
       .filter(col("vec_id") =!= col("src"))
       .select(col("src"), col("vec_id").as("dst"),
@@ -497,30 +508,37 @@ object Similarity extends QueryModule {
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= k)
       .select(col("src"), col("dst"))
-      .cache()
+      .localCheckpoint(true)
+    val limit = WarehouseOps.GraphBroadcastRowLimit
+    def gate(df: DataFrame, rows: Long): DataFrame =
+      WarehouseOps.hintBySize(df, rows, limit)
+    val nodes = normed(emb).select(col("vec_id"))
+    val nNodes = nodes.count()
     val odeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("od"))
-    val edgesOd = edges.join(odeg, "src")
-    val nodes = normed(emb).select(col("vec_id"))
-    val nN = nodes.agg(count(lit(1)).as("nn"))
+    val edgesOd = edges.join(gate(odeg, nNodes), "src").localCheckpoint(true)
     // fixed-point: 1e12 rank units; integer div / integer sum / one IEEE
     // multiply per step — bit-identical across engines by construction
-    val init = nodes.crossJoin(broadcast(nN))
-      .select(col("vec_id"), expr("1000000000000 div nn").as("r"))
+    val init = nodes
+      .select(col("vec_id"), lit(1000000000000L / nNodes).as("r"))
+      .localCheckpoint(true)
     val finalRanks = (1 to iters).foldLeft(init) { (ranks, _) =>
       val contrib = edgesOd
-        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .join(gate(ranks.withColumnRenamed("vec_id", "src"), nNodes), "src")
         .groupBy(col("dst")).agg(sum(expr("r div od")).as("inc"))
-      nodes.crossJoin(broadcast(nN))
-        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left_outer")
+      nodes
+        .join(gate(contrib.withColumnRenamed("dst", "vec_id"), nNodes),
+          Seq("vec_id"), "left_outer")
         .select(col("vec_id"),
-          (floor((lit(1.0) - lit(damp)) * lit(1e12) / col("nn")).cast("long")
+          (floor((lit(1.0) - lit(damp)) * lit(1e12) / lit(nNodes)).cast("long")
             + floor(lit(damp) * coalesce(col("inc"), lit(0L))).cast("long")).as("r"))
+        .localCheckpoint(true)
     }
     val indeg = edges.groupBy(col("dst"))
       .agg(count(lit(1)).cast("long").as("in_deg"))
     finalRanks
-      .join(indeg.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left_outer")
+      .join(gate(indeg.withColumnRenamed("dst", "vec_id"), nNodes),
+        Seq("vec_id"), "left_outer")
       .select(col("vec_id"), coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         (round(col("r") / lit(1e12), 8) + lit(0.0)).as("pr"))
       .orderBy(col("vec_id"))
