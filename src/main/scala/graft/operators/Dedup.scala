@@ -237,7 +237,9 @@ object Dedup extends QueryModule {
     // frame drives both sort passes, but the recompute is a codegen'd
     // md5 minhash over a columnar scan — same-box best-of-5 measured
     // persist at 1.99 s vs recompute at 1.68 s; materialization costs
-    // more than the hash
+    // more than the hash. Re-measured in the optimization round with the
+    // fanOut+eager-checkpoint variant: 1.85 s vs 1.60 s recompute — the
+    // original decision stands
     val sigs = signatures(docs)
     def passPairs(kA: String, kB: String): DataFrame = {
       val d = sigs.withColumn("bucket", floor(col(kA) / lit(1L << 24)))
@@ -338,6 +340,7 @@ object Dedup extends QueryModule {
         explode(graft.functions.TextExpressions
             .deletionHashes(col("c_name"), maxEdits))
           .as("variant"))
+      .localCheckpoint(true)
     val l = sigs.select(col("nat"), col("seg"), col("variant"),
       col("c_custkey").as("a"))
     val r = sigs.select(col("nat"), col("seg"), col("variant"),
@@ -1056,7 +1059,15 @@ object Dedup extends QueryModule {
     * N's whole subtree inside stage N+1, the q203 delta-trainer lesson.
     * At 100 TB the live path is the streaming gate; this query pins the
     * state-threading rule against DuckDB. */
-  def gateBatchChain(spark: SparkSession, dir: String): DataFrame = {
+  def gateBatchChain(spark: SparkSession, dir: String): DataFrame =
+    gateBatchChainFrames(spark, dir).orderBy(col("doc_id"))
+
+  /** [[gateBatchChain]] WITHOUT the final global sort — the q222/q224/
+    * q225/q226 readouts aggregate the chain immediately, so their
+    * checkpoint was materializing a range-partitioned sort nobody
+    * consumed (opt r20); q219 keeps the ordered form as its declared
+    * output. */
+  private def gateBatchChainFrames(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsTable(spark, dir)
     val seed = docs.filter(col("doc_id") < 400)
     // split at 475: the testdata plants near-dup pairs with BOTH members
@@ -1074,7 +1085,6 @@ object Dedup extends QueryModule {
     val fr1 = gateClassifyProvenance(b1, sig1)
     fr0.withColumn("batch", lit(0L))
       .unionByName(fr1.withColumn("batch", lit(1L)))
-      .orderBy(col("doc_id"))
   }
 
   /** The gate's ACCEPTED docs (status = `new` in the q217 frame) — the
@@ -1172,7 +1182,7 @@ object Dedup extends QueryModule {
     // checkpoint: batchMix's per⋈tot join references the chain twice
     // (q224/q225's lesson applied back; measured 4.35 s → 3.65 s at 32×)
     graft.streaming.GateDeliveries.batchMix(
-        gateBatchChain(spark, dir).localCheckpoint(true))
+        gateBatchChainFrames(spark, dir).localCheckpoint(true))
       .orderBy(col("batch"), col("status"))
 
   /** q224 — GATE MIX DRIFT (the queue-side drift rule SURVEY §7.9 left
@@ -1193,7 +1203,7 @@ object Dedup extends QueryModule {
     // chain TWICE — without this the whole q219 subtree evaluates twice
     // (measured 7.1 s → 4.1 s at 32×, the §6.13 plan-growth lesson)
     graft.streaming.GateDeliveries.mixDrift(
-        gateBatchChain(spark, dir).localCheckpoint(true))
+        gateBatchChainFrames(spark, dir).localCheckpoint(true))
       .orderBy(col("batch"))
 
   /** q226 — GATE SEED DRILL-DOWN (round-20 candidate #3 pulled forward —
@@ -1208,7 +1218,7 @@ object Dedup extends QueryModule {
   def gateSeedDrilldown(spark: SparkSession, dir: String): DataFrame =
     // same twice-referenced-chain checkpoint as q224/q225
     graft.streaming.GateDeliveries.reviewSummaryBy(
-        gateBatchChain(spark, dir).localCheckpoint(true),
+        gateBatchChainFrames(spark, dir).localCheckpoint(true),
         Seq("batch", "status"))
       .orderBy(col("batch"), col("status"))
 
@@ -1227,7 +1237,7 @@ object Dedup extends QueryModule {
   def gateMixAnomaly(spark: SparkSession, dir: String): DataFrame =
     // same twice-referenced-chain checkpoint as q224
     graft.streaming.GateDeliveries.mixAnomaly(
-        gateBatchChain(spark, dir).localCheckpoint(true))
+        gateBatchChainFrames(spark, dir).localCheckpoint(true))
       .orderBy(col("batch"), col("status"))
 
   val queries: Map[String, QueryFn] = Map(

@@ -47,9 +47,12 @@ object Experiments extends QueryModule {
       graft.functions.TextExpressions.md5Hash60Col(
         concat(col("user_id").cast("string"), lit(":ab"))) % 2 === 0,
       lit("A")).otherwise(lit("B"))
-    val p = Tables(spark, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), cents.as("cents"))
+    // fanOut (opt r20, graft.Par): the replicate explode drives reps
+    // md5 evaluations per purchase row and otherwise runs at the
+    // unsplittable scan's 1-task parallelism; no-op at scale
+    val p = graft.Par.fanOut(Tables(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), cents.as("cents")))
       .withColumn("arm", armOf)
     val u = graft.functions.TextExpressions.md5Hash60Col(
       concat(col("event_id").cast("string"), lit(":bs"), col("b").cast("string")))
