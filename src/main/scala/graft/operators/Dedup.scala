@@ -1033,13 +1033,10 @@ object Dedup extends QueryModule {
     * ≤(statuses × seeds) rows before anything wide moves. */
   def gateReviewQueue(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsTable(spark, dir)
-    // checkpointed: reviewSummary references its input twice (arg-max +
-    // totals), and the caller owns the pin (the r20 dup-subtree rule) —
-    // pinning the FRAME here replaces the rule-internal perSeed
-    // checkpoint, which cost every readout a serial barrier (opt r20)
+    // no pin needed since reviewSummary went single-pass (opt r20): the
+    // whole readout is one aggregation chain over one classify evaluation
     val frame = gateClassifyProvenance(docs.filter(col("doc_id") >= 400),
       gateSignatureRows(docs.filter(col("doc_id") < 400)))
-      .localCheckpoint(true)
     graft.streaming.GateDeliveries.reviewSummary(frame)
       .orderBy(col("status"))
   }
@@ -1179,10 +1176,12 @@ object Dedup extends QueryModule {
     * chain. A drifting exact_dup share across batches is the "ingest
     * is re-sending the corpus" alarm. */
   def gateHealth(spark: SparkSession, dir: String): DataFrame =
-    // checkpoint: batchMix's per⋈tot join references the chain twice
-    // (q224/q225's lesson applied back; measured 4.35 s → 3.65 s at 32×)
-    graft.streaming.GateDeliveries.batchMix(
-        gateBatchChainFrames(spark, dir).localCheckpoint(true))
+    // no chain pin needed since batchMix went single-pass (opt r20): the
+    // readout references the chain exactly once, so the one evaluation
+    // happens inside the one job — the barrier bought nothing anymore
+    // (the pin era: r19 measured 4.35 s → 3.65 s at 32× against the old
+    // per⋈tot join-back, which referenced the chain twice)
+    graft.streaming.GateDeliveries.batchMix(gateBatchChainFrames(spark, dir))
       .orderBy(col("batch"), col("status"))
 
   /** q224 — GATE MIX DRIFT (the queue-side drift rule SURVEY §7.9 left
@@ -1199,11 +1198,10 @@ object Dedup extends QueryModule {
     * rows before the ≤batches-row broadcast join — nothing wide ever
     * moves. */
   def gateMixDrift(spark: SparkSession, dir: String): DataFrame =
-    // checkpoint: mixDrift's pair-contribution union references the
-    // chain TWICE — without this the whole q219 subtree evaluates twice
-    // (measured 7.1 s → 4.1 s at 32×, the §6.13 plan-growth lesson)
-    graft.streaming.GateDeliveries.mixDrift(
-        gateBatchChainFrames(spark, dir).localCheckpoint(true))
+    // no chain pin needed since mixDrift's pair contributions went from a
+    // self-union (chain referenced TWICE; the r19 pin bought 7.1 → 4.1 s
+    // at 32×) to one in-row explode — single reference, single evaluation
+    graft.streaming.GateDeliveries.mixDrift(gateBatchChainFrames(spark, dir))
       .orderBy(col("batch"))
 
   /** q226 — GATE SEED DRILL-DOWN (round-20 candidate #3 pulled forward —
@@ -1216,10 +1214,9 @@ object Dedup extends QueryModule {
     * max(struct) arg-max as q218, never a sort; one rule, two consumers
     * (the sink-table reader is the operational one). */
   def gateSeedDrilldown(spark: SparkSession, dir: String): DataFrame =
-    // same twice-referenced-chain checkpoint as q224/q225
+    // no chain pin needed since reviewSummaryBy went single-pass (opt r20)
     graft.streaming.GateDeliveries.reviewSummaryBy(
-        gateBatchChainFrames(spark, dir).localCheckpoint(true),
-        Seq("batch", "status"))
+        gateBatchChainFrames(spark, dir), Seq("batch", "status"))
       .orderBy(col("batch"), col("status"))
 
   /** q225 — GATE MIX ANOMALY (round-20 candidate #1 pulled forward:
@@ -1235,9 +1232,9 @@ object Dedup extends QueryModule {
     * behavior over a real history is spec-pinned on an 8-batch sink
     * table (GateDeliverySpec). */
   def gateMixAnomaly(spark: SparkSession, dir: String): DataFrame =
-    // same twice-referenced-chain checkpoint as q224
-    graft.streaming.GateDeliveries.mixAnomaly(
-        gateBatchChainFrames(spark, dir).localCheckpoint(true))
+    // no chain pin needed since mixAnomaly's medians ride windows over
+    // the reduced frame (opt r20) — chain referenced once
+    graft.streaming.GateDeliveries.mixAnomaly(gateBatchChainFrames(spark, dir))
       .orderBy(col("batch"), col("status"))
 
   val queries: Map[String, QueryFn] = Map(

@@ -1155,9 +1155,10 @@ object Similarity extends QueryModule {
     * joint two-batch chain. One rule, THREE consumers now: the text
     * chain twin (q222), the sink-table reader, and this joint twin. */
   def gateHealthJoint(spark: SparkSession, dir: String): DataFrame =
+    // no chain pin needed since batchMix went single-pass (opt r20):
+    // j0 pins inside the chain; j1 + the readout run as ONE job
     graft.streaming.GateDeliveries.batchMix(
-        jointBatchChain(spark, dir).localCheckpoint(true),
-        statusCol = "joint_status")
+        jointBatchChain(spark, dir), statusCol = "joint_status")
       .orderBy(col("batch"), col("status"))
 
   val queries: Map[String, QueryFn] = Map(

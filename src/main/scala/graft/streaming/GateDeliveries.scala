@@ -100,8 +100,17 @@ object GateDeliveries {
     val per = deliveries
       .groupBy(col("batch"), col(statusCol).as("status"))
       .agg(count(lit(1)).as("n_docs"))
-    val tot = per.groupBy(col("batch")).agg(sum(col("n_docs")).as("n_batch"))
-    per.join(broadcast(tot), Seq("batch"))
+    // the per-batch total rides a window over the ALREADY-REDUCED
+    // ≤(batches × statuses) frame instead of a per⋈tot join-back
+    // (opt r20): the join form referenced `per` twice, which forced
+    // every caller to checkpoint the input chain (the §6.13 rule) just
+    // to keep the upstream from evaluating twice — single-pass, the
+    // readout now references its input ONCE and needs no caller pin.
+    // Identical integer sum over identical rows ⇒ identical shares.
+    val overBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch"))
+    per
+      .withColumn("n_batch", sum(col("n_docs")).over(overBatch))
       .select(col("batch"), col("status"), col("n_docs"),
         round(col("n_docs").cast("double") / col("n_batch"), 6).as("share"))
   }
@@ -137,19 +146,30 @@ object GateDeliveries {
     // batch -1 is the retention fold's ARCHIVE, not a batch: scoring it
     // as one would pair it against batch 0 with the sum of all folded
     // batches' deliveries (review catch, shared with mixAnomaly)
-    val keyed = deliveries.filter(col("batch") >= 0)
-      .select(col("batch"), k.as("k"))
-    val contrib = keyed
-      .select((col("batch") + 1).as("batch"), lit(true).as("in_a"), col("k"))
-      .unionByName(keyed.select(col("batch"), lit(false).as("in_a"), col("k")))
+    // each delivery feeds its two (pair, side) contributions via ONE
+    // in-row explode instead of a self-union (opt r20): the union form
+    // referenced `keyed` twice — the very duplication that forced every
+    // caller to checkpoint the input chain; identical contribution
+    // multiset, one reference, no caller pin needed
+    val contrib = deliveries.filter(col("batch") >= 0)
+      .select(explode(array(
+          struct((col("batch") + 1).as("batch"), lit(true).as("in_a")),
+          struct(col("batch").as("batch"), lit(false).as("in_a")))).as("e"),
+        k.as("k"))
+      .select(col("e.batch").as("batch"), col("e.in_a").as("in_a"), col("k"))
     val cnt = contrib.groupBy(col("batch"), col("k"))
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
         sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
-    val tot = cnt.groupBy(col("batch"))
-      .agg(sum(col("a")).as("atot"), sum(col("b")).as("btot"),
-        count(lit(1)).as("n_keys"))
+    // pair totals ride a window over the reduced ≤(pairs × keys) frame
+    // instead of a cnt⋈tot join-back — same integer sums, same
+    // boundary-pair filter, one reference (see batchMix)
+    val overBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch"))
+    cnt
+      .withColumn("atot", sum(col("a")).over(overBatch))
+      .withColumn("btot", sum(col("b")).over(overBatch))
+      .withColumn("n_keys", count(lit(1)).over(overBatch))
       .filter(col("atot") > 0 && col("btot") > 0)
-    cnt.join(broadcast(tot), Seq("batch"))
       .withColumn("klp_q", when(col("a") > 0, col("a") * expr(
         "cast(round(ln(2.0 / (1.0 + (cast(b as double) / a) * " +
           "(cast(atot as double) / btot))) * 1000000) as bigint)"))
@@ -191,12 +211,17 @@ object GateDeliveries {
     val per = deliveries.filter(col("batch") >= 0)
       .groupBy(col(statusCol).as("status"), col("batch"))
       .agg(count(lit(1)).as("n_docs"))
-    val med = per.groupBy(col("status"))
-      .agg(expr("percentile(n_docs, 0.5)").as("med"))
-    val withMed = per.join(broadcast(med), "status")
-    val mad = withMed.groupBy(col("status"))
-      .agg(expr("percentile(abs(n_docs - med), 0.5)").as("mad"))
-    withMed.join(broadcast(mad), "status")
+    // both exact-median passes ride windows over the ALREADY-REDUCED
+    // ≤(batches × statuses) frame instead of two groupBy⋈join-backs
+    // (opt r20): the join form referenced `per` three times, forcing
+    // callers to checkpoint the input chain; identical percentiles over
+    // identical partitions ⇒ identical flags, one reference, no pin
+    val overStatus = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("status"))
+    per
+      .withColumn("med", expr("percentile(n_docs, 0.5)").over(overStatus))
+      .withColumn("mad",
+        expr("percentile(abs(n_docs - med), 0.5)").over(overStatus))
       .withColumn("robust_z", when(col("mad") > 0,
         round(lit(0.6745) * (col("n_docs") - col("med")) / col("mad"), 4)
           + lit(0.0)))
@@ -227,29 +252,24 @@ object GateDeliveries {
   def reviewSummaryBy(deliveries: DataFrame,
                       groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    // perSeed feeds BOTH the arg-max and the totals. The r20 dup-subtree
-    // rule (q218 recomputing the whole classify frame once per branch)
-    // is honored at the CALLER: every consumer hands this rule a
-    // materialized frame (q218/q226 checkpoint it, the sink readers scan
-    // a pruned parquet dir), so the double reference recomputes only a
-    // ≤(groups × seeds)-row aggregate off materialized rows. An eager
-    // checkpoint HERE added a serial job barrier per readout — measured
-    // 0.3–0.5 s per query at sf0.1/local[32] — for work smaller than the
-    // barrier itself (optimization r20, guide §2.4: remove the exchange-
-    // and-materialize step, not just shrink it).
+    // ONE pass, ONE reference (opt r20): the totals and the arg-max fold
+    // into a single aggregate over perSeed — `max(when(seed IS NOT NULL,
+    // struct(n, -seed)))` ignores the null-seed row exactly as the old
+    // filter + left-outer join-back did (a group with no seeds gets a
+    // null struct, hence null top_seed/top_seed_n). The two-branch form
+    // referenced perSeed twice, which forced every caller to pin its
+    // input (q218 once recomputed the whole classify frame per branch);
+    // single-pass, no caller pin is needed and the readout is one
+    // aggregation chain at any scale.
     val perSeed = deliveries
       .groupBy(g :+ col("matched_seed"): _*)
       .agg(count(lit(1)).as("n"))
-    val top = perSeed.filter(col("matched_seed").isNotNull)
-      .groupBy(g: _*)
-      .agg(max(struct(col("n"), (-col("matched_seed")).as("nseed"))).as("b"))
-      .select(g :+ (-col("b.nseed")).as("top_seed")
-        :+ col("b.n").as("top_seed_n"): _*)
     perSeed.groupBy(g: _*)
       .agg(sum(col("n")).as("n_docs"),
-        count(when(col("matched_seed").isNotNull, lit(1))).as("n_seeds"))
-      .join(top, groupCols, "left_outer")
+        count(when(col("matched_seed").isNotNull, lit(1))).as("n_seeds"),
+        max(when(col("matched_seed").isNotNull,
+          struct(col("n"), (-col("matched_seed")).as("nseed")))).as("b"))
       .select(g :+ col("n_docs") :+ col("n_seeds")
-        :+ col("top_seed") :+ col("top_seed_n"): _*)
+        :+ (-col("b.nseed")).as("top_seed") :+ col("b.n").as("top_seed_n"): _*)
   }
 }

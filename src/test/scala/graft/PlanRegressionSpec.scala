@@ -24,16 +24,29 @@ class PlanRegressionSpec extends AnyFunSuite {
   test("repeated-subtree detector (VERDICT r19 #6): flags a deliberately " +
       "un-checkpointed q224 twin, clean on the shipped checkpointed query") {
     val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
     // the exact defect class the 32x probe kept catching (q215/q216 r18,
-    // q222/q224 r19): mixDrift references its input twice, so WITHOUT the
-    // chain checkpoint the whole q219 subtree duplicates in the plan
-    val bad = graft.streaming.GateDeliveries.mixDrift(
-      graft.operators.Dedup.gateBatchChain(spark, dir))
+    // q222/q224 r19): a rule that references an expensive un-pinned frame
+    // twice duplicates the whole q219 subtree in the plan. This is
+    // mixDrift's HISTORICAL contribution self-union, reconstructed here
+    // verbatim — the optimization round rewrote the shipped rule to a
+    // single-pass in-row explode precisely to retire this shape, so the
+    // planted positive keeps the detector honest against the class.
+    val keyed = graft.operators.Dedup.gateBatchChain(spark, dir)
+      .filter(col("batch") >= 0)
+      .select(col("batch"), col("status").as("k"))
+    val bad = keyed
+      .select((col("batch") + 1).as("batch"), lit(true).as("in_a"), col("k"))
+      .unionByName(keyed.select(col("batch"), lit(false).as("in_a"), col("k")))
+      .groupBy(col("batch"), col("k"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
     val flagged = PlanHash.repeatedSubtrees(bad.queryExecution.optimizedPlan)
     assert(flagged.nonEmpty,
       "the un-checkpointed twice-referenced gate chain must be flagged")
-    // the shipped q224 checkpoints the chain: the duplicate collapses to
-    // two LogicalRDD leaves and the detector stays quiet
+    // the shipped q224 references the chain exactly once (single-pass
+    // rule, opt r20) — nothing duplicates and the detector stays quiet,
+    // WITHOUT needing a consumer-side checkpoint
     val good = graft.operators.Dedup.gateMixDrift(spark, dir)
     assert(PlanHash.repeatedSubtrees(good.queryExecution.optimizedPlan).isEmpty)
   }
