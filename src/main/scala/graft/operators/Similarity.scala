@@ -895,38 +895,90 @@ object Similarity extends QueryModule {
     * 64 exact integers); a last-ulp wobble there is ~1e-10 of the 0.5
     * rounding threshold, the same residual class q74 accepts on ln().
     * The iterate is INTEGER micro-units — bit-equal iterates in, bit-equal
-    * iterates out, so divergence cannot compound across iterations. */
+    * iterates out, so divergence cannot compound across iterations.
+    *
+    * Shape (opt r21, VERDICT r20 #1): ONE data pass computes the d×d Gram
+    * G = XᵀX as per-partition partials (a mapPartitions long-array
+    * accumulator — guide §8's "decide with small rows" taken to its
+    * limit: the corpus collapses to d² integers), reduced by one tiny
+    * (d²·partitions)-row aggregation; the `iters` power steps are then
+    * constant-size driver matvecs t = G·v on BigInt. The r20 shape
+    * re-joined the WHOLE cell table twice per iteration (2 shuffles + a
+    * collect × 3 rounds — the one driver-bound loop left after r20, and
+    * wrong at 100 TB where each round re-shuffled every cell). Integer
+    * equivalence is exact, not approximate:
+    *   t_d = Σ_r (Σ_e x_re·v_e)·x_rd = Σ_e (Σ_r x_rd·x_re)·v_e = (G·v)_d
+    * — every product and sum is an exact integer (partition partials
+    * bound by rows/task × (100·|x|)² ≪ 2⁶³; the cross-partition sum and
+    * the driver matvec are DECIMAL(38,0)/BigInt), so iterates stay
+    * bit-identical to the oracle's unrolled relational form, and the
+    * normalization reproduces Spark's own FP sequence op-for-op
+    * (double mult/div, Math.sqrt, BigDecimal HALF_UP round). */
   def pcaPower(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import spark.implicits._
-    val cells = embTable(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") + 1).as("dim"),
-        round(col("x").cast("double") * 100, 0).cast("long").as("xq"))
-      .persist()
-    // unpersist before returning (ADVICE r12): the returned plan no longer
-    // references `cells`, and a leaked cache entry would shadow executor
-    // memory for every later query run on the same session (bench runs the
-    // whole suite on one session).
-    val v: Seq[(Int, Long)] =
-      try {
-        val d = cells.agg(max(col("dim"))).head.getInt(0)
-        var vi: Seq[(Int, Long)] =
-          (1 to d).map(_ -> math.round(1e6 / math.sqrt(d.toDouble)))
-        for (_ <- 1 to iters) {
-          val vdf = broadcast(vi.toDF("dim", "vq"))
-          val s = cells.join(vdf, "dim")
-            .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("sq"))
-          val t = cells.join(s, "vec_id")
-            .groupBy(col("dim"))
-            .agg(sum((col("sq") * col("xq")).cast("decimal(38,0)")).as("t"))
-          val norm2 = t.agg(sum(pow(col("t").cast("double"), 2)).as("n2"))
-          vi = t.crossJoin(broadcast(norm2))
-            .select(col("dim"), expr(
-              "cast(round(cast(t as double) * 1e6 / sqrt(n2)) as bigint)").as("vq"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    // same quantization expression as the former posexplode form, applied
+    // elementwise (round(x·100) HALF_UP, long) — absent cells contribute 0
+    // to G exactly as they contributed no row to the old per-cell sums
+    val xq = embTable(spark, dir).select(expr(
+      "transform(embedding, v -> cast(round(cast(v as double) * 100, 0) as bigint))")
+      .as("xq"))
+    val partials = xq.as[Seq[Long]].mapPartitions { it =>
+      var d = 0
+      var g: Array[Long] = Array.emptyLongArray // d×d row-major, upper ∆ used
+      it.foreach { row =>
+        val x = row.toArray
+        if (x.length > d) { // grow the accumulator (constant-dim data: once)
+          val nd = x.length
+          val ng = new Array[Long](nd * nd)
+          var r = 0
+          while (r < d) { System.arraycopy(g, r * d, ng, r * nd, d); r += 1 }
+          d = nd; g = ng
         }
-        vi
-      } finally cells.unpersist()
+        var a = 0
+        while (a < x.length) {
+          val xa = x(a)
+          if (xa != 0L) {
+            var b = a
+            while (b < x.length) { g(a * d + b) += xa * x(b); b += 1 }
+          }
+          a += 1
+        }
+      }
+      if (d == 0) Iterator.empty
+      else Iterator.range(0, d).flatMap { a =>
+        Iterator.range(a, d).map(b => (a + 1, b + 1, g(a * d + b)))
+      }
+    }
+    val gRows = partials.toDF("da", "db", "g")
+      .groupBy(col("da"), col("db"))
+      .agg(sum(col("g").cast("decimal(38,0)")).as("g"))
+      .collect()
+    val d = gRows.iterator.map(_.getInt(1)).max
+    val G = Array.fill(d, d)(BigInt(0))
+    gRows.foreach { r =>
+      val (a, b) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      G(a)(b) = v
+      G(b)(a) = v
+    }
+    var vi: Array[BigInt] =
+      Array.fill(d)(BigInt(math.round(1e6 / math.sqrt(d.toDouble))))
+    for (_ <- 1 to iters) {
+      val t = Array.tabulate(d) { a =>
+        var s = BigInt(0); var e = 0
+        while (e < d) { s += G(a)(e) * vi(e); e += 1 }
+        s
+      }
+      var n2 = 0.0
+      t.foreach(ti => n2 += math.pow(ti.toDouble, 2))
+      vi = t.map { ti =>
+        // Spark's round(double): BigDecimal.valueOf + HALF_UP — reproduced
+        // exactly (math.round floors negative halves; HALF_UP rounds away)
+        BigInt(java.math.BigDecimal.valueOf(ti.toDouble * 1e6 / math.sqrt(n2))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+      }
+    }
+    val v: Seq[(Int, Long)] = (1 to d).map(i => i -> vi(i - 1).toLong)
     v.toDF("dim", "vq")
       .select(col("dim"), col("vq"),
         (round(col("vq").cast("double") / 1e6, 6) + lit(0.0)).as("loading"))

@@ -694,6 +694,42 @@ class LlmOpsSemanticsSpec extends AnyFunSuite {
     (r - 3).values.foreach { case (vq, l) => assert(vq == 0L && l == 0.0, r) }
   }
 
+  test("q167: Gram-form iterates equal the per-iteration recurrence exactly (opt r21)") {
+    import spark.implicits._
+    // mixed-sign, multi-axis corpus exercising negative t (HALF_UP vs
+    // math.round divergence class) and the BigInt matvec: the in-test
+    // reference runs the PRE-r21 recurrence s_r=⟨x_r,v⟩, t=Σ s·x in exact
+    // integers — the rewrite's claim is t = G·v is the same integer vector
+    def q(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val rnd = new scala.util.Random(42)
+    val d = 6
+    val rows = (0L until 50L).map { i =>
+      (i, (0 until d).map(_ => (rnd.nextDouble() * 2 - 1).toFloat), 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca2").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val xq = rows.map(_._2.map(f => q(f.toDouble)).toArray)
+    var v = Array.fill(d)(BigInt(math.round(1e6 / math.sqrt(d.toDouble))))
+    for (_ <- 1 to 3) {
+      val t = Array.tabulate(d) { dd =>
+        xq.foldLeft(BigInt(0)) { (acc, x) =>
+          val s = (0 until d).foldLeft(BigInt(0))((a, e) => a + BigInt(x(e)) * v(e))
+          acc + s * x(dd)
+        }
+      }
+      val n2 = t.map(ti => math.pow(ti.toDouble, 2)).sum
+      v = t.map(ti => BigInt(java.math.BigDecimal
+        .valueOf(ti.toDouble * 1e6 / math.sqrt(n2))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue))
+    }
+    val got = operators.Similarity.pcaPower(spark, dir).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val want = (1 to d).map(i => i -> v(i - 1).toLong).toMap
+    assert(got == want, s"iterate diverged: got $got want $want")
+  }
+
   test("q177: seen transitions score ln(3/4); unseen back off to the ln(1/3) floor") {
     import spark.implicits._
     def doc(id: Long, text: String, lang: String) =
